@@ -1,0 +1,522 @@
+"""Lineage table format: immutable base + append-only tail, Spark-first.
+
+This is the PySpark-native re-expression of the reference's L-Store
+storage engine (reference: /root/reference/lstore/table.py). The
+reference keeps columnar base pages (table.py:104-133), append-only
+tail pages holding update deltas (table.py:135-158), an indirection
+chain resolving the latest version (table.py:162-170), a schema-
+encoding bitmap marking changed columns (query.py:141), and a merge
+process that lazily consolidates tail into base past a TPS watermark
+(table.py:186-225).
+
+Spark mapping (SURVEY.md §1.5):
+
+- **base**   -> append-only Parquet directory (``base/``) of original
+  inserted records: ``(_rid, _ts, <user columns>)``. Never rewritten;
+  this preserves full lineage for version travel.
+- **tail**   -> append-only Parquet directory (``tail/``) of deltas:
+  ``(_rid, _seq, _op, _ts, <user columns, NULL = unchanged>)``.
+  The reference's *indirection* column becomes "max _seq per _rid";
+  its *schema-encoding bitmap* becomes per-column NULL-ness.
+- **merge**  -> :meth:`LineageTable.compact`: one join+rewrite job that
+  materializes the current view into ``compacted/v{N}/`` and advances
+  the TPS watermark in the manifest. Purely physical — query answers
+  are invariant under compaction (the reference's intent per the
+  L-Store paper; merge keeps tail pages so version queries still work).
+- **page_directory** (the reference's eagerly-maintained rid->Record
+  dict, table.py:37) -> the *current view*, computed lazily by
+  ``base LEFT JOIN latest-tail`` + per-column ``coalesce``.
+
+Scale notes (100 TB design):
+
+- The current view's only shuffle is the groupBy(_rid) over the
+  *tail*, which compaction keeps small relative to base; AQE then
+  broadcasts the aggregated tail into the base join, so the base scan
+  is shuffle-free. Filters and projections on the view push down to
+  the base Parquet scan through the join.
+- RIDs and seqs are allocated as ``(batch << 48) | monotonic`` so bulk
+  ingest needs no driver-side loop, no zipWithIndex, and no shuffle:
+  ``monotonically_increasing_id`` is computed per-partition on
+  executors. Batch ids increase per commit, making (rid, seq) globally
+  unique and commit-ordered across arbitrarily many executors.
+- Writes are append-only Parquet (true columnar + min/max stats +
+  dictionary/bloom pushdown), replacing the reference's hand-rolled
+  per-column text files (db.py:89-140).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Metadata columns. Base rows carry (_rid, _ts); tail rows carry
+# (_rid, _seq, _op, _ts). The reference's 4 hidden base columns /
+# 5 hidden tail columns (table.py:116, table.py:142) map onto these:
+# RID->_rid, indirection->max(_seq), schema_encoding->NULL-ness,
+# timestamp->_ts, BaseID->_rid.
+RID = "_rid"
+SEQ = "_seq"
+OP = "_op"
+TS = "_ts"
+META_BASE = [RID, TS]
+META_TAIL = [RID, SEQ, OP, TS]
+
+OP_UPDATE = "U"
+OP_DELETE = "D"
+
+# rid/seq encoding: high 15 bits = commit batch, low 48 bits =
+# within-batch monotonic id (executor-side partition<<33 | row).
+_BATCH_SHIFT = 48
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+    os.replace(tmp, path)
+
+
+def _schema_to_json(schema: T.StructType) -> str:
+    return schema.json()
+
+
+def _schema_from_json(s: str) -> T.StructType:
+    return T.StructType.fromJson(json.loads(s))
+
+
+def _has_parquet(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+@dataclass
+class Manifest:
+    """Durable table metadata — replaces the reference's
+    ``table_info.txt`` (db.py:163-166) plus its implicit in-memory
+    counters (next rid, table.py:39-40; TPS, table.py:53)."""
+
+    name: str
+    schema_json: str
+    key: str
+    next_batch: int = 0
+    tps: int = -1  # highest tail _seq folded into the compacted snapshot
+    compact_version: int = -1  # -1 = no compacted snapshot yet
+    compact_rid_hi: int = -1  # highest base _rid covered by the snapshot
+    extra: dict = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "schema_json": self.schema_json,
+            "key": self.key,
+            "next_batch": self.next_batch,
+            "tps": self.tps,
+            "compact_version": self.compact_version,
+            "compact_rid_hi": self.compact_rid_hi,
+            "extra": self.extra,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Manifest":
+        return cls(**d)
+
+
+class LineageTable:
+    """One lineage table = base dir + tail dir + manifest + pending
+    in-memory buffers (rows accepted but not yet flushed to Parquet —
+    the Spark analogue of the reference's open base/tail page)."""
+
+    # Flush pending row buffers to Parquet past this many rows.
+    FLUSH_THRESHOLD = 100_000
+    # compact() when the flushed tail exceeds this many rows; the
+    # reference merges every 100 tail inserts (table.py:155) — ours is
+    # proportional, sized so the tail-side shuffle stays broadcastable.
+    AUTO_COMPACT_TAIL_ROWS = 500_000
+
+    def __init__(self, spark: SparkSession, path: str, manifest: Manifest):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+        self.schema: T.StructType = _schema_from_json(manifest.schema_json)
+        self.key = manifest.key
+        self.user_cols = [f.name for f in self.schema.fields]
+        if self.key not in self.user_cols:
+            raise ValueError(f"key column {self.key!r} not in schema")
+        # pending rows: lists of python tuples matching base/tail schemas
+        self._pending_base: list[tuple] = []
+        self._pending_tail: list[tuple] = []
+        self._open_batch: int | None = None
+        self._batch_counter = 0
+
+    # ------------------------------------------------------------------
+    # paths / schemas
+    # ------------------------------------------------------------------
+    @property
+    def base_dir(self) -> str:
+        return os.path.join(self.path, "base")
+
+    @property
+    def tail_dir(self) -> str:
+        return os.path.join(self.path, "tail")
+
+    def compacted_dir(self, version: int | None = None) -> str:
+        v = self.manifest.compact_version if version is None else version
+        return os.path.join(self.path, "compacted", f"v{v}")
+
+    @property
+    def base_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(RID, T.LongType(), False),
+                T.StructField(TS, T.TimestampType(), True),
+            ]
+            + [T.StructField(f.name, f.dataType, True) for f in self.schema.fields]
+        )
+
+    @property
+    def tail_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(RID, T.LongType(), False),
+                T.StructField(SEQ, T.LongType(), False),
+                T.StructField(OP, T.StringType(), False),
+                T.StructField(TS, T.TimestampType(), True),
+            ]
+            + [T.StructField(f.name, f.dataType, True) for f in self.schema.fields]
+        )
+
+    # ------------------------------------------------------------------
+    # id allocation
+    # ------------------------------------------------------------------
+    def _ensure_batch(self) -> int:
+        if self._open_batch is None:
+            self._open_batch = self.manifest.next_batch
+            self.manifest.next_batch += 1
+            self._batch_counter = 0
+            self._save_manifest()
+        return self._open_batch
+
+    def _next_local_id(self) -> int:
+        batch = self._ensure_batch()
+        i = self._batch_counter
+        self._batch_counter += 1
+        return (batch << _BATCH_SHIFT) | i
+
+    def _save_manifest(self) -> None:
+        _atomic_write_json(os.path.join(self.path, "_manifest.json"), self.manifest.to_dict())
+
+    # ------------------------------------------------------------------
+    # write path (Q1 insert / Q4 update / Q5 delete — bulk + row-at-a-time)
+    # ------------------------------------------------------------------
+    def insert_rows(self, rows: Iterable[tuple]) -> list[int]:
+        """Row-at-a-time / small-batch insert (reference Q1,
+        query.py:57-75). Returns assigned rids. Rows buffer in memory
+        and flush to Parquet past FLUSH_THRESHOLD or on close/compact."""
+        now = _now()
+        rids = []
+        for row in rows:
+            if len(row) != len(self.user_cols):
+                raise ValueError(f"expected {len(self.user_cols)} columns, got {len(row)}")
+            rid = self._next_local_id()
+            rids.append(rid)
+            self._pending_base.append((rid, now, *row))
+        self._maybe_flush()
+        return rids
+
+    def append_tail_rows(self, rows: Iterable[tuple[int, str, tuple]]) -> list[int]:
+        """Append (rid, op, values) deltas; values use None = unchanged
+        (the reference's schema-encoding bitmap, query.py:141).
+        Returns assigned seqs."""
+        now = _now()
+        seqs = []
+        for rid, op, values in rows:
+            seq = self._next_local_id()
+            seqs.append(seq)
+            self._pending_tail.append((rid, seq, op, now, *values))
+        self._maybe_flush()
+        return seqs
+
+    def ingest_dataframe(self, df: DataFrame) -> None:
+        """Bulk ingest: assign rids executor-side (no driver loop, no
+        shuffle) and append to the base Parquet dir. This is the 100 TB
+        write path — ``monotonically_increasing_id`` is per-partition,
+        the batch id comes from one manifest bump on the driver."""
+        self.flush()  # keep rid ordering: buffered rows commit first
+        batch = self.manifest.next_batch
+        self.manifest.next_batch += 1
+        self._save_manifest()
+        out = df.select(
+            (F.lit(batch << _BATCH_SHIFT) + F.monotonically_increasing_id()).alias(RID),
+            F.current_timestamp().alias(TS),
+            *[F.col(c).cast(self.schema[c].dataType).alias(c) for c in self.user_cols],
+        )
+        out.write.mode("append").parquet(self.base_dir)
+
+    def bulk_update(self, changes: DataFrame) -> None:
+        """Bulk update by primary key: ``changes`` has the key column
+        plus any subset of user columns holding new values (reference
+        Q4 semantics, vectorized). One broadcast-able join against the
+        current view resolves key -> rid; the deltas append to tail.
+        Columns not present in ``changes`` are recorded as NULL =
+        unchanged."""
+        self.flush()
+        batch = self.manifest.next_batch
+        self.manifest.next_batch += 1
+        self._save_manifest()
+        changed_cols = [c for c in changes.columns if c != self.key and c in self.user_cols]
+        cur = self.current_view(include_meta=True).select(RID, self.key)
+        joined = changes.join(cur, on=self.key, how="inner")
+        out = joined.select(
+            F.col(RID),
+            (F.lit(batch << _BATCH_SHIFT) + F.monotonically_increasing_id()).alias(SEQ),
+            F.lit(OP_UPDATE).alias(OP),
+            F.current_timestamp().alias(TS),
+            *[
+                (
+                    F.col(c).cast(self.schema[c].dataType)
+                    if c in changed_cols
+                    else F.lit(None).cast(self.schema[c].dataType)
+                ).alias(c)
+                for c in self.user_cols
+            ],
+        )
+        out.write.mode("append").parquet(self.tail_dir)
+
+    def bulk_delete(self, keys: DataFrame) -> None:
+        """Bulk tombstone by primary key (reference Q5, query.py:27-49)."""
+        self.flush()
+        batch = self.manifest.next_batch
+        self.manifest.next_batch += 1
+        self._save_manifest()
+        cur = self.current_view(include_meta=True).select(RID, self.key)
+        joined = keys.select(self.key).join(cur, on=self.key, how="inner")
+        out = joined.select(
+            F.col(RID),
+            (F.lit(batch << _BATCH_SHIFT) + F.monotonically_increasing_id()).alias(SEQ),
+            F.lit(OP_DELETE).alias(OP),
+            F.current_timestamp().alias(TS),
+            *[F.lit(None).cast(self.schema[c].dataType).alias(c) for c in self.user_cols],
+        )
+        out.write.mode("append").parquet(self.tail_dir)
+
+    def _maybe_flush(self) -> None:
+        if len(self._pending_base) + len(self._pending_tail) >= self.FLUSH_THRESHOLD:
+            self.flush()
+
+    def flush(self) -> None:
+        """Write pending buffers to Parquet and close the open batch.
+        The Spark analogue of the reference's page rollover
+        (table.py:104-119)."""
+        if self._pending_base:
+            df = self.spark.createDataFrame(self._pending_base, self.base_schema)
+            df.coalesce(1).write.mode("append").parquet(self.base_dir)
+            self._pending_base = []
+        if self._pending_tail:
+            df = self.spark.createDataFrame(self._pending_tail, self.tail_schema)
+            df.coalesce(1).write.mode("append").parquet(self.tail_dir)
+            self._pending_tail = []
+        if self._open_batch is not None:
+            self._open_batch = None
+            self._save_manifest()
+
+    # ------------------------------------------------------------------
+    # read path: raw frames
+    # ------------------------------------------------------------------
+    def _read_or_empty(self, path: str, schema: T.StructType) -> DataFrame:
+        if _has_parquet(path):
+            return self.spark.read.schema(schema).parquet(path)
+        return self.spark.createDataFrame([], schema)
+
+    def base_df(self, include_pending: bool = True) -> DataFrame:
+        """All original inserted records (full history side)."""
+        df = self._read_or_empty(self.base_dir, self.base_schema)
+        if include_pending and self._pending_base:
+            df = df.unionByName(self.spark.createDataFrame(self._pending_base, self.base_schema))
+        return df
+
+    def tail_df(self, include_pending: bool = True) -> DataFrame:
+        df = self._read_or_empty(self.tail_dir, self.tail_schema)
+        if include_pending and self._pending_tail:
+            df = df.unionByName(self.spark.createDataFrame(self._pending_tail, self.tail_schema))
+        return df
+
+    # ------------------------------------------------------------------
+    # read path: views
+    # ------------------------------------------------------------------
+    def _fold_tail(self, base: DataFrame, tail: DataFrame, drop_deleted: bool = True) -> DataFrame:
+        """base ⟕ latest-tail coalesce — the lazily-computed
+        page_directory (reference table.py:37, query.py:96).
+
+        The tail is first reduced to ONE row per rid with a single
+        map-side-combinable aggregate: for every user column, the value
+        at the max _seq among deltas that touched it —
+        ``max(struct(_seq, col))`` (struct ordering is by _seq first;
+        _seq is globally unique so the column value never decides).
+        This replaces the reference's newest-first tail-page scan
+        (get_indirection, table.py:162-170) with one shuffle whose
+        size is |tail|, independent of |base|; AQE then broadcasts the
+        folded tail into the base join when it is small."""
+        aggs = [
+            F.max(F.when(F.col(OP) == OP_DELETE, F.col(SEQ))).alias("_del_seq"),
+            F.max(F.col(SEQ)).alias("_last_seq"),
+        ]
+        for c in self.user_cols:
+            aggs.append(
+                F.max(
+                    F.when(
+                        (F.col(OP) == OP_UPDATE) & F.col(c).isNotNull(),
+                        F.struct(F.col(SEQ).alias("s"), F.col(c).alias("v")),
+                    )
+                ).alias(f"__u_{c}")
+            )
+        folded = tail.groupBy(RID).agg(*aggs)
+        joined = base.join(folded, on=RID, how="left")
+        if drop_deleted:
+            joined = joined.where(F.col("_del_seq").isNull())
+        return joined.select(
+            F.col(RID),
+            F.col(TS),
+            *[
+                F.coalesce(F.col(f"__u_{c}.v"), F.col(c)).alias(c)
+                for c in self.user_cols
+            ],
+        )
+
+    def current_view(self, include_meta: bool = False) -> DataFrame:
+        """Latest version of every live record.
+
+        If a compacted snapshot exists (TPS watermark), only tail rows
+        with _seq > TPS are folded, against (snapshot ∪ base rows newer
+        than the snapshot) — the reference's merge fast-path intent
+        (table.py:186-225) without its addressing bugs."""
+        m = self.manifest
+        if m.compact_version >= 0:
+            snap = self._read_or_empty(self.compacted_dir(), self.base_schema)
+            fresh = self.base_df().where(F.col(RID) > m.compact_rid_hi)
+            base = snap.unionByName(fresh)
+            tail = self.tail_df().where(F.col(SEQ) > m.tps)
+        else:
+            base = self.base_df()
+            tail = self.tail_df()
+        out = self._fold_tail(base, tail)
+        if not include_meta:
+            out = out.select(*self.user_cols)
+        return out
+
+    def version_view(self, relative_version: int = 0, include_meta: bool = False) -> DataFrame:
+        """Record state as of ``relative_version`` updates ago, PER
+        RECORD (0 = latest, -1 = previous ...). Contract from the
+        reference's select_version docstring (query.py:115-124; the
+        reference left the body a stub — SURVEY Appendix A.4).
+
+        Semantics: drop the last |k| update-deltas of each rid, then
+        fold as usual; records with fewer than |k| updates clamp to
+        their base version. Tombstoned records are invisible at every
+        version (the reference removes deleted records from the
+        page_directory outright, query.py:40-44).
+
+        Always computed from the ORIGINAL base + full tail (not the
+        compacted snapshot): compaction is physical-only and must not
+        change any answer. The per-rid window is a shuffle of the tail
+        only; version queries are the rare path and stay correct at any
+        compaction state.
+        """
+        k = abs(int(relative_version))
+        if k == 0 and not include_meta:
+            return self.current_view()
+        base = self.base_df()
+        tail = self.tail_df()
+        if k > 0:
+            w = Window.partitionBy(RID).orderBy(F.desc(SEQ))
+            upd = (
+                tail.where(F.col(OP) == OP_UPDATE)
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") > k)
+                .drop("_rn")
+            )
+            dels = tail.where(F.col(OP) == OP_DELETE)
+            tail = upd.unionByName(dels)
+        out = self._fold_tail(base, tail)
+        if not include_meta:
+            out = out.select(*self.user_cols)
+        return out
+
+    # ------------------------------------------------------------------
+    # merge / compaction (reference T4, table.py:180-225)
+    # ------------------------------------------------------------------
+    def compact(self) -> int:
+        """Consolidate tail into a new base snapshot (the reference's
+        __merge): one join+rewrite job, then an atomic manifest swap
+        advancing the TPS watermark. Tail files are retained so
+        version travel keeps full lineage — merge never changes a
+        query answer (SURVEY §5.2 invariant 2). Returns the new
+        snapshot version."""
+        self.flush()
+        base = self.base_df(include_pending=False)
+        tail = self.tail_df(include_pending=False)
+        tps_row = tail.agg(F.max(SEQ).alias("m"), F.count(F.lit(1)).alias("n")).collect()[0]
+        new_tps = tps_row["m"] if tps_row["m"] is not None else self.manifest.tps
+        rid_row = base.agg(F.max(RID).alias("m")).collect()[0]
+        rid_hi = rid_row["m"] if rid_row["m"] is not None else -1
+        snap = self._fold_tail(base, tail)  # keeps _rid,_ts + user cols
+        new_version = self.manifest.compact_version + 1
+        out_dir = self.compacted_dir(new_version)
+        snap.write.mode("overwrite").parquet(out_dir)
+        old_version = self.manifest.compact_version
+        self.manifest.compact_version = new_version
+        self.manifest.tps = new_tps if new_tps is not None else -1
+        self.manifest.compact_rid_hi = rid_hi
+        self._save_manifest()
+        if old_version >= 0:
+            shutil.rmtree(self.compacted_dir(old_version), ignore_errors=True)
+        return new_version
+
+    def tail_row_count(self) -> int:
+        return self.tail_df().count()
+
+    def maybe_compact(self) -> bool:
+        if self.tail_row_count() > self.AUTO_COMPACT_TAIL_ROWS:
+            self.compact()
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls, spark: SparkSession, path: str, name: str, schema: T.StructType, key: str
+    ) -> "LineageTable":
+        os.makedirs(path, exist_ok=True)
+        manifest = Manifest(name=name, schema_json=_schema_to_json(schema), key=key)
+        table = cls(spark, path, manifest)
+        table._save_manifest()
+        return table
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LineageTable":
+        with open(os.path.join(path, "_manifest.json")) as f:
+            manifest = Manifest.from_dict(json.load(f))
+        return cls(spark, path, manifest)
+
+    def close(self) -> None:
+        self.flush()
+
+
+def _now():
+    import datetime
+
+    return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)

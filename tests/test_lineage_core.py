@@ -1,0 +1,138 @@
+"""Lineage storage invariants: bulk ingest/update/delete, views,
+compaction answer-invariance (SURVEY §5.2 item 2), persistence
+round-trip, catalog ops."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lineage_store_database_management_system_spark import Database, Query
+
+
+def orders_schema():
+    return T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderstatus", T.StringType()),
+        ]
+    )
+
+
+def test_bulk_ingest_and_views(tmp_db, spark, sf_dir):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    t = tmp_db.create_table_typed("orders", orders_schema(), "o_orderkey")
+    t.ingest_dataframe(src)
+    assert t.current_view().count() == src.count()
+    # rids unique
+    n = t.base_df().select("_rid").distinct().count()
+    assert n == src.count()
+    # values identical
+    a = t.current_view().agg(F.sum("o_totalprice")).collect()[0][0]
+    b = src.agg(F.sum("o_totalprice")).collect()[0][0]
+    assert abs(a - b) < 1e-6
+
+
+def test_bulk_update_delete_and_compaction_invariance(tmp_db, spark, sf_dir):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    t = tmp_db.create_table_typed("orders", orders_schema(), "o_orderkey")
+    t.ingest_dataframe(src)
+    # bulk update: +100 on keys % 7 == 0
+    upd = src.where("o_orderkey % 7 = 0").select(
+        "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+    )
+    t.bulk_update(upd)
+    # bulk delete: keys % 10 == 0
+    t.bulk_delete(src.where("o_orderkey % 10 = 0").select("o_orderkey"))
+
+    def expected(df):
+        return (
+            df.where("o_orderkey % 10 != 0")
+            .select(
+                "o_orderkey",
+                F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100)
+                .otherwise(F.col("o_totalprice"))
+                .alias("o_totalprice"),
+                "o_orderstatus",
+            )
+        )
+
+    exp = expected(src)
+    got = t.current_view()
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    # version -1 restores pre-update values for updated keys (deletes stay invisible)
+    v1 = t.version_view(-1)
+    exp_v1 = src.where("o_orderkey % 10 != 0")
+    assert v1.exceptAll(exp_v1).count() == 0 and exp_v1.exceptAll(v1).count() == 0
+
+    # compaction changes NO answer
+    t.compact()
+    got2 = t.current_view()
+    assert got2.exceptAll(exp).count() == 0 and exp.exceptAll(got2).count() == 0
+    v1b = t.version_view(-1)
+    assert v1b.exceptAll(exp_v1).count() == 0 and exp_v1.exceptAll(v1b).count() == 0
+
+    # writes after compaction still land correctly
+    upd2 = src.where("o_orderkey % 11 = 0 AND o_orderkey % 10 != 0").select(
+        "o_orderkey", F.lit("Z").alias("o_orderstatus")
+    )
+    t.bulk_update(upd2)
+    z = t.current_view().where("o_orderstatus = 'Z'").count()
+    assert z == upd2.count()
+
+
+def test_persistence_roundtrip(tmp_db, spark):
+    t = tmp_db.create_table("g", 3, 0)
+    q = Query(t)
+    for i in range(10):
+        q.insert(i, i * 10, i * 100)
+    q.update(3, None, 999, None)
+    q.delete(4)
+    tmp_db.close()
+
+    db2 = Database().open(tmp_db.path, spark)
+    t2 = db2.get_table("g")
+    q2 = Query(t2)
+    assert q2.select(3, 0, [1, 1, 1])[0].columns == [3, 999, 300]
+    assert q2.select_version(3, 0, [1, 1, 1], -1)[0].columns == [3, 30, 300]
+    assert q2.select(4, 0, [1, 1, 1]) == []
+    assert q2.sum(0, 9, 1) == sum(i * 10 for i in range(10)) - 30 - 40 + 999
+
+
+def test_catalog_create_drop_get(tmp_db):
+    tmp_db.create_table("a", 2, 0)
+    with pytest.raises(ValueError):
+        tmp_db.create_table("a", 2, 0)
+    assert "a" in tmp_db.list_tables()
+    assert tmp_db.drop_table("a") is True
+    assert tmp_db.drop_table("a") is False
+    assert "a" not in tmp_db.list_tables()
+    with pytest.raises(KeyError):
+        tmp_db.get_table("a")
+
+
+def test_register_views_sql(tmp_db, spark):
+    t = tmp_db.create_table("g", 2, 0)
+    q = Query(t)
+    for i in range(5):
+        q.insert(i, i * i)
+    tmp_db.register_views()
+    got = spark.sql("SELECT sum(col1) AS s FROM g WHERE col0 >= 1").collect()[0]["s"]
+    assert got == 1 + 4 + 9 + 16
+
+
+def test_update_changing_primary_key(tmp_db):
+    t = tmp_db.create_table("g", 2, 0)
+    q = Query(t)
+    q.insert(1, 10)
+    assert q.update(1, 2, None) is True
+    assert q.select(1, 0, [1, 1]) == []
+    assert q.select(2, 0, [1, 1])[0].columns == [2, 10]
+    t.flush()
+    assert t.current_view().collect()[0]["col0"] == 2
