@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from the workloads registry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is timed to completion of a count-style action (the
+driver-side collect cost is excluded for the big result sets by
+aggregating down to a count; queries whose output IS small are
+collected fully — same work a user would do).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per major subsystem — lineage write+read path,
+# version travel, TPC-H-style joins/aggs, windows, sessionization,
+# dedup (exact + minhash), similarity search, text analysis.
+HEADLINE = [
+    "pq_insert_bulk_current_view",
+    "pq_select_version_m1",
+    "pq_sum_range",
+    "ext_q1_pricing_summary",
+    "ext_q3_shipping_priority",
+    "ext_q5_region_revenue",
+    "ext_window_topn_per_customer",
+    "ext_events_sessions",
+    "ds_dedup_exact",
+    "ds_minhash_lsh_candidates",
+    "ds_embedding_topk",
+    "ds_text_stats",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from lineage_store_database_management_system_spark import get_spark, workloads
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = workloads.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,48 @@
+"""Text column functions shared by the dedup / text-analysis operators.
+
+All pure Catalyst expressions. Where an operator must hash-match the
+DuckDB oracle, the expression is restricted to constructs with
+identical semantics in both engines (``replace``-based occurrence
+counts, simple character-class regexes, ``split`` on single spaces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalized_text(c: Column) -> Column:
+    """Lowercase, collapse whitespace runs, strip — the canonical form
+    used by fingerprinting and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def token_count_col(c: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def occurrence_count(c: Column, needle: str) -> Column:
+    """Number of occurrences of a literal substring, via the
+    replace-length trick — semantics identical in Spark and DuckDB
+    (used for oracle-checkable language-ID scoring)."""
+    return (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a single-space-separated text column.
+    Catalyst-only: split -> sequence of start offsets -> transform with
+    slice+join. Empty array when the text has fewer than ``n`` words."""
+    words = F.split(F.trim(c), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(words, i, n), " "))
+    )
+
+
+def char_ngrams(c: Column, n: int = 5) -> Column:
+    """Distinct character n-grams (for SimHash / fingerprint features)."""
+    starts = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(starts, lambda i: F.substring(c, i, n)))

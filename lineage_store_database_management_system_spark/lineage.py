@@ -218,6 +218,31 @@ class LineageTable:
     def _save_manifest(self) -> None:
         _atomic_write_json(os.path.join(self.path, "_manifest.json"), self.manifest.to_dict())
 
+    def _append_via_staging(self, df: DataFrame, target_dir: str) -> None:
+        """Commit-protocol append: write to a staging dir, then move
+        the finished part-files into the table dir. Two reasons this
+        exists instead of a plain ``mode('append')``:
+
+        1. Deltas are often *derived from the table's own current
+           view* (e.g. bulk_update values computed from existing
+           rows) — appending to a directory the same job is scanning
+           is undefined behavior; staging decouples read from publish.
+        2. It is the single-writer commit point: readers never see a
+           partial append (files appear only after they are complete),
+           which is the same files-then-manifest discipline a real
+           lakehouse format uses.
+        """
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(target_dir, exist_ok=True)
+        for name in os.listdir(staging):
+            if name.endswith(".parquet"):
+                os.rename(
+                    os.path.join(staging, name),
+                    os.path.join(target_dir, f"{uuid.uuid4().hex[:8]}-{name}"),
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+
     # ------------------------------------------------------------------
     # write path (Q1 insert / Q4 update / Q5 delete — bulk + row-at-a-time)
     # ------------------------------------------------------------------
@@ -263,7 +288,7 @@ class LineageTable:
             F.current_timestamp().alias(TS),
             *[F.col(c).cast(self.schema[c].dataType).alias(c) for c in self.user_cols],
         )
-        out.write.mode("append").parquet(self.base_dir)
+        self._append_via_staging(out, self.base_dir)
 
     def bulk_update(self, changes: DataFrame) -> None:
         """Bulk update by primary key: ``changes`` has the key column
@@ -293,7 +318,7 @@ class LineageTable:
                 for c in self.user_cols
             ],
         )
-        out.write.mode("append").parquet(self.tail_dir)
+        self._append_via_staging(out, self.tail_dir)
 
     def bulk_delete(self, keys: DataFrame) -> None:
         """Bulk tombstone by primary key (reference Q5, query.py:27-49)."""
@@ -310,7 +335,7 @@ class LineageTable:
             F.current_timestamp().alias(TS),
             *[F.lit(None).cast(self.schema[c].dataType).alias(c) for c in self.user_cols],
         )
-        out.write.mode("append").parquet(self.tail_dir)
+        self._append_via_staging(out, self.tail_dir)
 
     def _maybe_flush(self) -> None:
         if len(self._pending_base) + len(self._pending_tail) >= self.FLUSH_THRESHOLD:
@@ -368,7 +393,16 @@ class LineageTable:
         This replaces the reference's newest-first tail-page scan
         (get_indirection, table.py:162-170) with one shuffle whose
         size is |tail|, independent of |base|; AQE then broadcasts the
-        folded tail into the base join when it is small."""
+        folded tail into the base join when it is small.
+
+        The PRIMARY KEY is taken from the base side directly (never
+        coalesced): the lineage encoding treats the key as immutable
+        (key-changing updates are executed as delete+reinsert by the
+        Query facade). This is what lets Catalyst push key predicates
+        through the left-outer join into the base Parquet scan — a
+        point/range query on the key reads only matching row groups
+        instead of scanning 100 TB (verified by
+        tests/test_entry_contract.py::test_filter_pushdown...)."""
         aggs = [
             F.max(F.when(F.col(OP) == OP_DELETE, F.col(SEQ))).alias("_del_seq"),
             F.max(F.col(SEQ)).alias("_last_seq"),
@@ -390,7 +424,9 @@ class LineageTable:
             F.col(RID),
             F.col(TS),
             *[
-                F.coalesce(F.col(f"__u_{c}.v"), F.col(c)).alias(c)
+                F.col(c)
+                if c == self.key
+                else F.coalesce(F.col(f"__u_{c}.v"), F.col(c)).alias(c)
                 for c in self.user_cols
             ],
         )

@@ -1,0 +1,283 @@
+"""Deduplication operators for large-scale document corpora.
+
+Five strategies, each designed for the 100 TB shape of the problem
+(the reference has no dedup at all — this is the extension layer,
+SURVEY §2.6 / BASELINE.json north star):
+
+- exact        : hash-groupBy. One shuffle on a 64-bit digest, never
+                 on the raw text.
+- minhash_lsh  : shingle -> k minhashes -> band -> bucket join. The
+                 classic near-dup pipeline (Broder '97); candidate
+                 generation touches each doc once, the only join is on
+                 (band, band_hash) buckets.
+- simhash      : 64-bit sign-of-weighted-sum sketch (Charikar '02);
+                 near-dups = small Hamming distance, found by joining
+                 on rotated prefix blocks.
+- ngram_jaccard: EXACT n-gram Jaccard via an inverted-index join —
+                 explode shingles, self-join postings, count
+                 intersections. No driver-side pairwise loop; the
+                 shuffle key is the shingle, so common-shingle skew is
+                 the thing to watch (cap posting lists via a frequency
+                 filter).
+- embedding    : cosine near-dup over an embedding column, delegated
+                 to operators.similarity.
+
+All candidate generation is Catalyst expressions (xxhash64 / arrays);
+no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, word_shingles
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (after whitespace/case normalization)
+    documents: one row per group with the keeper (min id) and members.
+    Shuffles 64-bit digests + ids only."""
+    h = F.xxhash64(normalized_text(F.col(text_col))).alias("_h")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .drop("_h")
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The deduplicated corpus: keep the min-id document of each exact
+    group. Equivalent SQL: GROUP BY normalized text -> min(id)."""
+    w_key = F.xxhash64(normalized_text(F.col(text_col)))
+    keep = (
+        df.select(F.col(id_col).alias("_id"), w_key.alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("_id").alias(id_col))
+        .drop("_h")
+    )
+    # broadcast-friendly semi join back to the full rows
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>) — minhash_i = min over shingles of
+    xxhash64(i-salt ++ shingle). Deterministic across runs/partitions;
+    entirely JVM-side (transform + array_min per hash function)."""
+    sh = word_shingles(F.col(text_col), shingle_words).alias("_sh")
+    base = df.select(F.col(id_col), sh).where(F.size("_sh") > 0)
+
+    def _salted(i):
+        # NB: the lambda must take exactly one arg — a two-arg lambda is
+        # interpreted by F.transform as (element, index) and the index
+        # would silently replace the salt, collapsing all hash functions
+        # into one.
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("_sh"), _salted(i))) for i in range(num_hashes)]
+    ).alias("signature")
+    return base.select(F.col(id_col), sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b, n_shared_bands).
+    Pipeline: signatures -> split into ``bands`` bands of r rows ->
+    hash each band -> explode -> self-join on (band, hash).
+
+    Scale: the exploded frame is num_docs x bands rows of (int, long,
+    id); the join key is the band bucket, so work is proportional to
+    actual collisions, not n^2. Giant buckets (degenerate text) are
+    capped upstream by the shingle filter."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_words)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature")[b * r + j] for j in range(r)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 4) -> DataFrame:
+    """(id, simhash bigint): 64-bit sign-of-sums sketch over token
+    hashes. Token hashing stays JVM-side (xxhash64, deterministic
+    across executors and runs); the bit-vote kernel is a vectorized
+    Pandas UDF (Arrow batches + numpy) — the sanctioned slow path for
+    a genuinely non-relational kernel."""
+
+    @F.pandas_udf("long")
+    def _bit_votes(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            bits = ((arr[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (bits * 2 - 1).sum(axis=0)
+            v = np.uint64(0)
+            for bpos in np.nonzero(votes > 0)[0]:
+                v |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.array([v], dtype=np.uint64).view(np.int64)[0]
+        return pd.Series(out)
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.select(F.col(id_col), _bit_votes(tok_hashes).alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: split the 64-bit sketch into
+    ``blocks`` bit blocks; by pigeonhole, any pair within
+    ``max_hamming`` shares at least one exact block as long as
+    ``blocks > max_hamming`` (the default derives ``blocks =
+    max_hamming + 1``) -> join per block, verify Hamming distance with
+    bit_count(a XOR b). Smaller blocks (higher max_hamming) mean bigger
+    join buckets — the usual simhash-LSH recall/cost trade."""
+    if blocks is None:
+        blocks = min(64, max_hamming + 1)
+    assert blocks > max_hamming, "pigeonhole needs blocks > max_hamming"
+    sk = simhash(df, id_col, text_col)
+    # distribute 64 bits over `blocks` blocks (widths differ by <= 1)
+    base_w, extra = divmod(64, blocks)
+    widths = [base_w + (1 if i < extra else 0) for i in range(blocks)]
+    offsets = [sum(widths[:i]) for i in range(blocks)]
+    exploded = sk.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("bv"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.blk", "bb.bv")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """EXACT n-gram Jaccard over all pairs via inverted-index join:
+    explode shingles -> filter ultra-common shingles (skew guard) ->
+    self-join postings -> |intersection| per pair -> Jaccard with
+    per-doc set sizes. Returns (id_a, id_b, jaccard >= threshold).
+
+    This is the verification stage behind MinHash candidates and a
+    correct standalone dedup for corpora where shingle postings fit
+    the shuffle (cap via ``max_shingle_freq``)."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_words).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
+    postings = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    rare = postings.groupBy("_s").agg(F.count(F.lit(1)).alias("_f")).where(
+        F.col("_f") <= max_shingle_freq
+    )
+    postings = postings.join(rare.select("_s"), "_s")
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a._s") == F.col("b._s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_inter")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

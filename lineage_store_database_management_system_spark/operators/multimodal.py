@@ -1,0 +1,124 @@
+"""Multimodal column support: image/audio/video as opaque binary
+columns with typed metadata (extension layer, BASELINE.json north
+star).
+
+The container has no image/audio codecs, so the *decode kernels* are
+stubbed exactly as the task prescribes: either a clearly-marked
+NotImplementedError (real codec path) or a deterministic fake
+(byte-level features) — while ALL the Spark-side plumbing is real and
+tested: the asset schema, Arrow batch shape through ``mapInPandas``,
+partition sizing, and metadata pushdown.
+
+Scale design: binary payloads ride in their own column so Parquet
+keeps them in separate column chunks — metadata-only queries never
+read the bytes (column pruning); decode/feature stages are
+``mapInPandas`` so each Arrow batch holds a bounded number of
+payloads (maxRecordsPerBatch) instead of whole-row Python pickling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image/audio/video
+        T.StructField("format", T.StringType()),  # png/jpeg/wav/mp4/...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, src_col: str, media_type: str = "image", fmt: str = "raw"
+) -> DataFrame:
+    """Build a multimodal table from any column by treating its UTF-8
+    bytes as the payload (the deterministic stand-in for real media
+    ingestion). Adds ``payload binary`` + ``asset_meta`` struct."""
+    payload = F.encode(F.col(src_col), "UTF-8")
+    meta = F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit(fmt).alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.octet_length(F.col(src_col)).cast("long").alias("n_bytes"),
+    )
+    return df.withColumn("payload", payload).withColumn("asset_meta", meta)
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL-CODEC STUB: decoding requires an image library that is not
+    in this container. The Spark plumbing (signature, schema, batch
+    iteration) is the deliverable; swap `_decode` for PIL/cv2 when
+    available."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image decode requires PIL/cv2 (not installed); "
+            "use extract_byte_features for the deterministic fake path"
+        )
+
+    schema = T.StructType(df.schema.fields + [T.StructField("pixels", T.BinaryType())])
+    return df.mapInPandas(_decode, schema=schema)
+
+
+def extract_byte_features(
+    df: DataFrame, id_col: str, payload_col: str = "payload", buckets: int = 16
+) -> DataFrame:
+    """Deterministic fake 'feature extraction': a normalized byte
+    histogram per payload. Exercises the REAL production shape —
+    binary column in, fixed-width float vector out, via Arrow-batched
+    mapInPandas (bounded memory per batch, linear scale-out)."""
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                if payload is None or len(payload) == 0:
+                    feats.append([0.0] * buckets)
+                    continue
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr // (256 // buckets), minlength=buckets)[:buckets]
+                feats.append((hist / max(len(arr), 1)).astype(float).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(_featurize, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, payload_col: str = "payload", every_n_bytes: int = 64
+) -> DataFrame:
+    """Deterministic fake 'frame sampling': slice the payload at fixed
+    strides (stand-in for video frame extraction; same explode shape a
+    real sampler produces: one row per frame with frame_idx)."""
+    n = F.octet_length(F.col(payload_col))
+    idxs = F.sequence(F.lit(0), F.greatest((n - 1) / every_n_bytes, F.lit(0)).cast("int"))
+    frames = F.transform(
+        idxs,
+        lambda i: F.struct(
+            i.alias("frame_idx"),
+            F.substring(F.col(payload_col), (i * every_n_bytes + 1).cast("int"), every_n_bytes).alias(
+                "frame_bytes"
+            ),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(frames).alias("f")).select(
+        id_col, "f.frame_idx", "f.frame_bytes"
+    )

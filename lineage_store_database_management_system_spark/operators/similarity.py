@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (extension layer, BASELINE.json north star):
+
+- **brute-force top-k** — exact cosine against a broadcast query
+  vector. The scan is one Catalyst projection (functions.vectors, no
+  UDF); ``orderBy(desc).limit(k)`` compiles to TakeOrderedAndProject,
+  i.e. per-partition partial top-k + a k-row merge on the driver —
+  NO full sort shuffle, so it scales to arbitrarily many partitions.
+- **LSH-bucketed** — random-hyperplane signatures (deterministic,
+  seeded) prune candidates to matching buckets before exact cosine:
+  the 100 TB path where scanning every vector per query is off the
+  table. Multi-probe: query all buckets within Hamming radius 0/1 of
+  the query signature.
+- **knn join / cosine near-dup pairs** — all-pairs above a threshold
+  via the same bucketing (used by dedup.embedding strategy).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, dot_product, l2_norm
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: (id, cosine) for the k most similar rows.
+    Ties broken by id for determinism."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (driver-side,
+    tiny: n_planes x dim floats, broadcast into the plan as literals)."""
+    import random
+
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_signature_col(vec_col: str, planes: list[list[float]]):
+    """Sign-bit signature of a vector column against fixed hyperplanes
+    — an integer bucket id, computed fully JVM-side."""
+    bits = []
+    for i, p in enumerate(planes):
+        pc = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot_product(F.col(vec_col), pc) >= 0, 1 << i).otherwise(0))
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact cosine scan to rows whose
+    LSH bucket is within ``multiprobe_hamming`` of the query's bucket.
+    With B buckets this reads ~(probed/B) of the data; at scale the
+    table would be written partitioned by bucket so probing is
+    partition pruning, not a filter."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    probes = {qsig}
+    if multiprobe_hamming >= 1:
+        for i in range(n_planes):
+            probes.add(qsig ^ (1 << i))
+    if multiprobe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qsig ^ (1 << i) ^ (1 << j))
+    sig = lsh_signature_col(vec_col, planes)
+    candidates = df.where(sig.isin(*[F.lit(p) for p in probes]))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs cosine >= threshold, LSH-blocked: join only within
+    identical sign-signature buckets (high-cosine pairs almost surely
+    collide on all planes), then verify exactly. Returns
+    (id_a, id_b, cosine)."""
+    planes = _hyperplanes_for(df, vec_col, n_planes, seed)
+    sig = lsh_signature_col(vec_col, planes)
+    with_sig = df.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
+    a, b = with_sig.alias("a"), with_sig.alias("b")
+    cos = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(
+            b,
+            (F.col("a._sig") == F.col("b._sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplanes_for(df: DataFrame, vec_col: str, n_planes: int, seed: int):
+    dim = len(df.select(vec_col).first()[0])
+    return _hyperplanes(dim, n_planes, seed)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For every left row, its k nearest right rows by cosine (exact).
+    Broadcast the smaller side; per-left top-k via window rank. At
+    100 TB this is the verify stage behind LSH blocking — never run it
+    unblocked on two huge sides."""
+    from pyspark.sql import Window
+
+    r = F.broadcast(right.select(F.col(right_id).alias("_rid_r"), F.col(vec_col).alias("_v_r")))
+    cos = cosine_similarity(F.col(vec_col), F.col("_v_r"))
+    scored = left.select(left_id, vec_col).crossJoin(r).select(
+        F.col(left_id), F.col("_rid_r").alias(f"nn_{right_id}"), cos.alias("cosine")
+    )
+    w = Window.partitionBy(left_id).orderBy(F.desc("cosine"), F.asc(f"nn_{right_id}"))
+    return scored.withColumn("_rnk", F.row_number().over(w)).where(F.col("_rnk") <= k).drop("_rnk")

@@ -259,6 +259,25 @@ class Query:
                 columns[i] if columns[i] is not None else rec.columns[i]
                 for i in range(self.ncols)
             ]
+            if new_cols[self.key_idx] != rec.columns[self.key_idx]:
+                # Key-changing update: the lineage encoding keeps the
+                # primary key immutable per rid (that is what lets key
+                # predicates push through the view join to the Parquet
+                # scan — lineage.py _fold_tail), so this executes as
+                # tombstone + reinsert under a fresh rid. The reference
+                # instead swapped index entries in place
+                # (query.py:157-163); observable results are the same.
+                self._unregister(rec)
+                rec.invalidate()
+                self.history.pop(rid, None)
+                self.table.append_tail_rows([(rid, OP_DELETE, (None,) * self.ncols)])
+                new_rid = self.table.insert_rows([tuple(new_cols)])[0]
+                new_rec = Record(new_rid, new_cols[self.key_idx], new_cols)
+                self._register(new_rec)
+                self.history[new_rid] = [list(new_cols)]
+                if self._txn is not None:
+                    self._txn._log_insert(self, new_rid)
+                return True
             # index swap per changed column (reference query.py:157-163)
             for i in range(self.ncols):
                 if columns[i] is not None and new_cols[i] != rec.columns[i]:
@@ -267,7 +286,9 @@ class Query:
             rec.columns = new_cols
             rec.key = new_cols[self.key_idx]
             self.history.setdefault(rid, []).append(list(new_cols))
-            self.table.append_tail_rows([(rid, OP_UPDATE, tuple(columns))])
+            tail_vals = list(columns)
+            tail_vals[self.key_idx] = None  # key never rides in tail deltas
+            self.table.append_tail_rows([(rid, OP_UPDATE, tuple(tail_vals))])
             return True
         except Exception:
             return False

@@ -1,0 +1,96 @@
+"""Sources: typed readers for the engine's supported formats.
+
+The reference's only 'formats' are its own struct/pickle/CSV
+persistence files (db.py:58-313 — SURVEY §2.4), all obsoleted by
+Parquet. This module is the engine's ingestion surface: Parquet
+(primary), CSV and JSON (with explicit schemas — schema inference is
+a full extra scan at 100 TB), plus the test star schema loader.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+STAR_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Format-dispatched read. fmt inferred from the extension when
+    omitted. For csv/json, pass an explicit schema in production —
+    inference is allowed here only for small files."""
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        fmt = {"pq": "parquet"}.get(ext, ext or "parquet")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "csv":
+        opts = {"header": "true", **{k: str(v) for k, v in options.items()}}
+        if schema is None:
+            opts.setdefault("inferSchema", "true")
+        return reader.options(**opts).csv(path)
+    if fmt in ("json", "jsonl", "ndjson"):
+        return reader.options(**{k: str(v) for k, v in options.items()}).json(path)
+    if fmt == "orc":
+        return reader.orc(path)
+    raise ValueError(f"unsupported format: {fmt!r}")
+
+
+def _normalize_nanos(df: DataFrame) -> DataFrame:
+    """Nanosecond parquet timestamps arrive as LongType (via the
+    nanosAsLong legacy conf); convert to TIMESTAMP_NTZ by pure epoch
+    arithmetic — truncation to micros matches what DuckDB does when it
+    reads the same file, and NTZ keeps the value timezone-independent."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for f in df.schema.fields:
+        if f.name in ("ts",) and isinstance(f.dataType, T.LongType):
+            out = out.withColumn(
+                f.name,
+                F.expr(
+                    f"timestampadd(MICROSECOND, {f.name} div 1000, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+    return out
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver's TPC-H-ish star schema (TESTDATA.md). Sets the
+    nanosAsLong conf (events.ts is TIMESTAMP(NANOS), which Spark
+    otherwise refuses) and normalizes it back to TIMESTAMP_NTZ."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return {
+        t: _normalize_nanos(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+        for t in STAR_TABLES
+    }
+
+
+def register_star_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    dfs = load_star(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

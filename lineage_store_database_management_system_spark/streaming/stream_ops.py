@@ -1,0 +1,111 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has zero streaming (SURVEY §2.6); this is the
+extension layer. Design: the batch operators in ``operators.windows``
+define the semantics; these streaming versions add watermarks for
+late data and run the same logical plan incrementally — so the batch
+DuckDB oracle gates the streaming logic (run with
+``trigger(availableNow=True)`` over a static directory, results must
+equal the batch answer for on-time data).
+
+At scale: source = Kafka/files; state store sized by watermark (late
+events beyond it are dropped); sinks are append/update-mode Parquet.
+Here we read a Parquet directory as a stream and sink to memory for
+tests — the operator logic is identical.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.ts is TIMESTAMP(NANOS) in the testdata parquet; Spark reads
+# it as LongType under the nanosAsLong conf, so the stream schema
+# declares long and the reader converts to TIMESTAMP_NTZ.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(path):
+        # FileStreamSource accepts directories or globs, not plain
+        # files — turn the filename into a single-match glob.
+        path = f"{path[:-1]}[{path[-1]}]"
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+    # watermarks require TIMESTAMP (not NTZ): interpret the value as a
+    # UTC instant — consistent as long as the session TZ is UTC
+    # (session.get_spark sets it).
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_agg(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum — late events older than
+    the watermark are dropped and state is evicted past it."""
+    keys = keys or ["event_type"]
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events", "sum_value")
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user via the built-in
+    ``session_window`` (stateful, watermark-bounded)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_once(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain all available input through the streaming plan once
+    (trigger availableNow) into a memory sink; return the result as a
+    batch DataFrame. This is the test/oracle harness for streaming
+    operators."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,857 @@
+"""Workload registry: every implemented operator as a (Spark query,
+DuckDB oracle SQL) pair — the driver's correctness gate surface
+(consumed by /root/repo/__spark_entry__.py).
+
+Naming convention:
+  pq_*  — reference-parity operators (SURVEY §2.1 Q1-Q14) exercised
+          through the lineage table format on real typed data;
+  ext_* — Spark-native extension layer (joins, group-by, windows,
+          set ops, rollup — everything SURVEY §2.6 lists as absent
+          from the reference);
+  ds_*  — LLM-data-pipeline operators (dedup, similarity, text
+          analysis — BASELINE.json north star);
+  mm_*  — multimodal column plumbing;
+  st_*  — Structured Streaming (no SQL oracle: genuinely streaming;
+          their batch twins ext_events_* are fully oracle-gated and
+          share the same logical plan).
+
+Every aggregate/computed column is aliased identically in the Spark
+plan and the oracle SQL (the driver hashes values under sorted column
+names). Float aggregates are rounded on both sides; all other
+arithmetic is bit-identical IEEE in both engines.
+
+Parity scenarios: deterministic update/delete rounds over the driver's
+`orders` and `customer` tables, chosen so the expected state is
+expressible as pure SQL over the original parquet:
+
+  scenario A (orders, key o_orderkey):
+    r1: keys %7==0  -> o_totalprice += 100        (bulk Q4)
+    r2: keys %5==0  -> o_totalprice *= 2          (values read from
+                                                   the current view)
+    del: keys %10==3 -> tombstone                 (bulk Q5)
+  expected current price: CASE %5 [2*(CASE %7 p+100 p)] [CASE %7 ...]
+  expected version -1  : CASE %35 (both updates -> r1) p+100 ELSE p
+  scenario A2: scenario A + compact() — same oracles MUST still hold
+               (merge is physical-only).
+  scenario B (customer, key c_custkey):
+    inc: keys %13==0 -> c_acctbal += 1            (Q8 increment)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import Database
+from .lineage import LineageTable
+from .operators import dedup, multimodal, similarity, textops, windows
+from .sources.readers import load_star
+from .streaming import read_events_stream, run_stream_once, streaming_tumbling_agg
+
+# ---------------------------------------------------------------------------
+# scenario cache (one build per process per sf_dir)
+# ---------------------------------------------------------------------------
+_SCENARIOS: dict[tuple[str, str], LineageTable] = {}
+
+
+def _prep(spark: SparkSession) -> None:
+    # Defensive: the driver supplies its own session. These are
+    # runtime-settable and required for correct reads/compares.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
+    key = (sf_dir, name)
+    if key in _SCENARIOS:
+        return _SCENARIOS[key]
+    root = tempfile.mkdtemp(prefix=f"lss_wl_{name}_")
+    db = Database().open(root, spark)
+    if name in ("orders_a", "orders_a2"):
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(name, src.schema, "o_orderkey")
+        t.ingest_dataframe(src)
+        r1 = src.where("o_orderkey % 7 = 0").select(
+            "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+        )
+        t.bulk_update(r1)
+        cur = t.current_view()
+        r2 = cur.where("o_orderkey % 5 = 0").select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+        )
+        t.bulk_update(r2)
+        t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+        if name == "orders_a2":
+            t.compact()
+    elif name == "customer_b":
+        src = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        t = db.create_table_typed(name, src.schema, "c_custkey")
+        t.ingest_dataframe(src)
+        inc = t.current_view().where("c_custkey % 13 = 0").select(
+            "c_custkey", (F.col("c_acctbal") + 1).alias("c_acctbal")
+        )
+        t.bulk_update(inc)
+    else:  # pragma: no cover
+        raise KeyError(name)
+    _SCENARIOS[key] = t
+    return t
+
+
+# oracle SQL fragments for scenario A (see module docstring)
+_R1 = "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100 ELSE o_totalprice END"
+_CUR = f"CASE WHEN o_orderkey % 5 = 0 THEN ({_R1}) * 2 ELSE ({_R1}) END"
+_V1 = "CASE WHEN o_orderkey % 35 = 0 THEN o_totalprice + 100 ELSE o_totalprice END"
+_LIVE = "o_orderkey % 10 <> 3"
+_INC = "CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1 ELSE c_acctbal END"
+
+ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+_A_ORACLE_CUR = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, {_CUR} AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE {_LIVE}
+"""
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def workload(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prep(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+# ===========================================================================
+# pq_* — reference parity (SURVEY §2.1) on lineage tables
+# ===========================================================================
+
+
+@workload("pq_insert_bulk_current_view", _A_ORACLE_CUR)
+def pq_current(spark, sf_dir):
+    """Q1 insert (bulk) + Q4 update + Q5 delete -> Q2 full read of the
+    current view (the reference page_directory, computed lazily)."""
+    return _table(spark, sf_dir, "orders_a").current_view().select(*ORDER_COLS)
+
+
+@workload(
+    "pq_select_point",
+    f"SELECT o_orderkey, {_CUR} AS o_totalprice, o_orderstatus "
+    f"FROM orders WHERE o_orderkey = 7 AND {_LIVE}",
+)
+def pq_select_point(spark, sf_dir):
+    """Q2 select: point lookup by key with projection (filter pushes
+    into the Parquet scan through the lineage join)."""
+    t = _table(spark, sf_dir, "orders_a")
+    return (
+        t.current_view()
+        .where(F.col("o_orderkey") == 7)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+@workload(
+    "pq_select_version_m1",
+    f"SELECT o_orderkey, {_V1} AS o_totalprice FROM orders WHERE {_LIVE}",
+)
+def pq_version_m1(spark, sf_dir):
+    """Q3 select_version(-1): one update ago, per record."""
+    t = _table(spark, sf_dir, "orders_a")
+    return t.version_view(-1).select("o_orderkey", "o_totalprice")
+
+
+@workload(
+    "pq_select_version_m2_clamp",
+    f"SELECT o_orderkey, o_totalprice FROM orders WHERE {_LIVE}",
+)
+def pq_version_m2(spark, sf_dir):
+    """Q3 select_version(-2): every record has <=2 updates, so -2
+    clamps to the base version for all (contract SURVEY §7.4)."""
+    t = _table(spark, sf_dir, "orders_a")
+    return t.version_view(-2).select("o_orderkey", "o_totalprice")
+
+
+@workload(
+    "pq_sum_range",
+    f"SELECT ROUND(SUM({_CUR}), 2) AS sum_total FROM orders "
+    f"WHERE {_LIVE} AND o_orderkey BETWEEN 100 AND 8000",
+)
+def pq_sum(spark, sf_dir):
+    """Q6 sum over an inclusive key range — ONE scan with the range
+    predicate pushed down (vs the reference's key-at-a-time loop,
+    query.py:200-204)."""
+    t = _table(spark, sf_dir, "orders_a")
+    return (
+        t.current_view()
+        .where(F.col("o_orderkey").between(100, 8000))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("sum_total"))
+    )
+
+
+@workload(
+    "pq_sum_version_range",
+    f"SELECT ROUND(SUM({_V1}), 2) AS sum_total FROM orders "
+    f"WHERE {_LIVE} AND o_orderkey BETWEEN 100 AND 8000",
+)
+def pq_sum_version(spark, sf_dir):
+    """Q7 sum_version(-1) over a key range."""
+    t = _table(spark, sf_dir, "orders_a")
+    return (
+        t.version_view(-1)
+        .where(F.col("o_orderkey").between(100, 8000))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("sum_total"))
+    )
+
+
+@workload(
+    "pq_avg_min_max_count",
+    f"""SELECT ROUND(AVG({_CUR}), 2) AS avg_total, MIN({_CUR}) AS min_total,
+       MAX({_CUR}) AS max_total, COUNT(*) AS n
+FROM orders WHERE {_LIVE} AND o_orderkey BETWEEN 100 AND 8000""",
+)
+def pq_aggs(spark, sf_dir):
+    """Q10-Q13 avg/min/max/count over a key range (one scan)."""
+    t = _table(spark, sf_dir, "orders_a")
+    return (
+        t.current_view()
+        .where(F.col("o_orderkey").between(100, 8000))
+        .agg(
+            F.round(F.avg("o_totalprice"), 2).alias("avg_total"),
+            F.min("o_totalprice").alias("min_total"),
+            F.max("o_totalprice").alias("max_total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@workload(
+    "pq_increment",
+    f"SELECT c_custkey, {_INC} AS c_acctbal FROM customer",
+)
+def pq_increment(spark, sf_dir):
+    """Q8 increment: read-modify-write (+1) applied through the tail."""
+    t = _table(spark, sf_dir, "customer_b")
+    return t.current_view().select("c_custkey", "c_acctbal")
+
+
+@workload(
+    "pq_select_distinct",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+)
+def pq_distinct(spark, sf_dir):
+    """Q9 select_distinct over the lineage view."""
+    t = _table(spark, sf_dir, "customer_b")
+    return t.current_view().select("c_mktsegment").distinct()
+
+
+@workload(
+    "pq_order_by",
+    f"""SELECT c_custkey, {_INC} AS c_acctbal,
+       ROW_NUMBER() OVER (ORDER BY {_INC}, c_custkey) AS rank
+FROM customer""",
+)
+def pq_order_by(spark, sf_dir):
+    """Q14 order_by: total sort of the current view (sort-exchange);
+    rank column makes the order observable under the driver's
+    order-insensitive hash."""
+    from pyspark.sql import Window
+
+    t = _table(spark, sf_dir, "customer_b")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        t.current_view()
+        .select("c_custkey", "c_acctbal")
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+@workload("pq_merge_invariance_current", _A_ORACLE_CUR)
+def pq_merge_current(spark, sf_dir):
+    """T4 merge/compaction: same oracle as pq_insert_bulk_current_view
+    but after compact() — answers must be invariant (L-Store merge is
+    purely physical)."""
+    return _table(spark, sf_dir, "orders_a2").current_view().select(*ORDER_COLS)
+
+
+@workload(
+    "pq_merge_invariance_version",
+    f"SELECT o_orderkey, {_V1} AS o_totalprice FROM orders WHERE {_LIVE}",
+)
+def pq_merge_version(spark, sf_dir):
+    """Version travel still works after compaction (tail retained,
+    TPS watermark only short-circuits the current view)."""
+    t = _table(spark, sf_dir, "orders_a2")
+    return t.version_view(-1).select("o_orderkey", "o_totalprice")
+
+
+@workload(
+    "pq_delete_visibility",
+    f"SELECT COUNT(*) AS n_live, COUNT(DISTINCT o_orderkey) AS n_keys "
+    f"FROM orders WHERE {_LIVE}",
+)
+def pq_delete_vis(spark, sf_dir):
+    """Q5 delete: tombstoned records invisible to count."""
+    t = _table(spark, sf_dir, "orders_a")
+    return t.current_view().agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )
+
+
+# ===========================================================================
+# ext_* — Spark-native extension layer (everything SURVEY §2.6 lists
+# as absent from the reference: joins, group-by, windows, set ops...)
+# ===========================================================================
+
+
+@workload(
+    "ext_q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def ext_q1(spark, sf_dir):
+    """TPC-H Q1 shape: scan + hash aggregate, filter pushed to scan."""
+    li = load_star(spark, sf_dir)["lineitem"]
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@workload(
+    "ext_q3_shipping_priority",
+    """SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def ext_q3(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join (dims broadcast), agg, top-k."""
+    d = load_star(spark, sf_dir)
+    cust = d["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    ords = d["orders"].where(F.col("o_orderdate") < "1998-03-15")
+    li = d["lineitem"].where(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@workload(
+    "ext_q5_region_revenue",
+    """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name""",
+)
+def ext_q5(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join; every dimension broadcast so
+    the only big-table pass is the lineitem scan."""
+    d = load_star(spark, sf_dir)
+    return (
+        d["lineitem"]
+        .join(F.broadcast(d["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(d["customer"]), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(d["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(d["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(d["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@workload(
+    "ext_rollup_customers",
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)""",
+)
+def ext_rollup(spark, sf_dir):
+    """Grouping sets / ROLLUP (absent from the reference)."""
+    d = load_star(spark, sf_dir)
+    return (
+        d["customer"]
+        .join(F.broadcast(d["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(d["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+@workload(
+    "ext_window_topn_per_customer",
+    """SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t WHERE rn <= 3""",
+)
+def ext_window_topn(spark, sf_dir):
+    """Ranking window: top-3 orders per customer."""
+    from pyspark.sql import Window
+
+    o = load_star(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@workload(
+    "ext_window_running_sum",
+    """SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+FROM orders WHERE o_custkey % 50 = 0""",
+)
+def ext_window_running(spark, sf_dir):
+    """Analytic frame window: per-customer running spend."""
+    from pyspark.sql import Window
+
+    o = load_star(spark, sf_dir)["orders"].where("o_custkey % 50 = 0")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@workload(
+    "ext_set_ops_nations",
+    """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < -850
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < -850""",
+)
+def ext_setops(spark, sf_dir):
+    """Set operation (EXCEPT): nations with a deeply-negative-balance
+    customer but no such supplier."""
+    d = load_star(spark, sf_dir)
+    return (
+        d["customer"]
+        .where(F.col("c_acctbal") < -850)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(
+            d["supplier"]
+            .where(F.col("s_acctbal") < -850)
+            .select(F.col("s_nationkey").alias("nationkey"))
+        )
+    )
+
+
+@workload(
+    "ext_anti_join_customers",
+    """SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')""",
+)
+def ext_anti(spark, sf_dir):
+    """Anti join: customers who never placed an URGENT order."""
+    d = load_star(spark, sf_dir)
+    urgent = d["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+    return d["customer"].join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@workload(
+    "ext_semi_join_parts",
+    """SELECT p_partkey, p_name FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+              AND l_quantity > 45)""",
+)
+def ext_semi(spark, sf_dir):
+    """Semi join: parts that shipped in quantity > 45."""
+    d = load_star(spark, sf_dir)
+    li = d["lineitem"].where(F.col("l_quantity") > 45)
+    return d["part"].join(
+        li, F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+    ).select("p_partkey", "p_name")
+
+
+@workload(
+    "ext_events_tumbling_hour",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2""",
+)
+def ext_events_tumbling(spark, sf_dir):
+    """Tumbling event-time windows (batch twin of st_tumbling_hour)."""
+    ev = load_star(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@workload(
+    "ext_events_sessions",
+    """WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_id""",
+)
+def ext_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) — lag + cumulative sum,
+    one shuffle on user_id."""
+    ev = load_star(spark, sf_dir)["events"]
+    return windows.sessionize(ev, gap_minutes=30)
+
+
+@workload(
+    "ext_events_json_extract",
+    """SELECT event_type,
+       SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type""",
+)
+def ext_events_json(spark, sf_dir):
+    """Semi-structured extraction from the JSON props column."""
+    ev = load_star(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ===========================================================================
+# ds_* — LLM-data-pipeline operators (dedup / similarity / text)
+# ===========================================================================
+
+
+@workload(
+    "ds_dedup_exact",
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))""",
+)
+def ds_dedup_exact(spark, sf_dir):
+    """Exact dedup groups over normalized text (hash-groupBy)."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return dedup.exact_duplicates(docs, "doc_id", "text").select("keep_id", "n_copies")
+
+
+@workload(
+    "ds_fingerprint",
+    """SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5
+FROM documents""",
+)
+def ds_fingerprint(spark, sf_dir):
+    """Canonical md5 fingerprint of normalized text."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return textops.fingerprint(docs, "doc_id", "text").select("doc_id", "fp_md5")
+
+
+@workload(
+    "ds_ngram_jaccard_pairs",
+    """WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+  FROM words WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.1""",
+)
+def ds_jaccard(spark, sf_dir):
+    """EXACT word-3-gram Jaccard pairs >= 0.1 via inverted-index join
+    (the verify stage behind MinHash; both engines compute identical
+    integer intersection / union arithmetic)."""
+    docs = load_star(spark, sf_dir)["documents"]
+    out = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.1, shingle_words=3, max_shingle_freq=1 << 40
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@workload("ds_minhash_lsh_candidates")  # hash-based: rows-only check
+def ds_minhash(spark, sf_dir):
+    """MinHash+LSH candidate pairs (64 hashes, 16 bands). No SQL
+    oracle (xxhash64-specific); correctness cross-checked in tests
+    against exact Jaccard, and the candidate count is stable."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return dedup.minhash_lsh_candidates(docs, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+@workload("ds_simhash_candidates")  # hash-based: rows-only check
+def ds_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (<= 3 Hamming over 64-bit sketch,
+    pigeonhole-blocked joins). No SQL oracle (hash-specific)."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return dedup.simhash_candidates(docs, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+@workload(
+    "ds_embedding_topk",
+    # NOTE: duckdb's list_cosine_similarity accumulates in float32;
+    # spell out the double-precision formula so both engines do the
+    # same IEEE math (sequential double sum, like F.aggregate).
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM embeddings, q
+)
+SELECT vec_id, ROUND(c, 3) AS cosine FROM scored
+ORDER BY ROUND(c, 3) DESC, vec_id LIMIT 20""",
+)
+def ds_embed_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline): one projection,
+    TakeOrderedAndProject — no full sort shuffle."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.brute_force_topk(emb, q, k=20, round_to=3)
+
+
+@workload("ds_embedding_lsh_topk")  # approx: rows-only check
+def ds_embed_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (random hyperplanes, multiprobe r=1): the
+    100 TB path — prunes the scan to matching buckets. Approximate by
+    design, so no SQL oracle; recall vs brute force asserted in tests."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.lsh_topk(emb, q, k=20)
+
+
+@workload(
+    "ds_embedding_label_stats",
+    """SELECT label, COUNT(*) AS n,
+       ROUND(AVG(sqrt(list_aggregate(list_transform(embedding, x -> x * x), 'sum'))), 3)
+         AS avg_norm
+FROM embeddings GROUP BY label""",
+)
+def ds_embed_stats(spark, sf_dir):
+    """Vector column analytics: per-label count + average L2 norm
+    (pure Catalyst aggregate expressions over array<float>)."""
+    from .functions.vectors import l2_norm
+
+    emb = load_star(spark, sf_dir)["embeddings"]
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(l2_norm(F.col("embedding"))), 3).alias("avg_norm"),
+    )
+
+
+@workload(
+    "ds_text_stats",
+    """SELECT doc_id, length(text) AS n_chars,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces,
+       length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct
+FROM documents""",
+)
+def ds_text_stats(spark, sf_dir):
+    """Per-doc character/token stats — one projection."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return textops.text_stats(docs, "doc_id", "text").select(
+        "doc_id", "n_chars", "n_tokens", "n_digits", "n_spaces", "n_punct"
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    from .operators.textops import LANG_MARKERS
+
+    terms = [
+        f"(length(' ' || lower(text) || ' ') - "
+        f"length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {len(w) + 2}.0"
+        for w in LANG_MARKERS[lang]
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lang_id_sql() -> str:
+    from .operators.textops import LANG_ORDER
+
+    scores = {lg: _lang_score_sql(lg) for lg in LANG_ORDER}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    expr = "'und'"
+    for lg in reversed(LANG_ORDER):
+        expr = (
+            f"CASE WHEN {best} > 0 AND {scores[lg]} = {best} "
+            f"THEN '{lg}' ELSE {expr} END"
+        )
+    return f"SELECT doc_id, {expr} AS lang_guess FROM documents"
+
+
+@workload("ds_lang_id", _lang_id_sql())
+def ds_lang_id(spark, sf_dir):
+    """Heuristic language ID (marker-word argmax) — deterministic and
+    replicated exactly in the oracle SQL via the replace-count trick."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return textops.lang_id(docs, "text").select("doc_id", "lang_guess")
+
+
+@workload(
+    "ds_doc_stats_by_source",
+    """SELECT source, lang, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars, SUM(n_chars) AS total_chars
+FROM documents GROUP BY source, lang""",
+)
+def ds_by_source(spark, sf_dir):
+    """Corpus rollup by source/lang."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ===========================================================================
+# mm_* — multimodal plumbing
+# ===========================================================================
+
+
+@workload(
+    "mm_payload_sizes",
+    """SELECT source, COUNT(*) AS n_assets,
+       SUM(octet_length(CAST(text AS BLOB))) AS total_bytes
+FROM documents GROUP BY source""",
+)
+def mm_payload(spark, sf_dir):
+    """Binary payload column + typed metadata: byte accounting by
+    source (payload column pruned out of the scan when not needed)."""
+    docs = load_star(spark, sf_dir)["documents"]
+    mm = multimodal.attach_binary_payload(docs, "text")
+    return mm.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.col("asset_meta.n_bytes")).alias("total_bytes"),
+    )
+
+
+@workload("mm_byte_features")  # mapInPandas plumbing: rows-only check
+def mm_features(spark, sf_dir):
+    """Deterministic fake feature extraction (byte histogram) through
+    the real Arrow/mapInPandas production shape. No SQL oracle
+    (array output); determinism asserted in tests."""
+    docs = load_star(spark, sf_dir)["documents"]
+    mm = multimodal.attach_binary_payload(docs, "text")
+    feats = multimodal.extract_byte_features(mm, "doc_id")
+    return feats.select(
+        "doc_id", F.round(F.element_at("features", 1), 4).alias("f0"),
+        F.round(F.element_at("features", 3), 4).alias("f2"),
+    )
+
+
+# ===========================================================================
+# st_* — Structured Streaming (no SQL oracle: incremental execution;
+# batch twins above are fully oracle-gated with identical semantics)
+# ===========================================================================
+
+
+@workload("st_tumbling_hour")
+def st_tumbling(spark, sf_dir):
+    """Watermarked streaming tumbling windows, drained with
+    trigger(availableNow) — equals ext_events_tumbling_hour on static
+    input (asserted in tests)."""
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return run_stream_once(streaming_tumbling_agg(stream))
