@@ -42,6 +42,20 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     )
 
 
+# BPE-style pre-tokenization classes: letter runs, digit runs, single
+# non-alphanumeric marks. Same regex semantics in Java (Spark) and RE2
+# (DuckDB) — no lookarounds, no unicode classes.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(c: Column) -> Column:
+    """Token count under a BPE-ish pre-tokenizer (letter runs / digit
+    runs / individual punctuation marks) — the standard cheap proxy for
+    LLM token accounting over a corpus. One regexp scan per document,
+    fully JVM-side."""
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+
+
 def char_ngrams(c: Column, n: int = 5) -> Column:
     """Distinct character n-grams (for SimHash / fingerprint features)."""
     starts = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))

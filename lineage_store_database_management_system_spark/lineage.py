@@ -381,7 +381,13 @@ class LineageTable:
     # ------------------------------------------------------------------
     # read path: views
     # ------------------------------------------------------------------
-    def _fold_tail(self, base: DataFrame, tail: DataFrame, drop_deleted: bool = True) -> DataFrame:
+    def _fold_tail(
+        self,
+        base: DataFrame,
+        tail: DataFrame,
+        drop_deleted: bool = True,
+        tail_known_empty: bool = False,
+    ) -> DataFrame:
         """base ⟕ latest-tail coalesce — the lazily-computed
         page_directory (reference table.py:37, query.py:96).
 
@@ -403,6 +409,12 @@ class LineageTable:
         point/range query on the key reads only matching row groups
         instead of scanning 100 TB (verified by
         tests/test_entry_contract.py::test_filter_pushdown...)."""
+        if tail_known_empty:
+            # Fresh table / fully-compacted fast path: no deltas means
+            # the view IS the base projection — skip the outer join
+            # entirely (an RDD-backed empty frame would otherwise force
+            # a sort-merge join Catalyst can't eliminate).
+            return base.select(F.col(RID), F.col(TS), *self.user_cols)
         aggs = [
             F.max(F.when(F.col(OP) == OP_DELETE, F.col(SEQ))).alias("_del_seq"),
             F.max(F.col(SEQ)).alias("_last_seq"),
@@ -444,10 +456,12 @@ class LineageTable:
             fresh = self.base_df().where(F.col(RID) > m.compact_rid_hi)
             base = snap.unionByName(fresh)
             tail = self.tail_df().where(F.col(SEQ) > m.tps)
+            known_empty = False
         else:
             base = self.base_df()
             tail = self.tail_df()
-        out = self._fold_tail(base, tail)
+            known_empty = not self._pending_tail and not _has_parquet(self.tail_dir)
+        out = self._fold_tail(base, tail, tail_known_empty=known_empty)
         if not include_meta:
             out = out.select(*self.user_cols)
         return out
@@ -485,7 +499,8 @@ class LineageTable:
             )
             dels = tail.where(F.col(OP) == OP_DELETE)
             tail = upd.unionByName(dels)
-        out = self._fold_tail(base, tail)
+        known_empty = not self._pending_tail and not _has_parquet(self.tail_dir)
+        out = self._fold_tail(base, tail, tail_known_empty=known_empty)
         if not include_meta:
             out = out.select(*self.user_cols)
         return out

@@ -34,6 +34,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text, word_shingles
+from ._util import spread
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist + eagerly compute a frame that feeds BOTH sides of a
+    self-join. Spark does not share common subexpressions across join
+    branches — without this, the (expensive) sketch computation runs
+    twice. On a cluster the equivalent is persisting the sketch table
+    or writing it out once (sketches are reused across many queries
+    anyway)."""
+    df = df.persist()
+    df.count()
+    return df
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -74,23 +87,31 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """(id, signature array<long>) — minhash_i = min over shingles of
-    xxhash64(i-salt ++ shingle). Deterministic across runs/partitions;
-    entirely JVM-side (transform + array_min per hash function)."""
+    """(id, signature array<long>) — the shingle set is hashed to
+    64-bit ints ONCE (xxhash64 over the string), then each of the
+    ``num_hashes`` minhash functions is a cheap re-hash of that long
+    (xxhash64(i, h)) + array_min. Hashing strings once instead of
+    ``num_hashes`` times is the difference between O(bytes x k) and
+    O(bytes + k) per document — at 100 TB the text bytes dominate.
+    Deterministic across runs/partitions; entirely JVM-side."""
     sh = word_shingles(F.col(text_col), shingle_words).alias("_sh")
-    base = df.select(F.col(id_col), sh).where(F.size("_sh") > 0)
+    base = spread(df).select(F.col(id_col), sh).where(F.size("_sh") > 0)
+    hashed = base.select(
+        F.col(id_col),
+        F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hs"),
+    )
 
     def _salted(i):
         # NB: the lambda must take exactly one arg — a two-arg lambda is
         # interpreted by F.transform as (element, index) and the index
         # would silently replace the salt, collapsing all hash functions
         # into one.
-        return lambda s: F.xxhash64(F.lit(i), s)
+        return lambda h: F.xxhash64(F.lit(i), h)
 
     sig = F.array(
-        *[F.array_min(F.transform(F.col("_sh"), _salted(i))) for i in range(num_hashes)]
+        *[F.array_min(F.transform(F.col("_hs"), _salted(i))) for i in range(num_hashes)]
     ).alias("signature")
-    return base.select(F.col(id_col), sig)
+    return hashed.select(F.col(id_col), sig)
 
 
 def minhash_lsh_candidates(
@@ -128,6 +149,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
+    banded = _materialize(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -170,6 +192,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 4) -> DataFr
 
     toks = F.split(normalized_text(F.col(text_col)), " ")
     tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # NOTE: no spread() here — the kernel is a Pandas UDF, and fanning
+    # a small input across 32 fresh partitions pays a Python-worker
+    # spawn per core that dwarfs the kernel itself in a cold local
+    # session. At real scale the scan already has many partitions and
+    # warm workers.
     return df.select(F.col(id_col), _bit_votes(tok_hashes).alias("simhash"))
 
 
@@ -212,6 +239,7 @@ def simhash_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.blk", "bb.bv")
+    exploded = _materialize(exploded)
     a, b = exploded.alias("a"), exploded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -247,7 +275,7 @@ def ngram_jaccard_pairs(
     This is the verification stage behind MinHash candidates and a
     correct standalone dedup for corpora where shingle postings fit
     the shuffle (cap via ``max_shingle_freq``)."""
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_words).alias("_sh")
     ).where(F.size("_sh") > 0)
     sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
@@ -255,7 +283,7 @@ def ngram_jaccard_pairs(
     rare = postings.groupBy("_s").agg(F.count(F.lit(1)).alias("_f")).where(
         F.col("_f") <= max_shingle_freq
     )
-    postings = postings.join(rare.select("_s"), "_s")
+    postings = _materialize(postings.join(rare.select("_s"), "_s"))
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
         a.join(

@@ -99,7 +99,9 @@ def extract_byte_features(
             T.StructField("features", T.ArrayType(T.DoubleType())),
         ]
     )
-    return df.select(id_col, payload_col).mapInPandas(_featurize, schema=schema)
+    from ._util import spread
+
+    return spread(df.select(id_col, payload_col)).mapInPandas(_featurize, schema=schema)
 
 
 def sample_frames(

@@ -140,6 +140,33 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold — the verification/oracle
+    stage behind :func:`cosine_near_dup_pairs`. O(n^2) by definition:
+    run it on a bounded subset (or per-LSH-bucket); the small side is
+    broadcast so the pair generation is shuffle-free."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    out = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        # threshold on the RAW double (bit-identical in any engine
+        # running the same double-precision formula); round only for
+        # display so boundary values can't flip under rounding modes
+        .where(F.col("cosine") >= threshold)
+    )
+    if round_to is not None:
+        out = out.select("id_a", "id_b", F.round("cosine", round_to).alias("cosine"))
+    return out
+
+
 def _hyperplanes_for(df: DataFrame, vec_col: str, n_planes: int, seed: int):
     dim = len(df.select(vec_col).first()[0])
     return _hyperplanes(dim, n_planes, seed)

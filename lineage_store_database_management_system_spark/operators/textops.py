@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text, occurrence_count, token_count_col
+from ._util import spread
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic
 # language ID. Counts of ' word ' occurrences are engine-portable.
@@ -114,6 +115,7 @@ def winnowing_fingerprint(
     keep the min hash of every sliding window -> a sparse, alignment-
     robust fingerprint set. Catalyst-only: char k-grams -> xxhash64 ->
     per-window array_min -> distinct."""
+    df = spread(df)
     t = normalized_text(F.col(text_col))
     starts = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
     grams = F.transform(starts, lambda i: F.xxhash64(F.substring(t, i, k)))
