@@ -34,6 +34,7 @@ HEADLINE = [
     "ext_q5_region_revenue",
     "ext_window_topn_per_customer",
     "ext_events_sessions",
+    "ext_asof_purchase_click",
     "ds_dedup_exact",
     "ds_minhash_lsh_candidates",
     "ds_embedding_topk",

@@ -114,15 +114,37 @@ def winnowing_fingerprint(
     """Winnowing (Schleimer et al., SIGMOD '03): k-gram rolling hashes,
     keep the min hash of every sliding window -> a sparse, alignment-
     robust fingerprint set. Catalyst-only: char k-grams -> xxhash64 ->
-    per-window array_min -> distinct."""
+    per-window array_min -> distinct.
+
+    Expression-binding note: a free (outer) expression referenced
+    inside a higher-order-function lambda is RE-EVALUATED per array
+    element — naively nesting ``transform(wins, i -> slice(grams, i))``
+    recomputes the whole gram array (and the regex normalization under
+    it) for every window, turning an O(L) projection into O(L^2 x
+    regex) per row (102s for 500 docs). Wrapping an expression in a
+    single-element array and ``transform``-ing over it binds it to a
+    lambda VARIABLE, which is evaluated exactly once per row."""
     df = spread(df)
-    t = normalized_text(F.col(text_col))
-    starts = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
-    grams = F.transform(starts, lambda i: F.xxhash64(F.substring(t, i, k)))
-    win_starts = F.sequence(
-        F.lit(1), F.greatest(F.size(grams) - (window - 1), F.lit(1))
-    )
-    mins = F.array_distinct(
-        F.transform(win_starts, lambda i: F.array_min(F.slice(grams, i, window)))
-    )
+
+    def _once(expr, fn):
+        return F.element_at(F.transform(F.array(expr), fn), 1)
+
+    def _fingerprints(t):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.substring(t, i, k)),
+        )
+        return _once(
+            grams,
+            lambda g: F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(g) - (window - 1), F.lit(1))
+                    ),
+                    lambda i: F.array_min(F.slice(g, i, window)),
+                )
+            ),
+        )
+
+    mins = _once(normalized_text(F.col(text_col)), _fingerprints)
     return df.select(F.col(id_col), F.sort_array(mins).alias("fingerprints"))

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from .catalog import Database
 from .lineage import LineageTable
-from .operators import dedup, multimodal, similarity, textops, windows
+from .operators import dedup, joins, multimodal, similarity, textops, windows
 from .sources.readers import load_star
 from .streaming import read_events_stream, run_stream_once, streaming_tumbling_agg
 
@@ -313,6 +313,24 @@ def pq_delete_vis(spark, sf_dir):
     return t.current_view().agg(
         F.count(F.lit(1)).alias("n_live"),
         F.countDistinct("o_orderkey").alias("n_keys"),
+    )
+
+
+@workload(
+    "pq_sql_over_lineage_view",
+    f"""SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM({_CUR}), 2) AS sum_price
+FROM orders WHERE {_LIVE} GROUP BY o_orderstatus""",
+)
+def pq_sql_surface(spark, sf_dir):
+    """SQL text over a registered lineage view — the reference has no
+    SQL surface at all (SURVEY §2.6); here the full Spark SQL parser /
+    analyzer runs against the lazily-derived current view."""
+    t = _table(spark, sf_dir, "orders_a")
+    t.current_view().createOrReplaceTempView("orders_lineage_a")
+    return spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+                  ROUND(SUM(o_totalprice), 2) AS sum_price
+           FROM orders_lineage_a GROUP BY o_orderstatus"""
     )
 
 
@@ -605,6 +623,138 @@ def ext_events_json(spark, sf_dir):
     )
 
 
+@workload(
+    "ext_asof_purchase_click",
+    """SELECT l.event_id, l.user_id, r.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def ext_asof(spark, sf_dir):
+    """As-of join (operator Spark lacks as a built-in): each purchase
+    gets the most recent preceding click's value per user — ONE shuffle
+    via the union+window formulation (operators.joins.as_of_join);
+    oracle is DuckDB's native ASOF JOIN."""
+    ev = load_star(spark, sf_dir)["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = joins.as_of_join(purchases, clicks, key="user_id", right_cols=["value"])
+    return out.select("event_id", "user_id", F.col("asof_value"))
+
+
+@workload(
+    "ext_interval_join_windows",
+    """WITH w AS (
+  SELECT event_id AS window_id, ts AS ws, ts + INTERVAL 6 HOUR AS we
+  FROM events WHERE event_type = 'signup' AND event_id % 50 = 0
+)
+SELECT window_id, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value
+FROM w JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+GROUP BY window_id""",
+)
+def ext_interval(spark, sf_dir):
+    """Interval (range) join: events falling inside derived 6-hour
+    windows; the small interval side is broadcast so the event scan is
+    shuffle-free (operators.joins.interval_join)."""
+    ev = load_star(spark, sf_dir)["events"]
+    wins = (
+        ev.where((F.col("event_type") == "signup") & (F.col("event_id") % 50 == 0))
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end"),
+        )
+    )
+    return (
+        joins.interval_join(ev.select("ts", "value"), wins)
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@workload(
+    "ext_window_lag_delta",
+    """SELECT user_id, event_id,
+       ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+         AS delta
+FROM events WHERE user_id % 10 = 0""",
+)
+def ext_lag_delta(spark, sf_dir):
+    """lag/lead analytic window: per-user event-to-event value delta
+    (NULL for each user's first event)."""
+    from pyspark.sql import Window
+
+    ev = load_star(spark, sf_dir)["events"].where("user_id % 10 = 0")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@workload(
+    "ext_q18_big_orders",
+    """SELECT c_name, o_orderkey, o_totalprice, ROUND(sum_qty, 2) AS sum_qty
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 300) t
+  ON o_orderkey = l_orderkey""",
+)
+def ext_q18(spark, sf_dir):
+    """TPC-H Q18 shape: agg-then-having subquery joined back to the
+    fact's dimensions; the filtered order list and customer dim are
+    both broadcast."""
+    d = load_star(spark, sf_dir)
+    big = (
+        d["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        d["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(d["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+@workload(
+    "ext_distinct_agg_suppliers",
+    """SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem GROUP BY l_partkey
+HAVING COUNT(DISTINCT l_suppkey) >= 4""",
+)
+def ext_distinct_agg(spark, sf_dir):
+    """Distinct aggregate alongside a plain aggregate (expand +
+    two-phase agg in Spark) with a HAVING filter."""
+    li = load_star(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .where(F.col("n_suppliers") >= 4)
+    )
+
+
 # ===========================================================================
 # ds_* — LLM-data-pipeline operators (dedup / similarity / text)
 # ===========================================================================
@@ -806,6 +956,118 @@ def ds_by_source(spark, sf_dir):
     )
 
 
+@workload(
+    "ds_dedup_corpus",
+    """SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id IN (
+  SELECT MIN(doc_id) FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))""",
+)
+def ds_dedup_corpus(spark, sf_dir):
+    """The deduplicated corpus itself: keep the min-id doc per exact
+    group (hash-groupBy + semi join back to full rows)."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return dedup.dedup_exact(docs, "doc_id", "text").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@workload(
+    "ds_token_count_bpe",
+    """SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         AS n_bpe_tokens
+FROM documents""",
+)
+def ds_token_bpe(spark, sf_dir):
+    """BPE-ish token counting (letter runs / digit runs / punctuation
+    marks) — one regexp scan per doc, the standard LLM token-budget
+    proxy."""
+    from .functions.text import bpe_token_count
+
+    docs = load_star(spark, sf_dir)["documents"]
+    return docs.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+def _quality_sql() -> str:
+    en = _lang_score_sql("en")
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS nc,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS nt,
+    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS nd,
+    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS np,
+    {en} AS sh
+  FROM documents
+)
+SELECT doc_id,
+  ROUND((
+    (CASE WHEN nc >= 100 AND nc <= 20000 THEN 1.0 ELSE 0.5 END)
+  + (CASE WHEN nc / greatest(nt, 1.0) >= 3.0 AND nc / greatest(nt, 1.0) <= 12.0
+          THEN 1.0 ELSE 0.5 END)
+  + (1.0 - least(nd / greatest(nc, 1.0) * 2 + np / greatest(nc, 1.0) * 2, 1.0))
+  + (CASE WHEN sh / greatest(nt, 1.0) >= 0.01 THEN 1.0 ELSE 0.5 END)
+  ) / 4.0, 4) AS quality
+FROM s"""
+
+
+@workload("ds_quality_score", _quality_sql())
+def ds_quality(spark, sf_dir):
+    """Composite document quality score (length band, token shape,
+    digit/symbol noise, stopword presence) — one Catalyst projection,
+    every term replicated exactly in the oracle SQL."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return textops.quality_score(docs, "doc_id", "text")
+
+
+@workload("ds_winnowing_fingerprints")  # xxhash64-based: rows-only check
+def ds_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (SIGMOD '03): per-doc count of selected
+    k-gram hashes. Hash-specific, so no SQL oracle; determinism and
+    robustness-to-shift asserted in tests."""
+    docs = load_star(spark, sf_dir)["documents"]
+    fp = textops.winnowing_fingerprint(docs, "doc_id", "text")
+    return fp.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
+
+
+@workload(
+    "ds_cosine_pairs_exact",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(a.embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(b.embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(c, 3) AS cosine FROM p WHERE c >= 0.3""",
+)
+def ds_cosine_pairs(spark, sf_dir):
+    """Exact all-pairs cosine >= 0.3 on a bounded subset — the
+    oracle-gated verify stage behind the LSH-blocked near-dup path
+    (threshold filters on the RAW double in both engines; rounding is
+    display-only)."""
+    emb = load_star(spark, sf_dir)["embeddings"].where(F.col("vec_id") < 200)
+    return similarity.cosine_pairs_exact(emb, 0.3, round_to=3)
+
+
+@workload("ds_embedding_near_dup_lsh")  # LSH-blocked: rows-only check
+def ds_near_dup_lsh(spark, sf_dir):
+    """LSH-blocked cosine near-dup pairs over the full embedding table
+    (the 100 TB path: join only within sign-signature buckets, verify
+    exactly). Approximate by design -> no SQL oracle; recall vs the
+    exact subset asserted in tests."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # ===========================================================================
 # mm_* — multimodal plumbing
 # ===========================================================================
@@ -855,3 +1117,45 @@ def st_tumbling(spark, sf_dir):
     input (asserted in tests)."""
     stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     return run_stream_once(streaming_tumbling_agg(stream))
+
+
+@workload(
+    "mm_frame_sample",
+    """WITH f AS (
+  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS nb FROM documents
+)
+SELECT doc_id, CAST(floor((nb - 1) / 64.0) AS BIGINT) + 1 AS n_frames
+FROM f WHERE nb > 0""",
+)
+def mm_frames(spark, sf_dir):
+    """Deterministic fake frame sampling (fixed-stride payload slices,
+    the explode shape of real video frame extraction); oracle checks
+    the frame count per asset."""
+    docs = load_star(spark, sf_dir)["documents"]
+    mm = multimodal.attach_binary_payload(docs, "text")
+    frames = multimodal.sample_frames(mm, "doc_id", every_n_bytes=64)
+    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@workload("st_session_windows")
+def st_sessions(spark, sf_dir):
+    """Streaming gap-based session windows (built-in session_window,
+    watermark-bounded state); no SQL oracle — incremental execution;
+    equality with batch sessionization on static input asserted in
+    tests."""
+    from .streaming.stream_ops import streaming_sessionize
+
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return run_stream_once(streaming_sessionize(stream))
+
+
+@workload("st_stateful_user_totals")
+def st_user_totals(spark, sf_dir):
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running totals kept as explicit group state. Drained with
+    availableNow this equals the batch groupBy (asserted in tests);
+    no SQL oracle — the operator is stateful/incremental by nature."""
+    from .streaming.stateful import running_user_totals
+
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return run_stream_once(running_user_totals(stream), output_mode="update")
