@@ -172,6 +172,89 @@ def _hyperplanes_for(df: DataFrame, vec_col: str, n_planes: int, seed: int):
     return _hyperplanes(dim, n_planes, seed)
 
 
+def ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    sample_n: int = 512,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: mini k-means on a deterministic
+    sample (lowest ids — reproducible without rand()). The centroid
+    table is tiny (n_lists x dim) and lives on the driver / broadcast;
+    at 100 TB you train once on a sample and reuse across queries."""
+    import numpy as np
+
+    rows = df.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    rng = __import__("random").Random(seed)
+    idx = sorted(rng.sample(range(len(x)), min(n_lists, len(x))))
+    cents = x[idx].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(cents)):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "_list",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (inverted list id).
+    Vectorized Pandas UDF (one matmul per Arrow batch). At scale the
+    assigned table is written partitioned by list id so probing is
+    partition pruning."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark can't resolve locally-imported pd.Series
+    def _nearest_fn(vecs):
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(x) == 0:
+            return pd.Series([], dtype="int32")
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ cents.T) + (cents * cents).sum(1)[None, :]
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    _nearest = F.pandas_udf(_nearest_fn, "int")
+
+    return df.withColumn(out_col, _nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "_list",
+) -> DataFrame:
+    """IVF probe: rank centroids by distance to the query driver-side,
+    restrict the exact cosine scan to the ``nprobe`` nearest inverted
+    lists. With lists as partition keys this reads nprobe/n_lists of
+    the data."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()[:nprobe]
+    probes = [int(i) for i in order]
+    candidates = df.where(F.col(list_col).isin(probes))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

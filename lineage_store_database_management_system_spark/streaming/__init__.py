@@ -2,6 +2,8 @@ from .stream_ops import (
     EVENTS_SCHEMA,
     read_events_stream,
     run_stream_once,
+    stream_ingest_lineage,
+    streaming_event_join,
     streaming_sessionize,
     streaming_tumbling_agg,
 )
@@ -10,6 +12,8 @@ __all__ = [
     "EVENTS_SCHEMA",
     "read_events_stream",
     "run_stream_once",
+    "stream_ingest_lineage",
+    "streaming_event_join",
     "streaming_sessionize",
     "streaming_tumbling_agg",
 ]

@@ -94,6 +94,54 @@ def streaming_sessionize(
     )
 
 
+def streaming_event_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time range join: each left event pairs with
+    right events of the same key within ``[left.ts - within, left.ts]``.
+    Watermarks on BOTH sides bound the join state store (right rows
+    older than left watermark - within are evicted) — the canonical
+    attribution-join shape (purchase <- preceding clicks)."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.ts >= l.ts - INTERVAL {within} AND r.ts <= l.ts"
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.col("r.value").alias("right_value"),
+    )
+
+
+def stream_ingest_lineage(stream_df: DataFrame, table) -> int:
+    """Continuously ingest a stream into a LineageTable via
+    ``foreachBatch`` — each micro-batch becomes one committed base
+    batch (rids encode the batch id, so the append is atomic per
+    trigger and replayable). Drains all available input
+    (availableNow) and returns the number of micro-batches."""
+    n_batches = {"n": 0}
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        table.ingest_dataframe(batch_df)
+        n_batches["n"] += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", table.path + "/_stream_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
 def run_stream_once(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drain all available input through the streaming plan once
     (trigger availableNow) into a memory sink; return the result as a

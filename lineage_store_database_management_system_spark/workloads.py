@@ -701,6 +701,32 @@ def ext_lag_delta(spark, sf_dir):
 
 
 @workload(
+    "ext_rolling_1h_per_user",
+    """SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS rolling_1h
+FROM events WHERE user_id % 20 = 0""",
+)
+def ext_rolling(spark, sf_dir):
+    """Time-range analytic window: per-user rolling 1-hour sum —
+    RANGE frame over event-time seconds (one shuffle on user_id)."""
+    from pyspark.sql import Window
+
+    ev = load_star(spark, sf_dir)["events"].where("user_id % 20 = 0")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_1h"),
+    )
+
+
+@workload(
     "ext_q18_big_orders",
     """SELECT c_name, o_orderkey, o_totalprice, ROUND(sum_qty, 2) AS sum_qty
 FROM orders
@@ -1147,6 +1173,35 @@ def st_sessions(spark, sf_dir):
 
     stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     return run_stream_once(streaming_sessionize(stream))
+
+
+@workload("ds_embedding_ivf_topk")  # approx: rows-only check
+def ds_embed_ivf(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer (trained on a deterministic
+    sample), vectors bucketed into inverted lists, query probes the
+    nprobe nearest lists then exact-ranks — the partition-pruning ANN
+    path alongside LSH. Recall vs brute force asserted in tests."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    cents = similarity.ivf_centroids(emb, n_lists=16)
+    assigned = similarity.ivf_assign(emb, cents)
+    return similarity.ivf_topk(assigned, q, cents, k=20, nprobe=4)
+
+
+@workload("st_stream_stream_join")
+def st_ss_join(spark, sf_dir):
+    """Stream-stream event-time range join (purchase <- clicks within
+    the preceding hour), watermark-bounded state on both sides; no SQL
+    oracle — equality with the batch twin asserted in tests."""
+    from .streaming import streaming_event_join
+
+    ev1 = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    ev2 = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    joined = streaming_event_join(
+        ev1.where(F.col("event_type") == "purchase"),
+        ev2.where(F.col("event_type") == "click"),
+    )
+    return run_stream_once(joined, output_mode="append")
 
 
 @workload("st_stateful_user_totals")

@@ -1,0 +1,100 @@
+"""Stream-stream joins, streaming->lineage ingestion, IVF ANN."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lineage_store_database_management_system_spark.streaming import (
+    read_events_stream,
+    run_stream_once,
+    stream_ingest_lineage,
+    streaming_event_join,
+)
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    ev1 = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    ev2 = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    got = run_stream_once(
+        streaming_event_join(
+            ev1.where(F.col("event_type") == "purchase"),
+            ev2.where(F.col("event_type") == "click"),
+        ),
+        output_mode="append",
+    )
+    got_pairs = {
+        (r["left_event_id"], r["right_event_id"]) for r in got.collect()
+    }
+    # batch twin: plain range join on the static frames
+    from lineage_store_database_management_system_spark.sources.readers import load_star
+
+    ev = load_star(spark, sf_dir)["events"]
+    p = ev.where(F.col("event_type") == "purchase").alias("l")
+    c = ev.where(F.col("event_type") == "click").alias("r")
+    batch = p.join(
+        c,
+        F.expr(
+            "l.user_id = r.user_id AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts"
+        ),
+    ).select(
+        F.col("l.event_id").alias("le"), F.col("r.event_id").alias("re")
+    )
+    exp_pairs = {(r["le"], r["re"]) for r in batch.collect()}
+    assert got_pairs == exp_pairs and len(exp_pairs) > 0
+
+
+def test_stream_ingest_into_lineage_table(spark, sf_dir, tmp_db):
+    ev_static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from lineage_store_database_management_system_spark.streaming.stream_ops import (
+        EVENTS_SCHEMA,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    t = tmp_db.create_table_typed("events_ingested", schema, "event_id")
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    n_batches = stream_ingest_lineage(stream, t)
+    assert n_batches >= 1
+    view = t.current_view()
+    assert view.count() == ev_static.count()
+    # rids are unique and every event arrived exactly once
+    meta = t.current_view(include_meta=True)
+    assert meta.select("_rid").distinct().count() == ev_static.count()
+    assert view.select(F.sum("user_id")).first()[0] == ev_static.select(
+        F.sum("user_id")
+    ).first()[0]
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from lineage_store_database_management_system_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [
+        r["vec_id"]
+        for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    ]
+    cents = similarity.ivf_centroids(emb, n_lists=8)
+    assigned = similarity.ivf_assign(emb, cents)
+    # full probe = exact: nprobe == n_lists must reproduce brute force
+    full = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(assigned, q, cents, k=10, nprobe=8).collect()
+    ]
+    assert full == exact
+    # partial probe keeps the query's own list -> top hit retained
+    part = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(assigned, q, cents, k=10, nprobe=2).collect()
+    ]
+    assert exact[0] in part
+    recall = len(set(part) & set(exact)) / len(exact)
+    assert recall >= 0.3, f"IVF nprobe=2 recall too low: {recall}"
