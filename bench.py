@@ -50,10 +50,18 @@ def main() -> int:
     except ValueError:
         sf = -1.0
 
+    from pyspark.sql import functions as F
+
     from lineage_store_database_management_system_spark import get_spark, workloads
 
     spark = get_spark(app_name="bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM (codegen pipeline, shuffle machinery, parquet
+    # reader init) on data-independent work so the first timed query
+    # measures the query, not session startup.
+    spark.range(1_000_000).repartition(4).groupBy((F.col("id") % 7).alias("k")).count().count()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -31,15 +31,30 @@ def occurrence_count(c: Column, needle: str) -> Column:
     return (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit("")))) / len(needle)
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Bind ``expr`` to a lambda VARIABLE so ``fn`` can reference it
+    per-element for free. A free (outer) expression referenced inside a
+    higher-order-function lambda is RE-EVALUATED per array element —
+    ``transform(starts, i -> slice(split(text), i, n))`` re-runs the
+    split for every shingle, turning an O(L) projection into O(L^2)
+    per row. Wrapping the expression in a single-element array and
+    ``transform``-ing over it evaluates it exactly once per row."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def word_shingles(c: Column, n: int = 3) -> Column:
     """Distinct word n-grams of a single-space-separated text column.
     Catalyst-only: split -> sequence of start offsets -> transform with
-    slice+join. Empty array when the text has fewer than ``n`` words."""
-    words = F.split(F.trim(c), r"\s+")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(starts, lambda i: F.array_join(F.slice(words, i, n), " "))
-    )
+    slice+join. Empty array when the text has fewer than ``n`` words.
+    The split word array is bound once per row (see :func:`bind_once`)."""
+
+    def _shingle(words):
+        starts = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+        return F.array_distinct(
+            F.transform(starts, lambda i: F.array_join(F.slice(words, i, n), " "))
+        )
+
+    return bind_once(F.split(F.trim(c), r"\s+"), _shingle)
 
 
 # BPE-style pre-tokenization classes: letter runs, digit runs, single
@@ -57,6 +72,11 @@ def bpe_token_count(c: Column) -> Column:
 
 
 def char_ngrams(c: Column, n: int = 5) -> Column:
-    """Distinct character n-grams (for SimHash / fingerprint features)."""
-    starts = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(starts, lambda i: F.substring(c, i, n)))
+    """Distinct character n-grams (for SimHash / fingerprint features).
+    The text expression is bound once per row (see :func:`bind_once`)."""
+
+    def _grams(t):
+        starts = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+        return F.array_distinct(F.transform(starts, lambda i: F.substring(t, i, n)))
+
+    return bind_once(c, _grams)

@@ -302,7 +302,7 @@ class LineageTable:
         self.manifest.next_batch += 1
         self._save_manifest()
         changed_cols = [c for c in changes.columns if c != self.key and c in self.user_cols]
-        cur = self.current_view(include_meta=True).select(RID, self.key)
+        cur = self._live_key_rid_map()
         joined = changes.join(cur, on=self.key, how="inner")
         out = joined.select(
             F.col(RID),
@@ -326,7 +326,7 @@ class LineageTable:
         batch = self.manifest.next_batch
         self.manifest.next_batch += 1
         self._save_manifest()
-        cur = self.current_view(include_meta=True).select(RID, self.key)
+        cur = self._live_key_rid_map()
         joined = keys.select(self.key).join(cur, on=self.key, how="inner")
         out = joined.select(
             F.col(RID),
@@ -336,6 +336,20 @@ class LineageTable:
             *[F.lit(None).cast(self.schema[c].dataType).alias(c) for c in self.user_cols],
         )
         self._append_via_staging(out, self.tail_dir)
+
+    def _live_key_rid_map(self) -> DataFrame:
+        """(rid, key) for every LIVE record — the cheap resolver behind
+        bulk_update/bulk_delete. The primary key is immutable (key
+        changes are delete+reinsert, see Query.update) and a delete
+        tombstone is terminal per rid (reinserts allocate a fresh rid),
+        so the map is just base(rid, key) MINUS tombstoned rids: a
+        2-column scan + left-anti join on a set of longs, instead of
+        folding every user column through the current view. The anti
+        side is only tombstone rids — broadcastable at any realistic
+        delete rate."""
+        base = self.base_df().select(F.col(RID), F.col(self.key))
+        dels = self.tail_df().where(F.col(OP) == OP_DELETE).select(F.col(RID))
+        return base.join(dels, on=RID, how="left_anti")
 
     def _maybe_flush(self) -> None:
         if len(self._pending_base) + len(self._pending_tail) >= self.FLUSH_THRESHOLD:

@@ -90,28 +90,28 @@ def minhash_signatures(
     """(id, signature array<long>) — the shingle set is hashed to
     64-bit ints ONCE (xxhash64 over the string), then each of the
     ``num_hashes`` minhash functions is a cheap re-hash of that long
-    (xxhash64(i, h)) + array_min. Hashing strings once instead of
+    (xxhash64(i, h)) + min. Hashing strings once instead of
     ``num_hashes`` times is the difference between O(bytes x k) and
     O(bytes + k) per document — at 100 TB the text bytes dominate.
+
+    Physical shape: shingles EXPLODE to (id, hash) rows and the k
+    min-hashes are one hash aggregate with k codegen'd ``min`` columns
+    (map-side partial aggregation shuffles at most num_docs x k longs).
+    This deliberately avoids k array-traversal lambdas over a shingle
+    array column: higher-order-function lambdas are interpreted per
+    element, and Catalyst's projection collapsing can inline the
+    (expensive) shingle expression into every one of the k transforms.
     Deterministic across runs/partitions; entirely JVM-side."""
     sh = word_shingles(F.col(text_col), shingle_words).alias("_sh")
     base = spread(df).select(F.col(id_col), sh).where(F.size("_sh") > 0)
-    hashed = base.select(
-        F.col(id_col),
-        F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hs"),
+    hashed = base.select(F.col(id_col), F.explode("_sh").alias("_s")).select(
+        F.col(id_col), F.xxhash64("_s").alias("_h")
     )
-
-    def _salted(i):
-        # NB: the lambda must take exactly one arg — a two-arg lambda is
-        # interpreted by F.transform as (element, index) and the index
-        # would silently replace the salt, collapsing all hash functions
-        # into one.
-        return lambda h: F.xxhash64(F.lit(i), h)
-
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("_hs"), _salted(i))) for i in range(num_hashes)]
-    ).alias("signature")
-    return hashed.select(F.col(id_col), sig)
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature")
+    return mins.select(F.col(id_col), sig)
 
 
 def minhash_lsh_candidates(

@@ -114,20 +114,14 @@ def winnowing_fingerprint(
     """Winnowing (Schleimer et al., SIGMOD '03): k-gram rolling hashes,
     keep the min hash of every sliding window -> a sparse, alignment-
     robust fingerprint set. Catalyst-only: char k-grams -> xxhash64 ->
-    per-window array_min -> distinct.
+    per-window array_min -> distinct. Intermediate arrays are bound to
+    lambda variables via :func:`functions.text.bind_once` — naively
+    nesting ``transform(wins, i -> slice(grams, i))`` re-evaluates the
+    gram array (and the regex normalization under it) per window,
+    O(L^2 x regex) per row (102s for 500 docs)."""
+    from ..functions.text import bind_once as _once
 
-    Expression-binding note: a free (outer) expression referenced
-    inside a higher-order-function lambda is RE-EVALUATED per array
-    element — naively nesting ``transform(wins, i -> slice(grams, i))``
-    recomputes the whole gram array (and the regex normalization under
-    it) for every window, turning an O(L) projection into O(L^2 x
-    regex) per row (102s for 500 docs). Wrapping an expression in a
-    single-element array and ``transform``-ing over it binds it to a
-    lambda VARIABLE, which is evaluated exactly once per row."""
     df = spread(df)
-
-    def _once(expr, fn):
-        return F.element_at(F.transform(F.array(expr), fn), 1)
 
     def _fingerprints(t):
         grams = F.transform(

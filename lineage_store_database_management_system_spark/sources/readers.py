@@ -78,15 +78,25 @@ def _normalize_nanos(df: DataFrame) -> DataFrame:
     return out
 
 
+_STAR_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver's TPC-H-ish star schema (TESTDATA.md). Sets the
     nanosAsLong conf (events.ts is TIMESTAMP(NANOS), which Spark
-    otherwise refuses) and normalizes it back to TIMESTAMP_NTZ."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return {
-        t: _normalize_nanos(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
-        for t in STAR_TABLES
-    }
+    otherwise refuses) and normalizes it back to TIMESTAMP_NTZ.
+
+    DataFrames are cached per (session, dir): re-creating them costs a
+    file listing + parquet footer read per table on the driver, which
+    dominates short queries when every workload re-loads the star."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STAR_CACHE:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _STAR_CACHE[key] = {
+            t: _normalize_nanos(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+            for t in STAR_TABLES
+        }
+    return _STAR_CACHE[key]
 
 
 def register_star_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

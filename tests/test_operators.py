@@ -189,9 +189,6 @@ def test_streaming_equals_batch(spark, sf_dir):
         streaming_tumbling_agg,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # batch twin needs the same instant-typed ts
-    evb = ev.withColumn("ts", F.col("ts").cast("timestamp")) if dict(ev.dtypes)["ts"] != "bigint" else ev
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     got = run_stream_once(streaming_tumbling_agg(stream))
     exp = windows.tumbling_agg(
