@@ -1214,3 +1214,303 @@ def st_user_totals(spark, sf_dir):
 
     stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     return run_stream_once(running_user_totals(stream), output_mode="update")
+
+
+# ---------------------------------------------------------------------------
+# extension layer, round-1 widening: subquery shapes, grouping sets,
+# set ops, ordered-set / positional aggregates (all absent from the
+# reference, SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "ext_q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority""",
+)
+def ext_q4(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS — a left-semi join whose
+    condition mixes the equi key with a non-equi predicate; the date
+    filter prunes the probe side before the shuffle."""
+    d = load_star(spark, sf_dir)
+    ords = d["orders"].where(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1998-04-01")
+    )
+    li = d["lineitem"]
+    return (
+        ords.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@workload(
+    "ext_q6_forecast_revenue",
+    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+)
+def ext_q6(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate
+    pushes to the parquet scan (row-group pruning on shipdate)."""
+    li = load_star(spark, sf_dir)["lineitem"]
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1998-01-01")
+            & (F.col("l_shipdate") < "1999-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@workload(
+    "ext_q10_returned_items",
+    """SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def ext_q10(spark, sf_dir):
+    """TPC-H Q10 shape: fact-to-fact join (lineitem-orders) plus two
+    broadcast dims, returned-items filter first, top-20 by revenue."""
+    d = load_star(spark, sf_dir)
+    li = d["lineitem"].where(F.col("l_returnflag") == "R")
+    return (
+        li.join(d["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(d["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(d["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@workload(
+    "ext_q14_promo_effect",
+    """SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+           / SUM(l_extendedprice * (1 - l_discount)), 3) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-03-01 00:00:00'""",
+)
+def ext_q14(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a broadcast
+    dimension join — one lineitem pass, no shuffle for the ratio."""
+    d = load_star(spark, sf_dir)
+    li = d["lineitem"].where(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-03-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(d["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                3,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@workload(
+    "ext_q19_disjunctive_join",
+    """SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size >= 1 AND p_size <= 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#2' AND p_size >= 1 AND p_size <= 25
+       AND l_quantity >= 10 AND l_quantity <= 30)""",
+)
+def ext_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive mixed predicates over a broadcast
+    equi-join — Catalyst keeps the equi key as the join condition and
+    evaluates the OR-of-ANDs as a post-join filter."""
+    d = load_star(spark, sf_dir)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    return (
+        d["lineitem"]
+        .join(F.broadcast(d["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@workload(
+    "ext_cube_orders",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def ext_cube(spark, sf_dir):
+    """CUBE: all 4 grouping sets in one pass (Spark expands to a
+    single Expand + hash aggregate — no re-scan per set)."""
+    return (
+        load_star(spark, sf_dir)["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@workload(
+    "ext_grouping_sets_events",
+    """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""",
+)
+def ext_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via SQL text (the DataFrame API exposes
+    only rollup/cube) — three aggregation granularities in one scan."""
+    from .sources.readers import register_star_views
+
+    register_star_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+                  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+           FROM events GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())"""
+    )
+
+
+@workload(
+    "ext_intersect_nations",
+    """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000""",
+)
+def ext_intersect(spark, sf_dir):
+    """INTERSECT (set semantics): nations with both a rich customer
+    and a rich supplier."""
+    d = load_star(spark, sf_dir)
+    a = d["customer"].where("c_acctbal > 9000").select(F.col("c_nationkey").alias("nationkey"))
+    b = d["supplier"].where("s_acctbal > 9000").select(F.col("s_nationkey").alias("nationkey"))
+    return a.intersect(b)
+
+
+@workload(
+    "ext_scalar_subquery_acctbal",
+    """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_acctbal > 2 * (SELECT ROUND(AVG(c_acctbal), 2) FROM customer)
+ORDER BY c_custkey""",
+)
+def ext_scalar_subquery(spark, sf_dir):
+    """Scalar subquery in a predicate — Spark plans the inner AVG as
+    its own stage and broadcasts the single-row result into the outer
+    filter. Threshold rounded on both sides so partial-aggregation
+    summation order can't flip a boundary row."""
+    from .sources.readers import register_star_views
+
+    register_star_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+           FROM customer
+           WHERE c_acctbal > 2 * (SELECT ROUND(AVG(c_acctbal), 2) FROM customer)
+           ORDER BY c_custkey"""
+    )
+
+
+@workload(
+    "ext_minby_maxby",
+    """SELECT o_orderstatus,
+       min_by(o_orderkey, o_totalprice) AS cheapest_order,
+       max_by(o_orderkey, o_totalprice) AS priciest_order,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderstatus""",
+)
+def ext_minby(spark, sf_dir):
+    """Positional aggregates min_by/max_by — one hash aggregate, no
+    window/self-join for 'row with the extreme value'. (o_totalprice
+    values are distinct per status group in this data, so the chosen
+    key is deterministic.)"""
+    return (
+        load_star(spark, sf_dir)["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@workload(
+    "ext_median_percentile",
+    """SELECT o_orderstatus,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS median_price,
+       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90_price
+FROM orders GROUP BY o_orderstatus""",
+)
+def ext_median(spark, sf_dir):
+    """Ordered-set aggregates: exact interpolated percentiles per
+    group (Spark `percentile` == ANSI percentile_cont)."""
+    return (
+        load_star(spark, sf_dir)["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+        )
+    )
+
+
+@workload(
+    "ext_array_agg_regions",
+    """SELECT r_name, list_sort(list(DISTINCT n_name)) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name""",
+)
+def ext_array_agg(spark, sf_dir):
+    """Array aggregation: per-region sorted list of nation names
+    (collect_set + sort_array vs DuckDB list(DISTINCT) + list_sort)."""
+    d = load_star(spark, sf_dir)
+    return (
+        d["nation"]
+        .join(F.broadcast(d["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
+    )
