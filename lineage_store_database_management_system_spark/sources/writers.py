@@ -56,3 +56,34 @@ def write_table(
         writer.orc(path)
     else:
         raise ValueError(f"unsupported format: {fmt!r}")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a hash-bucketed (optionally sort-ordered) catalog table.
+
+    Bucketing is THE shuffle-avoidance layout for repeated big-big
+    joins/aggregations on the same key: two tables bucketed into the
+    same ``n_buckets`` on the join key sort-merge-join with NO
+    Exchange on either side (asserted in tests/test_plans_skew), and a
+    ``groupBy`` on the bucket key needs no shuffle either. At 100 TB
+    you pay one shuffle at write time and never again — size
+    ``n_buckets`` so each bucket file lands in the 100 MB-1 GB range.
+
+    ``path`` makes it an external table (files live there, catalog
+    entry points at it); required under the default in-memory catalog
+    when the data must outlive ad-hoc warehouse defaults.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table_name)

@@ -1514,3 +1514,45 @@ def ext_array_agg(spark, sf_dir):
         .groupBy("r_name")
         .agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
     )
+
+
+_BUCKETED_READY: set = set()
+
+
+@workload(
+    "ext_bucketed_join_agg",
+    """SELECT o_orderkey, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey""",
+)
+def ext_bucketed_join(spark, sf_dir):
+    """Co-located join: orders and lineitem bucketed into the same
+    bucket count on the join key, then sort-merge-joined + aggregated
+    with ZERO runtime Exchange (asserted in test_plans_skew) — the
+    pay-the-shuffle-once-at-write layout for repeated 100 TB joins."""
+    from .sources.writers import write_bucketed
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUCKETED_READY:
+        d = load_star(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="lss_bucketed_")
+        write_bucketed(
+            d["orders"].select("o_orderkey", "o_totalprice"),
+            "wb_orders", ["o_orderkey"], 16, path=os.path.join(root, "o"),
+        )
+        write_bucketed(
+            d["lineitem"].select("l_orderkey", "l_extendedprice"),
+            "wb_lineitem", ["l_orderkey"], 16, path=os.path.join(root, "l"),
+        )
+        _BUCKETED_READY.add(key)
+    return (
+        spark.table("wb_orders")
+        .hint("merge")
+        .join(spark.table("wb_lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

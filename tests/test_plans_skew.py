@@ -84,3 +84,41 @@ def test_salted_broadcast_join_matches_plain(spark, star):
     # and the salted join is really broadcast — no shuffle of the left
     plan = explain_str(skew.salted_broadcast_left_join(ev, dim, on="user_id"))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_no_exchange(spark, star, tmp_path):
+    """Two tables co-bucketed on the join key sort-merge-join with no
+    Exchange on either side — the pay-the-shuffle-once-at-write-time
+    layout for repeated big-big joins at 100 TB."""
+    from lineage_store_database_management_system_spark.sources import write_bucketed
+
+    ords = star["orders"].select("o_orderkey", "o_totalprice")
+    li = star["lineitem"].select("l_orderkey", "l_extendedprice")
+    write_bucketed(ords, "b_orders", ["o_orderkey"], 8, path=str(tmp_path / "b_orders"))
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, path=str(tmp_path / "b_lineitem"))
+    joined = (
+        spark.table("b_orders")
+        .hint("merge")
+        .join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.sum("l_extendedprice").alias("s"))
+    )
+    plan = explain_str(joined)
+    assert "SortMergeJoin" in plan
+    # bucketing makes BOTH join inputs exchange-free; the groupBy on
+    # the bucket key reuses the same distribution, so the whole plan
+    # has no shuffle at all
+    assert "Exchange" not in plan
+    # sanity: result matches the plain (shuffling) join
+    n_plain = (
+        ords.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .count()
+        .count()
+    )
+    assert joined.count() == n_plain
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
