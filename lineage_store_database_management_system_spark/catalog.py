@@ -83,13 +83,24 @@ class Database:
         schema = int_schema(num_columns)
         return self.create_table_typed(name, schema, schema.fields[key_index].name)
 
-    def create_table_typed(self, name: str, schema: T.StructType, key: str) -> LineageTable:
+    def create_table_typed(
+        self,
+        name: str,
+        schema: T.StructType,
+        key: str,
+        partition_by: list[str] | None = None,
+    ) -> LineageTable:
         """Extension: arbitrary Spark schema (the lineage format's
-        NULL=unchanged tail encoding works for any nullable type)."""
+        NULL=unchanged tail encoding works for any nullable type).
+        ``partition_by`` Hive-partitions the base/compacted layout so
+        filtered views prune partitions (the 100 TB layout knob)."""
         self._require_open()
         if name in self.tables or name in self._on_disk_tables():
             raise ValueError(f"table {name!r} already exists")
-        table = LineageTable.create(self.spark, os.path.join(self.path, name), name, schema, key)
+        table = LineageTable.create(
+            self.spark, os.path.join(self.path, name), name, schema, key,
+            partition_by=partition_by,
+        )
         self.tables[name] = table
         return table
 

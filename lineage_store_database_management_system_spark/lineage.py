@@ -218,10 +218,22 @@ class LineageTable:
     def _save_manifest(self) -> None:
         _atomic_write_json(os.path.join(self.path, "_manifest.json"), self.manifest.to_dict())
 
-    def _append_via_staging(self, df: DataFrame, target_dir: str) -> None:
+    @property
+    def partition_by(self) -> list[str]:
+        """Hive-style partition columns of the base/compacted layout
+        (tail is never partitioned: it is small by compaction contract
+        and always folded whole). At 100 TB the base MUST be
+        partitioned — this is what lets a filtered current view read
+        a fraction of the table (PartitionFilters on the scan)."""
+        return list(self.manifest.extra.get("partition_by", []))
+
+    def _append_via_staging(
+        self, df: DataFrame, target_dir: str, partition_by: list[str] | None = None
+    ) -> None:
         """Commit-protocol append: write to a staging dir, then move
-        the finished part-files into the table dir. Two reasons this
-        exists instead of a plain ``mode('append')``:
+        the finished part-files into the table dir (preserving
+        Hive partition subdirectories). Two reasons this exists
+        instead of a plain ``mode('append')``:
 
         1. Deltas are often *derived from the table's own current
            view* (e.g. bulk_update values computed from existing
@@ -233,13 +245,20 @@ class LineageTable:
            lakehouse format uses.
         """
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:8]}")
-        df.write.mode("overwrite").parquet(staging)
-        os.makedirs(target_dir, exist_ok=True)
-        for name in os.listdir(staging):
-            if name.endswith(".parquet"):
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        for root, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(root, staging)
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                dest_dir = target_dir if rel == "." else os.path.join(target_dir, rel)
+                os.makedirs(dest_dir, exist_ok=True)
                 os.rename(
-                    os.path.join(staging, name),
-                    os.path.join(target_dir, f"{uuid.uuid4().hex[:8]}-{name}"),
+                    os.path.join(root, name),
+                    os.path.join(dest_dir, f"{uuid.uuid4().hex[:8]}-{name}"),
                 )
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -288,7 +307,7 @@ class LineageTable:
             F.current_timestamp().alias(TS),
             *[F.col(c).cast(self.schema[c].dataType).alias(c) for c in self.user_cols],
         )
-        self._append_via_staging(out, self.base_dir)
+        self._append_via_staging(out, self.base_dir, partition_by=self.partition_by)
 
     def bulk_update(self, changes: DataFrame) -> None:
         """Bulk update by primary key: ``changes`` has the key column
@@ -302,6 +321,12 @@ class LineageTable:
         self.manifest.next_batch += 1
         self._save_manifest()
         changed_cols = [c for c in changes.columns if c != self.key and c in self.user_cols]
+        part_changed = [c for c in changed_cols if c in self.partition_by]
+        if part_changed:
+            raise ValueError(
+                f"partition columns are immutable per rid (delete+reinsert "
+                f"to move a record): {part_changed}"
+            )
         cur = self._live_key_rid_map()
         joined = changes.join(cur, on=self.key, how="inner")
         out = joined.select(
@@ -361,7 +386,7 @@ class LineageTable:
         (table.py:104-119)."""
         if self._pending_base:
             df = self.spark.createDataFrame(self._pending_base, self.base_schema)
-            df.coalesce(1).write.mode("append").parquet(self.base_dir)
+            self._append_via_staging(df.coalesce(1), self.base_dir, partition_by=self.partition_by)
             self._pending_base = []
         if self._pending_tail:
             df = self.spark.createDataFrame(self._pending_tail, self.tail_schema)
@@ -429,11 +454,20 @@ class LineageTable:
             # entirely (an RDD-backed empty frame would otherwise force
             # a sort-merge join Catalyst can't eliminate).
             return base.select(F.col(RID), F.col(TS), *self.user_cols)
+        # Immutable-per-rid columns are taken from the base side
+        # directly (never coalesced): the key by the lineage encoding,
+        # and partition columns by layout (changing either executes as
+        # delete+reinsert — Query.update / bulk_update contract). This
+        # is what lets Catalyst push key predicates AND partition
+        # pruning through the left-outer join into the base scan.
+        immutable = {self.key, *self.partition_by}
         aggs = [
             F.max(F.when(F.col(OP) == OP_DELETE, F.col(SEQ))).alias("_del_seq"),
             F.max(F.col(SEQ)).alias("_last_seq"),
         ]
         for c in self.user_cols:
+            if c in immutable:
+                continue
             aggs.append(
                 F.max(
                     F.when(
@@ -451,7 +485,7 @@ class LineageTable:
             F.col(TS),
             *[
                 F.col(c)
-                if c == self.key
+                if c in immutable
                 else F.coalesce(F.col(f"__u_{c}.v"), F.col(c)).alias(c)
                 for c in self.user_cols
             ],
@@ -539,7 +573,10 @@ class LineageTable:
         snap = self._fold_tail(base, tail)  # keeps _rid,_ts + user cols
         new_version = self.manifest.compact_version + 1
         out_dir = self.compacted_dir(new_version)
-        snap.write.mode("overwrite").parquet(out_dir)
+        writer = snap.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(out_dir)
         old_version = self.manifest.compact_version
         self.manifest.compact_version = new_version
         self.manifest.tps = new_tps if new_tps is not None else -1
@@ -563,10 +600,24 @@ class LineageTable:
     # ------------------------------------------------------------------
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, name: str, schema: T.StructType, key: str
+        cls,
+        spark: SparkSession,
+        path: str,
+        name: str,
+        schema: T.StructType,
+        key: str,
+        partition_by: list[str] | None = None,
     ) -> "LineageTable":
         os.makedirs(path, exist_ok=True)
         manifest = Manifest(name=name, schema_json=_schema_to_json(schema), key=key)
+        if partition_by:
+            names = [f.name for f in schema.fields]
+            bad = [c for c in partition_by if c not in names]
+            if bad:
+                raise ValueError(f"partition columns not in schema: {bad}")
+            if key in partition_by:
+                raise ValueError("primary key cannot be a partition column")
+            manifest.extra["partition_by"] = list(partition_by)
         table = cls(spark, path, manifest)
         table._save_manifest()
         return table

@@ -259,13 +259,19 @@ class Query:
                 columns[i] if columns[i] is not None else rec.columns[i]
                 for i in range(self.ncols)
             ]
-            if new_cols[self.key_idx] != rec.columns[self.key_idx]:
-                # Key-changing update: the lineage encoding keeps the
-                # primary key immutable per rid (that is what lets key
-                # predicates push through the view join to the Parquet
-                # scan — lineage.py _fold_tail), so this executes as
-                # tombstone + reinsert under a fresh rid. The reference
-                # instead swapped index entries in place
+            immutable_idx = {self.key_idx} | {
+                i
+                for i, c in enumerate(self.table.user_cols)
+                if c in self.table.partition_by
+            }
+            if any(new_cols[i] != rec.columns[i] for i in immutable_idx):
+                # Key- or partition-changing update: the lineage
+                # encoding keeps the primary key and partition columns
+                # immutable per rid (that is what lets key predicates
+                # and partition pruning push through the view join to
+                # the Parquet scan — lineage.py _fold_tail), so this
+                # executes as tombstone + reinsert under a fresh rid.
+                # The reference instead swapped index entries in place
                 # (query.py:157-163); observable results are the same.
                 self._unregister(rec)
                 rec.invalidate()
@@ -287,7 +293,9 @@ class Query:
             rec.key = new_cols[self.key_idx]
             self.history.setdefault(rid, []).append(list(new_cols))
             tail_vals = list(columns)
-            tail_vals[self.key_idx] = None  # key never rides in tail deltas
+            # immutable columns never ride in tail deltas
+            for i in immutable_idx:
+                tail_vals[i] = None
             self.table.append_tail_rows([(rid, OP_UPDATE, tuple(tail_vals))])
             return True
         except Exception:

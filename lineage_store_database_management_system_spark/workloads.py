@@ -87,6 +87,17 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
         t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
         if name == "orders_a2":
             t.compact()
+    elif name == "orders_part":
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(
+            name, src.schema, "o_orderkey", partition_by=["o_orderstatus"]
+        )
+        t.ingest_dataframe(src)
+        r1 = src.where("o_orderkey % 7 = 0").select(
+            "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+        )
+        t.bulk_update(r1)
+        t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
     elif name == "customer_b":
         src = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
         t = db.create_table_typed(name, src.schema, "c_custkey")
@@ -1555,4 +1566,24 @@ def ext_bucketed_join(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
+    )
+
+
+@workload(
+    "pq_partitioned_prune",
+    f"""SELECT o_orderkey, ROUND({_R1}, 2) AS o_totalprice
+FROM orders WHERE o_orderstatus = 'F' AND {_LIVE}""",
+)
+def pq_partitioned(spark, sf_dir):
+    """Hive-partitioned lineage base: partition columns are immutable
+    per rid (updates to them = delete+reinsert), so a filter on the
+    partition column prunes base partitions THROUGH the current-view
+    fold (PartitionFilters on the scan — asserted in
+    test_lineage_core). The 100 TB layout: a filtered view reads
+    |matching partitions|, not the table."""
+    t = _table(spark, sf_dir, "orders_part")
+    return (
+        t.current_view()
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
     )

@@ -136,3 +136,75 @@ def test_update_changing_primary_key(tmp_db):
     assert q.select(2, 0, [1, 1])[0].columns == [2, 10]
     t.flush()
     assert t.current_view().collect()[0]["col0"] == 2
+
+
+def test_partitioned_lineage_table(tmp_db, spark, sf_dir):
+    """Hive-partitioned base layout: answers identical to the
+    unpartitioned table, partition filters reach the scan through the
+    current-view fold, and compaction preserves the layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.plans.explain import explain_str
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = tmp_db.create_table_typed(
+        "orders_part", src.schema, "o_orderkey", partition_by=["o_orderstatus"]
+    )
+    t.ingest_dataframe(src)
+    # base dir is hive-partitioned
+    assert any(
+        d.startswith("o_orderstatus=") for d in os.listdir(t.base_dir)
+    ), os.listdir(t.base_dir)
+
+    upd = src.where("o_orderkey % 3 = 0").select(
+        "o_orderkey", (F.col("o_totalprice") + 5).alias("o_totalprice")
+    )
+    t.bulk_update(upd)
+    t.bulk_delete(src.where("o_orderkey % 10 = 1").select("o_orderkey"))
+
+    exp_total = src.where("o_orderkey % 10 <> 1").count()
+    view = t.current_view()
+    assert view.count() == exp_total
+    got = (
+        view.where("o_orderkey % 3 = 0 AND o_orderkey % 10 <> 1")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .collect()[0]["s"]
+    )
+    exp = (
+        src.where("o_orderkey % 3 = 0 AND o_orderkey % 10 <> 1")
+        .agg(F.round(F.sum(F.col("o_totalprice") + 5), 2).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == exp
+
+    # a filter on the partition column prunes partitions at the scan
+    plan = explain_str(view.where(F.col("o_orderstatus") == "F"))
+    assert "o_orderstatus" in plan and "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*o_orderstatus[^\]]*\]", plan)
+    assert m, plan[:2000]
+
+    # compaction rewrites the snapshot partitioned and keeps answers
+    t.compact()
+    assert any(
+        d.startswith("o_orderstatus=") for d in os.listdir(t.compacted_dir())
+    )
+    assert t.current_view().count() == exp_total
+    got2 = (
+        t.current_view()
+        .where("o_orderkey % 3 = 0 AND o_orderkey % 10 <> 1")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got2 == exp
+
+    # key cannot be a partition column; unknown columns rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tmp_db.create_table_typed("bad1", src.schema, "o_orderkey", partition_by=["o_orderkey"])
+    with _pytest.raises(ValueError):
+        tmp_db.create_table_typed("bad2", src.schema, "o_orderkey", partition_by=["nope"])
