@@ -553,6 +553,53 @@ class LineageTable:
             out = out.select(*self.user_cols)
         return out
 
+    def watermark(self) -> int:
+        """Current commit watermark: every id (rid or seq) committed so
+        far is <= this value, and every future commit's ids exceed it
+        (ids are ``(batch << 48) | n`` and each commit consumes a fresh
+        batch). Pass to :meth:`changes_between` as the resume point."""
+        return (self.manifest.next_batch << _BATCH_SHIFT) - 1
+
+    def snapshot_as_of(self, ts, include_meta: bool = False) -> DataFrame:
+        """Absolute-time travel: the table as it stood at wall-clock
+        ``ts`` (a datetime or ISO string). Complements the reference's
+        RELATIVE version travel (select_version, query.py:115-124) —
+        base rows inserted after ``ts`` are invisible, tail deltas
+        after ``ts`` are unapplied. Computed from original base + tail
+        (never the compacted snapshot), so compaction cannot change
+        any answer. One filter on each side, then the usual fold."""
+        t = F.lit(ts).cast(T.TimestampType())
+        base = self.base_df().where(F.col(TS) <= t)
+        tail = self.tail_df().where(F.col(TS) <= t)
+        out = self._fold_tail(base, tail)
+        if not include_meta:
+            out = out.select(*self.user_cols)
+        return out
+
+    def changes_between(self, seq_lo: int, seq_hi: int | None = None) -> DataFrame:
+        """CDC feed from the tail: every delta with ``seq_lo < _seq <=
+        seq_hi`` as ``(_rid, _seq, _op, _ts, <changed columns, NULL =
+        untouched>)``, plus base inserts in the same window as
+        ``_op = 'I'`` rows. Consumers resume from the max ``_seq`` they
+        have seen (the same watermark contract compaction uses for
+        TPS); at scale this is an incremental scan of the (small) tail
+        + rid-pruned base, not a diff of snapshots."""
+        hi = F.lit(seq_hi) if seq_hi is not None else None
+        tail = self.tail_df().where(F.col(SEQ) > seq_lo)
+        if hi is not None:
+            tail = tail.where(F.col(SEQ) <= hi)
+        ins = self.base_df().where(F.col(RID) > seq_lo)
+        if hi is not None:
+            ins = ins.where(F.col(RID) <= hi)
+        ins = ins.select(
+            F.col(RID),
+            F.col(RID).alias(SEQ),  # inserts order by rid in the same id space
+            F.lit("I").alias(OP),
+            F.col(TS),
+            *self.user_cols,
+        )
+        return tail.unionByName(ins)
+
     # ------------------------------------------------------------------
     # merge / compaction (reference T4, table.py:180-225)
     # ------------------------------------------------------------------

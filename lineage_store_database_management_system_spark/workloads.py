@@ -75,6 +75,7 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
         src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
         t = db.create_table_typed(name, src.schema, "o_orderkey")
         t.ingest_dataframe(src)
+        t.post_ingest_watermark = t.watermark()  # CDC resume point
         r1 = src.where("o_orderkey % 7 = 0").select(
             "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
         )
@@ -1586,4 +1587,36 @@ def pq_partitioned(spark, sf_dir):
         t.current_view()
         .where(F.col("o_orderstatus") == "F")
         .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@workload(
+    "pq_cdc_changes_feed",
+    f"""SELECT 'U' AS op, o_orderkey, ROUND(o_totalprice + 100, 2) AS new_totalprice
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT 'U' AS op, o_orderkey, ROUND(({_R1}) * 2, 2) AS new_totalprice
+FROM orders WHERE o_orderkey % 5 = 0
+UNION ALL
+SELECT 'D' AS op, o_orderkey, CAST(NULL AS DOUBLE) AS new_totalprice
+FROM orders WHERE o_orderkey % 10 = 3""",
+)
+def pq_cdc_feed(spark, sf_dir):
+    """CDC: every delta committed after the post-ingest watermark,
+    keyed back to the primary key — an incremental scan of the tail
+    (never a snapshot diff). Consumers resume from max(_seq), the same
+    id-space watermark compaction's TPS uses."""
+    from .lineage import OP, RID
+
+    t = _table(spark, sf_dir, "orders_a")
+    feed = t.changes_between(t.post_ingest_watermark)
+    keys = t.base_df().select(F.col(RID), F.col("o_orderkey"))
+    return (
+        feed.select(F.col(RID), F.col(OP).alias("op"), F.col("o_totalprice"))
+        .join(keys, on=RID)
+        .select(
+            "op",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("new_totalprice"),
+        )
     )

@@ -1,0 +1,86 @@
+"""Absolute-time travel (snapshot_as_of) and the CDC change feed
+(changes_between / watermark) — lineage-native extensions over the
+reference's relative version travel (query.py:115-124)."""
+
+import datetime
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _utcnow():
+    return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+
+
+@pytest.fixture()
+def table(tmp_db, spark, sf_dir):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(500)
+    t = tmp_db.create_table_typed("orders_tt", src.schema, "o_orderkey")
+    t.ingest_dataframe(src)
+    return t, src
+
+
+def test_snapshot_as_of(table, spark):
+    t, src = table
+    n0 = src.count()
+    time.sleep(1.1)
+    t1 = _utcnow()
+    time.sleep(1.1)
+
+    upd = src.limit(50).select("o_orderkey", (F.col("o_totalprice") + 1).alias("o_totalprice"))
+    t.bulk_update(upd)
+    time.sleep(1.1)
+    t2 = _utcnow()
+    time.sleep(1.1)
+    t.bulk_delete(src.limit(20).select("o_orderkey"))
+
+    # at t1: original state
+    s1 = t.snapshot_as_of(t1)
+    assert s1.count() == n0
+    assert s1.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0] == \
+        src.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    # at t2: updates applied, deletes not yet
+    s2 = t.snapshot_as_of(t2)
+    assert s2.count() == n0
+    exp2 = src.agg(F.round(F.sum("o_totalprice") + 50, 2)).collect()[0][0]
+    assert s2.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0] == exp2
+    # now: deletes visible
+    assert t.current_view().count() == n0 - 20
+    # compaction never changes time-travel answers
+    t.compact()
+    assert t.snapshot_as_of(t1).count() == n0
+    assert t.snapshot_as_of(t2).agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0] == exp2
+
+
+def test_changes_between_watermark(table, spark):
+    t, src = table
+    w0 = t.watermark()
+
+    upd = src.limit(30).select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    t.bulk_update(upd)
+    t.bulk_delete(src.where("o_orderkey % 50 = 1").select("o_orderkey"))
+    extra = src.limit(10).select(
+        (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+    t.ingest_dataframe(extra)
+    w1 = t.watermark()
+
+    feed = t.changes_between(w0, w1).cache()
+    by_op = {r["_op"]: r["n"] for r in feed.groupBy("_op").agg(F.count("*").alias("n")).collect()}
+    assert by_op["U"] == 30
+    assert by_op["D"] == src.where("o_orderkey % 50 = 1").count()
+    assert by_op["I"] == 10
+    # update deltas carry ONLY the changed column (NULL = untouched)
+    u = feed.where("_op = 'U'")
+    assert u.where(F.col("o_totalprice").isNull()).count() == 0
+    assert u.where(F.col("o_custkey").isNotNull()).count() == 0
+    # inserts carry full rows
+    assert feed.where("_op = 'I'").where(F.col("o_custkey").isNull()).count() == 0
+    # nothing outside the window
+    assert t.changes_between(w1).count() == 0
+    # feed is replayable: seqs strictly ordered and unique
+    n_feed = feed.count()
+    assert feed.select("_seq").distinct().count() == n_feed
+    feed.unpersist()
