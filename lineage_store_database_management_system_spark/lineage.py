@@ -553,6 +553,50 @@ class LineageTable:
             out = out.select(*self.user_cols)
         return out
 
+    # ------------------------------------------------------------------
+    # schema evolution (extension — the reference's schema is fixed at
+    # create_table, SURVEY §1.4: "no ALTER")
+    # ------------------------------------------------------------------
+    def add_column(self, name: str, data_type: T.DataType) -> None:
+        """ALTER TABLE ADD COLUMN (nullable). Metadata-only: no file is
+        rewritten — existing base/tail parquet simply lacks the column
+        and the schema-directed read yields NULL for it (exactly the
+        lineage encoding's 'never updated' state). Subsequent updates
+        set values through the tail; compaction bakes them into the
+        next snapshot."""
+        if name in self.user_cols or name in META_TAIL:
+            raise ValueError(f"column {name!r} already exists")
+        if name in self.manifest.extra.get("dropped_columns", []):
+            # existing files still hold bytes for the old column; a
+            # re-add with a different type would mis-read them
+            raise ValueError(f"column name {name!r} was dropped and cannot be reused")
+        self.flush()
+        self.schema = T.StructType(
+            list(self.schema.fields) + [T.StructField(name, data_type, True)]
+        )
+        self.user_cols.append(name)
+        self.manifest.schema_json = _schema_to_json(self.schema)
+        self._save_manifest()
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN — logical: the column leaves the
+        schema (reads stop selecting it); bytes in existing files are
+        untouched and fall away at the next compaction rewrite."""
+        if name == self.key:
+            raise ValueError("cannot drop the primary key column")
+        if name in self.partition_by:
+            raise ValueError("cannot drop a partition column")
+        if name not in self.user_cols:
+            raise ValueError(f"no such column: {name!r}")
+        self.flush()
+        self.schema = T.StructType([f for f in self.schema.fields if f.name != name])
+        self.user_cols.remove(name)
+        self.manifest.schema_json = _schema_to_json(self.schema)
+        dropped = self.manifest.extra.setdefault("dropped_columns", [])
+        if name not in dropped:
+            dropped.append(name)
+        self._save_manifest()
+
     def watermark(self) -> int:
         """Current commit watermark: every id (rid or seq) committed so
         far is <= this value, and every future commit's ids exceed it
