@@ -1620,3 +1620,96 @@ def pq_cdc_feed(spark, sf_dir):
             F.round("o_totalprice", 2).alias("new_totalprice"),
         )
     )
+
+
+@workload(
+    "ext_pivot_event_types",
+    """SELECT user_bucket,
+       ROUND(SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2) AS click,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase,
+       ROUND(SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 2) AS view,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN value ELSE 0 END), 2) AS error,
+       ROUND(SUM(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 2) AS signup
+FROM (SELECT CAST(user_id % 8 AS BIGINT) AS user_bucket, event_type, value FROM events) t
+GROUP BY user_bucket""",
+)
+def ext_pivot(spark, sf_dir):
+    """PIVOT: one hash aggregate with a conditional-sum per pivoted
+    value (explicit value list — no extra distinct pass, the scale-safe
+    form of pivot)."""
+    ev = load_star(spark, sf_dir)["events"]
+    kinds = ["click", "purchase", "view", "error", "signup"]
+    return (
+        ev.select((F.col("user_id") % 8).cast("long").alias("user_bucket"), "event_type", "value")
+        .groupBy("user_bucket")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+@workload(
+    "ext_unpivot_part_measures",
+    """SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS val
+FROM part WHERE p_partkey <= 200
+UNION ALL
+SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val
+FROM part WHERE p_partkey <= 200""",
+)
+def ext_unpivot(spark, sf_dir):
+    """UNPIVOT / melt: wide -> long via the native unpivot operator
+    (a single Expand node — one pass, no union of rescans)."""
+    p = load_star(spark, sf_dir)["part"].where("p_partkey <= 200")
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot("p_partkey", ["retailprice", "size"], "measure", "val")
+
+
+@workload(
+    "ext_datetime_functions",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+       CAST(EXTRACT(dow FROM ts) AS INTEGER) AS dow,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1, 2, 3""",
+)
+def ext_datetime(spark, sf_dir):
+    """Datetime function library: truncation + field extraction +
+    grouped agg (DuckDB dow: Sunday=0 == Spark dayofweek-1)."""
+    ev = load_star(spark, sf_dir)["events"].where(F.col("event_type") == "purchase")
+    return (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.hour("ts").alias("hour"),
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            "value",
+        )
+        .groupBy("day", "hour", "dow")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@workload(
+    "ds_window_dedup_latest",
+    """SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) t WHERE rn = 1""",
+)
+def ds_window_dedup(spark, sf_dir):
+    """Keep-one-per-group (the training-pipeline 'latest wins' dedup):
+    row_number over (group, priority) then rn=1 — one shuffle on the
+    group key; deterministic tiebreak on id."""
+    from pyspark.sql import Window
+
+    docs = load_star(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .drop("rn")
+    )
