@@ -644,6 +644,32 @@ class LineageTable:
         )
         return tail.unionByName(ins)
 
+    def apply_changes(self, feed: DataFrame) -> None:
+        """Apply a CDC feed (the schema :meth:`changes_between` emits)
+        to THIS table, preserving rids/seqs — the replica side of
+        lineage replication. 'I' rows append to base, 'U'/'D' rows to
+        tail, ids unchanged so later deltas for the same records bind
+        correctly; the local batch counter jumps past every applied id
+        so locally-allocated ids can never collide. Idempotent per
+        feed window (replay = same files' content; dedupe by _seq is
+        the consumer's contract)."""
+        self.flush()
+        ins = feed.where(F.col(OP) == "I").select(
+            F.col(RID), F.col(TS), *[F.col(c) for c in self.user_cols]
+        )
+        self._append_via_staging(ins, self.base_dir, partition_by=self.partition_by)
+        tail = feed.where(F.col(OP) != "I").select(
+            F.col(RID), F.col(SEQ), F.col(OP), F.col(TS),
+            *[F.col(c) for c in self.user_cols],
+        )
+        self._append_via_staging(tail, self.tail_dir)
+        hi = feed.agg(F.max(SEQ).alias("m")).collect()[0]["m"]
+        if hi is not None:
+            self.manifest.next_batch = max(
+                self.manifest.next_batch, (int(hi) >> _BATCH_SHIFT) + 1
+            )
+            self._save_manifest()
+
     # ------------------------------------------------------------------
     # merge / compaction (reference T4, table.py:180-225)
     # ------------------------------------------------------------------

@@ -1,6 +1,7 @@
 from .stream_ops import (
     EVENTS_SCHEMA,
     read_events_stream,
+    replicate_stream,
     run_stream_once,
     stream_ingest_lineage,
     streaming_event_join,
@@ -11,6 +12,7 @@ from .stream_ops import (
 __all__ = [
     "EVENTS_SCHEMA",
     "read_events_stream",
+    "replicate_stream",
     "run_stream_once",
     "stream_ingest_lineage",
     "streaming_event_join",

@@ -142,6 +142,50 @@ def stream_ingest_lineage(stream_df: DataFrame, table) -> int:
     return n_batches["n"]
 
 
+def replicate_stream(src, dst) -> int:
+    """Continuous lineage replication: the source table's base and
+    tail directories ARE change streams (every commit publishes whole
+    parquet files via the staging rename), so a file-source stream
+    over them + ``foreachBatch(dst.apply_changes)`` keeps a replica in
+    sync with preserved rids/seqs — no log scraping, the storage
+    layout is the log. Drains available input (availableNow) and
+    returns the number of micro-batches; run under a real trigger for
+    continuous follow."""
+    import os
+
+    spark = src.spark
+    src.flush()
+    os.makedirs(src.base_dir, exist_ok=True)
+    os.makedirs(src.tail_dir, exist_ok=True)
+    base_s = (
+        spark.readStream.schema(src.base_schema)
+        .parquet(src.base_dir)
+        .select(
+            F.col("_rid"),
+            F.col("_rid").alias("_seq"),
+            F.lit("I").alias("_op"),
+            F.col("_ts"),
+            *src.user_cols,
+        )
+    )
+    tail_s = spark.readStream.schema(src.tail_schema).parquet(src.tail_dir)
+    feed = tail_s.unionByName(base_s)
+    n_batches = {"n": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        dst.apply_changes(batch_df)
+        n_batches["n"] += 1
+
+    q = (
+        feed.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", dst.path + "/_replica_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
 def run_stream_once(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drain all available input through the streaming plan once
     (trigger availableNow) into a memory sink; return the result as a

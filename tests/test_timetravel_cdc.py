@@ -84,3 +84,49 @@ def test_changes_between_watermark(table, spark):
     n_feed = feed.count()
     assert feed.select("_seq").distinct().count() == n_feed
     feed.unpersist()
+
+
+def test_batch_replication_apply_changes(table, tmp_db, spark):
+    """changes_between + apply_changes replicate a table with
+    preserved rids/seqs; later deltas bind to replicated records."""
+    src_t, src = table
+    dst = tmp_db.create_table_typed(
+        "orders_replica", src_t.schema, "o_orderkey"
+    )
+    # round 1: replicate everything so far
+    dst.apply_changes(src_t.changes_between(-1))
+    assert dst.current_view().count() == src_t.current_view().count()
+
+    # round 2: more changes on src, replicate only the delta window
+    w = src_t.watermark()
+    upd = src.limit(25).select("o_orderkey", (F.col("o_totalprice") + 7).alias("o_totalprice"))
+    src_t.bulk_update(upd)
+    src_t.bulk_delete(src.where("o_orderkey % 9 = 2").select("o_orderkey"))
+    dst.apply_changes(src_t.changes_between(w))
+
+    a = src_t.current_view().orderBy("o_orderkey").collect()
+    b = dst.current_view().orderBy("o_orderkey").collect()
+    assert a == b
+    # replica allocates non-colliding ids for local writes
+    assert dst.watermark() >= src_t.watermark()
+
+
+def test_streaming_replication(table, tmp_db, spark):
+    """The base/tail dirs are the change log: file-source streams over
+    them + foreachBatch(apply_changes) follow the source table."""
+    from lineage_store_database_management_system_spark.streaming import replicate_stream
+
+    src_t, src = table
+    dst = tmp_db.create_table_typed("orders_stream_replica", src_t.schema, "o_orderkey")
+    n1 = replicate_stream(src_t, dst)
+    assert n1 >= 1
+    assert dst.current_view().count() == src_t.current_view().count()
+
+    # more commits, second drain picks up ONLY the new files
+    src_t.bulk_update(
+        src.limit(10).select("o_orderkey", (F.col("o_totalprice") * 3).alias("o_totalprice"))
+    )
+    replicate_stream(src_t, dst)
+    a = src_t.current_view().agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    b = dst.current_view().agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    assert a == b
