@@ -1713,3 +1713,18 @@ def ds_window_dedup(spark, sf_dir):
         .where("rn = 1")
         .drop("rn")
     )
+
+
+@workload("ds_approx_sketches")  # approximate by definition: rows-only
+def ds_approx(spark, sf_dir):
+    """Sketch aggregates for 100 TB profiling: HyperLogLog++ distinct
+    counts and GK approximate quantiles — fixed-size state, one pass,
+    mergeable across partitions (vs the exact versions' full shuffle).
+    Error bounds vs exact answers asserted in tests."""
+    ev = load_star(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.round(F.percentile_approx("value", 0.5, 1000), 1).alias("approx_median_value"),
+        F.round(F.percentile_approx("value", 0.99, 1000), 1).alias("approx_p99_value"),
+        F.count(F.lit(1)).alias("n"),
+    )

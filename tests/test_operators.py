@@ -208,3 +208,37 @@ def stream_to_batch(spark, path):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(path)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    """HLL++ and GK-quantile sketches stay within their configured
+    error bounds vs the exact answers."""
+    from lineage_store_database_management_system_spark.sources.readers import load_star
+
+    ev = load_star(spark, sf_dir)["events"]
+    approx = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+            F.percentile_approx("value", 0.5, 1000).alias("am"),
+        )
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("eu"),
+            F.expr("percentile(value, 0.5)").alias("em"),
+        )
+        .collect()
+    }
+    for k in exact:
+        assert abs(approx[k]["au"] - exact[k]["eu"]) <= max(3, 0.05 * exact[k]["eu"])
+        # GK with accuracy=1000: rank error <= n/1000; translate loosely
+        # to a value tolerance via the group's value spread
+        spread = ev.where(F.col("event_type") == k).agg(
+            (F.max("value") - F.min("value")).alias("s")
+        ).collect()[0]["s"]
+        assert abs(approx[k]["am"] - exact[k]["em"]) <= 0.05 * spread + 1e-9
