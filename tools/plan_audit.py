@@ -1,0 +1,71 @@
+"""Physical-plan audit: dump the formatted Catalyst plan of every
+headline query plus automated checks that the plan has the shape we
+designed for at 100 TB — filters pushed to the scan, dimensions
+broadcast, top-k compiled to TakeOrderedAndProject, no stray
+row-at-a-time Python.
+
+Usage: python tools/plan_audit.py [sf_dir] > PLANS.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (workload, [required plan fragments], [forbidden plan fragments])
+AUDIT = [
+    ("pq_select_point", ["PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]"], ["BatchEvalPython"]),
+    ("pq_sum_range", ["PushedFilters"], ["BatchEvalPython"]),
+    ("ext_q1_pricing_summary", ["HashAggregate"], ["SortMergeJoin"]),
+    ("ext_q3_shipping_priority", ["BroadcastHashJoin", "TakeOrderedAndProject"], ["SortMergeJoin"]),
+    ("ext_q5_region_revenue", ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    ("ext_q6_forecast_revenue", ["PushedFilters"], ["Exchange hashpartitioning"]),
+    ("ext_q19_disjunctive_join", ["BroadcastHashJoin"], []),
+    ("ext_window_topn_per_customer", ["WindowGroupLimit"], []),
+    ("ds_dedup_exact", ["xxhash64"], ["BatchEvalPython"]),
+    ("ds_embedding_topk", ["TakeOrderedAndProject"], ["BatchEvalPython"]),
+    ("ext_bucketed_join_agg", ["SortMergeJoin"], ["Exchange"]),
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from lineage_store_database_management_system_spark import get_spark, workloads
+    from lineage_store_database_management_system_spark.plans.explain import explain_str
+
+    spark = get_spark(app_name="plan-audit", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = []
+    print(f"# Physical-plan audit ({sf_dir})\n")
+    print(
+        "Automated shape checks per headline query: required fragments "
+        "must appear in the formatted plan, forbidden ones must not.\n"
+    )
+    for name, required, forbidden in AUDIT:
+        df = workloads.QUERIES[name](spark, sf_dir)
+        plan = explain_str(df)
+        missing = [f for f in required if f not in plan]
+        present = [f for f in forbidden if f in plan]
+        ok = not missing and not present
+        if not ok:
+            failures.append((name, missing, present))
+        print(f"## {name} — {'OK' if ok else 'FAIL'}")
+        if missing:
+            print(f"- MISSING: {missing}")
+        if present:
+            print(f"- FORBIDDEN PRESENT: {present}")
+        print("\n```\n" + plan.strip()[:4000] + "\n```\n")
+
+    if failures:
+        print(f"\n**{len(failures)} plan-shape failures**: {[f[0] for f in failures]}")
+        return 1
+    print(f"\nAll {len(AUDIT)} plan shapes OK.")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
