@@ -1728,3 +1728,132 @@ def ds_approx(spark, sf_dir):
         F.round(F.percentile_approx("value", 0.99, 1000), 1).alias("approx_p99_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@workload(
+    "ext_full_outer_join",
+    """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey, COUNT(*) AS n_customers
+      FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey, COUNT(*) AS n_suppliers
+      FROM supplier WHERE s_acctbal > 9900 GROUP BY s_nationkey) s
+ON c.c_nationkey = s.s_nationkey""",
+)
+def ext_full_outer(spark, sf_dir):
+    """FULL OUTER join of two pre-aggregated sides (nulls on both
+    sides coalesced) — the one outer-join variant not covered by
+    ext_asof/anti/semi."""
+    d = load_star(spark, sf_dir)
+    c = (
+        d["customer"].where("c_acctbal > 9900")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        d["supplier"].where("s_acctbal > 9900")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@workload(
+    "ext_union_distinct_keys",
+    """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+UNION
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9500""",
+)
+def ext_union_distinct(spark, sf_dir):
+    """UNION (distinct set semantics) — completes the set-op family
+    with EXCEPT and INTERSECT."""
+    d = load_star(spark, sf_dir)
+    a = d["customer"].where("c_acctbal > 9500").select(F.col("c_nationkey").alias("nationkey"))
+    b = d["supplier"].where("s_acctbal > 9500").select(F.col("s_nationkey").alias("nationkey"))
+    return a.union(b).distinct()
+
+
+@workload(
+    "ds_vocab_topk",
+    """SELECT tok, COUNT(*) AS freq FROM (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents) t
+WHERE length(tok) > 0
+GROUP BY tok ORDER BY freq DESC, tok LIMIT 50""",
+)
+def ds_vocab(spark, sf_dir):
+    """Vocabulary building: explode tokens -> frequency -> top-k.
+    The shuffle key is the token (partial aggregation collapses each
+    partition's counts first); top-k is TakeOrderedAndProject."""
+    docs = load_star(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+@workload(
+    "ds_bigram_counts",
+    """SELECT bg AS bigram, COUNT(*) AS freq FROM (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg
+  FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents) d) t
+GROUP BY bg HAVING COUNT(*) >= 20 ORDER BY freq DESC, bigram""",
+)
+def ds_bigrams(spark, sf_dir):
+    """N-gram language-model counts (bigrams): per-document shingle
+    arrays explode to rows, one hash aggregate with a HAVING floor —
+    the corpus-statistics building block behind the n-gram dedup ops."""
+    from .functions.text import bind_once
+
+    docs = load_star(spark, sf_dir)["documents"]
+
+    def _bigrams(w):
+        starts = F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(0)))
+        return F.transform(
+            starts,
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        )
+
+    bg = bind_once(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), _bigrams)
+    return (
+        docs.select(F.explode(bg).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where("freq >= 20")
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+    )
+
+
+@workload(
+    "ds_levenshtein_blocked",
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE a.p_partkey <= 300 AND b.p_partkey <= 300
+  AND levenshtein(a.p_name, b.p_name) <= 4""",
+)
+def ds_levenshtein(spark, sf_dir):
+    """Fuzzy string matching with blocking: candidate pairs only
+    within the same brand block (the join key), then an edit-distance
+    filter — the standard record-linkage shape (never O(n^2) over the
+    corpus; block key caps bucket size)."""
+    p = load_star(spark, sf_dir)["part"].where("p_partkey <= 300")
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_brand").alias("b_a"), F.col("p_name").alias("n_a"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_brand").alias("b_b"), F.col("p_name").alias("n_b"))
+    return (
+        a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", F.levenshtein("n_a", "n_b").alias("dist"))
+        .where("dist <= 4")
+    )
