@@ -673,13 +673,19 @@ class LineageTable:
     # ------------------------------------------------------------------
     # merge / compaction (reference T4, table.py:180-225)
     # ------------------------------------------------------------------
-    def compact(self) -> int:
+    def compact(self, incremental: bool = True) -> int:
         """Consolidate tail into a new base snapshot (the reference's
-        __merge): one join+rewrite job, then an atomic manifest swap
-        advancing the TPS watermark. Tail files are retained so
-        version travel keeps full lineage — merge never changes a
-        query answer (SURVEY §5.2 invariant 2). Returns the new
-        snapshot version."""
+        __merge): join+rewrite, then an atomic manifest swap advancing
+        the TPS watermark. Tail files are retained so version travel
+        keeps full lineage — merge never changes a query answer
+        (SURVEY §5.2 invariant 2). Returns the new snapshot version.
+
+        For a partitioned table with an existing snapshot,
+        ``incremental=True`` rewrites ONLY the partitions touched
+        since the last compact (tail-delta rids + fresh base rows
+        decide the set) and hardlinks every untouched partition's
+        files into the new snapshot version — at 100 TB compaction
+        cost tracks the churn, not the table size."""
         self.flush()
         base = self.base_df(include_pending=False)
         tail = self.tail_df(include_pending=False)
@@ -687,13 +693,20 @@ class LineageTable:
         new_tps = tps_row["m"] if tps_row["m"] is not None else self.manifest.tps
         rid_row = base.agg(F.max(RID).alias("m")).collect()[0]
         rid_hi = rid_row["m"] if rid_row["m"] is not None else -1
-        snap = self._fold_tail(base, tail)  # keeps _rid,_ts + user cols
         new_version = self.manifest.compact_version + 1
         out_dir = self.compacted_dir(new_version)
-        writer = snap.write.mode("overwrite")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(out_dir)
+        if (
+            incremental
+            and self.partition_by
+            and self.manifest.compact_version >= 0
+        ):
+            self._compact_incremental(out_dir)
+        else:
+            snap = self._fold_tail(base, tail)  # keeps _rid,_ts + user cols
+            writer = snap.write.mode("overwrite")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(out_dir)
         old_version = self.manifest.compact_version
         self.manifest.compact_version = new_version
         self.manifest.tps = new_tps if new_tps is not None else -1
@@ -702,6 +715,87 @@ class LineageTable:
         if old_version >= 0:
             shutil.rmtree(self.compacted_dir(old_version), ignore_errors=True)
         return new_version
+
+    def _compact_incremental(self, out_dir: str) -> None:
+        """Partition-level compaction: recompute affected partitions
+        from (previous snapshot ∪ fresh base) + new tail deltas —
+        the same fold the current view performs — and hardlink the
+        untouched partitions' immutable files into the new version."""
+        m = self.manifest
+        pcols = self.partition_by
+        snap_old = self._read_or_empty(self.compacted_dir(), self.base_schema)
+        fresh = self.base_df(include_pending=False).where(F.col(RID) > m.compact_rid_hi)
+        tail_new = self.tail_df(include_pending=False).where(F.col(SEQ) > m.tps)
+        # partitions touched by deltas (rid -> partition via base) or
+        # by fresh inserts; the result is a small driver-side list
+        touched = (
+            tail_new.select(RID)
+            .join(self.base_df(include_pending=False).select(RID, *pcols), on=RID)
+            .select(*pcols)
+            .unionByName(fresh.select(*pcols))
+            .distinct()
+            .collect()
+        )
+        touched_vals = {tuple(r[c] for c in pcols) for r in touched}
+
+        def _pred(df):
+            if not touched_vals:
+                return df.where(F.lit(False))
+            conds = [
+                F.struct(*[F.col(c) for c in pcols]) == F.struct(*[F.lit(v) for v in vals])
+                for vals in touched_vals
+            ]
+            out = conds[0]
+            for c in conds[1:]:
+                out = out | c
+            return df.where(out)
+
+        # recompute ONLY the affected partitions
+        if touched_vals:
+            part_base = _pred(snap_old).unionByName(_pred(fresh))
+            folded = self._fold_tail(part_base, tail_new)
+            folded.write.mode("overwrite").partitionBy(*pcols).parquet(out_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        # Determine the touched partitions' DIRECTORY names through
+        # Spark's own partition-path encoder (writing a marker dataset
+        # with exactly the touched values) — string-formatting the
+        # values by hand would have to replicate Hive path escaping
+        # for every type.
+        touched_rel: set[str] = set()
+        if touched_vals:
+            marker_dir = os.path.join(self.path, f"_marker_{uuid.uuid4().hex[:8]}")
+            marker = self.spark.createDataFrame(
+                [tuple(v) for v in touched_vals],
+                T.StructType([self.base_schema[c] for c in pcols]),
+            ).withColumn("_x", F.lit(1))
+            marker.write.mode("overwrite").partitionBy(*pcols).parquet(marker_dir)
+            touched_rel = set(self._leaf_partition_dirs(marker_dir))
+            shutil.rmtree(marker_dir, ignore_errors=True)
+        # hardlink untouched partition dirs from the old snapshot
+        # (immutable files, same filesystem — metadata-only copies)
+        old_dir = self.compacted_dir()
+        for rel in self._leaf_partition_dirs(old_dir):
+            if rel in touched_rel:
+                continue
+            src = os.path.join(old_dir, rel)
+            dst = os.path.join(out_dir, rel)
+            os.makedirs(dst, exist_ok=True)
+            for name in os.listdir(src):
+                if name.endswith(".parquet"):
+                    os.link(os.path.join(src, name), os.path.join(dst, name))
+
+    @staticmethod
+    def _leaf_partition_dirs(root_dir: str) -> list[str]:
+        """Relative paths of every leaf partition directory (dirs whose
+        entries are data files, shaped ``c1=v1/c2=v2/...``)."""
+        out = []
+        for root, _dirs, files in os.walk(root_dir):
+            rel = os.path.relpath(root, root_dir)
+            if rel == ".":
+                continue
+            if any(f.endswith(".parquet") for f in files) and "=" in os.path.basename(root):
+                out.append(rel)
+        return out
 
     def tail_row_count(self) -> int:
         return self.tail_df().count()

@@ -208,3 +208,74 @@ def test_partitioned_lineage_table(tmp_db, spark, sf_dir):
         tmp_db.create_table_typed("bad1", src.schema, "o_orderkey", partition_by=["o_orderkey"])
     with _pytest.raises(ValueError):
         tmp_db.create_table_typed("bad2", src.schema, "o_orderkey", partition_by=["nope"])
+
+
+def test_incremental_compaction_partition_level(tmp_db, spark, sf_dir):
+    """Incremental compact rewrites ONLY partitions with churn:
+    untouched partition files are hardlinked (same inode) into the new
+    snapshot version; answers stay invariant, including a partition
+    whose churn is delete-only."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = tmp_db.create_table_typed(
+        "orders_inc", src.schema, "o_orderkey", partition_by=["o_orderstatus"]
+    )
+    t.ingest_dataframe(src)
+    t.compact()  # full first snapshot
+    v1_dir = t.compacted_dir()
+    inode_v1 = {
+        d: {os.stat(os.path.join(v1_dir, d, f)).st_ino
+            for f in os.listdir(os.path.join(v1_dir, d)) if f.endswith(".parquet")}
+        for d in os.listdir(v1_dir) if d.startswith("o_orderstatus=")
+    }
+    statuses = sorted(inode_v1)
+    assert len(statuses) >= 3
+
+    # churn: update rows of ONE partition, delete-only churn in another
+    upd_status = statuses[0].split("=", 1)[1]
+    del_status = statuses[1].split("=", 1)[1]
+    upd = (
+        src.where(F.col("o_orderstatus") == upd_status)
+        .limit(50)
+        .select("o_orderkey", (F.col("o_totalprice") + 9).alias("o_totalprice"))
+    )
+    t.bulk_update(upd)
+    dels = src.where(F.col("o_orderstatus") == del_status).limit(20).select("o_orderkey")
+    t.bulk_delete(dels)
+
+    before = t.current_view().agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).collect()[0]
+    t.compact()  # incremental
+    v2_dir = t.compacted_dir()
+    assert v2_dir != v1_dir
+    after = t.current_view().agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).collect()[0]
+    assert (before["n"], before["s"]) == (after["n"], after["s"])
+
+    inode_v2 = {
+        d: {os.stat(os.path.join(v2_dir, d, f)).st_ino
+            for f in os.listdir(os.path.join(v2_dir, d)) if f.endswith(".parquet")}
+        for d in os.listdir(v2_dir) if d.startswith("o_orderstatus=")
+    }
+    for d in statuses:
+        status = d.split("=", 1)[1]
+        if status in (upd_status, del_status):
+            # rewritten: no file shared with v1
+            assert not (inode_v1[d] & inode_v2.get(d, set())), d
+        else:
+            # untouched: hardlinked, identical inodes
+            assert inode_v1[d] == inode_v2[d], d
+
+    # the delete-only partition really lost its rows in the snapshot
+    snap = spark.read.schema(t.base_schema).parquet(v2_dir)
+    n_del_part = snap.where(F.col("o_orderstatus") == del_status).count()
+    exp = src.where(F.col("o_orderstatus") == del_status).count() - 20
+    assert n_del_part == exp
+    # version travel unaffected by compaction strategy (tombstoned
+    # records are invisible at every version — version_view contract)
+    assert t.version_view(-1).count() == src.count() - 20
