@@ -531,12 +531,25 @@ class LineageTable:
         change any answer. The per-rid window is a shuffle of the tail
         only; version queries are the rare path and stay correct at any
         compaction state.
+
+        After :meth:`vacuum_tail`, pre-snapshot deltas no longer
+        exist, so the fold starts from the compacted snapshot and only
+        deltas past the TPS watermark are undoable: version travel
+        clamps at the snapshot instead of the original base — the
+        documented bounded-history trade.
         """
         k = abs(int(relative_version))
         if k == 0 and not include_meta:
             return self.current_view()
-        base = self.base_df()
-        tail = self.tail_df()
+        vacuumed = self.manifest.extra.get("history_floor") is not None
+        if vacuumed and self.manifest.compact_version >= 0:
+            snap = self._read_or_empty(self.compacted_dir(), self.base_schema)
+            fresh = self.base_df().where(F.col(RID) > self.manifest.compact_rid_hi)
+            base = snap.unionByName(fresh)
+            tail = self.tail_df().where(F.col(SEQ) > self.manifest.tps)
+        else:
+            base = self.base_df()
+            tail = self.tail_df()
         if k > 0:
             w = Window.partitionBy(RID).orderBy(F.desc(SEQ))
             upd = (
@@ -673,7 +686,12 @@ class LineageTable:
     # ------------------------------------------------------------------
     # merge / compaction (reference T4, table.py:180-225)
     # ------------------------------------------------------------------
-    def compact(self, incremental: bool = True) -> int:
+    def compact(
+        self,
+        incremental: bool = True,
+        sort_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
+    ) -> int:
         """Consolidate tail into a new base snapshot (the reference's
         __merge): join+rewrite, then an atomic manifest swap advancing
         the TPS watermark. Tail files are retained so version travel
@@ -685,7 +703,13 @@ class LineageTable:
         since the last compact (tail-delta rids + fresh base rows
         decide the set) and hardlinks every untouched partition's
         files into the new snapshot version — at 100 TB compaction
-        cost tracks the churn, not the table size."""
+        cost tracks the churn, not the table size.
+
+        ``sort_by`` clusters rows within each output file (sorted
+        parquet -> tight row-group min/max stats -> better pruning for
+        range predicates on those columns — the OPTIMIZE/ZORDER-lite
+        layout knob); ``max_records_per_file`` bounds file sizes so a
+        huge snapshot lands in scan-parallel 100 MB-1 GB files."""
         self.flush()
         base = self.base_df(include_pending=False)
         tail = self.tail_df(include_pending=False)
@@ -699,11 +723,27 @@ class LineageTable:
             incremental
             and self.partition_by
             and self.manifest.compact_version >= 0
+            and sort_by is None
         ):
             self._compact_incremental(out_dir)
         else:
+            if self.manifest.compact_version >= 0:
+                # Fold forward from the previous snapshot: only deltas
+                # past the TPS watermark are re-applied (identical
+                # result — deltas carry absolute values, max-seq wins —
+                # and REQUIRED after vacuum_tail, when pre-TPS deltas
+                # no longer exist).
+                prev = self._read_or_empty(self.compacted_dir(), self.base_schema)
+                base = prev.unionByName(
+                    base.where(F.col(RID) > self.manifest.compact_rid_hi)
+                )
+                tail = tail.where(F.col(SEQ) > self.manifest.tps)
             snap = self._fold_tail(base, tail)  # keeps _rid,_ts + user cols
+            if sort_by:
+                snap = snap.sortWithinPartitions(*sort_by)
             writer = snap.write.mode("overwrite")
+            if max_records_per_file:
+                writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
             if self.partition_by:
                 writer = writer.partitionBy(*self.partition_by)
             writer.parquet(out_dir)
@@ -796,6 +836,32 @@ class LineageTable:
             if any(f.endswith(".parquet") for f in files) and "=" in os.path.basename(root):
                 out.append(rel)
         return out
+
+    def vacuum_tail(self) -> int:
+        """Drop tail history already folded into the compacted
+        snapshot (deltas with ``_seq <= TPS``) — the storage-reclaim
+        half of the compaction contract. Bounded-history trade-off,
+        recorded as ``history_floor``: the current view is unaffected
+        (it never reads below TPS anyway); version/time travel now
+        clamps at the snapshot instead of the original base. Returns
+        the number of delta rows removed."""
+        if self.manifest.compact_version < 0:
+            return 0  # nothing is covered by a snapshot yet
+        self.flush()
+        tail = self.tail_df(include_pending=False)
+        n_before = tail.count()
+        keep = tail.where(F.col(SEQ) > self.manifest.tps)
+        new_dir = os.path.join(self.path, f"_tail_vacuum_{uuid.uuid4().hex[:8]}")
+        keep.write.mode("overwrite").parquet(new_dir)
+        old = self.tail_dir
+        swap = f"{old}_old_{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(old):
+            os.rename(old, swap)
+        os.rename(new_dir, old)
+        shutil.rmtree(swap, ignore_errors=True)
+        self.manifest.extra["history_floor"] = self.manifest.tps
+        self._save_manifest()
+        return n_before - self.tail_df(include_pending=False).count()
 
     def tail_row_count(self) -> int:
         return self.tail_df().count()

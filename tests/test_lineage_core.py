@@ -279,3 +279,65 @@ def test_incremental_compaction_partition_level(tmp_db, spark, sf_dir):
     # version travel unaffected by compaction strategy (tombstoned
     # records are invisible at every version — version_view contract)
     assert t.version_view(-1).count() == src.count() - 20
+
+
+def test_vacuum_tail_bounded_history(tmp_db, spark, sf_dir):
+    """vacuum_tail drops deltas covered by the snapshot: current view
+    unchanged, version travel clamps at the snapshot, storage shrinks,
+    and deltas after a later compact remain undoable."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(400)
+    t = tmp_db.create_table_typed("orders_vac", src.schema, "o_orderkey")
+    t.ingest_dataframe(src)
+    assert t.vacuum_tail() == 0  # no snapshot yet -> no-op
+
+    u1 = src.limit(100).select("o_orderkey", (F.col("o_totalprice") + 1).alias("o_totalprice"))
+    t.bulk_update(u1)
+    t.compact()
+    cur_before = t.current_view().agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+
+    removed = t.vacuum_tail()
+    assert removed == 100
+    assert t.tail_row_count() == 0
+    # current view invariant under vacuum
+    assert t.current_view().agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0] == cur_before
+    # history is gone: version -1 now clamps to the snapshot (== current)
+    assert t.version_view(-1).agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0] == cur_before
+
+    # post-vacuum deltas are still undoable
+    u2 = src.limit(50).select("o_orderkey", (F.col("o_totalprice") * 10).alias("o_totalprice"))
+    t.bulk_update(u2)
+    cur2 = t.current_view().agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    v1 = t.version_view(-1).agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    assert v1 == cur_before and cur2 != cur_before
+    # idempotent re-vacuum after re-compact
+    t.compact()
+    assert t.vacuum_tail() == 50
+    assert t.current_view().agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0] == cur2
+
+
+def test_sorted_compaction_layout(tmp_db, spark, sf_dir):
+    """compact(sort_by=...) produces row-group-clustered files (sorted
+    parquet -> each file covers a narrow key range for pruning)."""
+    import pyarrow.parquet as pq
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = tmp_db.create_table_typed("orders_sorted", src.schema, "o_orderkey")
+    t.ingest_dataframe(src)
+    t.compact(sort_by=["o_orderkey"], max_records_per_file=5000)
+    files = [
+        os.path.join(t.compacted_dir(), f)
+        for f in os.listdir(t.compacted_dir())
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= src.count() // 5000  # file sizing honored
+    for f in files:
+        md = pq.ParquetFile(f)
+        tbl = md.read(columns=["o_orderkey"])["o_orderkey"].to_pylist()
+        assert tbl == sorted(tbl)  # clustered within file
+    # answers invariant
+    assert t.current_view().count() == src.count()
