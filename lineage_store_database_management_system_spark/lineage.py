@@ -362,6 +362,60 @@ class LineageTable:
         )
         self._append_via_staging(out, self.tail_dir)
 
+    def merge_into(self, source: DataFrame) -> None:
+        """MERGE INTO (upsert) by primary key: source rows whose key
+        matches a live record become tail update-deltas (columns
+        absent from ``source`` stay unchanged); unmatched rows insert
+        as new base records. The lakehouse MERGE shape on the lineage
+        format: ONE join against the 2-column live-key map classifies
+        every source row, then each branch is a plain append — no
+        base rewrite, no per-row driver work."""
+        self.flush()
+        cur = self._live_key_rid_map()
+        src = source.persist()
+        try:
+            matched = src.join(cur, on=self.key, how="inner")
+            unmatched = src.join(cur.select(self.key), on=self.key, how="left_anti")
+            batch = self.manifest.next_batch
+            self.manifest.next_batch += 1
+            self._save_manifest()
+            present = [c for c in source.columns if c in self.user_cols]
+            upd = matched.select(
+                F.col(RID),
+                (F.lit(batch << _BATCH_SHIFT) + F.monotonically_increasing_id()).alias(SEQ),
+                F.lit(OP_UPDATE).alias(OP),
+                F.current_timestamp().alias(TS),
+                *[
+                    (
+                        F.col(c).cast(self.schema[c].dataType)
+                        if c in present and c != self.key and c not in self.partition_by
+                        else F.lit(None).cast(self.schema[c].dataType)
+                    ).alias(c)
+                    for c in self.user_cols
+                ],
+            )
+            self._append_via_staging(upd, self.tail_dir)
+            ins_cols = [
+                (
+                    F.col(c).cast(self.schema[c].dataType)
+                    if c in present
+                    else F.lit(None).cast(self.schema[c].dataType)
+                ).alias(c)
+                for c in self.user_cols
+            ]
+            self.ingest_dataframe(unmatched.select(*ins_cols))
+        finally:
+            src.unpersist()
+
+    def delete_where(self, condition) -> None:
+        """Predicate delete: tombstone every live record matching
+        ``condition`` (a Column or SQL string over the user columns) —
+        resolved through the current view (so predicates on updated
+        values see post-update state), appended as delete deltas."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        keys = self.current_view().where(cond).select(self.key)
+        self.bulk_delete(keys)
+
     def _live_key_rid_map(self) -> DataFrame:
         """(rid, key) for every LIVE record — the cheap resolver behind
         bulk_update/bulk_delete. The primary key is immutable (key

@@ -99,6 +99,17 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
         )
         t.bulk_update(r1)
         t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+    elif name == "orders_upsert":
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(name, src.schema, "o_orderkey")
+        t.ingest_dataframe(src)
+        matched = src.where("o_orderkey % 6 = 0").select(
+            "o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice")
+        )
+        fresh = src.where("o_orderkey % 9 = 0").select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"), "o_totalprice"
+        )
+        t.merge_into(matched.unionByName(fresh))
     elif name == "customer_b":
         src = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
         t = db.create_table_typed(name, src.schema, "c_custkey")
@@ -1856,4 +1867,25 @@ def ds_levenshtein(spark, sf_dir):
         a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", F.levenshtein("n_a", "n_b").alias("dist"))
         .where("dist <= 4")
+    )
+
+
+@workload(
+    "pq_merge_into_upsert",
+    """SELECT o_orderkey,
+       ROUND(CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END, 2) AS o_totalprice
+FROM orders
+UNION ALL
+SELECT o_orderkey + 10000000 AS o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_orderkey % 9 = 0""",
+)
+def pq_merge_upsert(spark, sf_dir):
+    """MERGE INTO (upsert) on the lineage format: one join against the
+    live-key map classifies source rows into tail update-deltas vs new
+    base inserts — no base rewrite (lakehouse MERGE, absent from the
+    reference)."""
+    t = _table(spark, sf_dir, "orders_upsert")
+    return t.current_view().select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )

@@ -341,3 +341,51 @@ def test_sorted_compaction_layout(tmp_db, spark, sf_dir):
         assert tbl == sorted(tbl)  # clustered within file
     # answers invariant
     assert t.current_view().count() == src.count()
+
+
+def test_merge_into_upsert_and_delete_where(tmp_db, spark, sf_dir):
+    """MERGE INTO: matched keys update through the tail, unmatched
+    insert as new base records; delete_where tombstones by predicate
+    over post-update state."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(300)
+    t = tmp_db.create_table_typed("orders_merge", src.schema, "o_orderkey")
+    t.ingest_dataframe(src)
+
+    existing = src.limit(80).select(
+        "o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice")
+    )
+    fresh = src.limit(40).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        (F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    t.merge_into(existing.unionByName(fresh))
+
+    view = t.current_view()
+    assert view.count() == 300 + 40
+    # matched rows updated, only the provided column changed
+    upd_sum = (
+        view.join(existing.select("o_orderkey"), "o_orderkey")
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .collect()[0][0]
+    )
+    exp_sum = existing.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    assert upd_sum == exp_sum
+    # unmatched rows inserted with absent columns NULL
+    inserted = view.where("o_orderkey >= 10000000")
+    assert inserted.count() == 40
+    assert inserted.where(F.col("o_custkey").isNotNull()).count() == 0
+    # other rows untouched
+    untouched = view.where("o_orderkey < 10000000").join(
+        existing.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    exp_untouched = src.join(existing.select("o_orderkey"), "o_orderkey", "left_anti")
+    assert untouched.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0] == \
+        exp_untouched.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+
+    # predicate delete over post-merge state
+    t.delete_where("o_totalprice > 100000 OR o_orderkey >= 10000000")
+    left = t.current_view()
+    assert left.where("o_orderkey >= 10000000").count() == 0
+    assert left.where("o_totalprice > 100000").count() == 0
