@@ -1889,3 +1889,56 @@ def pq_merge_upsert(spark, sf_dir):
     return t.current_view().select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+@workload(
+    "ext_window_navigation",
+    """SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+       NTILE(4) OVER w AS quartile,
+       ROUND(CUME_DIST() OVER w, 4) AS cume
+FROM orders WHERE o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+)
+def ext_window_nav(spark, sf_dir):
+    """Window navigation/distribution functions: first/last value over
+    an explicit full frame, NTILE buckets, CUME_DIST — one shuffle on
+    the partition key serves all four."""
+    from pyspark.sql import Window
+
+    ords = load_star(spark, sf_dir)["orders"].where("o_custkey % 100 = 0")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ords.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("last_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@workload(
+    "ds_embedding_centroids",
+    """SELECT label, idx, ROUND(AVG(component), 5) AS centroid_component
+FROM (SELECT label, unnest(embedding) AS component,
+             generate_subscripts(embedding, 1) AS idx
+      FROM embeddings) t
+WHERE idx <= 8 GROUP BY label, idx""",
+)
+def ds_embed_centroids(spark, sf_dir):
+    """Per-label centroid components (the k-means/class-prototype
+    aggregation): posexplode the vector, one hash aggregate on
+    (label, dim) — shuffle rows = n_vectors x dims_kept, never a
+    driver-side vector loop."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    return (
+        emb.select("label", F.posexplode("embedding").alias("idx0", "component"))
+        .where("idx0 < 8")
+        .select("label", (F.col("idx0") + 1).alias("idx"), "component")
+        .groupBy("label", "idx")
+        .agg(F.round(F.avg("component"), 5).alias("centroid_component"))
+    )
