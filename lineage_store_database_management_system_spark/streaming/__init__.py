@@ -4,6 +4,7 @@ from .stream_ops import (
     replicate_stream,
     run_stream_once,
     stream_ingest_lineage,
+    streaming_dedup,
     streaming_event_join,
     streaming_sessionize,
     streaming_tumbling_agg,
@@ -15,6 +16,7 @@ __all__ = [
     "replicate_stream",
     "run_stream_once",
     "stream_ingest_lineage",
+    "streaming_dedup",
     "streaming_event_join",
     "streaming_sessionize",
     "streaming_tumbling_agg",

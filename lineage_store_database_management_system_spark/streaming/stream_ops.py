@@ -142,6 +142,20 @@ def stream_ingest_lineage(stream_df: DataFrame, table) -> int:
     return n_batches["n"]
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: state holds one entry per
+    key only within the event-time watermark horizon
+    (``dropDuplicatesWithinWatermark``), so the state store is bounded
+    by churn x horizon instead of growing forever — the at-least-once
+    -> effectively-once repair stage in front of a streaming ingest."""
+    keys = keys or ["event_id"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def replicate_stream(src, dst) -> int:
     """Continuous lineage replication: the source table's base and
     tail directories ARE change streams (every commit publishes whole

@@ -1942,3 +1942,17 @@ def ds_embed_centroids(spark, sf_dir):
         .groupBy("label", "idx")
         .agg(F.round(F.avg("component"), 5).alias("centroid_component"))
     )
+
+
+@workload("st_stream_dedup")
+def st_dedup(spark, sf_dir):
+    """Watermarked streaming dedup (dropDuplicatesWithinWatermark):
+    duplicated input stream -> exactly one row per event_id; state
+    bounded by the watermark horizon. Batch-twin equality asserted in
+    tests; no SQL oracle (stateful streaming op)."""
+    from .streaming import streaming_dedup
+
+    ev = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    dup = ev.unionByName(ev)  # simulate at-least-once duplication
+    out = streaming_dedup(dup).groupBy("event_type").count()
+    return run_stream_once(out, output_mode="complete")

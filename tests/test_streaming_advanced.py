@@ -98,3 +98,32 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert exact[0] in part
     recall = len(set(part) & set(exact)) / len(exact)
     assert recall >= 0.3, f"IVF nprobe=2 recall too low: {recall}"
+
+
+def test_streaming_dedup_equals_batch(spark, sf_dir):
+    """Duplicated stream -> dropDuplicatesWithinWatermark -> counts
+    equal the batch distinct-by-id counts."""
+    import os
+
+    from lineage_store_database_management_system_spark.streaming import (
+        read_events_stream,
+        run_stream_once,
+        streaming_dedup,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ev = read_events_stream(spark, path)
+    dup = ev.unionByName(ev)
+    got = {
+        r["event_type"]: r["count"]
+        for r in run_stream_once(
+            streaming_dedup(dup).groupBy("event_type").count(), output_mode="complete"
+        ).collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(path)
+    exp = {
+        r["event_type"]: r["count"]
+        for r in batch.dropDuplicates(["event_id"]).groupBy("event_type").count().collect()
+    }
+    assert got == exp
