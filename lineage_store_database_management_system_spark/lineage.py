@@ -145,6 +145,12 @@ class LineageTable:
     # reference merges every 100 tail inserts (table.py:155) — ours is
     # proportional, sized so the tail-side shuffle stays broadcastable.
     AUTO_COMPACT_TAIL_ROWS = 500_000
+    # cheap auto-compact trigger checked after every bulk mutation:
+    # tail PARQUET FILE count (a filesystem listing, no Spark job).
+    # Every commit appends files, so this fires roughly every N
+    # commits — the reference's merge-every-100-updates intent
+    # (table.py:154-158) at commit granularity. None disables.
+    AUTO_COMPACT_TAIL_FILES: int | None = 256
 
     def __init__(self, spark: SparkSession, path: str, manifest: Manifest):
         self.spark = spark
@@ -344,6 +350,7 @@ class LineageTable:
             ],
         )
         self._append_via_staging(out, self.tail_dir)
+        self._maybe_auto_compact()
 
     def bulk_delete(self, keys: DataFrame) -> None:
         """Bulk tombstone by primary key (reference Q5, query.py:27-49)."""
@@ -361,6 +368,7 @@ class LineageTable:
             *[F.lit(None).cast(self.schema[c].dataType).alias(c) for c in self.user_cols],
         )
         self._append_via_staging(out, self.tail_dir)
+        self._maybe_auto_compact()
 
     def merge_into(self, source: DataFrame) -> None:
         """MERGE INTO (upsert) by primary key: source rows whose key
@@ -429,6 +437,19 @@ class LineageTable:
         base = self.base_df().select(F.col(RID), F.col(self.key))
         dels = self.tail_df().where(F.col(OP) == OP_DELETE).select(F.col(RID))
         return base.join(dels, on=RID, how="left_anti")
+
+    def _tail_file_count(self) -> int:
+        n = 0
+        for _root, _dirs, files in os.walk(self.tail_dir):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    def _maybe_auto_compact(self) -> None:
+        if (
+            self.AUTO_COMPACT_TAIL_FILES
+            and self._tail_file_count() > self.AUTO_COMPACT_TAIL_FILES
+        ):
+            self.compact()
 
     def _maybe_flush(self) -> None:
         if len(self._pending_base) + len(self._pending_tail) >= self.FLUSH_THRESHOLD:

@@ -71,6 +71,51 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(_decode, schema=schema)
 
 
+def resize_image(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    target_bytes: int = 256,
+) -> DataFrame:
+    """Deterministic fake 'resize': stride-sample the payload down to
+    ``target_bytes`` (the byte-level analogue of nearest-neighbor
+    downsampling). The Spark shape is the real one — binary in, binary
+    out, Arrow-batched mapInPandas, metadata updated alongside the
+    payload; swap the kernel for PIL's ``Image.resize`` when a codec
+    is available."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                if payload is None or len(payload) <= target_bytes:
+                    out.append(payload)
+                    continue
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                idx = np.linspace(0, len(arr) - 1, target_bytes).astype(np.int64)
+                out.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload_resized": out,
+                    "n_bytes_resized": [len(p) if p is not None else 0 for p in out],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("payload_resized", T.BinaryType()),
+            T.StructField("n_bytes_resized", T.LongType()),
+        ]
+    )
+    from ._util import spread
+
+    return spread(df.select(id_col, payload_col)).mapInPandas(_resize, schema=schema)
+
+
 def extract_byte_features(
     df: DataFrame, id_col: str, payload_col: str = "payload", buckets: int = 16
 ) -> DataFrame:

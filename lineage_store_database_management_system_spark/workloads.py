@@ -1956,3 +1956,20 @@ def st_dedup(spark, sf_dir):
     dup = ev.unionByName(ev)  # simulate at-least-once duplication
     out = streaming_dedup(dup).groupBy("event_type").count()
     return run_stream_once(out, output_mode="complete")
+
+
+@workload(
+    "mm_resize_payloads",
+    """SELECT doc_id,
+       CAST(LEAST(length(text), 128) AS BIGINT) AS n_bytes_resized
+FROM documents WHERE doc_id < 500""",
+)
+def mm_resize(spark, sf_dir):
+    """Multimodal resize plumbing: payload -> stride-sampled payload
+    (byte-level nearest-neighbor stand-in; kernel swaps for a real
+    codec). Oracle checks the size contract of the resized binary."""
+    docs = load_star(spark, sf_dir)["documents"].where("doc_id < 500")
+    mm = multimodal.attach_binary_payload(docs, "text")
+    return multimodal.resize_image(mm, "doc_id", target_bytes=128).select(
+        "doc_id", "n_bytes_resized"
+    )

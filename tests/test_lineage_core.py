@@ -389,3 +389,28 @@ def test_merge_into_upsert_and_delete_where(tmp_db, spark, sf_dir):
     left = t.current_view()
     assert left.where("o_orderkey >= 10000000").count() == 0
     assert left.where("o_totalprice > 100000").count() == 0
+
+
+def test_auto_compact_by_tail_file_count(tmp_db, spark, sf_dir):
+    """Bulk mutations trigger compaction once the tail accumulates
+    enough commit files (the reference's merge-every-N-updates intent
+    at commit granularity); answers invariant as always."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(200)
+    t = tmp_db.create_table_typed("orders_ac", src.schema, "o_orderkey")
+    t.AUTO_COMPACT_TAIL_FILES = 2  # instance override for the test
+    t.ingest_dataframe(src)
+    assert t.manifest.compact_version == -1
+    for i in range(3):
+        t.bulk_update(
+            src.limit(10).select(
+                "o_orderkey", (F.col("o_totalprice") + 1).alias("o_totalprice")
+            )
+        )
+    assert t.manifest.compact_version >= 0  # auto-compact fired
+    # updates carry ABSOLUTE values (original+1 each time), so the
+    # final state is original+1 for the 10 touched rows
+    got = t.current_view().agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    exp = src.agg(F.round(F.sum("o_totalprice") + 10, 2)).collect()[0][0]
+    assert got == exp
