@@ -1973,3 +1973,396 @@ def mm_resize(spark, sf_dir):
     return multimodal.resize_image(mm, "doc_id", target_bytes=128).select(
         "doc_id", "n_bytes_resized"
     )
+
+
+# ===========================================================================
+# ext_* — remaining TPC-H query shapes (Q7/Q8/Q9/Q12/Q13/Q15/Q16/Q17/Q21/Q22
+# adapted to the driver star schema: no partsupp table, no
+# commit/receipt dates, no shipmode/comment columns — each adaptation
+# keeps the plan shape that makes the original query interesting).
+# The reference has no joins or subqueries at all (SURVEY §2.6).
+# ===========================================================================
+
+
+@workload(
+    "ext_q7_nation_volume",
+    """SELECT supp_nation, cust_nation, l_year,
+       ROUND(SUM(volume), 2) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping
+GROUP BY supp_nation, cust_nation, l_year""",
+)
+def ext_q7(spark, sf_dir):
+    """TPC-H Q7 shape: two-nation bilateral trade volume by year.
+    The nation dimension is joined TWICE under different roles
+    (supplier side / customer side) with a disjunctive cross-filter;
+    both sides broadcast, one pass over lineitem."""
+    d = load_star(spark, sf_dir)
+    n1 = d["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = d["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        d["lineitem"]
+        .join(F.broadcast(d["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(d["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(d["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@workload(
+    "ext_q8_market_share",
+    """SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO') all_nations
+GROUP BY o_year""",
+)
+def ext_q8(spark, sf_dir):
+    """TPC-H Q8 shape: national market share inside a region — an
+    8-way join where the grouped aggregate is a conditional-sum ratio
+    (share of volume attributable to one supplier nation)."""
+    d = load_star(spark, sf_dir)
+    n_cust = d["nation"].select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    n_supp = d["nation"].select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        d["lineitem"]
+        .join(
+            F.broadcast(d["part"].where(F.col("p_type") == "PROMO")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(d["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(d["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(d["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("nc_key"))
+        .join(
+            F.broadcast(d["region"].where(F.col("r_name") == "ASIA")),
+            F.col("nc_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@workload(
+    "ext_q9_product_profit",
+    """SELECT nation, o_year,
+       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS profit
+FROM (SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 6)) AS volume
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%') profit
+GROUP BY nation, o_year""",
+)
+def ext_q9(spark, sf_dir):
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    year, parts selected by a LIKE pattern (no partsupp table in the
+    star schema, so profit = discounted revenue). The LIKE filter
+    prunes the part dimension BEFORE the broadcast. The per-group sum
+    accumulates in DECIMAL so the total is exact and independent of
+    partition/merge order — with ~200 groups a double sum lands on a
+    half-cent rounding boundary often enough to flake."""
+    d = load_star(spark, sf_dir)
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        d["lineitem"]
+        .join(
+            F.broadcast(d["part"].where(F.col("p_name").like("%widget%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(d["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(d["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(d["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(vol), 2).cast("double").alias("profit"))
+    )
+
+
+@workload(
+    "ext_q12_late_shipping",
+    """SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus""",
+)
+def ext_q12(spark, sf_dir):
+    """TPC-H Q12 shape: late-shipment priority split (the star schema
+    has no shipmode/commit/receipt columns, so "late" = shipped more
+    than 60 days after the order date — same join + conditional-count
+    aggregate over a date-arithmetic predicate)."""
+    d = load_star(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        d["lineitem"]
+        .join(F.broadcast(d["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@workload(
+    "ext_q13_customer_distribution",
+    """SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count""",
+)
+def ext_q13(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution INCLUDING
+    zero-order customers — outer join with a join-side filter (the
+    filter must not turn the join inner), then a double aggregate."""
+    d = load_star(spark, sf_dir)
+    ords = d["orders"].where(F.col("o_orderstatus") != "F")
+    per_cust = (
+        d["customer"]
+        .join(ords, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@workload(
+    "ext_q15_top_supplier",
+    """WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""",
+)
+def ext_q15(spark, sf_dir):
+    """TPC-H Q15 shape: top supplier by quarterly revenue — an
+    aggregated view consumed twice (rows + scalar max). The max is
+    computed with an empty-frame window over the (tiny, post-agg)
+    revenue table, so the base lineitem scan runs once."""
+    from pyspark.sql import Window
+
+    d = load_star(spark, sf_dir)
+    rev = (
+        d["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.withColumn(
+        "_max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).where(F.col("total_revenue") == F.col("_max_rev"))
+    return (
+        d["supplier"]
+        .join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@workload(
+    "ext_q16_supplier_count",
+    """SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#4' AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+GROUP BY p_brand, p_type, p_size""",
+)
+def ext_q16(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier count per part attribute
+    cell (lineitem stands in for partsupp as the part↔supplier
+    association). COUNT(DISTINCT) expands to a two-phase aggregate;
+    the NOT/IN filters prune the broadcast part dimension."""
+    d = load_star(spark, sf_dir)
+    parts = d["part"].where(
+        (F.col("p_brand") != "Brand#4")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        d["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@workload(
+    "ext_q17_small_quantity_revenue",
+    """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+)
+def ext_q17(spark, sf_dir):
+    """TPC-H Q17 shape: small-quantity revenue against a per-part
+    correlated average. The correlated scalar subquery is decorrelated
+    by hand into a per-part aggregate + join — the form Catalyst would
+    rewrite it to, stated explicitly so the shuffle keys are visible
+    (one partial agg on l_partkey, then a broadcast of the tiny
+    per-part thresholds for the brand)."""
+    d = load_star(spark, sf_dir)
+    brand_parts = d["part"].where(F.col("p_brand") == "Brand#4").select("p_partkey")
+    thresholds = (
+        d["lineitem"]
+        .join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey")
+        .agg((F.avg("l_quantity") * 0.2).alias("_qty_cap"))
+    )
+    return (
+        d["lineitem"]
+        .join(F.broadcast(thresholds), F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@workload(
+    "ext_q21_blocking_supplier",
+    """SELECT s_name, COUNT(*) AS numwait
+FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20""",
+)
+def ext_q21(spark, sf_dir):
+    """TPC-H Q21 shape: the sole at-fault supplier in multi-supplier
+    orders (returnflag 'R' stands in for the missing receipt/commit
+    lateness predicate). The EXISTS / NOT EXISTS pair over the same
+    fact table is expressed as per-order aggregates — total suppliers
+    and at-fault suppliers per order — which decorrelates both
+    subqueries into ONE extra aggregation over lineitem instead of two
+    self-joins."""
+    d = load_star(spark, sf_dir)
+    li = d["lineitem"]
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
+            "_n_fault"
+        ),
+    )
+    fords = d["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(F.broadcast(fords), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            per_order,
+            (F.col("l_orderkey") == F.col("po_orderkey"))
+            & (F.col("_n_supp") > 1)
+            & (F.col("_n_fault") == 1),
+        )
+        .join(F.broadcast(d["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@workload(
+    "ext_q22_idle_customers",
+    """SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+       COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey""",
+)
+def ext_q22(spark, sf_dir):
+    """TPC-H Q22 shape: wealthy customers who never ordered, by
+    country — an uncorrelated scalar subquery (global average balance,
+    broadcast as a 1-row literal join) plus an ANTI join against
+    orders on the distinct customer keys."""
+    d = load_star(spark, sf_dir)
+    cust = d["customer"]
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(d["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

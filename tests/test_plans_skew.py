@@ -122,3 +122,43 @@ def test_bucketed_join_no_exchange(spark, star, tmp_path):
     assert joined.count() == n_plain
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_q13_outer_join_preserved(spark, sf_dir):
+    """Q13's join-side filter must NOT convert the left join to inner:
+    zero-order customers stay, so the distribution includes c_count=0
+    and every customer is counted exactly once."""
+    from lineage_store_database_management_system_spark import workloads
+
+    df = workloads.QUERIES["ext_q13_customer_distribution"](spark, sf_dir)
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").where("o_orderstatus <> 'F'")
+    assert sum(rows.values()) == cust.count()
+    n_zero = cust.join(
+        ords, cust.c_custkey == ords.o_custkey, "left_anti"
+    ).count()
+    assert rows.get(0, 0) == n_zero  # zero-order customers survive the join
+
+
+def test_q22_uses_anti_join_and_broadcast_scalar(spark, sf_dir):
+    from lineage_store_database_management_system_spark import workloads
+
+    df = workloads.QUERIES["ext_q22_idle_customers"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan
+    # the scalar avg joins as a broadcast, never a shuffle of customer
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q21_decorrelates_to_single_extra_agg(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS pair is decorrelated into one per-order
+    aggregate: lineitem is scanned exactly twice (probe + per-order
+    counts), not three+ times as naive self-joins would."""
+    from lineage_store_database_management_system_spark import workloads
+
+    df = workloads.QUERIES["ext_q21_blocking_supplier"](spark, sf_dir)
+    plan = explain_str(df)
+    n_li_scans = plan.count("lineitem.parquet")
+    assert n_li_scans <= 2, plan
+    assert "TakeOrderedAndProject" in plan
