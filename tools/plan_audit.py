@@ -27,6 +27,16 @@ AUDIT = [
     ("ds_dedup_exact", ["xxhash64"], ["BatchEvalPython"]),
     ("ds_embedding_topk", ["TakeOrderedAndProject"], ["BatchEvalPython"]),
     ("ext_bucketed_join_agg", ["SortMergeJoin"], ["Exchange"]),
+    ("ext_q7_nation_volume", ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    ("ext_q8_market_share", ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    ("ext_q9_product_profit", ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    ("ext_q12_late_shipping", ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    ("ext_q13_customer_distribution", ["HashAggregate"], ["BatchEvalPython"]),
+    ("ext_q15_top_supplier", ["PushedFilters"], ["BatchEvalPython"]),
+    ("ext_q16_supplier_count", ["BroadcastHashJoin", "HashAggregate"], ["SortMergeJoin"]),
+    ("ext_q17_small_quantity_revenue", ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    ("ext_q21_blocking_supplier", ["TakeOrderedAndProject"], ["BatchEvalPython"]),
+    ("ext_q22_idle_customers", ["LeftAnti"], ["BatchEvalPython"]),
 ]
 
 
