@@ -2366,3 +2366,92 @@ def ext_q22(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@workload(
+    "ext_q2_min_cost_supplier",
+    """WITH costs AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey)
+SELECT p_partkey, p_name, s_name, ROUND(unit_cost, 4) AS best_cost
+FROM part JOIN costs ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size = 10
+  AND unit_cost = (SELECT MIN(c2.unit_cost) FROM costs c2
+                   WHERE c2.l_partkey = p_partkey)
+ORDER BY p_partkey, s_name LIMIT 50""",
+)
+def ext_q2(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest supplier per part — a correlated MIN
+    subquery over the same derived table (lineitem's observed unit
+    price stands in for partsupp supplycost). Decorrelated as a
+    per-part window MIN over the (already aggregated, small) cost
+    table: ONE shuffle on l_partkey serves both the aggregate and the
+    window, instead of a second self-join pass. Ties keep every
+    minimal supplier, exactly like the SQL."""
+    from pyspark.sql import Window
+
+    d = load_star(spark, sf_dir)
+    costs = (
+        d["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = costs.withColumn(
+        "_best", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    ).where(F.col("unit_cost") == F.col("_best"))
+    return (
+        best.join(
+            F.broadcast(d["part"].where(F.col("p_size") == 10)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(d["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", F.round("unit_cost", 4).alias("best_cost")
+        )
+        .orderBy("p_partkey", "s_name")
+        .limit(50)
+    )
+
+
+@workload(
+    "ext_q11_important_parts",
+    """WITH pv AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18, 4))) AS value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+  GROUP BY l_partkey)
+SELECT l_partkey AS p_key, CAST(ROUND(value, 2) AS DOUBLE) AS part_value
+FROM pv WHERE value > (SELECT SUM(value) * 0.0015 FROM pv)""",
+)
+def ext_q11(spark, sf_dir):
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's traded value — a grouped aggregate filtered against a
+    scalar fraction of ITS OWN total. The per-part table is aggregated
+    once, the grand total joins back as a broadcast scalar. Sums
+    accumulate in DECIMAL so the Spark and oracle thresholds are
+    bit-identical (a double grand total can differ in the last ulp by
+    partition order, flipping parts that sit on the cutoff)."""
+    d = load_star(spark, sf_dir)
+    nat = d["nation"].where(F.col("n_name") == "NATION_5").select("n_nationkey")
+    supp = (
+        d["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    pv = (
+        d["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("value"))
+    )
+    total = pv.agg((F.sum("value") * 0.0015).alias("_cutoff"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("_cutoff"))
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            F.round("value", 2).cast("double").alias("part_value"),
+        )
+    )
