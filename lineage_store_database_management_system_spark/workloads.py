@@ -2455,3 +2455,84 @@ def ext_q11(spark, sf_dir):
             F.round("value", 2).cast("double").alias("part_value"),
         )
     )
+
+
+# ===========================================================================
+# ds_* — dataset-curation sampling (training-data pipeline: reproducible
+# splits, domain caps, stratified subsampling — reference has none)
+# ===========================================================================
+
+
+@workload(
+    "ds_train_val_test_split",
+    """SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM (SELECT lang, n_chars,
+             CASE WHEN doc_id % 100 < 80 THEN 'train'
+                  WHEN doc_id % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents) s
+GROUP BY split, lang""",
+)
+def ds_split(spark, sf_dir):
+    """Reproducible train/val/test split: assignment is arithmetic on
+    the stable document id (no RNG, no shuffle — a document can never
+    change split between runs), then a per-split-per-language audit
+    aggregate, the usual sanity table before a training run."""
+    from .operators.sampling import deterministic_split
+
+    docs = load_star(spark, sf_dir)["documents"]
+    return (
+        deterministic_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@workload(
+    "ds_cap_per_source",
+    """SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+FROM (SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents) t
+WHERE rn <= 3
+GROUP BY source""",
+)
+def ds_cap_source(spark, sf_dir):
+    """Per-source document cap (anti-domination guard for pretraining
+    mixes): keep at most 3 docs per source, deterministically by id.
+    The window compiles with WindowGroupLimit so executors stop
+    ranking past the cap instead of fully sorting each source."""
+    from .operators.sampling import cap_per_group
+
+    docs = load_star(spark, sf_dir)["documents"]
+    return (
+        cap_per_group(docs, "source", "doc_id", 3)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+    )
+
+
+@workload(
+    "ds_stratified_sample",
+    """SELECT lang, COUNT(*) AS n_sampled
+FROM documents WHERE doc_id % 100 < 10
+GROUP BY lang""",
+)
+def ds_stratified(spark, sf_dir):
+    """Deterministic 10% stratified subsample per language — a pure
+    filter (pushdown-friendly, zero shuffle, zero variance), counted
+    per stratum."""
+    from .operators.sampling import stratified_fraction
+
+    docs = load_star(spark, sf_dir)["documents"]
+    return (
+        stratified_fraction(docs, "lang", "doc_id", 10)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )

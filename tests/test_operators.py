@@ -242,3 +242,42 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
             (F.max("value") - F.min("value")).alias("s")
         ).collect()[0]["s"]
         assert abs(approx[k]["am"] - exact[k]["em"]) <= 0.05 * spread + 1e-9
+
+
+def test_sampling_split_total_and_determinism(spark, sf_dir):
+    """Every doc lands in exactly one split; assignment is stable
+    across recomputation (no RNG anywhere)."""
+    from lineage_store_database_management_system_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = deterministic_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in s1.groupBy("split").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert sum(counts.values()) == docs.count()
+    a = sorted(r["doc_id"] for r in s1.where("split = 'val'").select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in deterministic_split(docs, "doc_id")
+        .where("split = 'val'")
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_cap_per_group_limit_and_plan(spark, sf_dir):
+    from lineage_store_database_management_system_spark.operators.sampling import (
+        cap_per_group,
+    )
+    from lineage_store_database_management_system_spark.plans.explain import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = cap_per_group(docs, "source", "doc_id", 3)
+    per = capped.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 3 for r in per)
+    # the rank-and-filter must compile to the group-limit pushdown,
+    # not a full per-group sort
+    assert "WindowGroupLimit" in explain_str(capped)
