@@ -29,6 +29,10 @@ PROBES = [
     "ds_minhash_lsh_candidates",
     "ds_text_stats",
     "ds_embedding_topk",
+    "ext_q8_market_share",
+    "ext_q16_supplier_count",
+    "ext_q21_blocking_supplier",
+    "ds_cap_per_source",
 ]
 
 
