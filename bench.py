@@ -32,6 +32,8 @@ HEADLINE = [
     "ext_q1_pricing_summary",
     "ext_q3_shipping_priority",
     "ext_q5_region_revenue",
+    "ext_q8_market_share",
+    "ext_q13_customer_distribution",
     "ext_window_topn_per_customer",
     "ext_events_sessions",
     "ext_asof_purchase_click",
