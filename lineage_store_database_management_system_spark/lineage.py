@@ -377,11 +377,26 @@ class LineageTable:
         as new base records. The lakehouse MERGE shape on the lineage
         format: ONE join against the 2-column live-key map classifies
         every source row, then each branch is a plain append — no
-        base rewrite, no per-row driver work."""
+        base rewrite, no per-row driver work.
+
+        ``source`` must be key-unique: duplicate keys would emit
+        several update deltas for one rid in a single batch, and which
+        survives would depend on partition layout (monotonic seq
+        assignment) — nondeterministic. Asserted here; pre-aggregate
+        (e.g. ``max_by`` over an ordering column) before merging."""
         self.flush()
         cur = self._live_key_rid_map()
         src = source.persist()
         try:
+            n_rows = src.count()
+            n_keys = src.select(self.key).distinct().count()
+            if n_rows != n_keys:
+                raise ValueError(
+                    f"merge_into source has duplicate keys ({n_rows} rows, "
+                    f"{n_keys} distinct {self.key!r}); deduplicate first — "
+                    "the surviving delta would otherwise be partition-layout "
+                    "dependent"
+                )
             matched = src.join(cur, on=self.key, how="inner")
             unmatched = src.join(cur.select(self.key), on=self.key, how="left_anti")
             batch = self.manifest.next_batch
@@ -433,9 +448,26 @@ class LineageTable:
         2-column scan + left-anti join on a set of longs, instead of
         folding every user column through the current view. The anti
         side is only tombstone rids — broadcastable at any realistic
-        delete rate."""
-        base = self.base_df().select(F.col(RID), F.col(self.key))
-        dels = self.tail_df().where(F.col(OP) == OP_DELETE).select(F.col(RID))
+        delete rate.
+
+        With a compacted snapshot, liveness comes from (snapshot ∪
+        fresh base) minus POST-TPS tombstones: the snapshot already
+        excludes records deleted before the watermark, which keeps
+        this correct after :meth:`vacuum_tail` removes those
+        tombstone rows (and shrinks the anti side besides)."""
+        m = self.manifest
+        if m.compact_version >= 0:
+            snap = self._read_or_empty(self.compacted_dir(), self.base_schema)
+            fresh = self.base_df().where(F.col(RID) > m.compact_rid_hi)
+            base = snap.unionByName(fresh).select(F.col(RID), F.col(self.key))
+            dels = (
+                self.tail_df()
+                .where((F.col(OP) == OP_DELETE) & (F.col(SEQ) > m.tps))
+                .select(F.col(RID))
+            )
+        else:
+            base = self.base_df().select(F.col(RID), F.col(self.key))
+            dels = self.tail_df().where(F.col(OP) == OP_DELETE).select(F.col(RID))
         return base.join(dels, on=RID, how="left_anti")
 
     def _tail_file_count(self) -> int:
@@ -697,12 +729,36 @@ class LineageTable:
         ``ts`` (a datetime or ISO string). Complements the reference's
         RELATIVE version travel (select_version, query.py:115-124) —
         base rows inserted after ``ts`` are invisible, tail deltas
-        after ``ts`` are unapplied. Computed from original base + tail
-        (never the compacted snapshot), so compaction cannot change
-        any answer. One filter on each side, then the usual fold."""
+        after ``ts`` are unapplied. One filter on each side, then the
+        usual fold. Compaction alone cannot change any answer (the
+        fold runs over original base + full tail); after
+        :meth:`vacuum_tail` the pre-TPS deltas no longer exist, so the
+        fold starts from the compacted snapshot instead and ``ts``
+        must not predate the recorded history floor — asking for a
+        state whose deltas were vacuumed raises rather than silently
+        returning stale pre-update values."""
         t = F.lit(ts).cast(T.TimestampType())
-        base = self.base_df().where(F.col(TS) <= t)
-        tail = self.tail_df().where(F.col(TS) <= t)
+        floor = self.manifest.extra.get("history_floor_ts")
+        if floor is not None:
+            ts_str = (
+                ts.strftime("%Y-%m-%d %H:%M:%S.%f")
+                if hasattr(ts, "strftime")
+                else str(ts).replace("T", " ")
+            )
+            if ts_str < floor:
+                raise ValueError(
+                    f"as-of {ts_str} predates the vacuumed history floor "
+                    f"{floor}; pre-floor deltas were removed by vacuum_tail"
+                )
+            snap = self._read_or_empty(self.compacted_dir(), self.base_schema)
+            fresh = self.base_df().where(F.col(RID) > self.manifest.compact_rid_hi)
+            base = snap.unionByName(fresh).where(F.col(TS) <= t)
+            tail = self.tail_df().where(
+                (F.col(SEQ) > self.manifest.tps) & (F.col(TS) <= t)
+            )
+        else:
+            base = self.base_df().where(F.col(TS) <= t)
+            tail = self.tail_df().where(F.col(TS) <= t)
         out = self._fold_tail(base, tail)
         if not include_meta:
             out = out.select(*self.user_cols)
@@ -925,6 +981,20 @@ class LineageTable:
         self.flush()
         tail = self.tail_df(include_pending=False)
         n_before = tail.count()
+        # Record the time floor BEFORE deleting: as-of queries below
+        # this wall-clock point can no longer be answered (their
+        # deltas are gone) and must raise instead of silently folding
+        # stale base values — see snapshot_as_of.
+        drop_hi = (
+            tail.where(F.col(SEQ) <= self.manifest.tps)
+            .agg(F.max(TS).alias("m"))
+            .collect()[0]["m"]
+        )
+        if drop_hi is not None:
+            prev = self.manifest.extra.get("history_floor_ts")
+            new_floor = drop_hi.strftime("%Y-%m-%d %H:%M:%S.%f")
+            if prev is None or new_floor > prev:
+                self.manifest.extra["history_floor_ts"] = new_floor
         keep = tail.where(F.col(SEQ) > self.manifest.tps)
         new_dir = os.path.join(self.path, f"_tail_vacuum_{uuid.uuid4().hex[:8]}")
         keep.write.mode("overwrite").parquet(new_dir)

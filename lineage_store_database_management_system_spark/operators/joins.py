@@ -37,6 +37,7 @@ def as_of_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     prefix: str = "asof_",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the most recent right row with
     ``right_ts <= left_ts`` for the same ``key`` (NULLs when no right
@@ -48,16 +49,23 @@ def as_of_join(
     ``partitionBy(key).orderBy(ts, side)`` — right rows sort before
     left rows at equal timestamps so same-instant matches are visible.
     One shuffle total, linear in |left| + |right|.
+
+    When several RIGHT rows share a timestamp, which one is "most
+    recent" is undefined; pass ``right_tiebreak`` (a right column,
+    e.g. an event id) to make the choice total-order deterministic
+    (the largest tiebreak value wins).
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
     lcols = [c for c in left.columns]
     # side 0 = right (sorts first at equal ts), side 1 = left
+    tb_type = right.schema[right_tiebreak].dataType if right_tiebreak else None
     r = right.select(
         F.col(key).alias(key),
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
+        *([F.col(right_tiebreak).alias("_tb")] if right_tiebreak else []),
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
     )
@@ -65,12 +73,18 @@ def as_of_join(
         F.col(key).alias(key),
         F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_side"),
+        *([F.lit(None).cast(tb_type).alias("_tb")] if right_tiebreak else []),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
+    order = [F.col("_ats").asc(), F.col("_side").asc()]
+    if right_tiebreak:
+        # among right rows at one instant the largest tiebreak carries;
+        # asc_nulls_last keeps left rows AFTER the tied right rows
+        order = [F.col("_ats").asc(), F.col("_tb").asc_nulls_last(), F.col("_side").asc()]
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = r.unionByName(l).select(
@@ -120,18 +134,44 @@ def bucketized_interval_join(
     the coarse time buckets it overlaps, equi-join events on their
     bucket (a plain shuffled hash join with a sane key), then apply the
     exact range predicate. Shuffle volume is |events| + |intervals x
-    avg_buckets_per_interval| instead of a nested loop."""
-    b = F.expr(f"INTERVAL {bucket}")
-    ev = events.withColumn("_bkt", F.date_trunc("day", F.col(ts_col)))
+    avg_buckets_per_interval| instead of a nested loop.
+
+    Both sides floor arithmetically to the SAME bucket width (epoch
+    seconds // width), so any bucket granularity is consistent between
+    the event side and the interval's exploded sequence — truncating
+    one side to calendar days while stepping the other by the bucket
+    would silently drop matches for buckets coarser than a day."""
+    width_s = _bucket_seconds(bucket)
+
+    def _floor(c):
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(c) / F.lit(width_s)) * F.lit(width_s)
+        )
+
+    ev = events.withColumn("_bkt", _floor(F.col(ts_col)))
     iv = intervals.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                F.date_trunc("day", F.col(start_col)),
-                F.date_trunc("day", F.col(end_col)),
-                b,
+                _floor(F.col(start_col)),
+                _floor(F.col(end_col)),
+                F.expr(f"INTERVAL {width_s} SECONDS"),
             )
         ),
     )
     cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     return ev.join(iv, on="_bkt", how="inner").where(cond).drop("_bkt")
+
+
+def _bucket_seconds(bucket: str) -> int:
+    """Parse '2 days' / '6 hours' / '30 minutes' into whole seconds."""
+    units = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    parts = bucket.strip().lower().split()
+    if len(parts) != 2 or parts[1].rstrip("s") not in units:
+        raise ValueError(
+            f"bucket must be '<n> <unit>' with unit in {sorted(units)}: {bucket!r}"
+        )
+    n = int(parts[0])
+    if n <= 0:
+        raise ValueError(f"bucket width must be positive: {bucket!r}")
+    return n * units[parts[1].rstrip("s")]

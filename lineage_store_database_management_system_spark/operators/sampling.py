@@ -33,10 +33,13 @@ def deterministic_split(
     train: int = 80,
     val: int = 10,
 ) -> DataFrame:
-    """Adds a `split` column: bucket = key % buckets; [0, train) ->
-    'train', [train, train+val) -> 'val', rest -> 'test'. No shuffle:
-    the assignment is a projection."""
-    b = F.col(key_col) % buckets
+    """Adds a `split` column: bucket = pmod(key, buckets); [0, train)
+    -> 'train', [train, train+val) -> 'val', rest -> 'test'. No
+    shuffle: the assignment is a projection. ``pmod`` (not ``%``)
+    because split keys are typically signed hashes (xxhash64) and
+    Spark's ``%`` follows the dividend's sign — a plain modulo would
+    send every negative key to 'train'."""
+    b = F.pmod(F.col(key_col), F.lit(buckets))
     return df.withColumn(
         "split",
         F.when(b < train, F.lit("train"))
@@ -67,5 +70,6 @@ def stratified_fraction(
     key bucket falls below ``percent``. Because the predicate is
     per-row arithmetic, sampling is a filter (pushdown-friendly),
     never a shuffle; strata are preserved exactly (no variance in
-    which rows are kept, unlike RNG-based sampleBy)."""
-    return df.where((F.col(key_col) % buckets) < percent)
+    which rows are kept, unlike RNG-based sampleBy). ``pmod`` keeps
+    signed hash keys in [0, buckets)."""
+    return df.where(F.pmod(F.col(key_col), F.lit(buckets)) < percent)

@@ -61,6 +61,7 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the gap
     from the previous event exceeds ``gap_minutes``. Classic
@@ -68,8 +69,12 @@ def sessionize(
     window functions reuse the same partitioning, so Catalyst plans a
     single exchange. Returns one row per session with bounds and
     aggregates. (Semantically identical to F.session_window /
-    streaming sessionization; SQL-replicable for the oracle.)"""
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    streaming sessionization; SQL-replicable for the oracle.)
+
+    ``tiebreak_col`` makes the window ordering total when timestamps
+    tie, so results are engine- and partitioning-stable."""
+    order_cols = [ts_col] if tiebreak_col is None else [ts_col, tiebreak_col]
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
     gap = F.lit(gap_minutes * 60)
     prev_ts = F.lag(ts_col).over(w)
     new_sess = (

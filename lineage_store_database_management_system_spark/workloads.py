@@ -609,14 +609,14 @@ def ext_events_tumbling(spark, sf_dir):
 @workload(
     "ext_events_sessions",
     """WITH marked AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ts, value,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -625,15 +625,16 @@ FROM sess GROUP BY user_id, session_id""",
 )
 def ext_events_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min gap) — lag + cumulative sum,
-    one shuffle on user_id."""
+    one shuffle on user_id. event_id tie-breaks the window ordering so
+    the session assignment is total-order stable across engines."""
     ev = load_star(spark, sf_dir)["events"]
-    return windows.sessionize(ev, gap_minutes=30)
+    return windows.sessionize(ev, gap_minutes=30, tiebreak_col="event_id")
 
 
 @workload(
     "ext_events_json_extract",
     """SELECT event_type,
-       SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type""",
 )
@@ -992,7 +993,8 @@ def ds_lang_id(spark, sf_dir):
 @workload(
     "ds_doc_stats_by_source",
     """SELECT source, lang, COUNT(*) AS n_docs,
-       ROUND(AVG(n_chars), 2) AS avg_chars, SUM(n_chars) AS total_chars
+       ROUND(AVG(n_chars), 2) AS avg_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source, lang""",
 )
 def ds_by_source(spark, sf_dir):
@@ -1125,7 +1127,7 @@ def ds_near_dup_lsh(spark, sf_dir):
 @workload(
     "mm_payload_sizes",
     """SELECT source, COUNT(*) AS n_assets,
-       SUM(octet_length(CAST(text AS BLOB))) AS total_bytes
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
 FROM documents GROUP BY source""",
 )
 def mm_payload(spark, sf_dir):
@@ -2136,10 +2138,10 @@ def ext_q9(spark, sf_dir):
 @workload(
     "ext_q12_late_shipping",
     """SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
 GROUP BY l_linestatus""",
@@ -2465,7 +2467,8 @@ def ext_q11(spark, sf_dir):
 
 @workload(
     "ds_train_val_test_split",
-    """SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    """SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM (SELECT lang, n_chars,
              CASE WHEN doc_id % 100 < 80 THEN 'train'
                   WHEN doc_id % 100 < 90 THEN 'val'
@@ -2493,7 +2496,8 @@ def ds_split(spark, sf_dir):
 
 @workload(
     "ds_cap_per_source",
-    """SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+    """SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
 FROM (SELECT source, n_chars,
              ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
       FROM documents) t

@@ -150,3 +150,62 @@ def test_cosine_pairs_exact_symmetric_threshold(spark):
 
     pairs = {(r["id_a"], r["id_b"]) for r in cosine_pairs_exact(emb, 0.9).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_bucketized_interval_join_coarse_buckets(spark):
+    """Buckets coarser (and finer) than one day must not drop matches:
+    both sides floor to the same arithmetic bucket width (regression:
+    the event side was truncated to calendar days regardless of the
+    configured bucket)."""
+    import datetime
+
+    def day(d, h=0):
+        return datetime.datetime(2024, 3, d, h, 0, 0)
+
+    events = spark.createDataFrame(
+        [(i, day(i % 27 + 1, i % 24)) for i in range(200)],
+        "event_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, day(2, 6), day(5, 18)),
+            (2, day(10, 0), day(10, 23)),
+            (3, day(20, 12), day(26, 3)),
+        ],
+        "window_id long, start timestamp, end timestamp",
+    )
+    expected = {
+        (r["window_id"], r["event_id"])
+        for r in joins.interval_join(events, intervals).collect()
+    }
+    for bucket in ["6 hours", "1 day", "2 days", "1 week"]:
+        got = {
+            (r["window_id"], r["event_id"])
+            for r in joins.bucketized_interval_join(
+                events, intervals, bucket=bucket
+            ).collect()
+        }
+        assert got == expected, f"bucket={bucket}"
+    with pytest.raises(ValueError):
+        joins.bucketized_interval_join(events, intervals, bucket="1 fortnight")
+
+
+def test_as_of_join_right_tiebreak_deterministic(spark):
+    """Several right rows at one instant: right_tiebreak makes the
+    carried value the max-tiebreak row, stable under repartitioning."""
+    trades = spark.createDataFrame(
+        [(1, 100, _ts(5))], "sym long, trade_id long, ts timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [(1, 9.0, 1, _ts(5)), (1, 9.5, 2, _ts(5)), (1, 8.0, 3, _ts(5))],
+        "sym long, px double, qid long, ts timestamp",
+    )
+    for n in (1, 7):
+        out = joins.as_of_join(
+            trades,
+            quotes.repartition(n),
+            key="sym",
+            right_cols=["px"],
+            right_tiebreak="qid",
+        ).collect()
+        assert out[0]["asof_px"] == 8.0  # qid=3 wins every time

@@ -414,3 +414,84 @@ def test_auto_compact_by_tail_file_count(tmp_db, spark, sf_dir):
     got = t.current_view().agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
     exp = src.agg(F.round(F.sum("o_totalprice") + 10, 2)).collect()[0][0]
     assert got == exp
+
+
+def test_liveness_after_compact_vacuum_delete(tmp_db, spark, sf_dir):
+    """A record deleted before compact+vacuum must STAY dead for the
+    bulk write path: merge_into of its key re-inserts (not a dead-rid
+    update), and bulk_update/bulk_delete of its key are no-ops — the
+    liveness map must not resurrect rids whose tombstones were
+    vacuumed (regression: _live_key_rid_map read original base minus
+    tail tombstones only)."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(100)
+    t = tmp_db.create_table_typed("orders_live", src.schema, "o_orderkey")
+    t.ingest_dataframe(src)
+    dead_key = src.orderBy("o_orderkey").first()["o_orderkey"]
+    t.bulk_delete(spark.createDataFrame([(dead_key,)], "o_orderkey long"))
+    t.compact()
+    t.vacuum_tail()
+    assert t.current_view().where(F.col("o_orderkey") == dead_key).count() == 0
+
+    # bulk_update of the dead key: no-op (key is not live)
+    t.bulk_update(
+        spark.createDataFrame([(dead_key, 1.0)], "o_orderkey long, o_totalprice double")
+    )
+    assert t.current_view().where(F.col("o_orderkey") == dead_key).count() == 0
+
+    # merge_into re-inserts the dead key as a NEW record
+    t.merge_into(
+        spark.createDataFrame([(dead_key, 42.0)], "o_orderkey long, o_totalprice double")
+    )
+    back = t.current_view().where(F.col("o_orderkey") == dead_key).collect()
+    assert len(back) == 1 and back[0]["o_totalprice"] == 42.0
+    assert t.current_view().count() == 100  # 99 survivors + reinsert
+
+
+def test_snapshot_as_of_vacuum_floor(tmp_db, spark, sf_dir):
+    """After vacuum_tail, as-of queries below the history floor raise
+    (their deltas are gone); at/after the floor they fold forward from
+    the compacted snapshot (regression: snapshot_as_of silently
+    returned stale pre-update base values)."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(100)
+    t = tmp_db.create_table_typed("orders_asof", src.schema, "o_orderkey")
+    before_all = datetime.datetime.now() - datetime.timedelta(days=1)
+    t.ingest_dataframe(src)
+    t.bulk_update(
+        src.limit(30).select("o_orderkey", (F.col("o_totalprice") + 5).alias("o_totalprice"))
+    )
+    t.bulk_delete(src.orderBy("o_orderkey").limit(10).select("o_orderkey"))
+    t.compact()
+    t.vacuum_tail()
+
+    # pre-floor timestamps are unanswerable now
+    with pytest.raises(ValueError, match="history floor"):
+        t.snapshot_as_of(before_all).count()
+
+    # post-floor: identical to the current view (no newer deltas)
+    now = datetime.datetime.now() + datetime.timedelta(seconds=5)
+    cur = t.current_view().agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    asof = t.snapshot_as_of(now).agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    assert asof == cur
+    assert t.snapshot_as_of(now).count() == 90
+
+
+def test_merge_into_duplicate_source_keys_raise(tmp_db, spark, sf_dir):
+    """merge_into must reject key-duplicated sources: which duplicate
+    wins would be partition-layout dependent (nondeterministic)."""
+    import pytest
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(50)
+    t = tmp_db.create_table_typed("orders_dup", src.schema, "o_orderkey")
+    t.ingest_dataframe(src)
+    dup = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0)], "o_orderkey long, o_totalprice double"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge_into(dup)

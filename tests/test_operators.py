@@ -281,3 +281,32 @@ def test_cap_per_group_limit_and_plan(spark, sf_dir):
     # the rank-and-filter must compile to the group-limit pushdown,
     # not a full per-group sort
     assert "WindowGroupLimit" in explain_str(capped)
+
+
+def test_sampling_signed_hash_keys(spark, sf_dir):
+    """Split/sample arithmetic must hold for SIGNED hash keys (the
+    documented xxhash64-of-url case): every bucket lands in
+    [0, buckets) via pmod, so fractions track the 80/10/10 config
+    instead of collapsing negatives into 'train' (regression: `%`
+    follows the dividend's sign in Spark)."""
+    from lineage_store_database_management_system_spark.operators.sampling import (
+        deterministic_split,
+        stratified_fraction,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "hkey", F.xxhash64("text")
+    )
+    n = docs.count()
+    n_neg = docs.where(F.col("hkey") < 0).count()
+    assert 0 < n_neg < n  # the premise: signed keys on both sides
+
+    s = deterministic_split(docs, "hkey")
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n
+    assert 0.70 <= counts.get("train", 0) / n <= 0.90
+    assert 0.03 <= counts.get("val", 0) / n <= 0.20
+    assert 0.03 <= counts.get("test", 0) / n <= 0.20
+
+    frac = stratified_fraction(docs, "lang", "hkey", 10).count() / n
+    assert 0.04 <= frac <= 0.18

@@ -98,12 +98,27 @@ def main():
             n_rowsonly += 1
             continue
         try:
+            rel = con.sql(oracles[name])
+            # The driver's comparator is type-sensitive (Arrow-level):
+            # DuckDB HUGEINT/DECIMAL results hash differently from
+            # Spark BIGINT/DOUBLE even when values agree. Treat them
+            # as failures here so they can't pass locally and fail the
+            # driver gate.
+            huge = [
+                (c, str(t))
+                for c, t in zip(rel.columns, rel.types)
+                if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")
+            ]
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
             exp = result_hash(ocols, orows)
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if huge:
+            print(f"FAIL  {name}: oracle emits driver-hash-unsafe types {huge} — CAST in the oracle SQL")
             n_fail += 1
             continue
         ok = got == exp
