@@ -233,6 +233,17 @@ class LineageTable:
         a fraction of the table (PartitionFilters on the scan)."""
         return list(self.manifest.extra.get("partition_by", []))
 
+    @property
+    def tail_keyed(self) -> bool:
+        """Whether tail deltas physically carry the (immutable) key and
+        partition columns. New tables always do: the fold then joins
+        base↔tail on (rid, key, partitions) and Catalyst's constraint
+        inference pushes key/partition predicates into the TAIL scan
+        too — a point query on a 100 TB table prunes both sides
+        instead of folding the whole tail. Tables written by older
+        versions (flag absent) keep the rid-only fold."""
+        return bool(self.manifest.extra.get("tail_keyed", False))
+
     def _append_via_staging(
         self, df: DataFrame, target_dir: str, partition_by: list[str] | None = None
     ) -> None:
@@ -335,19 +346,23 @@ class LineageTable:
             )
         cur = self._live_key_rid_map()
         joined = changes.join(cur, on=self.key, how="inner")
+        immutable = {self.key, *self.partition_by}
+
+        def _delta_col(c):
+            # tail deltas carry the immutable key/partition values
+            # (from the live map) so tail scans prune on them
+            if c in immutable:
+                return F.col(c).cast(self.schema[c].dataType).alias(c)
+            if c in changed_cols:
+                return F.col(c).cast(self.schema[c].dataType).alias(c)
+            return F.lit(None).cast(self.schema[c].dataType).alias(c)
+
         out = joined.select(
             F.col(RID),
             (F.lit(batch << _BATCH_SHIFT) + F.monotonically_increasing_id()).alias(SEQ),
             F.lit(OP_UPDATE).alias(OP),
             F.current_timestamp().alias(TS),
-            *[
-                (
-                    F.col(c).cast(self.schema[c].dataType)
-                    if c in changed_cols
-                    else F.lit(None).cast(self.schema[c].dataType)
-                ).alias(c)
-                for c in self.user_cols
-            ],
+            *[_delta_col(c) for c in self.user_cols],
         )
         self._append_via_staging(out, self.tail_dir)
         self._maybe_auto_compact()
@@ -360,12 +375,20 @@ class LineageTable:
         self._save_manifest()
         cur = self._live_key_rid_map()
         joined = keys.select(self.key).join(cur, on=self.key, how="inner")
+        immutable = {self.key, *self.partition_by}
         out = joined.select(
             F.col(RID),
             (F.lit(batch << _BATCH_SHIFT) + F.monotonically_increasing_id()).alias(SEQ),
             F.lit(OP_DELETE).alias(OP),
             F.current_timestamp().alias(TS),
-            *[F.lit(None).cast(self.schema[c].dataType).alias(c) for c in self.user_cols],
+            *[
+                (
+                    F.col(c).cast(self.schema[c].dataType)
+                    if c in immutable
+                    else F.lit(None).cast(self.schema[c].dataType)
+                ).alias(c)
+                for c in self.user_cols
+            ],
         )
         self._append_via_staging(out, self.tail_dir)
         self._maybe_auto_compact()
@@ -397,25 +420,35 @@ class LineageTable:
                     "the surviving delta would otherwise be partition-layout "
                     "dependent"
                 )
-            matched = src.join(cur, on=self.key, how="inner")
+            # live map's partition values are authoritative for the
+            # delta (aliased to dodge collisions with source columns)
+            cur_aliased = cur.select(
+                F.col(self.key),
+                F.col(RID),
+                *[F.col(c).alias(f"__live_{c}") for c in self.partition_by],
+            )
+            matched = src.join(cur_aliased, on=self.key, how="inner")
             unmatched = src.join(cur.select(self.key), on=self.key, how="left_anti")
             batch = self.manifest.next_batch
             self.manifest.next_batch += 1
             self._save_manifest()
             present = [c for c in source.columns if c in self.user_cols]
+
+            def _delta_col(c):
+                if c == self.key:
+                    return F.col(c).cast(self.schema[c].dataType).alias(c)
+                if c in self.partition_by:
+                    return F.col(f"__live_{c}").cast(self.schema[c].dataType).alias(c)
+                if c in present:
+                    return F.col(c).cast(self.schema[c].dataType).alias(c)
+                return F.lit(None).cast(self.schema[c].dataType).alias(c)
+
             upd = matched.select(
                 F.col(RID),
                 (F.lit(batch << _BATCH_SHIFT) + F.monotonically_increasing_id()).alias(SEQ),
                 F.lit(OP_UPDATE).alias(OP),
                 F.current_timestamp().alias(TS),
-                *[
-                    (
-                        F.col(c).cast(self.schema[c].dataType)
-                        if c in present and c != self.key and c not in self.partition_by
-                        else F.lit(None).cast(self.schema[c].dataType)
-                    ).alias(c)
-                    for c in self.user_cols
-                ],
+                *[_delta_col(c) for c in self.user_cols],
             )
             self._append_via_staging(upd, self.tail_dir)
             ins_cols = [
@@ -440,8 +473,8 @@ class LineageTable:
         self.bulk_delete(keys)
 
     def _live_key_rid_map(self) -> DataFrame:
-        """(rid, key) for every LIVE record — the cheap resolver behind
-        bulk_update/bulk_delete. The primary key is immutable (key
+        """(rid, key, <partition cols>) for every LIVE record — the
+        cheap resolver behind bulk_update/bulk_delete. The primary key is immutable (key
         changes are delete+reinsert, see Query.update) and a delete
         tombstone is terminal per rid (reinserts allocate a fresh rid),
         so the map is just base(rid, key) MINUS tombstoned rids: a
@@ -456,17 +489,18 @@ class LineageTable:
         this correct after :meth:`vacuum_tail` removes those
         tombstone rows (and shrinks the anti side besides)."""
         m = self.manifest
+        live_cols = [F.col(RID), F.col(self.key), *[F.col(c) for c in self.partition_by]]
         if m.compact_version >= 0:
             snap = self._read_or_empty(self.compacted_dir(), self.base_schema)
             fresh = self.base_df().where(F.col(RID) > m.compact_rid_hi)
-            base = snap.unionByName(fresh).select(F.col(RID), F.col(self.key))
+            base = snap.unionByName(fresh).select(*live_cols)
             dels = (
                 self.tail_df()
                 .where((F.col(OP) == OP_DELETE) & (F.col(SEQ) > m.tps))
                 .select(F.col(RID))
             )
         else:
-            base = self.base_df().select(F.col(RID), F.col(self.key))
+            base = self.base_df().select(*live_cols)
             dels = self.tail_df().where(F.col(OP) == OP_DELETE).select(F.col(RID))
         return base.join(dels, on=RID, how="left_anti")
 
@@ -583,8 +617,17 @@ class LineageTable:
                     )
                 ).alias(f"__u_{c}")
             )
-        folded = tail.groupBy(RID).agg(*aggs)
-        joined = base.join(folded, on=RID, how="left")
+        if self.tail_keyed:
+            # Tail deltas carry the immutable key/partition values, so
+            # grouping AND joining on them lets Catalyst infer
+            # key/partition filters onto the tail Parquet scan (the
+            # join output's key is the base's either way — the values
+            # are identical by the immutability contract).
+            join_cols = [RID, self.key, *self.partition_by]
+        else:
+            join_cols = [RID]
+        folded = tail.groupBy(*join_cols).agg(*aggs)
+        joined = base.join(folded, on=join_cols, how="left")
         if drop_deleted:
             joined = joined.where(F.col("_del_seq").isNull())
         return joined.select(
@@ -806,6 +849,23 @@ class LineageTable:
             F.col(RID), F.col(SEQ), F.col(OP), F.col(TS),
             *[F.col(c) for c in self.user_cols],
         )
+        if self.tail_keyed and tail.where(F.col(self.key).isNull()).limit(1).count() > 0:
+            # Feed from an older-format table: backfill the immutable
+            # key/partition values from base so the keyed fold still
+            # matches these deltas (one rid-join, feed-sized).
+            immutable = [self.key, *self.partition_by]
+            basem = self.base_df().select(
+                F.col(RID), *[F.col(c).alias(f"__b_{c}") for c in immutable]
+            )
+            tail = tail.join(basem, on=RID, how="left").select(
+                F.col(RID), F.col(SEQ), F.col(OP), F.col(TS),
+                *[
+                    F.coalesce(F.col(c), F.col(f"__b_{c}")).alias(c)
+                    if c in immutable
+                    else F.col(c)
+                    for c in self.user_cols
+                ],
+            )
         self._append_via_staging(tail, self.tail_dir)
         hi = feed.agg(F.max(SEQ).alias("m")).collect()[0]["m"]
         if hi is not None:
@@ -1032,6 +1092,7 @@ class LineageTable:
     ) -> "LineageTable":
         os.makedirs(path, exist_ok=True)
         manifest = Manifest(name=name, schema_json=_schema_to_json(schema), key=key)
+        manifest.extra["tail_keyed"] = True  # see LineageTable.tail_keyed
         if partition_by:
             names = [f.name for f in schema.fields]
             bad = [c for c in partition_by if c not in names]

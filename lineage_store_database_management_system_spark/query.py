@@ -183,6 +183,15 @@ class Query:
     def _project(self, rec_cols: list, mask: list[int]) -> list:
         return [rec_cols[i] if mask[i] else None for i in range(self.ncols)]
 
+    def _tombstone_vals(self, rec: Record) -> tuple:
+        """Delete-delta values: NULL everywhere except the immutable
+        key/partition columns, which ride along so tail scans prune."""
+        immutable = {self.table.key, *self.table.partition_by}
+        return tuple(
+            rec.columns[i] if self.cols[i] in immutable else None
+            for i in range(self.ncols)
+        )
+
     # ------------------------------------------------------------------
     # Q1 insert (reference query.py:57-75)
     # ------------------------------------------------------------------
@@ -276,7 +285,9 @@ class Query:
                 self._unregister(rec)
                 rec.invalidate()
                 self.history.pop(rid, None)
-                self.table.append_tail_rows([(rid, OP_DELETE, (None,) * self.ncols)])
+                self.table.append_tail_rows(
+                    [(rid, OP_DELETE, self._tombstone_vals(rec))]
+                )
                 new_rid = self.table.insert_rows([tuple(new_cols)])[0]
                 new_rec = Record(new_rid, new_cols[self.key_idx], new_cols)
                 self._register(new_rec)
@@ -293,9 +304,10 @@ class Query:
             rec.key = new_cols[self.key_idx]
             self.history.setdefault(rid, []).append(list(new_cols))
             tail_vals = list(columns)
-            # immutable columns never ride in tail deltas
+            # immutable columns ride in every tail delta AS-IS (their
+            # base values) so tail scans prune on key/partition
             for i in immutable_idx:
-                tail_vals[i] = None
+                tail_vals[i] = rec.columns[i]
             self.table.append_tail_rows([(rid, OP_UPDATE, tuple(tail_vals))])
             return True
         except Exception:
@@ -321,7 +333,9 @@ class Query:
                 rec.invalidate()
                 self._unregister(rec)
                 self.history.pop(rid, None)
-                self.table.append_tail_rows([(rid, OP_DELETE, (None,) * self.ncols)])
+                self.table.append_tail_rows(
+                    [(rid, OP_DELETE, self._tombstone_vals(rec))]
+                )
             return True
         except Exception:
             return False
