@@ -463,6 +463,123 @@ class LineageTable:
         finally:
             src.unpersist()
 
+    def mutation_batch(self):
+        """Context manager batching DEPENDENT update/delete rounds into
+        ONE staged tail commit::
+
+            with t.mutation_batch() as b:
+                b.update(changes_df)                       # round 1
+                b.update(lambda v: v.where(...).select(...))  # sees round 1
+                b.delete(keys_df)
+
+        Each round sees the in-flight state: callables receive the
+        pending current view (base folded with every earlier round's
+        deltas — all lazy, one DAG). Every round gets its own commit
+        batch id, so seq ordering between rounds is exact; but there is
+        only ONE staged Parquet append and one manifest bump instead of
+        one per round. This is the bulk-write analogue of the
+        reference's transaction batching — and at any scale it cuts
+        commit latency to a single write job.
+
+        Like :meth:`bulk_update`, each round's changes must be
+        key-unique within the round."""
+        return _MutationBatchCM(self)
+
+    def _commit_mutation_batch(self, rounds: list[tuple[str, Any]]) -> None:
+        if not rounds:
+            return
+        self.flush()
+        first_batch = self.manifest.next_batch
+        self.manifest.next_batch += len(rounds)
+        self._save_manifest()
+        m = self.manifest
+        if m.compact_version >= 0:
+            snap = self._read_or_empty(self.compacted_dir(), self.base_schema)
+            base = snap.unionByName(self.base_df().where(F.col(RID) > m.compact_rid_hi))
+            tail = self.tail_df().where(F.col(SEQ) > m.tps)
+        else:
+            base = self.base_df()
+            tail = self.tail_df()
+        immutable = {self.key, *self.partition_by}
+        deltas: list[DataFrame] = []
+        cur_tail = tail
+        tail_empty = not _has_parquet(self.tail_dir)  # flushed above
+        live_cols = [F.col(RID), F.col(self.key), *[F.col(c) for c in self.partition_by]]
+        # liveness changes only via DELETE rounds; track their rids so
+        # each round's resolver is base ∖ tombstones — never a full
+        # value fold (same cheap shape as _live_key_rid_map)
+        tomb = tail.where(F.col(OP) == OP_DELETE).select(F.col(RID))
+        for i, (kind, payload) in enumerate(rounds):
+            batch = first_batch + i
+            seq = (F.lit(batch << _BATCH_SHIFT) + F.monotonically_increasing_id()).alias(SEQ)
+            resolver = base.select(*live_cols).join(tomb, on=RID, how="left_anti")
+            if callable(payload):
+                # the round's transform sees the pending CURRENT VIEW
+                # (all earlier rounds' effects folded in, lazily)
+                pending = self._fold_tail(
+                    base, cur_tail, tail_known_empty=tail_empty and i == 0
+                )
+                changes = payload(pending.select(*self.user_cols))
+            else:
+                changes = payload
+            if kind == "U":
+                changed = [c for c in changes.columns if c != self.key and c in self.user_cols]
+                bad = [c for c in changed if c in self.partition_by]
+                if bad:
+                    raise ValueError(f"partition columns are immutable per rid: {bad}")
+                joined = changes.join(resolver, on=self.key, how="inner")
+                delta = joined.select(
+                    F.col(RID),
+                    seq,
+                    F.lit(OP_UPDATE).alias(OP),
+                    F.current_timestamp().alias(TS),
+                    *[
+                        (
+                            F.col(c).cast(self.schema[c].dataType)
+                            if c in immutable or c in changed
+                            else F.lit(None).cast(self.schema[c].dataType)
+                        ).alias(c)
+                        for c in self.user_cols
+                    ],
+                )
+            else:
+                joined = changes.select(self.key).join(resolver, on=self.key, how="inner")
+                delta = joined.select(
+                    F.col(RID),
+                    seq,
+                    F.lit(OP_DELETE).alias(OP),
+                    F.current_timestamp().alias(TS),
+                    *[
+                        (
+                            F.col(c).cast(self.schema[c].dataType)
+                            if c in immutable
+                            else F.lit(None).cast(self.schema[c].dataType)
+                        ).alias(c)
+                        for c in self.user_cols
+                    ],
+                )
+            if i < len(rounds) - 1:
+                # Later rounds' folds (and the final write) reference
+                # this delta; persist + materialize so it is computed
+                # once, not once per downstream plan that embeds it.
+                # (The last round's delta is read exactly once — by the
+                # final write — so it skips the extra job.)
+                delta = delta.persist()
+                delta.count()
+            deltas.append(delta)
+            cur_tail = cur_tail.unionByName(delta)
+            if kind == "D":
+                tomb = tomb.unionByName(delta.select(F.col(RID)))
+        out = deltas[0]
+        for d in deltas[1:]:
+            out = out.unionByName(d)
+        try:
+            self._append_via_staging(out, self.tail_dir)
+        finally:
+            for d in deltas[:-1]:
+                d.unpersist()
+        self._maybe_auto_compact()
+
     def delete_where(self, condition) -> None:
         """Predicate delete: tombstone every live record matching
         ``condition`` (a Column or SQL string over the user columns) —
@@ -1113,6 +1230,34 @@ class LineageTable:
 
     def close(self) -> None:
         self.flush()
+
+
+class _MutationBatchCM:
+    """See :meth:`LineageTable.mutation_batch`."""
+
+    def __init__(self, table: "LineageTable"):
+        self._table = table
+        self._rounds: list[tuple[str, Any]] = []
+
+    def update(self, changes) -> "_MutationBatchCM":
+        """Queue an update round: a changes DataFrame (key + new
+        values) or a callable(pending_view) -> changes DataFrame."""
+        self._rounds.append(("U", changes))
+        return self
+
+    def delete(self, keys) -> "_MutationBatchCM":
+        """Queue a delete round: a keys DataFrame or a
+        callable(pending_view) -> keys DataFrame."""
+        self._rounds.append(("D", keys))
+        return self
+
+    def __enter__(self) -> "_MutationBatchCM":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            self._table._commit_mutation_batch(self._rounds)
+        return False
 
 
 def _now():

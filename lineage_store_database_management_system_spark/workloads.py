@@ -76,16 +76,22 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
         t = db.create_table_typed(name, src.schema, "o_orderkey")
         t.ingest_dataframe(src)
         t.post_ingest_watermark = t.watermark()  # CDC resume point
-        r1 = src.where("o_orderkey % 7 = 0").select(
-            "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
-        )
-        t.bulk_update(r1)
-        cur = t.current_view()
-        r2 = cur.where("o_orderkey % 5 = 0").select(
-            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
-        )
-        t.bulk_update(r2)
-        t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+        # Three DEPENDENT mutation rounds (round 2 reads round 1's
+        # values) in ONE staged commit — mutation_batch folds the
+        # pending deltas lazily so the whole thing is a single write
+        # job instead of three.
+        with t.mutation_batch() as b:
+            b.update(
+                src.where("o_orderkey % 7 = 0").select(
+                    "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+                )
+            )
+            b.update(
+                lambda v: v.where("o_orderkey % 5 = 0").select(
+                    "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+                )
+            )
+            b.delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
         if name == "orders_a2":
             t.compact()
     elif name == "orders_part":

@@ -495,3 +495,48 @@ def test_merge_into_duplicate_source_keys_raise(tmp_db, spark, sf_dir):
     )
     with pytest.raises(ValueError, match="duplicate keys"):
         t.merge_into(dup)
+
+
+def test_mutation_batch_equals_sequential(tmp_db, spark, sf_dir):
+    """mutation_batch (one staged commit) must produce exactly the
+    state of the equivalent sequential bulk_update/bulk_delete calls,
+    including version travel (each round keeps its own batch id)."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(500)
+
+    ts = tmp_db.create_table_typed("orders_seq", src.schema, "o_orderkey")
+    ts.ingest_dataframe(src)
+    r1 = src.where("o_orderkey % 7 = 0").select(
+        "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+    )
+    ts.bulk_update(r1)
+    ts.bulk_update(
+        ts.current_view().where("o_orderkey % 5 = 0").select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+        )
+    )
+    ts.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+
+    tb = tmp_db.create_table_typed("orders_batched", src.schema, "o_orderkey")
+    tb.ingest_dataframe(src)
+    with tb.mutation_batch() as b:
+        b.update(r1)
+        b.update(
+            lambda v: v.where("o_orderkey % 5 = 0").select(
+                "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+            )
+        )
+        b.delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+
+    a = ts.current_view().select("o_orderkey", "o_totalprice")
+    c = tb.current_view().select("o_orderkey", "o_totalprice")
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
+    # version travel: one round back undoes the x2 round AND the
+    # deletes stay invisible — identical on both tables
+    av = ts.version_view(-1).select("o_orderkey", "o_totalprice")
+    cv = tb.version_view(-1).select("o_orderkey", "o_totalprice")
+    assert av.exceptAll(cv).count() == 0 and cv.exceptAll(av).count() == 0
+    # single commit: batched table's tail landed in one staged append
+    # per round-count batches but ONE parquet append (fewer files)
+    assert tb.tail_df().count() == ts.tail_df().count()
