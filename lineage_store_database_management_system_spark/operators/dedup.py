@@ -37,13 +37,25 @@ from ..functions.text import normalized_text, word_shingles
 from ._util import spread
 
 
-def _materialize(df: DataFrame) -> DataFrame:
-    """Persist + eagerly compute a frame that feeds BOTH sides of a
-    self-join. Spark does not share common subexpressions across join
+def _materialize(df: DataFrame, sketch_dir: str | None = None) -> DataFrame:
+    """Make a frame that feeds BOTH sides of a self-join cheap to read
+    twice. Spark does not share common subexpressions across join
     branches — without this, the (expensive) sketch computation runs
-    twice. On a cluster the equivalent is persisting the sketch table
-    or writing it out once (sketches are reused across many queries
-    anyway)."""
+    twice.
+
+    With ``sketch_dir`` the sketch becomes a PERSISTED TABLE: written
+    once as Parquet, reused by every later query that passes the same
+    dir (the 100 TB shape — sketches outlive one query and warrant a
+    real table; recompute by deleting the dir). Without it, an
+    in-memory persist scoped to this plan."""
+    if sketch_dir is not None:
+        import os
+
+        spark = df.sparkSession
+        done = os.path.join(sketch_dir, "_SUCCESS")
+        if not os.path.exists(done):
+            df.write.mode("overwrite").parquet(sketch_dir)
+        return spark.read.parquet(sketch_dir)
     df = df.persist()
     df.count()
     return df
@@ -121,6 +133,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_words: int = 3,
+    sketch_dir: str | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, n_shared_bands).
     Pipeline: signatures -> split into ``bands`` bands of r rows ->
@@ -129,7 +142,9 @@ def minhash_lsh_candidates(
     Scale: the exploded frame is num_docs x bands rows of (int, long,
     id); the join key is the band bucket, so work is proportional to
     actual collisions, not n^2. Giant buckets (degenerate text) are
-    capped upstream by the shingle filter."""
+    capped upstream by the shingle filter. ``sketch_dir`` persists the
+    banded sketch as a Parquet table reused across queries (see
+    :func:`_materialize`)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_words)
@@ -149,7 +164,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
-    banded = _materialize(banded)
+    banded = _materialize(banded, sketch_dir)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -206,6 +221,7 @@ def simhash_candidates(
     text_col: str,
     max_hamming: int = 3,
     blocks: int | None = None,
+    sketch_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: split the 64-bit sketch into
     ``blocks`` bit blocks; by pigeonhole, any pair within
@@ -239,7 +255,7 @@ def simhash_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.blk", "bb.bv")
-    exploded = _materialize(exploded)
+    exploded = _materialize(exploded, sketch_dir)
     a, b = exploded.alias("a"), exploded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -266,6 +282,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_words: int = 3,
     max_shingle_freq: int = 1000,
+    sketch_dir: str | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard over all pairs via inverted-index join:
     explode shingles -> filter ultra-common shingles (skew guard) ->
@@ -283,7 +300,7 @@ def ngram_jaccard_pairs(
     rare = postings.groupBy("_s").agg(F.count(F.lit(1)).alias("_f")).where(
         F.col("_f") <= max_shingle_freq
     )
-    postings = _materialize(postings.join(rare.select("_s"), "_s"))
+    postings = _materialize(postings.join(rare.select("_s"), "_s"), sketch_dir)
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
         a.join(

@@ -310,3 +310,39 @@ def test_sampling_signed_hash_keys(spark, sf_dir):
 
     frac = stratified_fraction(docs, "lang", "hkey", 10).count() / n
     assert 0.04 <= frac <= 0.18
+
+
+def test_minhash_sketch_dir_reuse(spark, sf_dir, tmp_path):
+    """sketch_dir persists the banded sketch as a Parquet table: the
+    second candidate query reads the sketch instead of recomputing,
+    and results are identical to the in-memory path."""
+    import os
+    import time
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    sdir = str(tmp_path / "mh_sketch")
+
+    mem = {
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in dedup.minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    t0 = time.time()
+    first = {
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in dedup.minhash_lsh_candidates(
+            docs, "doc_id", "text", sketch_dir=sdir
+        ).collect()
+    }
+    t_first = time.time() - t0
+    assert os.path.exists(os.path.join(sdir, "_SUCCESS"))
+    t0 = time.time()
+    again = {
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in dedup.minhash_lsh_candidates(
+            docs, "doc_id", "text", sketch_dir=sdir
+        ).collect()
+    }
+    t_again = time.time() - t0
+    assert mem == first == again
+    # the reuse run skips the signature computation entirely
+    assert t_again < t_first
