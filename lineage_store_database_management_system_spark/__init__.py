@@ -8,12 +8,13 @@ operator-by-operator mapping.
 """
 
 from .catalog import Database, int_schema
-from .lineage import LineageTable, Manifest
+from .lineage import ConcurrentWriteError, LineageTable, Manifest
 from .query import Index, Query, Record
 from .session import get_spark
 from .transaction import Transaction, TransactionWorker
 
 __all__ = [
+    "ConcurrentWriteError",
     "Database",
     "Index",
     "LineageTable",

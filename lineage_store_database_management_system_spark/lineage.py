@@ -85,6 +85,56 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed to this table since our manifest was
+    read. The losing commit is aborted BEFORE any of its files are
+    published (every mutation reserves its batch id — and therefore
+    CASes the manifest — before writing data), so no committed data is
+    ever lost or mixed. Call :meth:`LineageTable.refresh` and retry."""
+
+
+class _ManifestLock:
+    """Filesystem mutex guarding the manifest compare-and-swap.
+
+    ``open(O_CREAT|O_EXCL)`` is atomic on POSIX local filesystems; on
+    HDFS/ABFS the same role is played by atomic rename-without-
+    overwrite (what Delta's LogStore does). The lock only protects the
+    read-compare-write of the tiny manifest file — data file writes
+    never hold it."""
+
+    STALE_AFTER_S = 60.0  # break locks left by crashed writers
+    TIMEOUT_S = 30.0
+
+    def __init__(self, table_path: str):
+        self.path = os.path.join(table_path, "_manifest.lock")
+
+    def __enter__(self):
+        deadline = time.monotonic() + self.TIMEOUT_S
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self.path)
+                    if age > self.STALE_AFTER_S:
+                        os.unlink(self.path)  # crashed writer; reclaim
+                        continue
+                except OSError:
+                    continue  # lock vanished between checks; retry
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"could not acquire {self.path}")
+                time.sleep(0.02)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+
+
 def _schema_to_json(schema: T.StructType) -> str:
     return schema.json()
 
@@ -115,6 +165,7 @@ class Manifest:
     tps: int = -1  # highest tail _seq folded into the compacted snapshot
     compact_version: int = -1  # -1 = no compacted snapshot yet
     compact_rid_hi: int = -1  # highest base _rid covered by the snapshot
+    commit_seq: int = 0  # optimistic-concurrency version; bumps on every CAS
     extra: dict = field(default_factory=dict)
 
     def to_dict(self) -> dict:
@@ -126,6 +177,7 @@ class Manifest:
             "tps": self.tps,
             "compact_version": self.compact_version,
             "compact_rid_hi": self.compact_rid_hi,
+            "commit_seq": self.commit_seq,
             "extra": self.extra,
         }
 
@@ -222,7 +274,43 @@ class LineageTable:
         return (batch << _BATCH_SHIFT) | i
 
     def _save_manifest(self) -> None:
-        _atomic_write_json(os.path.join(self.path, "_manifest.json"), self.manifest.to_dict())
+        """Publish the manifest via compare-and-swap.
+
+        Every mutation reserves its batch id (and thus calls this)
+        BEFORE writing any data file, so optimistic concurrency falls
+        out of the existing commit discipline: the first writer to CAS
+        wins; a writer holding a stale manifest raises
+        :class:`ConcurrentWriteError` here, before it has published
+        anything. The loser calls :meth:`refresh` and retries. Single-
+        writer callers never see a conflict and pay only one extra
+        ~100-byte read per commit — negligible next to the Parquet
+        write it fronts."""
+        mpath = os.path.join(self.path, "_manifest.json")
+        with _ManifestLock(self.path):
+            if os.path.isfile(mpath):
+                with open(mpath) as f:
+                    disk_seq = json.load(f).get("commit_seq", 0)
+                if disk_seq != self.manifest.commit_seq:
+                    raise ConcurrentWriteError(
+                        f"table {self.manifest.name!r}: manifest advanced to "
+                        f"commit_seq={disk_seq} (we hold "
+                        f"{self.manifest.commit_seq}); refresh() and retry"
+                    )
+            self.manifest.commit_seq += 1
+            _atomic_write_json(mpath, self.manifest.to_dict())
+
+    def refresh(self) -> None:
+        """Reload the manifest from disk after a ConcurrentWriteError
+        (or to observe another writer's commits). Discards only
+        manifest state — pending row buffers are kept and will commit
+        under freshly reserved batch ids."""
+        with open(os.path.join(self.path, "_manifest.json")) as f:
+            self.manifest = Manifest.from_dict(json.load(f))
+        self.schema = _schema_from_json(self.manifest.schema_json)
+        self.key = self.manifest.key
+        self.user_cols = [f.name for f in self.schema.fields]
+        self._open_batch = None
+        self._batch_counter = 0
 
     @property
     def partition_by(self) -> list[str]:
@@ -650,9 +738,11 @@ class LineageTable:
             df = self.spark.createDataFrame(self._pending_tail, self.tail_schema)
             df.coalesce(1).write.mode("append").parquet(self.tail_dir)
             self._pending_tail = []
-        if self._open_batch is not None:
-            self._open_batch = None
-            self._save_manifest()
+        # No manifest save here: the open batch was reserved (and the
+        # manifest CAS'd) in _ensure_batch, so the on-disk manifest is
+        # already current — saving again would only widen the window in
+        # which a stale handle conflicts AFTER publishing files.
+        self._open_batch = None
 
     # ------------------------------------------------------------------
     # read path: raw frames
@@ -958,6 +1048,16 @@ class LineageTable:
         feed window (replay = same files' content; dedupe by _seq is
         the consumer's contract)."""
         self.flush()
+        # Reserve id space (and CAS the manifest) BEFORE publishing any
+        # feed file: a concurrent-writer conflict must abort while the
+        # append is still unpublished, and the reservation guarantees
+        # locally-allocated batches can't collide with applied ids.
+        hi = feed.agg(F.max(SEQ).alias("m")).collect()[0]["m"]
+        if hi is not None:
+            self.manifest.next_batch = max(
+                self.manifest.next_batch, (int(hi) >> _BATCH_SHIFT) + 1
+            )
+            self._save_manifest()
         ins = feed.where(F.col(OP) == "I").select(
             F.col(RID), F.col(TS), *[F.col(c) for c in self.user_cols]
         )
@@ -984,12 +1084,6 @@ class LineageTable:
                 ],
             )
         self._append_via_staging(tail, self.tail_dir)
-        hi = feed.agg(F.max(SEQ).alias("m")).collect()[0]["m"]
-        if hi is not None:
-            self.manifest.next_batch = max(
-                self.manifest.next_batch, (int(hi) >> _BATCH_SHIFT) + 1
-            )
-            self._save_manifest()
 
     # ------------------------------------------------------------------
     # merge / compaction (reference T4, table.py:180-225)
@@ -1175,14 +1269,19 @@ class LineageTable:
         keep = tail.where(F.col(SEQ) > self.manifest.tps)
         new_dir = os.path.join(self.path, f"_tail_vacuum_{uuid.uuid4().hex[:8]}")
         keep.write.mode("overwrite").parquet(new_dir)
+        # CAS the floor into the manifest BEFORE the destructive swap:
+        # on a concurrent-writer conflict nothing has been deleted yet,
+        # and a floor recorded ahead of the swap is read-safe either
+        # way (every vacuum-aware read path filters _seq > TPS, so
+        # not-yet-removed pre-TPS rows are invisible to it).
+        self.manifest.extra["history_floor"] = self.manifest.tps
+        self._save_manifest()
         old = self.tail_dir
         swap = f"{old}_old_{uuid.uuid4().hex[:8]}"
         if os.path.isdir(old):
             os.rename(old, swap)
         os.rename(new_dir, old)
         shutil.rmtree(swap, ignore_errors=True)
-        self.manifest.extra["history_floor"] = self.manifest.tps
-        self._save_manifest()
         return n_before - self.tail_df(include_pending=False).count()
 
     def tail_row_count(self) -> int:

