@@ -346,3 +346,38 @@ def test_minhash_sketch_dir_reuse(spark, sf_dir, tmp_path):
     assert mem == first == again
     # the reuse run skips the signature computation entirely
     assert t_again < t_first
+
+
+def test_codec_stub_contract(spark, docs):
+    """Boundary contract for the real-codec stub (VERDICT r1 item 10):
+    a future codec drop-in must keep (a) the declared output schema —
+    input schema + `pixels binary` — and (b) the fake path's schema,
+    so neither can drift without failing here. The stub's error text
+    must name the installed alternative."""
+    from pyspark.sql import types as T
+
+    mm = multimodal.attach_binary_payload(docs.limit(3), "text")
+
+    # (a) decode_image schema contract holds WITHOUT executing (lazy)
+    decoded = multimodal.decode_image(mm)
+    assert decoded.schema.fields[:-1] == mm.schema.fields
+    assert decoded.schema.fields[-1] == T.StructField("pixels", T.BinaryType())
+
+    # (b) executing the stub raises, and the message points at the
+    # deterministic fake path
+    with pytest.raises(Exception) as ei:
+        decoded.collect()
+    msg = str(ei.value)
+    assert "image decode requires PIL/cv2" in msg
+    assert "extract_byte_features" in msg
+
+    # (c) fake-path schemas are the documented drop-in shape
+    feats = multimodal.extract_byte_features(mm, "doc_id")
+    assert [f.name for f in feats.schema.fields] == ["doc_id", "features"]
+    assert feats.schema["features"].dataType == T.ArrayType(T.DoubleType())
+    assert feats.schema["doc_id"].dataType == mm.schema["doc_id"].dataType
+    resized = multimodal.resize_image(mm, "doc_id", target_bytes=8)
+    assert [f.name for f in resized.schema.fields] == [
+        "doc_id", "payload_resized", "n_bytes_resized",
+    ]
+    assert resized.schema["payload_resized"].dataType == T.BinaryType()
