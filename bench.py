@@ -64,6 +64,26 @@ def main() -> int:
     # measures the query, not session startup.
     spark.range(1_000_000).repartition(4).groupBy((F.col("id") % 7).alias("k")).count().count()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # ... and every expensive-to-initialize physical shape the
+    # workloads hit (janino codegen per operator family, broadcast
+    # machinery, range-partitioned sort, explode, window frames,
+    # output committer). All data-independent spark.range work: this
+    # warms the ENGINE, never the queries' data or results.
+    import tempfile
+
+    _a = spark.range(100_000).select(F.col("id"), (F.col("id") % 97).alias("k"))
+    _b = spark.range(97).select(F.col("id").alias("k"), F.lit("w").alias("v"))
+    _w = tempfile.mkdtemp(prefix="bench_warm_")
+    _a.join(_b, on="k").write.mode("overwrite").parquet(os.path.join(_w, "t"))
+    _a.join(_a.withColumnRenamed("id", "id2"), on="k").count()  # SMJ path
+    _a.orderBy("id").limit(5).count()  # range partitioner + top-k
+    _a.select(F.explode(F.sequence(F.lit(0), F.col("id") % 5)).alias("e")).count()
+    from pyspark.sql import Window as _Win
+
+    _a.select(F.sum("id").over(_Win.partitionBy("k").orderBy("id"))).count()
+    _p = _a.persist()
+    _p.count()
+    _p.unpersist()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

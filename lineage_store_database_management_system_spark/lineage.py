@@ -646,12 +646,16 @@ class LineageTable:
                         for c in self.user_cols
                     ],
                 )
-            if i < len(rounds) - 1:
-                # Later rounds' folds (and the final write) reference
-                # this delta; persist + materialize so it is computed
-                # once, not once per downstream plan that embeds it.
-                # (The last round's delta is read exactly once — by the
-                # final write — so it skips the extra job.)
+            later = rounds[i + 1 :]
+            if any(callable(p) for _k, p in later) or (kind == "D" and later):
+                # This delta is re-read by later rounds — update deltas
+                # through the pending-view fold of any later CALLABLE
+                # round, delete deltas through every later round's
+                # tombstone resolver; persist + materialize so it is
+                # computed once, not once per downstream plan. A delta
+                # referenced only by the final write (the common tail
+                # of a batch: trailing literal updates/deletes) skips
+                # the extra job.
                 delta = delta.persist()
                 delta.count()
             deltas.append(delta)
@@ -750,7 +754,15 @@ class LineageTable:
     def _read_or_empty(self, path: str, schema: T.StructType) -> DataFrame:
         if _has_parquet(path):
             return self.spark.read.schema(schema).parquet(path)
-        return self.spark.createDataFrame([], schema)
+        # Known-empty relation, NOT createDataFrame([], schema): the
+        # latter is a LogicalRDD whose emptiness Catalyst cannot see,
+        # so every join against it plans as a real shuffle (measured
+        # ~10x slower on a fresh/compacted table's empty tail).
+        # Range(0,0) constant-folds through PropagateEmptyRelation and
+        # the join collapses away.
+        return self.spark.range(0).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
 
     def base_df(self, include_pending: bool = True) -> DataFrame:
         """All original inserted records (full history side)."""
