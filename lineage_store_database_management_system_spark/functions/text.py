@@ -49,7 +49,12 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     The split word array is bound once per row (see :func:`bind_once`)."""
 
     def _shingle(words):
-        starts = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+        # Guard short docs: sequence(1, 0) DESCENDS in Spark ([1, 0]),
+        # and slice(words, 0, n) then throws — so a doc with fewer
+        # than n words must short-circuit to an empty array.
+        starts = F.when(
+            F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
         return F.array_distinct(
             F.transform(starts, lambda i: F.array_join(F.slice(words, i, n), " "))
         )

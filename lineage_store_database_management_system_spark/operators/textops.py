@@ -142,3 +142,100 @@ def winnowing_fingerprint(
 
     mins = _once(normalized_text(F.col(text_col)), _fingerprints)
     return df.select(F.col(id_col), F.sort_array(mins).alias("fingerprints"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1):
+    duplicate-word fraction, top-word share, duplicate-bigram
+    fraction. Heavily repetitive documents are low-quality training
+    data; pipelines prune on thresholds over exactly these columns.
+
+    One Catalyst projection per row (no explode, no shuffle): list
+    lambdas over the split word array. The per-row cost of the
+    top-share term is O(distinct x words); for pathological documents
+    (100k+ words) use the explode+groupBy formulation instead — at
+    corpus scale the projection wins because it keeps the whole
+    operator inside one whole-stage-codegen'd scan."""
+    from ..functions.text import bind_once
+
+    def _stats(words):
+        n = F.size(words)
+        distinct = F.array_distinct(words)
+        n_distinct = F.size(distinct)
+        dup_frac = F.when(n == 0, 0.0).otherwise(1.0 - n_distinct / n)
+        top_count = F.array_max(
+            F.transform(distinct, lambda w: F.size(F.filter(words, lambda x: x == w)))
+        )
+        top_share = F.when(n == 0, 0.0).otherwise(
+            F.coalesce(top_count, F.lit(0)) / n
+        )
+        return F.struct(
+            n.alias("n"),
+            F.round(dup_frac, 4).alias("dup"),
+            F.round(top_share, 4).alias("top"),
+        )
+
+    def _bigram_dup(words):
+        n = F.size(words)
+        grams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return bind_once(
+            grams,
+            lambda g: F.when(F.size(g) == 0, 0.0).otherwise(
+                F.round(1.0 - F.size(F.array_distinct(g)) / F.size(g), 4)
+            ),
+        )
+
+    words_col = F.split(F.trim(F.col(text_col)), r"\s+")
+    s = bind_once(words_col, _stats)
+    b = bind_once(words_col, _bigram_dup)
+    return df.select(
+        F.col(id_col),
+        s["n"].alias("n_words"),
+        s["dup"].alias("dup_word_frac"),
+        s["top"].alias("top_word_share"),
+        b.alias("dup_bigram_frac"),
+    )
+
+
+# PII patterns restricted to syntax RE2 (DuckDB) and java.util.regex
+# (Spark) interpret identically: no lookarounds, no backrefs, explicit
+# character classes. Order matters: scrub emails before phones so the
+# digits inside an email aren't double-counted.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Redact PII spans (emails, SSNs, phone numbers, IPv4) with typed
+    placeholder tokens, counting each class. Pure Catalyst regex
+    chain — one projection, scales as a scan; the pattern list is the
+    extension point for locale-specific rules."""
+    out = F.col(text_col)
+    counts = []
+    total = F.lit(0)
+    for name, pat, repl in PII_PATTERNS:
+        # count on the PROGRESSIVELY scrubbed text, exactly what this
+        # step's replace sees — digits inside an already-redacted
+        # email can't double-count as a phone number
+        c = F.regexp_count(out, F.lit(pat))
+        counts.append(c.alias(f"n_{name}"))
+        total = total + c
+        out = F.regexp_replace(out, pat, repl)
+    return df.select(
+        F.col(id_col),
+        *counts,
+        total.alias("n_redactions"),
+        out.alias(out_col),
+    )

@@ -48,7 +48,15 @@ from pyspark.sql import functions as F
 
 from .catalog import Database
 from .lineage import LineageTable
-from .operators import dedup, joins, multimodal, similarity, textops, windows
+from .operators import (
+    contamination,
+    dedup,
+    joins,
+    multimodal,
+    similarity,
+    textops,
+    windows,
+)
 from .sources.readers import load_star
 from .streaming import read_events_stream, run_stream_once, streaming_tumbling_agg
 
@@ -1044,6 +1052,131 @@ def ds_token_bpe(spark, sf_dir):
 
     docs = load_star(spark, sf_dir)["documents"]
     return docs.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+@workload(
+    "ds_repetition_stats",
+    r"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+             FROM documents)
+SELECT doc_id,
+  CAST(len(words) AS BIGINT) AS n_words,
+  CASE WHEN len(words) = 0 THEN 0.0
+       ELSE ROUND(1.0 - len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 4)
+  END AS dup_word_frac,
+  CASE WHEN len(words) = 0 THEN 0.0
+       ELSE ROUND(CAST(list_max(list_transform(list_distinct(words),
+                    x -> len(list_filter(words, y -> y = x)))) AS DOUBLE)
+                  / len(words), 4)
+  END AS top_word_share,
+  CASE WHEN len(words) < 2 THEN 0.0
+       ELSE ROUND(1.0 - len(list_distinct(list_transform(range(1, len(words)),
+                    i -> words[i] || ' ' || words[i+1])))
+                  / CAST(len(words) - 1 AS DOUBLE), 4)
+  END AS dup_bigram_frac
+FROM w""",
+)
+def ds_repetition(spark, sf_dir):
+    """Gopher-style repetition pruning signals (duplicate-word /
+    top-word / duplicate-bigram fractions) — one Catalyst projection,
+    no shuffle; thresholds over these columns are the standard
+    low-quality-document filter."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return textops.repetition_stats(docs, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "dup_word_frac",
+        "top_word_share",
+        "dup_bigram_frac",
+    )
+
+
+@workload(
+    "ds_pii_scrub",
+    r"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+  CAST(len(regexp_extract_all(s1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INTEGER) AS n_ssn,
+  CAST(len(regexp_extract_all(s2, '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b')) AS INTEGER) AS n_phone,
+  CAST(len(regexp_extract_all(s3, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+     + len(regexp_extract_all(s1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+     + len(regexp_extract_all(s2, '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b'))
+     + len(regexp_extract_all(s3, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_redactions,
+  md5(s4) AS scrub_md5
+FROM (
+  SELECT doc_id, text,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1,
+    regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS s2,
+    regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+                   '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b', '<PHONE>', 'g') AS s3,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+                   '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS s4
+  FROM documents
+)""",
+)
+def ds_pii(spark, sf_dir):
+    """PII redaction (emails, SSNs, phones, IPv4 -> typed placeholder
+    tokens) with per-class counts and a scrubbed-text digest. The
+    corpus is synthetic and clean, so counts are zero here — the
+    operator's behavior on actual PII is pinned by pytest; this
+    workload oracle-verifies the full regex chain end to end."""
+    docs = load_star(spark, sf_dir)["documents"]
+    scrubbed = textops.pii_scrub(docs, "doc_id", "text")
+    return scrubbed.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        "n_redactions",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
+_NGRAMS8_SQL = r"""CASE WHEN len(words) >= 8
+  THEN list_distinct(list_transform(range(1, len(words)-6),
+         i -> array_to_string(words[i:i+7], ' ')))
+  ELSE [] END"""
+
+
+@workload(
+    "ds_contamination_check",
+    rf"""WITH te AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE doc_id % 11 = 0
+), tr AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE doc_id % 11 <> 0
+), tg AS (
+  SELECT doc_id, unnest({_NGRAMS8_SQL}) AS g FROM te
+), trg AS (
+  SELECT DISTINCT unnest({_NGRAMS8_SQL}) AS g FROM tr
+), hits AS (
+  SELECT tg.doc_id,
+         COUNT(*) AS n_ngrams,
+         CAST(SUM(CASE WHEN trg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM tg LEFT JOIN trg ON tg.g = trg.g
+  GROUP BY tg.doc_id
+)
+SELECT te.doc_id,
+       CAST(COALESCE(hits.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+       CASE WHEN COALESCE(hits.n_ngrams, 0) = 0 THEN 0.0
+            ELSE ROUND(hits.n_hit / CAST(hits.n_ngrams AS DOUBLE), 4) END AS rate
+FROM te LEFT JOIN hits ON te.doc_id = hits.doc_id""",
+)
+def ds_contamination(spark, sf_dir):
+    """Train/test contamination: every 11th document plays held-out
+    test set; the rest are training corpus. Reports what fraction of
+    each test doc's distinct word 8-grams leaks from training —
+    the standard eval-integrity sweep before a pretraining run."""
+    docs = load_star(spark, sf_dir)["documents"]
+    test = docs.where(F.col("doc_id") % 11 == 0)
+    train = docs.where(F.col("doc_id") % 11 != 0)
+    return contamination.ngram_contamination(train, test, "doc_id", "text", n=8)
 
 
 def _quality_sql() -> str:

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from lineage_store_database_management_system_spark.operators import (
+    contamination,
     dedup,
     multimodal,
     similarity,
@@ -381,3 +382,81 @@ def test_codec_stub_contract(spark, docs):
         "doc_id", "payload_resized", "n_bytes_resized",
     ]
     assert resized.schema["payload_resized"].dataType == T.BinaryType()
+
+
+def test_word_shingles_short_docs(spark):
+    """Docs shorter than n words must yield an EMPTY shingle array —
+    sequence(1, 0) descends in Spark and slice(words, 0, n) throws, so
+    the guard in word_shingles is load-bearing for every shingle-based
+    operator (minhash, jaccard, contamination)."""
+    from lineage_store_database_management_system_spark.functions.text import (
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [("a b",), ("",), ("   ",), ("a b c",), ("a b c d",)], "text string"
+    )
+    out = [r["s"] for r in df.select(word_shingles(F.col("text"), 3).alias("s")).collect()]
+    assert out[0] == [] and out[1] == [] and out[2] == []
+    assert out[3] == ["a b c"]
+    assert out[4] == ["a b c", "b c d"]
+
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d"), (3, "a b a b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in textops.repetition_stats(df, "doc_id", "text").collect()}
+    assert rows[1]["dup_word_frac"] == 0.75 and rows[1]["top_word_share"] == 1.0
+    assert rows[1]["dup_bigram_frac"] == round(1 - 1 / 3, 4)
+    assert rows[2]["dup_word_frac"] == 0.0 and rows[2]["top_word_share"] == 0.25
+    assert rows[3]["dup_word_frac"] == 0.5
+    # "a b","b a","a b" -> 2 distinct of 3
+    assert rows[3]["dup_bigram_frac"] == round(1 - 2 / 3, 4)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or alice.smith@mail.co today"),
+            (2, "ssn 123-45-6789 phone 555-123-4567 ip 192.168.0.1"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.pii_scrub(df, "doc_id", "text").collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["n_redactions"] == 2
+    assert "<EMAIL>" in rows[1]["text_scrubbed"]
+    assert "bob@example.com" not in rows[1]["text_scrubbed"]
+    assert rows[2]["n_ssn"] == 1 and rows[2]["n_phone"] == 1 and rows[2]["n_ipv4"] == 1
+    assert rows[2]["n_redactions"] == 3
+    assert rows[2]["text_scrubbed"] == "ssn <SSN> phone <PHONE> ip <IP>"
+    assert rows[3]["n_redactions"] == 0
+    assert rows[3]["text_scrubbed"] == rows[3]["text_scrubbed"]
+
+
+def test_contamination_semantics(spark):
+    """Exact-leak doc scores 1.0, fresh doc 0.0, short doc 0 ngrams;
+    partial overlap counts distinct 8-grams, not occurrences."""
+    train = spark.createDataFrame(
+        [(10, "w1 w2 w3 w4 w5 w6 w7 w8 w9")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        [
+            (20, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),  # full leak: 2 grams, both hit
+            (21, "n1 n2 n3 n4 n5 n6 n7 n8"),  # no leak: 1 gram
+            (22, "too short"),  # no grams at all
+            (23, "w1 w2 w3 w4 w5 w6 w7 w8 x9"),  # 1 of 2 grams leaked
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination.ngram_contamination(
+            train, test, "doc_id", "text", n=8
+        ).collect()
+    }
+    assert out[20]["n_ngrams"] == 2 and out[20]["n_hit"] == 2 and out[20]["rate"] == 1.0
+    assert out[21]["n_ngrams"] == 1 and out[21]["n_hit"] == 0 and out[21]["rate"] == 0.0
+    assert out[22]["n_ngrams"] == 0 and out[22]["rate"] == 0.0
+    assert out[23]["n_ngrams"] == 2 and out[23]["n_hit"] == 1 and out[23]["rate"] == 0.5
