@@ -1,0 +1,116 @@
+"""Duplicate-cluster graph operators (extension layer — the reference
+has no multi-row operators at all, SURVEY §2.6; north-star
+LLM-pipeline component).
+
+Pairwise dedup (exact digests, MinHash/LSH, n-gram Jaccard — see
+:mod:`.dedup`) emits EDGES; a production pipeline must then group the
+edges into duplicate CLUSTERS and keep one representative per cluster.
+That grouping is connected components over the similarity graph.
+
+Scale shape (100 TB): min-label propagation — per round, one
+|E|-sized shuffle (join edges with current labels, groupBy-min) plus
+one |V|-sized merge. Duplicate-similarity graphs are unions of
+near-cliques (every member of a dup cluster pairs with most others),
+so the graph diameter is tiny and the loop converges in 2–4 rounds;
+the round count is bounded by the diameter, not |V|. For adversarial
+long-path graphs the alternating large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014) converges in O(log² n) rounds with the same per-round
+join shape — the loop below is the same skeleton with a simpler
+update rule. Each round localCheckpoints the label frame so the plan
+does not grow with iterations (lineage truncation, not recomputation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the MINIMUM id reachable from it:
+    ``(id, component)``. ``pairs`` is an undirected edge list (one row
+    per edge, either orientation); ``nodes`` optionally supplies the
+    full vertex set so isolated nodes (no edges) appear as singleton
+    components — pass the corpus id column when deduplicating, else
+    only endpoint ids are labeled.
+
+    Deterministic: the component label is the min member id, so the
+    output is independent of partitioning and iteration order.
+    Raises if the graph has not converged after ``max_iter`` rounds
+    (diameter > max_iter) rather than returning partial labels.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst"))
+        )
+        .distinct()
+    )
+    endpoint_ids = edges.select(F.col("_src").alias("_id")).distinct()
+    if nodes is not None:
+        vertex_ids = (
+            nodes.select(F.col(nodes.columns[0]).alias("_id"))
+            .distinct()
+            .unionByName(endpoint_ids)
+            .distinct()
+        )
+    else:
+        vertex_ids = endpoint_ids
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = vertex_ids.select(
+        F.col("_id"), F.col("_id").alias("_comp")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # min label among each node's neighbors, one |E| shuffle
+        nbr_min = (
+            edges.join(labels, edges["_src"] == labels["_id"])
+            .groupBy(F.col("_dst").alias("_id"))
+            .agg(F.min("_comp").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="_id", how="left")
+            .select(
+                "_id",
+                F.least(F.col("_comp"), F.coalesce("_nbr", "_comp")).alias("_comp"),
+                (F.coalesce("_nbr", "_comp") < F.col("_comp")).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.where("_chg").limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            return labels.select(
+                F.col("_id").alias("id"), F.col("_comp").alias("component")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter); raise max_iter or switch to "
+        "the large-star/small-star formulation for long-path graphs"
+    )
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep ONE representative per duplicate cluster: the min-id
+    member (deterministic). Rows absent from ``pairs`` are singleton
+    clusters and always survive. This is the final stage of the
+    standard corpus dedup pipeline: candidate pairs → components →
+    keep cluster head."""
+    comp = connected_components(pairs, id_a, id_b, nodes=df.select(id_col))
+    heads = comp.where(F.col("id") == F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(heads, on=id_col, how="left_semi")

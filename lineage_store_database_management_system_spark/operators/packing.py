@@ -1,0 +1,64 @@
+"""Sequence packing for pretraining-data pipelines (extension layer;
+north-star LLM-pipeline component — the reference has no notion of
+token streams).
+
+GPT-style "concat and split" packing: documents are laid head-to-tail
+in a deterministic order and the resulting token stream is cut into
+fixed-length context windows. The pipeline needs, per document, its
+byte/token offset in the stream and which context chunks it lands in
+(a doc crossing a chunk boundary is split across training sequences).
+
+Scale shape (100 TB): a GLOBAL running sum would serialize the corpus
+through one partition, so the stream is packed independently per
+``part_col`` (source/shard) — one window per partition group, which
+is how production packers shard anyway (each worker packs its own
+shard). The prefix sum is a single partitioned window over a
+2-column projection; no joins, no explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_concat_split(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str | Column,
+    context_len: int,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Assign every document its position in the packed token stream:
+    ``(id, [part], n_tokens, tok_offset, first_chunk, last_chunk,
+    n_chunks)`` where chunk ``i`` covers tokens ``[i*context_len,
+    (i+1)*context_len)`` of its partition's stream.
+
+    Documents are ordered by ``id_col`` within ``part_col`` (global
+    stream if ``part_col`` is None — fine for small corpora, use a
+    partition column at scale). Zero-token documents occupy no
+    stream space: they report the chunk the cursor is in and
+    ``n_chunks = 0``.
+    """
+    n = F.col(n_tokens_col) if isinstance(n_tokens_col, str) else n_tokens_col
+    w = (
+        Window.partitionBy(part_col) if part_col is not None else Window.partitionBy()
+    ).orderBy(id_col)
+    off = F.coalesce(
+        F.sum(n).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    first = F.floor(off / context_len).cast("long")
+    last = F.when(n > 0, F.floor((off + n - 1) / context_len).cast("long")).otherwise(
+        first
+    )
+    cols = [F.col(id_col)] + ([F.col(part_col)] if part_col else [])
+    return df.select(
+        *cols,
+        n.cast("long").alias("n_tokens"),
+        off.cast("long").alias("tok_offset"),
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        F.when(n > 0, last - first + 1).otherwise(F.lit(0)).cast("long").alias(
+            "n_chunks"
+        ),
+    )

@@ -73,3 +73,81 @@ def stratified_fraction(
     which rows are kept, unlike RNG-based sampleBy). ``pmod`` keeps
     signed hash keys in [0, buckets)."""
     return df.where(F.pmod(F.col(key_col), F.lit(buckets)) < percent)
+
+
+# 16-bit Fibonacci-style multiplicative scramble: cheap, engine-
+# portable (plain BIGINT arithmetic, never overflows 63 bits), and
+# decorrelates dense ids from the keep threshold. 40503 is the
+# 16-bit multiplier from Knuth TAOCP vol 3 §6.4.
+_MIX_BUCKETS = 65536
+_MIX_MULT = 40503
+
+
+def _scramble16(key):
+    return F.pmod(F.pmod(key, F.lit(_MIX_BUCKETS)) * F.lit(_MIX_MULT), F.lit(_MIX_BUCKETS))
+
+
+def domain_mixture(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    n_tokens_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+    default_weight: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic domain-mixture downsampling: given per-domain mix
+    weights and a total token budget, each domain's target is
+    ``budget * w_d / sum(w)`` tokens; domains over target are thinned
+    to ``frac_d = target_d / tokens_d`` (capped at 1), domains under
+    target are kept whole (no upsampling — repeat-epoch logic lives in
+    the trainer, not the corpus store).
+
+    Returns ``(kept_rows, plan)`` where ``plan`` is the per-domain
+    summary ``(domain, n_docs, n_tokens, target_frac, n_kept,
+    kept_tokens)``. The keep decision is per-row arithmetic on a
+    16-bit scramble of the id — reproducible across runs,
+    partitionings, and engines; the plan side is one aggregate over
+    (domain, tokens) plus a broadcast join of the tiny per-domain
+    fraction table back onto the corpus."""
+    wexpr = F.lit(float(default_weight))
+    for d, w in weights.items():
+        wexpr = F.when(F.col(domain_col) == d, F.lit(float(w))).otherwise(wexpr)
+
+    per_domain = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens_col).cast("long").alias("n_tokens"),
+    )
+    # weight mass of the domains actually PRESENT — a window over the
+    # tiny per-domain table, so targets always sum to the budget
+    wsum = F.sum(wexpr).over(Window.partitionBy())
+    frac = F.least(
+        F.lit(1.0),
+        (F.lit(float(budget_tokens)) * wexpr / wsum) / F.col("n_tokens"),
+    )
+    per_domain = per_domain.withColumn("target_frac", frac)
+
+    keep = _scramble16(F.col(id_col)) < F.col("target_frac") * F.lit(_MIX_BUCKETS)
+    kept = df.join(
+        F.broadcast(per_domain.select(domain_col, "target_frac")), on=domain_col
+    ).where(keep)
+
+    plan = (
+        per_domain.join(
+            kept.groupBy(domain_col).agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum(n_tokens_col).cast("long").alias("kept_tokens"),
+            ),
+            on=domain_col,
+            how="left",
+        )
+        .select(
+            F.col(domain_col),
+            "n_docs",
+            "n_tokens",
+            F.round("target_frac", 6).alias("target_frac"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+    )
+    return kept.drop("target_frac"), plan

@@ -51,8 +51,10 @@ from .lineage import LineageTable
 from .operators import (
     contamination,
     dedup,
+    graph,
     joins,
     multimodal,
+    packing,
     similarity,
     textops,
     windows,
@@ -2724,3 +2726,137 @@ def ds_stratified(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+@workload(
+    "ds_dup_clusters",
+    """WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+  FROM words WHERE len(w) >= 3
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS component,
+       (MIN(r) = id) AS kept
+FROM reach GROUP BY id""",
+)
+def ds_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster grouping — the stage AFTER pairwise dedup:
+    exact 3-gram Jaccard pairs (>= 0.5) become edges, connected
+    components (min-label propagation, one |E| shuffle per round,
+    converges in graph-diameter rounds) label every document with its
+    cluster head, and `kept` marks the one representative per cluster.
+    The oracle replays the whole pipeline with a recursive CTE."""
+    docs = load_star(spark, sf_dir)["documents"]
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, shingle_words=3,
+        max_shingle_freq=1 << 40,
+    )
+    comp = graph.connected_components(
+        pairs, "id_a", "id_b", nodes=docs.select("doc_id")
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component"),
+        (F.col("component") == F.col("id")).alias("kept"),
+    )
+
+
+@workload(
+    "ds_pack_sequences",
+    r"""WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), p AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM d
+)
+SELECT doc_id, source, n_tokens, tok_offset,
+       CAST(FLOOR(tok_offset / 128) AS BIGINT) AS first_chunk,
+       CASE WHEN n_tokens > 0
+            THEN CAST(FLOOR((tok_offset + n_tokens - 1) / 128) AS BIGINT)
+            ELSE CAST(FLOOR(tok_offset / 128) AS BIGINT) END AS last_chunk,
+       CASE WHEN n_tokens > 0
+            THEN CAST(FLOOR((tok_offset + n_tokens - 1) / 128)
+                      - FLOOR(tok_offset / 128) + 1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS n_chunks
+FROM p""",
+)
+def ds_pack(spark, sf_dir):
+    """GPT-style concat-and-split sequence packing: per-source token
+    streams (whitespace tokens), 128-token context windows; every doc
+    gets its stream offset and the chunk range it spans. One
+    partitioned window — no global sort, no joins."""
+    docs = load_star(spark, sf_dir)["documents"]
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return packing.pack_concat_split(
+        docs.withColumn("_n", n_tok), "doc_id", "_n", 128, part_col="source"
+    )
+
+
+_MIX_WEIGHT_SQL = """CASE source
+  WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 3.0 WHEN 'src2' THEN 3.0
+  WHEN 'src3' THEN 2.0 WHEN 'src4' THEN 2.0 ELSE 1.0 END"""
+
+
+@workload(
+    "ds_domain_mix",
+    rf"""WITH d AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents
+), pd AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST({_MIX_WEIGHT_SQL} AS DOUBLE) AS w
+  FROM d GROUP BY source
+), pd2 AS (
+  SELECT *, LEAST(CAST(1.0 AS DOUBLE),
+                  (10000.0 * w / SUM(w) OVER ()) / n_tokens) AS frac
+  FROM pd
+), kept AS (
+  SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(d.n_tok) AS BIGINT) AS kept_tokens
+  FROM d JOIN pd2 ON pd2.source = d.source
+  WHERE ((d.doc_id % 65536) * 40503) % 65536 < frac * 65536
+  GROUP BY d.source
+)
+SELECT pd2.source, n_docs, n_tokens, ROUND(frac, 6) AS target_frac,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM pd2 LEFT JOIN kept ON kept.source = pd2.source""",
+)
+def ds_domain_mix(spark, sf_dir):
+    """Domain-mixture downsampling plan: mix weights (3x for
+    src0-2, 2x for src3-4, 1x elsewhere) and a 10k-token budget give
+    each source a target fraction; over-target sources are thinned by
+    deterministic id-scramble sampling. Returns the per-source audit
+    table a pipeline reviews before materializing the mix."""
+    from .operators.sampling import domain_mixture
+
+    docs = load_star(spark, sf_dir)["documents"]
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    weights = {"src0": 3.0, "src1": 3.0, "src2": 3.0, "src3": 2.0, "src4": 2.0}
+    _, plan = domain_mixture(
+        docs.withColumn("_n", n_tok), "doc_id", "source", "_n",
+        weights, budget_tokens=10000,
+    )
+    return plan

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from lineage_store_database_management_system_spark.operators import (
     contamination,
     dedup,
+    graph,
+    packing,
     multimodal,
     similarity,
     textops,
@@ -460,3 +462,82 @@ def test_contamination_semantics(spark):
     assert out[21]["n_ngrams"] == 1 and out[21]["n_hit"] == 0 and out[21]["rate"] == 0.0
     assert out[22]["n_ngrams"] == 0 and out[22]["rate"] == 0.0
     assert out[23]["n_ngrams"] == 2 and out[23]["n_hit"] == 1 and out[23]["rate"] == 0.5
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Multi-hop chains converge to the min id; isolated nodes from
+    the `nodes` frame come back as singleton components; output is
+    stable under repartition."""
+    pairs = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11)], "id_a long, id_b long"
+    ).repartition(7)
+    nodes = spark.range(1, 15).withColumnRenamed("id", "doc_id")
+    comp = {
+        r["id"]: r["component"]
+        for r in graph.connected_components(pairs, nodes=nodes).collect()
+    }
+    assert all(comp[i] == 1 for i in (1, 2, 3, 4, 5))
+    assert comp[10] == 10 and comp[11] == 10
+    assert all(comp[i] == i for i in (6, 7, 8, 9, 12, 13, 14))
+
+
+def test_dedup_by_clusters_keeps_min_member(spark):
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (6, 7)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in graph.dedup_by_clusters(df, "doc_id", pairs).collect()
+    )
+    assert kept == [0, 1, 4, 5, 6]
+
+
+def test_pack_concat_split_offsets_and_chunks(spark):
+    """Offsets are exclusive prefix sums per partition group; chunk
+    range covers [off, off+n); zero-token docs occupy no space."""
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 28), (3, "a", 0), (4, "a", 130), (5, "b", 5)],
+        "doc_id long, src string, n long",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in packing.pack_concat_split(df, "doc_id", "n", 128, "src").collect()
+    }
+    assert (out[1]["tok_offset"], out[1]["first_chunk"], out[1]["last_chunk"]) == (0, 0, 0)
+    assert (out[2]["tok_offset"], out[2]["first_chunk"], out[2]["last_chunk"]) == (100, 0, 0)
+    # doc 3: zero tokens at cursor 128 -> chunk 1, n_chunks 0
+    assert (out[3]["tok_offset"], out[3]["n_chunks"]) == (128, 0)
+    # doc 4: [128, 258) spans chunks 1..2
+    assert (out[4]["first_chunk"], out[4]["last_chunk"], out[4]["n_chunks"]) == (1, 2, 2)
+    assert (out[5]["tok_offset"], out[5]["first_chunk"]) == (0, 0)
+
+
+def test_domain_mixture_budget_and_determinism(spark):
+    from lineage_store_database_management_system_spark.operators.sampling import (
+        domain_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i % 2 == 0 else "small", 10) for i in range(200)],
+        "doc_id long, dom string, n long",
+    )
+    kept, plan = domain_mixture(df, "doc_id", "dom", "n", {"big": 1.0}, 600)
+    p = {r["dom"]: r for r in plan.collect()}
+    # each domain: 100 docs x 10 tokens; equal weights -> 300-token
+    # target each -> frac 0.3
+    assert p["big"]["n_tokens"] == 1000 and p["big"]["target_frac"] == 0.3
+    assert p["small"]["target_frac"] == 0.3
+    # thinning is approximate (hash scramble) but within sane bounds
+    assert 10 <= p["big"]["n_kept"] <= 50
+    k1 = sorted(r["doc_id"] for r in kept.collect())
+    k2 = sorted(
+        r["doc_id"]
+        for r in domain_mixture(
+            df.repartition(13), "doc_id", "dom", "n", {"big": 1.0}, 600
+        )[0].collect()
+    )
+    assert k1 == k2  # deterministic under repartition
+    # under-budget: frac capped at 1.0, everything kept
+    _, plan_all = domain_mixture(df, "doc_id", "dom", "n", {}, 10**9)
+    assert all(r["target_frac"] == 1.0 and r["n_kept"] == 100 for r in plan_all.collect())
