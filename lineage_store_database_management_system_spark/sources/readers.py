@@ -58,6 +58,83 @@ def read_table(
     raise ValueError(f"unsupported format: {fmt!r}")
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options,
+) -> DataFrame:
+    """JDBC source with MANDATORY parallelism plumbing: at warehouse
+    scale an unpartitioned JDBC read funnels the whole table through
+    one task, so when ``partition_column`` is given all four
+    partitioning options are required together (Spark's contract) and
+    we validate them eagerly instead of failing at runtime. Requires
+    the vendor's JDBC driver jar on the Spark classpath
+    (``spark.jars``); without it Spark raises the usual
+    ``ClassNotFoundException`` at load time — there is nothing to
+    stub, the wiring here is complete."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    parts = (partition_column, lower_bound, upper_bound, num_partitions)
+    if any(p is not None for p in parts):
+        if any(p is None for p in parts):
+            raise ValueError(
+                "partitioned JDBC read needs ALL of partition_column, "
+                "lower_bound, upper_bound, num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    value_schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Kafka streaming source: ``readStream`` with the value parsed
+    from JSON into ``value_schema`` columns when given (else raw
+    key/value bytes + metadata). Needs the spark-sql-kafka package on
+    the classpath (``spark.jars.packages`` =
+    ``org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>``);
+    absent that, ``load()`` raises Spark's standard missing-source
+    error. Offsets/watermarks are the caller's contract — this wrapper
+    only standardizes parsing and option plumbing."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    df = reader.load()
+    if value_schema is not None:
+        from pyspark.sql import functions as F
+
+        return df.select(
+            F.col("key").cast("string").alias("key"),
+            F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+            "topic",
+            "partition",
+            "offset",
+            "timestamp",
+        ).select("key", "v.*", "topic", "partition", "offset", "timestamp")
+    return df
+
+
 def _normalize_nanos(df: DataFrame) -> DataFrame:
     """Nanosecond parquet timestamps arrive as LongType (via the
     nanosAsLong legacy conf); convert to TIMESTAMP_NTZ by pure epoch

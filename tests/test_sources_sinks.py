@@ -58,3 +58,28 @@ def test_json_roundtrip(spark, events, outdir):
     got = {r["event_id"]: r["value"] for r in back.collect()}
     exp = {r["event_id"]: r["value"] for r in small.collect()}
     assert got == exp
+
+
+def test_jdbc_partition_options_validated(spark):
+    """Partitioned JDBC reads must carry ALL four parallelism options;
+    a partial set fails eagerly, before any driver lookup."""
+    from lineage_store_database_management_system_spark.sources.readers import (
+        read_jdbc,
+    )
+
+    with pytest.raises(ValueError, match="ALL of partition_column"):
+        read_jdbc(
+            spark, "jdbc:postgresql://db/x", "t", partition_column="id"
+        )
+
+
+def test_kafka_wiring_reaches_spark_loader(spark):
+    """Without the kafka package on the classpath, load() must fail
+    with Spark's missing-data-source error — proving the option
+    plumbing is complete and the failure mode is the documented one."""
+    from lineage_store_database_management_system_spark.sources.readers import (
+        read_kafka_stream,
+    )
+
+    with pytest.raises(Exception, match="[Kk]afka"):
+        read_kafka_stream(spark, "localhost:9092", "events_topic")
