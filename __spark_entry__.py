@@ -35,9 +35,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry ordered for the correctness gate's 50-workload budget.
+
+    The driver gates the FIRST 50 registry entries per round
+    (CORRECTNESS_r01/r02 both cover exactly the first 50 keys of the
+    then-current registry). With 100+ workloads, proving everything
+    needs rotation: workloads WITHOUT a green driver row yet (see
+    CORRECTNESS_r01/r02.json) sort first — oracle-backed before
+    rows-only — and already-proven ones last. Union the per-round
+    correctness files for total driver-proven coverage."""
     from lineage_store_database_management_system_spark import workloads
 
-    return dict(workloads.QUERIES)
+    proven = _proven_names()
+    names = list(workloads.QUERIES)
+    ordered = sorted(
+        names,
+        key=lambda n: (
+            n in proven,  # unproven first
+            n not in workloads.ORACLE,  # oracle-backed before rows-only
+            names.index(n),  # stable otherwise
+        ),
+    )
+    return {n: workloads.QUERIES[n] for n in ordered}
+
+
+def _proven_names() -> set[str]:
+    """Names with a fully-green row in any prior CORRECTNESS_r*.json."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    proven: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and (
+                row.get("hash_match")
+                or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
+            ):
+                proven.add(name)
+    return proven
 
 
 def oracle_sql() -> dict[str, str]:

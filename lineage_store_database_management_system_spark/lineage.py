@@ -407,6 +407,15 @@ class LineageTable:
         batch = self.manifest.next_batch
         self.manifest.next_batch += 1
         self._save_manifest()
+        # Parallelism floor: a source that arrives as a handful of
+        # splits (e.g. one small single-row-group parquet file) would
+        # otherwise become a single-file base table, serializing every
+        # later scan on one core. At real scale inputs carry >= session
+        # parallelism splits and this is a no-op; when it does fire,
+        # the shuffle moves exactly the bytes being written anyway.
+        floor = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < floor:
+            df = df.repartition(floor)
         out = df.select(
             (F.lit(batch << _BATCH_SHIFT) + F.monotonically_increasing_id()).alias(RID),
             F.current_timestamp().alias(TS),

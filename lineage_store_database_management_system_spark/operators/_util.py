@@ -17,18 +17,13 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     once, and is strictly cheaper than serializing the whole stage on
     one core.
     """
+    # Callers are compute-heavy per-ROW stages (shingling, hashing,
+    # Pandas-UDF kernels), so the right target is the executor count,
+    # not input bytes: a 500 KB / 5k-doc corpus still deserves all
+    # cores when each row costs ~100 µs of CPU. (A bytes-derived
+    # target was tried in round 2 and collapsed small-but-hot corpora
+    # to one partition — a 3x headline regression.)
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if min_parts is None:
-        # Scale the target with the input size (Catalyst's plan-stats
-        # estimate — for a bare scan, the file bytes): one partition
-        # per ~2 MB of input. Over-splitting a tiny corpus costs more
-        # in task scheduling than the parallelism returns; a corpus
-        # big enough to need all cores still gets them.
-        try:
-            size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-            target = max(1, min(target, size // (2 * 1024 * 1024)))
-        except Exception:
-            pass
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

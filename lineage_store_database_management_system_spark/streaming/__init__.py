@@ -1,5 +1,5 @@
 from .stream_ops import (
-    EVENTS_SCHEMA,
+    normalize_event_time,
     read_events_stream,
     replicate_stream,
     run_stream_once,
@@ -11,7 +11,7 @@ from .stream_ops import (
 )
 
 __all__ = [
-    "EVENTS_SCHEMA",
+    "normalize_event_time",
     "read_events_stream",
     "replicate_stream",
     "run_stream_once",

@@ -22,19 +22,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.ts is TIMESTAMP(NANOS) in the testdata parquet; Spark reads
-# it as LongType under the nanosAsLong conf, so the stream schema
-# declares long and the reader converts to TIMESTAMP_NTZ.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP regardless of how
+    the producer encoded it: epoch-nanos LongType (parquet
+    TIMESTAMP(NANOS) read under the nanosAsLong conf), TIMESTAMP_NTZ
+    (plain arrow timestamp[us]), or already TIMESTAMP. Watermarks need
+    TIMESTAMP; with the session TZ pinned to UTC (session.get_spark)
+    all three encodings denote the same instant."""
+    dt = {f.name: f.dataType for f in df.schema.fields}.get(col)
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def read_events_stream(
@@ -43,19 +43,20 @@ def read_events_stream(
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource needs an explicit schema; take it from a batch
+    # footer read so the reader tracks whatever encoding the producer
+    # used (one driver-side footer read, no data scan).
+    schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
         # FileStreamSource accepts directories or globs, not plain
         # files — turn the filename into a single-match glob.
         path = f"{path[:-1]}[{path[-1]}]"
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(path)
     )
-    # watermarks require TIMESTAMP (not NTZ): interpret the value as a
-    # UTC instant — consistent as long as the session TZ is UTC
-    # (session.get_spark sets it).
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_time(raw)
 
 
 def streaming_tumbling_agg(

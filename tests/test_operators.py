@@ -208,9 +208,10 @@ def test_streaming_equals_batch(spark, sf_dir):
 
 def stream_to_batch(spark, path):
     """Batch read with the exact column types the stream reader produces."""
+    from lineage_store_database_management_system_spark.streaming import normalize_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_time(spark.read.parquet(path))
 
 
 def test_approx_sketches_error_bounds(spark, sf_dir):

@@ -44,15 +44,12 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
 
 def test_stream_ingest_into_lineage_table(spark, sf_dir, tmp_db):
     ev_static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    from lineage_store_database_management_system_spark.streaming.stream_ops import (
-        EVENTS_SCHEMA,
-    )
     from pyspark.sql import types as T
 
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
