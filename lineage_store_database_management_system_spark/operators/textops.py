@@ -239,3 +239,93 @@ def pii_scrub(
         total.alias("n_redactions"),
         out.alias(out_col),
     )
+
+
+def chunk_fixed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 500,
+    stride: int = 400,
+) -> DataFrame:
+    """Split documents into fixed-width character windows with overlap
+    (``size - stride`` chars shared between neighbors) — the standard
+    pre-tokenization step for embedding / training pipelines.
+
+    One narrow projection + generator: chunk starts come from
+    ``sequence(0, floor((len-1)/stride))`` and each window is a
+    ``substring`` — no shuffle, no UDF, output rows stream out of the
+    scan, so at 100 TB this is a map-only stage whose cost is the
+    bytes read + written. Empty documents produce no chunks."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    starts = F.sequence(
+        F.lit(0),
+        F.floor((F.length(F.col(text_col)) - F.lit(1)) / F.lit(stride)).cast("int"),
+    )
+    chunks = F.transform(
+        starts, lambda i: F.substring(F.col(text_col), i * stride + 1, size)
+    )
+    return (
+        df.where(F.length(F.col(text_col)) > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.col("chunk"),
+            F.length("chunk").alias("chunk_len"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 5,
+    min_token_len: int = 4,
+) -> DataFrame:
+    """Top-k terms per group (e.g. per source) by TF-IDF: term
+    frequency within the group x ln(N_docs / doc_frequency). Scores
+    round to 4 decimals BEFORE ranking so the ordering is stable
+    across engines (ln differs in the last ulp between libm
+    implementations).
+
+    Shape: one explode -> two hash aggregates (tf by (group, term),
+    df by term) -> broadcast-able join (distinct-term table is small
+    relative to the corpus) -> per-group WindowGroupLimit top-k. Every
+    shuffle key is the term or the group — no all-pairs stage."""
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+        )
+        .where(F.length("term") >= min_token_len)
+    )
+    tf = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(group_col),
+            F.col("term"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("_rnk", F.row_number().over(w))
+        .where(F.col("_rnk") <= k)
+        .select(group_col, "term", "tfidf")
+    )

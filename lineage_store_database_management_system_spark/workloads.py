@@ -2860,3 +2860,89 @@ def ds_domain_mix(spark, sf_dir):
         weights, budget_tokens=10000,
     )
     return plan
+
+
+@workload(
+    "ds_chunk_documents",
+    """SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+       substring(text, CAST(i AS INTEGER) * 400 + 1, 500) AS chunk,
+       length(substring(text, CAST(i AS INTEGER) * 400 + 1, 500)) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(floor((length(text) - 1) / 400) AS BIGINT) + 1)) AS i
+  FROM documents WHERE length(text) > 0)""",
+)
+def ds_chunk_documents(spark, sf_dir):
+    """Fixed-width overlapping chunking (500-char windows, 400-char
+    stride) — the pre-tokenization step of an embedding pipeline.
+    Map-only: generator + substring, no shuffle."""
+    from .operators.textops import chunk_fixed
+
+    docs = load_star(spark, sf_dir)["documents"]
+    return chunk_fixed(docs, "doc_id", "text", size=500, stride=400)
+
+
+@workload(
+    "ds_tfidf_top_terms",
+    """WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), toks4 AS (SELECT * FROM toks WHERE length(term) >= 4),
+tf AS (SELECT source, term, COUNT(*) AS tf FROM toks4 GROUP BY source, term),
+dfreq AS (SELECT term, COUNT(*) AS df
+          FROM (SELECT DISTINCT doc_id, term FROM toks4) GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.source, tf.term,
+         ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT source, term, tfidf FROM (
+  SELECT source, term, tfidf,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY tfidf DESC, term) AS rnk
+  FROM scored) WHERE rnk <= 5""",
+)
+def ds_tfidf_top_terms(spark, sf_dir):
+    """Per-source top-5 terms by TF-IDF: corpus statistics for mixture
+    design / quality review. Scores round before ranking so the
+    ordering is engine-stable."""
+    from .operators.textops import tfidf_top_terms
+
+    docs = load_star(spark, sf_dir)["documents"]
+    return tfidf_top_terms(docs, "doc_id", "text", "source", k=5)
+
+
+@workload(
+    "ds_ivf_full_probe",
+    # nprobe = n_lists probes every inverted list, so IVF must equal
+    # exact brute-force cosine top-k — which is what this SQL computes.
+    # Gates the whole IVF path (centroid training, list assignment,
+    # probe pruning, exact re-rank) against a closed-form oracle.
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM embeddings, q
+)
+SELECT vec_id, ROUND(c, 3) AS cosine FROM scored
+ORDER BY ROUND(c, 3) DESC, vec_id LIMIT 20""",
+)
+def ds_ivf_full_probe(spark, sf_dir):
+    """IVF ANN with nprobe == n_lists: probing every list makes the
+    approximate path exactly equal brute force, turning the IVF
+    machinery (train/assign/probe) into an oracle-gated operator.
+    The partial-probe variant stays rows-only (ds_embedding_ivf_topk)
+    with recall asserted in tests."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    cents = similarity.ivf_centroids(emb, n_lists=8)
+    assigned = similarity.ivf_assign(emb, cents)
+    top = similarity.ivf_topk(assigned, q, cents, k=20, nprobe=8)
+    return top.select("vec_id", F.round("cosine", 3).alias("cosine"))

@@ -542,3 +542,49 @@ def test_domain_mixture_budget_and_determinism(spark):
     # under-budget: frac capped at 1.0, everything kept
     _, plan_all = domain_mixture(df, "doc_id", "dom", "n", {}, 10**9)
     assert all(r["target_frac"] == 1.0 and r["n_kept"] == 100 for r in plan_all.collect())
+
+
+def test_chunk_fixed_windows(spark):
+    from lineage_store_database_management_system_spark.operators.textops import chunk_fixed
+
+    df = spark.createDataFrame(
+        [(1, "a" * 950), (2, "b" * 400), (3, ""), (4, "c" * 401)],
+        ["doc_id", "text"],
+    )
+    out = chunk_fixed(df, "doc_id", "text", size=500, stride=400)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # 950 chars -> starts at 0, 400, 800 -> 3 chunks; last is 150 long
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows[(1, 0)]["chunk_len"] == 500 and rows[(1, 2)]["chunk_len"] == 150
+    # overlap: chunk 1 starts 400 in, so its first 100 chars repeat chunk 0's tail
+    assert rows[(1, 0)]["chunk"][400:] == rows[(1, 1)]["chunk"][:100]
+    # exactly one stride of text -> one chunk; empty doc -> none
+    assert {k for k in rows if k[0] == 2} == {(2, 0)}
+    assert not any(k[0] == 3 for k in rows)
+    assert {k for k in rows if k[0] == 4} == {(4, 0), (4, 1)}
+    assert rows[(4, 1)]["chunk_len"] == 1
+
+
+def test_tfidf_top_terms_ranking(spark):
+    from lineage_store_database_management_system_spark.operators.textops import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha common", "g1"),
+            (2, "common common beta", "g1"),
+            (3, "common gamma gamma", "g2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", "source", k=2, min_token_len=4)
+    per_group = {}
+    for r in out.collect():
+        per_group.setdefault(r["source"], []).append((r["term"], r["tfidf"]))
+    # 'common' appears in every doc -> idf = ln(1) = 0 -> never outranks
+    # group-specific terms
+    assert per_group["g1"][0][0] == "alpha"
+    assert per_group["g2"][0][0] == "gamma"
+    assert all(len(v) <= 2 for v in per_group.values())
+    assert all(s >= 0 for v in per_group.values() for _t, s in v)
