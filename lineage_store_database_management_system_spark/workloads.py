@@ -2946,3 +2946,29 @@ def ds_ivf_full_probe(spark, sf_dir):
     assigned = similarity.ivf_assign(emb, cents)
     top = similarity.ivf_topk(assigned, q, cents, k=20, nprobe=8)
     return top.select("vec_id", F.round("cosine", 3).alias("cosine"))
+
+
+@workload(
+    "pq_indexed_lookup",
+    f"""SELECT o_orderkey, o_custkey, {_CUR} AS o_totalprice
+FROM orders WHERE o_custkey = 37 AND {_LIVE}""",
+)
+def pq_indexed_lookup(spark, sf_dir):
+    """Point lookup on a NON-key column through the distributed
+    secondary index (bucket-partitioned parquet + delta catch-up +
+    verify-at-read — indexing.py; the 100 TB analogue of the
+    reference's Index.locate, reference index.py:20-30). The index is
+    built once per scenario table; the lookup reads one index bucket
+    plus rid-pruned base/tail, and must equal the plain
+    current-view filter exactly (the oracle)."""
+    from . import indexing
+
+    t = _table(spark, sf_dir, "orders_a")
+    if not os.path.exists(
+        os.path.join(indexing.index_dir(t, "o_custkey"), "_index_meta.json")
+    ):
+        indexing.build_secondary_index(t, "o_custkey", n_buckets=16)
+    return (
+        indexing.indexed_lookup(t, "o_custkey", 37)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -611,3 +611,80 @@ def test_concurrent_create_same_path(tmp_db, spark):
     LineageTable.create(spark, path, "race_t", orders_schema(), "o_orderkey")
     with pytest.raises(ConcurrentWriteError):
         LineageTable.create(spark, path, "race_t", orders_schema(), "o_orderkey")
+
+
+def test_secondary_index_exact_at_any_staleness(spark, tmp_path):
+    """Index built BEFORE later inserts/updates/deletes must still
+    answer point lookups exactly (delta catch-up + verify-at-read)."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark import indexing
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 20).alias("grp"), F.lit(1.0).alias("v")
+    )
+    t = db.create_table_typed("t", src.schema, "k")
+    t.ingest_dataframe(src)
+    indexing.build_secondary_index(t, "grp", n_buckets=8)
+
+    def expect(g):
+        return sorted(
+            r["k"] for r in t.current_view().where(F.col("grp") == g).collect()
+        )
+
+    def got(g):
+        return sorted(r["k"] for r in indexing.indexed_lookup(t, "grp", g).collect())
+
+    assert got(7) == expect(7) and len(got(7)) == 25
+    # post-build churn: move some records INTO grp 7, some OUT, insert
+    # new ones, delete others — the index is now stale in all 4 ways
+    t.bulk_update(
+        spark.range(3).select((F.col("id") * 20).alias("k"), F.lit(7).alias("grp"))
+    )  # 0,20,40 -> grp 7 (were grp 0)
+    t.bulk_update(
+        spark.createDataFrame([(7, 3)], "k long, grp long").select(
+            "k", F.col("grp").cast("long")
+        )
+    )  # k=7 leaves grp 7
+    t.ingest_dataframe(
+        spark.createDataFrame([(1000, 7, 1.0)], "k long, grp long, v double")
+    )  # fresh insert into grp 7
+    t.bulk_delete(spark.createDataFrame([(27,)], "k long"))  # grp-7 member dies
+    for g in (7, 0, 3):
+        assert got(g) == expect(g), f"grp {g}"
+    # rebuild folds the deltas in; answers unchanged
+    indexing.build_secondary_index(t, "grp", n_buckets=8)
+    for g in (7, 0, 3):
+        assert got(g) == expect(g), f"grp {g} after rebuild"
+
+
+def test_secondary_index_plan_prunes(spark, tmp_path):
+    """The lookup's physical plan must show (a) a partition filter on
+    the index bucket and (b) a pushed rid filter on the base scan."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark import indexing
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(200).select(F.col("id").alias("k"), (F.col("id") % 10).alias("grp"))
+    t = db.create_table_typed("t", src.schema, "k")
+    t.ingest_dataframe(src)
+    indexing.build_secondary_index(t, "grp", n_buckets=8)
+    # (a) the lookup's own plan: rid-set filter pushed into the base scan
+    df = indexing.indexed_lookup(t, "grp", 4)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "In(_rid" in plan, plan
+    # (b) the index scan (its own job inside indexed_lookup): reading
+    # one bucket must be a PARTITION filter, not a data filter
+    b = indexing._bucket_of(t, "grp", 4, 8)
+    idx = (
+        spark.read.parquet(indexing.index_dir(t, "grp"))
+        .where((F.col("_b") == b) & (F.col("grp") == 4))
+        .select("_rid")
+    )
+    iplan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in iplan and "_b" in iplan.split("PartitionFilters")[1][:80], iplan
