@@ -48,12 +48,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     proven = _proven_names()
     names = list(workloads.QUERIES)
+    # More unproven-oracle workloads than gate slots this round: defer
+    # the ones with the MOST external verification already (round-1
+    # judge re-ran these 1:1 against their DuckDB oracles — VERDICT.md
+    # gating note); they rotate in next round.
+    deferred = {
+        "ext_q4_order_priority",
+        "ext_q6_forecast_revenue",
+        "ext_q10_returned_items",
+        "ext_q14_promo_effect",
+        "mm_frame_sample",
+    }
     ordered = sorted(
         names,
         key=lambda n: (
             n in proven,  # unproven first
             n not in workloads.ORACLE,  # oracle-backed before rows-only
-            names.index(n),  # stable otherwise
+            n in deferred,  # judge-verified-at-r1 last among unproven
+            -names.index(n),  # newest first: least externally verified
         ),
     )
     return {n: workloads.QUERIES[n] for n in ordered}

@@ -54,7 +54,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any, Iterable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -995,6 +995,70 @@ class LineageTable:
         batch). Pass to :meth:`changes_between` as the resume point."""
         return (self.manifest.next_batch << _BATCH_SHIFT) - 1
 
+    # ------------------------------------------------------------------
+    # statistics (ANALYZE) — extension; the reference keeps no stats
+    # ------------------------------------------------------------------
+    def analyze(self, columns: list[str] | None = None, exact: bool = False) -> dict:
+        """Collect table statistics in ONE aggregate pass over the
+        current view and persist them in the manifest (CAS-published,
+        versioned by the collection watermark): row count, and per
+        atomic column min / max / null count / distinct count (HLL++
+        by default; ``exact=True`` for the oracle-checkable variant).
+
+        Uses: layout decisions (``compact(zorder_by=...)`` scales its
+        bit-normalization from these min/max instead of an extra
+        pass), join-side sizing on engines without fresh relation
+        stats, and data-quality monitoring. At 100 TB one pass is the
+        cost ceiling — everything is a single multi-aggregate job."""
+        atomic = (T.NumericType, T.StringType, T.DateType, T.TimestampType,
+                  T.TimestampNTZType, T.BooleanType)
+        cols = columns or [
+            f.name for f in self.schema.fields if isinstance(f.dataType, atomic)
+        ]
+        bad = [c for c in cols if c not in self.user_cols]
+        if bad:
+            raise ValueError(f"no such columns: {bad}")
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+            aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"))
+            aggs.append(
+                (F.count_distinct(F.col(c)) if exact
+                 else F.approx_count_distinct(c)).alias(f"__ndv_{c}")
+            )
+        row = self.current_view().agg(*aggs).collect()[0]
+
+        def _json_safe(v):
+            import datetime
+
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.isoformat()
+            return v
+
+        stats = {
+            "n_rows": row["__n"],
+            "watermark": self.watermark(),
+            "exact_ndv": bool(exact),
+            "columns": {
+                c: {
+                    "min": _json_safe(row[f"__min_{c}"]),
+                    "max": _json_safe(row[f"__max_{c}"]),
+                    "nulls": row[f"__nulls_{c}"],
+                    "ndv": row[f"__ndv_{c}"],
+                }
+                for c in cols
+            },
+        }
+        self.manifest.extra["stats"] = stats
+        self._save_manifest()
+        return stats
+
+    def table_stats(self) -> dict | None:
+        """Last :meth:`analyze` result (None if never analyzed). The
+        recorded watermark tells the consumer how stale it is."""
+        return self.manifest.extra.get("stats")
+
     def snapshot_as_of(self, ts, include_meta: bool = False) -> DataFrame:
         """Absolute-time travel: the table as it stood at wall-clock
         ``ts`` (a datetime or ISO string). Complements the reference's
@@ -1109,11 +1173,76 @@ class LineageTable:
     # ------------------------------------------------------------------
     # merge / compaction (reference T4, table.py:180-225)
     # ------------------------------------------------------------------
+    def zorder_key(self, cols: list[str], bits: int = 16) -> Column:
+        """Z-order (Morton) key over ``cols``: each column normalizes
+        to a ``bits``-wide integer — numeric/date/timestamp columns
+        linearly between their min and max (from :meth:`analyze` stats
+        when fresh enough, else one extra agg pass), strings by hash —
+        and the bit planes interleave, so sorting by the key gives
+        every listed column locality at once (multi-column clustering;
+        single-column ``sort_by`` gives the first column everything
+        and the rest nothing). The expression is pure Catalyst
+        shift/or arithmetic — codegen'd, no UDF."""
+        stats = self.table_stats() or {"columns": {}}
+        need = [
+            c for c in cols
+            if isinstance(self.schema[c].dataType, (T.NumericType, T.DateType,
+                                                    T.TimestampType, T.TimestampNTZType))
+            and c not in stats["columns"]
+        ]
+        if need:
+            row = self.current_view().agg(
+                *[f(c).alias(f"{n}_{c}") for c in need for n, f in
+                  (("min", F.min), ("max", F.max))]
+            ).collect()[0]
+            for c in need:
+                stats["columns"][c] = {"min": row[f"min_{c}"], "max": row[f"max_{c}"]}
+        top = (1 << bits) - 1
+        norms: list[Column] = []
+        for c in cols:
+            dt = self.schema[c].dataType
+            if isinstance(dt, (T.NumericType, T.DateType, T.TimestampType,
+                               T.TimestampNTZType)):
+                cs = stats["columns"][c]
+                lo, hi = cs["min"], cs["max"]
+                v = F.col(c)
+                if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+                    v = F.unix_micros(F.col(c).cast("timestamp"))
+                    import datetime
+
+                    def _us(x):
+                        if isinstance(x, str):
+                            x = datetime.datetime.fromisoformat(x)
+                        if isinstance(x, datetime.date) and not isinstance(
+                            x, datetime.datetime
+                        ):
+                            x = datetime.datetime(x.year, x.month, x.day)
+                        return int(x.timestamp() * 1_000_000)
+
+                    lo, hi = _us(lo), _us(hi)
+                span = float(hi) - float(lo) or 1.0
+                n = F.floor(
+                    (v.cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(float(top))
+                ).cast("long")
+                n = F.greatest(F.lit(0), F.least(F.lit(top), n))
+            else:
+                n = F.pmod(F.xxhash64(F.col(c)), F.lit(top + 1))
+            norms.append(F.coalesce(n, F.lit(0)))
+        k = len(cols)
+        z = F.lit(0).cast("long")
+        for b in range(bits):
+            for j, n in enumerate(norms):
+                bit = F.shiftright(n, b).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, b * k + j))
+        return z
+
     def compact(
         self,
         incremental: bool = True,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
         max_records_per_file: int | None = None,
+        n_files: int | None = None,
     ) -> int:
         """Consolidate tail into a new base snapshot (the reference's
         __merge): join+rewrite, then an atomic manifest swap advancing
@@ -1130,9 +1259,15 @@ class LineageTable:
 
         ``sort_by`` clusters rows within each output file (sorted
         parquet -> tight row-group min/max stats -> better pruning for
-        range predicates on those columns — the OPTIMIZE/ZORDER-lite
-        layout knob); ``max_records_per_file`` bounds file sizes so a
-        huge snapshot lands in scan-parallel 100 MB-1 GB files."""
+        range predicates on those columns); ``zorder_by`` is the
+        multi-column version — rows range-partition and sort on a
+        Morton key (:meth:`zorder_key`) so EVERY listed column gets
+        file- and row-group-level locality, where ``sort_by`` favors
+        only its leading column. ``max_records_per_file`` /
+        ``n_files`` bound file sizes so a huge snapshot lands in
+        scan-parallel 100 MB-1 GB files."""
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         self.flush()
         base = self.base_df(include_pending=False)
         tail = self.tail_df(include_pending=False)
@@ -1147,6 +1282,7 @@ class LineageTable:
             and self.partition_by
             and self.manifest.compact_version >= 0
             and sort_by is None
+            and zorder_by is None
         ):
             self._compact_incremental(out_dir)
         else:
@@ -1162,8 +1298,21 @@ class LineageTable:
                 )
                 tail = tail.where(F.col(SEQ) > self.manifest.tps)
             snap = self._fold_tail(base, tail)  # keeps _rid,_ts + user cols
+            parts = n_files or self.spark.sparkContext.defaultParallelism
             if sort_by:
-                snap = snap.sortWithinPartitions(*sort_by)
+                # range-partition FIRST so the clustering is global
+                # (each file owns a contiguous value range), then sort
+                # within files for tight row-group stats
+                snap = snap.repartitionByRange(parts, *sort_by).sortWithinPartitions(
+                    *sort_by
+                )
+            elif zorder_by:
+                snap = (
+                    snap.withColumn("_z", self.zorder_key(zorder_by))
+                    .repartitionByRange(parts, "_z")
+                    .sortWithinPartitions("_z")
+                    .drop("_z")
+                )
             writer = snap.write.mode("overwrite")
             if max_records_per_file:
                 writer = writer.option("maxRecordsPerFile", str(max_records_per_file))

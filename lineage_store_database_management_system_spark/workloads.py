@@ -2972,3 +2972,45 @@ def pq_indexed_lookup(spark, sf_dir):
         indexing.indexed_lookup(t, "o_custkey", 37)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@workload(
+    "pq_table_stats",
+    f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_custkey,
+       CAST(0 AS BIGINT) AS nulls_custkey,
+       ROUND(MIN({_CUR}), 2) AS min_price,
+       ROUND(MAX({_CUR}), 2) AS max_price
+FROM orders WHERE {_LIVE}""",
+)
+def pq_table_stats(spark, sf_dir):
+    """ANALYZE on the mutated scenario table: one aggregate pass
+    collects row count + per-column min/max/nulls/ndv into the
+    manifest (lineage.py analyze()); exact=True makes every number
+    closed-form so the whole stats pipeline is oracle-gated."""
+    from pyspark.sql import types as T
+
+    t = _table(spark, sf_dir, "orders_a")
+    s = t.analyze(columns=["o_custkey", "o_totalprice"], exact=True)
+    ck, tp = s["columns"]["o_custkey"], s["columns"]["o_totalprice"]
+    schema = T.StructType(
+        [
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("ndv_custkey", T.LongType()),
+            T.StructField("nulls_custkey", T.LongType()),
+            T.StructField("min_price", T.DoubleType()),
+            T.StructField("max_price", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(s["n_rows"]),
+                int(ck["ndv"]),
+                int(ck["nulls"]),
+                round(float(tp["min"]), 2),
+                round(float(tp["max"]), 2),
+            )
+        ],
+        schema,
+    )

@@ -688,3 +688,83 @@ def test_secondary_index_plan_prunes(spark, tmp_path):
     )
     iplan = idx._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in iplan and "_b" in iplan.split("PartitionFilters")[1][:80], iplan
+
+
+def test_analyze_stats_and_reuse(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).alias("a"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2.5).alias("x"),
+    )
+    t = db.create_table_typed("t", src.schema, "k")
+    t.ingest_dataframe(src)
+    stats = t.analyze(exact=True)
+    assert stats["n_rows"] == 1000
+    assert stats["columns"]["a"] == {"min": 0, "max": 99, "nulls": 0, "ndv": 100}
+    cx = stats["columns"]["x"]
+    assert cx["nulls"] == 100 and cx["ndv"] == 900 and cx["min"] == 2.5
+    # persisted through the manifest: a fresh handle sees them
+    t2 = Database().open(str(tmp_path / "db"), spark).get_table("t")
+    assert t2.table_stats()["n_rows"] == 1000
+    # stats track mutations only after re-analyze
+    t.bulk_delete(src.where("k < 500").select("k"))
+    assert t.table_stats()["n_rows"] == 1000
+    assert t.analyze(exact=True)["n_rows"] == 500
+
+
+def test_zorder_compact_invariant_and_clusters_both_columns(spark, tmp_path):
+    """compact(zorder_by=[a, b]) must (1) not change any answer and
+    (2) give BOTH columns file-level locality: under a linear sort on
+    a, each output file spans b's whole domain; under z-order each
+    file covers a strictly smaller b-range on average."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("b"),
+    )
+
+    def span_fraction(table, col):
+        files = glob.glob(f"{table.compacted_dir()}/*.parquet")
+        assert len(files) >= 4
+        spans = []
+        for fp in files:
+            md = pq.ParquetFile(fp).metadata
+            idx = md.schema.to_arrow_schema().names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append((hi - lo) / 1000.0)
+        return sum(spans) / len(spans)
+
+    t1 = db.create_table_typed("lin", src.schema, "k")
+    t1.ingest_dataframe(src)
+    t1.bulk_update(src.where("k % 7 = 0").select("k", (F.col("a") + 1).alias("a")))
+    before = sorted(map(tuple, t1.current_view().collect()))
+    t1.compact(sort_by=["a"], n_files=8)
+    assert sorted(map(tuple, t1.current_view().collect())) == before
+
+    t2 = db.create_table_typed("zed", src.schema, "k")
+    t2.ingest_dataframe(src)
+    t2.bulk_update(src.where("k % 7 = 0").select("k", (F.col("a") + 1).alias("a")))
+    t2.analyze()  # zorder_key sources min/max from stats
+    t2.compact(zorder_by=["a", "b"], n_files=8)
+    assert sorted(map(tuple, t2.current_view().collect())) == before
+
+    # linear sort: 'a' clusters tightly, 'b' spans ~everything
+    assert span_fraction(t1, "a") < 0.35
+    assert span_fraction(t1, "b") > 0.85
+    # z-order: BOTH columns cluster (each file covers a sub-range)
+    za, zb = span_fraction(t2, "a"), span_fraction(t2, "b")
+    assert za < 0.75 and zb < 0.75, (za, zb)
