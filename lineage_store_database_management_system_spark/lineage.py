@@ -93,6 +93,13 @@ class ConcurrentWriteError(RuntimeError):
     ever lost or mixed. Call :meth:`LineageTable.refresh` and retry."""
 
 
+class CheckViolation(ValueError):
+    """A write (or add_check_constraint over existing data) violated a
+    registered CHECK constraint. Writes abort BEFORE publishing: the
+    violation count is observed on the staged files, which are
+    discarded — the table is untouched."""
+
+
 class _ManifestLock:
     """Filesystem mutex guarding the manifest compare-and-swap.
 
@@ -332,6 +339,52 @@ class LineageTable:
         versions (flag absent) keep the rid-only fold."""
         return bool(self.manifest.extra.get("tail_keyed", False))
 
+    # ------------------------------------------------------------------
+    # CHECK constraints (extension — the reference validates nothing)
+    # ------------------------------------------------------------------
+    def add_check_constraint(self, name: str, expr_sql: str) -> None:
+        """Register a CHECK constraint (a boolean SQL expression over
+        the user columns) enforced on every subsequent write. ANSI
+        semantics: a row passes when the expression is TRUE **or
+        UNKNOWN** — which composes perfectly with the tail encoding,
+        where NULL means 'column unchanged': an update delta is
+        checked exactly on the values it actually sets. Existing data
+        is validated once (one count job) before the constraint is
+        accepted."""
+        checks = self.manifest.extra.setdefault("checks", {})
+        if name in checks:
+            raise ValueError(f"check {name!r} already exists")
+        bad = (
+            self.current_view()
+            .where(~F.coalesce(F.expr(expr_sql), F.lit(True)))
+            .count()
+        )
+        if bad:
+            raise CheckViolation(
+                f"existing data violates check {name!r} ({expr_sql}): {bad} rows"
+            )
+        checks[name] = expr_sql
+        self._save_manifest()
+
+    def drop_check_constraint(self, name: str) -> None:
+        checks = self.manifest.extra.get("checks", {})
+        if name not in checks:
+            raise ValueError(f"no such check: {name!r}")
+        del checks[name]
+        self._save_manifest()
+
+    def _check_aggs(self) -> dict[str, Any]:
+        """One violation-counting aggregate per registered check —
+        attached to write jobs via ``Observation`` so enforcement
+        costs ZERO extra passes: the counts ride the staged write
+        itself, and a violation aborts before anything publishes."""
+        return {
+            n: F.sum(
+                F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+            ).alias(n)
+            for n, e in self.manifest.extra.get("checks", {}).items()
+        }
+
     def _append_via_staging(
         self, df: DataFrame, target_dir: str, partition_by: list[str] | None = None
     ) -> None:
@@ -350,10 +403,24 @@ class LineageTable:
            lakehouse format uses.
         """
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:8]}")
+        aggs = self._check_aggs()
+        obs = None
+        if aggs:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(obs, *aggs.values())
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staging)
+        if obs is not None:
+            viol = {n: v for n, v in obs.get.items() if v}
+            if viol:
+                # nothing has been published — drop the staging dir and
+                # the write never happened
+                shutil.rmtree(staging, ignore_errors=True)
+                raise CheckViolation(f"check constraint(s) violated: {viol}")
         for root, _dirs, files in os.walk(staging):
             rel = os.path.relpath(root, staging)
             for name in files:
@@ -745,10 +812,31 @@ class LineageTable:
         (table.py:104-119)."""
         if self._pending_base:
             df = self.spark.createDataFrame(self._pending_base, self.base_schema)
+            aggs = self._check_aggs()
+            if aggs:
+                bad = {
+                    n: v
+                    for n, v in df.agg(*aggs.values()).collect()[0].asDict().items()
+                    if v
+                }
+                if bad:
+                    # abort the whole buffered batch — nothing publishes
+                    self._pending_base = []
+                    raise CheckViolation(f"check constraint(s) violated: {bad}")
             self._append_via_staging(df.coalesce(1), self.base_dir, partition_by=self.partition_by)
             self._pending_base = []
         if self._pending_tail:
             df = self.spark.createDataFrame(self._pending_tail, self.tail_schema)
+            aggs = self._check_aggs()
+            if aggs:
+                bad = {
+                    n: v
+                    for n, v in df.agg(*aggs.values()).collect()[0].asDict().items()
+                    if v
+                }
+                if bad:
+                    self._pending_tail = []
+                    raise CheckViolation(f"check constraint(s) violated: {bad}")
             df.coalesce(1).write.mode("append").parquet(self.tail_dir)
             self._pending_tail = []
         # No manifest save here: the open batch was reserved (and the

@@ -768,3 +768,64 @@ def test_zorder_compact_invariant_and_clusters_both_columns(spark, tmp_path):
     # z-order: BOTH columns cluster (each file covers a sub-range)
     za, zb = span_fraction(t2, "a"), span_fraction(t2, "b")
     assert za < 0.75 and zb < 0.75, (za, zb)
+
+
+def test_check_constraints_enforced_atomically(spark, tmp_path):
+    """CHECK constraints: validated on add, enforced on bulk ingest /
+    bulk update / buffered point writes; a violating write publishes
+    NOTHING; ANSI unknown-passes semantics let update deltas check
+    only the columns they set."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark import Query
+    from lineage_store_database_management_system_spark.catalog import Database
+    from lineage_store_database_management_system_spark.lineage import CheckViolation
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") + 1.0).alias("v"), F.lit("ok").alias("s")
+    )
+    t = db.create_table_typed("t", src.schema, "k")
+    t.ingest_dataframe(src)
+    t.add_check_constraint("v_positive", "v > 0")
+    with pytest.raises(ValueError):
+        t.add_check_constraint("v_positive", "v > 0")  # duplicate name
+    with pytest.raises(CheckViolation):
+        t.add_check_constraint("impossible", "v > 50")  # existing data fails
+
+    # violating bulk ingest publishes nothing
+    before = t.current_view().count()
+    bad = spark.createDataFrame([(1000, -5.0, "x")], src.schema)
+    with pytest.raises(CheckViolation):
+        t.ingest_dataframe(bad)
+    assert t.current_view().count() == before
+
+    # violating bulk update publishes nothing
+    with pytest.raises(CheckViolation):
+        t.bulk_update(spark.createDataFrame([(7, -1.0)], "k long, v double"))
+    assert t.current_view().where("k = 7").collect()[0]["v"] == 8.0
+
+    # an update that does NOT touch v passes the v-check (unknown -> ok)
+    t.bulk_update(spark.createDataFrame([(7, "still ok")], "k long, s string"))
+    assert t.current_view().where("k = 7").collect()[0]["s"] == "still ok"
+
+    # good writes still work; buffered point-op path enforces too
+    t.ingest_dataframe(spark.createDataFrame([(2000, 1.5, "y")], src.schema))
+    assert t.current_view().count() == before + 1
+    q = Query(t)
+    assert q.insert(3000, 2.5, "z") is True
+    t.flush()  # publishes the good row
+    assert q.insert(3001, -9.0, "w") is True  # buffers; validated at flush
+    with pytest.raises(CheckViolation):
+        t.flush()
+    # the violating buffered batch was aborted; earlier flush survives
+    assert t.current_view().where("k = 3000").count() == 1
+    assert t.current_view().where("k = 3001").count() == 0
+
+    # constraints persist through reopen; drop works
+    t2 = Database().open(str(tmp_path / "db"), spark).get_table("t")
+    with pytest.raises(CheckViolation):
+        t2.ingest_dataframe(bad)
+    t2.drop_check_constraint("v_positive")
+    t2.ingest_dataframe(bad)  # now allowed
+    assert t2.current_view().where("k = 1000").count() == 1
