@@ -7,6 +7,8 @@ an arbitrary compaction point (merge must never change an answer)."""
 
 import random
 
+import pytest
+
 from lineage_store_database_management_system_spark import Query
 
 K = 92106429
@@ -107,3 +109,85 @@ def test_oplog_replay_matches_oracle(tmp_db):
         prev = vs[max(0, len(vs) - 2)]
         exp_v1[prev[0]] = prev
     assert v1 == exp_v1
+
+
+def test_bulk_oplog_replay_matches_oracle(tmp_db, spark):
+    """Bulk-path analogue of the replay test: a seeded interleaving of
+    ingest_dataframe / bulk_update / bulk_delete with compaction in
+    every flavor (plain, sort-clustered, z-ordered) at arbitrary
+    points, verified against a pure-Python oracle — layout operations
+    must never change an answer, and a CHECK constraint added mid-run
+    must hold from that point on."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from lineage_store_database_management_system_spark.lineage import CheckViolation
+
+    rng = random.Random(7)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.DoubleType()),
+        ]
+    )
+    t = tmp_db.create_table_typed("bulk", schema, "k")
+    oracle: dict[int, tuple[int, float]] = {}
+    next_key = 0
+
+    def ingest(n):
+        nonlocal next_key
+        rows = [(next_key + i, rng.randrange(100), float(rng.randrange(1000))) for i in range(n)]
+        next_key += n
+        for k, a, b in rows:
+            oracle[k] = (a, b)
+        t.ingest_dataframe(spark.createDataFrame(rows, schema))
+
+    def verify():
+        got = sorted((r["k"], r["a"], r["b"]) for r in t.current_view().collect())
+        exp = sorted((k, a, b) for k, (a, b) in oracle.items())
+        assert got == exp
+
+    ingest(300)
+    check_added = False
+    for step in range(24):
+        op = rng.random()
+        if op < 0.30:
+            keys = rng.sample(sorted(oracle), min(40, len(oracle)))
+            col = rng.choice(["a", "b"])
+            delta = [
+                (k, rng.randrange(100) if col == "a" else float(rng.randrange(1000)))
+                for k in keys
+            ]
+            t.bulk_update(
+                spark.createDataFrame(delta, f"k long, {col} {'long' if col == 'a' else 'double'}")
+            )
+            for k, v in delta:
+                a, b = oracle[k]
+                oracle[k] = (v, b) if col == "a" else (a, float(v))
+        elif op < 0.45:
+            keys = rng.sample(sorted(oracle), min(25, len(oracle)))
+            t.bulk_delete(spark.createDataFrame([(k,) for k in keys], "k long"))
+            for k in keys:
+                del oracle[k]
+        elif op < 0.60:
+            ingest(rng.randrange(20, 60))
+        elif op < 0.70 and not check_added:
+            t.add_check_constraint("b_nonneg", "b >= 0")
+            check_added = True
+        else:
+            kind = rng.choice(["plain", "sort", "zorder"])
+            if kind == "plain":
+                t.compact()
+            elif kind == "sort":
+                t.compact(sort_by=["a"], n_files=4)
+            else:
+                t.compact(zorder_by=["a", "b"], n_files=4)
+        if step % 4 == 3:
+            verify()
+    verify()
+    if check_added:
+        live = sorted(oracle)[0]
+        with pytest.raises(CheckViolation):
+            t.bulk_update(spark.createDataFrame([(live, -1.0)], "k long, b double"))
+        verify()  # rejected write changed nothing
