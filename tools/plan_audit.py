@@ -37,6 +37,13 @@ AUDIT = [
     ("ext_q17_small_quantity_revenue", ["BroadcastHashJoin"], ["SortMergeJoin"]),
     ("ext_q21_blocking_supplier", ["TakeOrderedAndProject"], ["BatchEvalPython"]),
     ("ext_q22_idle_customers", ["LeftAnti"], ["BatchEvalPython"]),
+    # round-3 additions. ds_chunk_documents must stay a map-only
+    # generate stage (no shuffle); ds_ivf_full_probe's only Python is
+    # the Arrow-batched list-assignment UDF, and the final rank is
+    # top-k, not a global sort.
+    ("ds_chunk_documents", ["Generate"], ["Exchange", "BatchEvalPython"]),
+    ("ds_tfidf_top_terms", ["Window", "HashAggregate"], ["BatchEvalPython"]),
+    ("ds_ivf_full_probe", ["TakeOrderedAndProject"], ["BatchEvalPython"]),
 ]
 
 
