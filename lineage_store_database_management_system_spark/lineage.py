@@ -346,11 +346,14 @@ class LineageTable:
         """Register a CHECK constraint (a boolean SQL expression over
         the user columns) enforced on every subsequent write. ANSI
         semantics: a row passes when the expression is TRUE **or
-        UNKNOWN** — which composes perfectly with the tail encoding,
-        where NULL means 'column unchanged': an update delta is
-        checked exactly on the values it actually sets. Existing data
-        is validated once (one count job) before the constraint is
-        accepted."""
+        UNKNOWN**. Inserts are checked on the full row as written;
+        update deltas are checked on the FOLDED post-update row
+        (delta coalesced over the current view —
+        :meth:`_validate_folded_updates`), because the tail encoding's
+        NULL = 'unchanged' would otherwise let a multi-column check
+        evaluate UNKNOWN and pass rows whose visible folded state
+        violates it. Existing data is validated once (one count job)
+        before the constraint is accepted."""
         checks = self.manifest.extra.setdefault("checks", {})
         if name in checks:
             raise ValueError(f"check {name!r} already exists")
@@ -372,6 +375,63 @@ class LineageTable:
             raise ValueError(f"no such check: {name!r}")
         del checks[name]
         self._save_manifest()
+
+    def _validate_folded_updates(self, delta: DataFrame) -> None:
+        """A CHECK must hold on the POST-update row, not on the delta
+        encoding: NULL = 'column unchanged', so a multi-column check
+        (``a <= b``) evaluates UNKNOWN against a delta that sets only
+        ``a`` and passes vacuously even when the folded row violates
+        it. Before an update delta publishes, fold it over the current
+        view (touched rids only — one bounded join + count job, and
+        only when checks are registered) and reject on any violation.
+        Rids the same batch also tombstones are exempt: the folded row
+        never becomes visible. Insert paths check full rows on the
+        write itself; delete deltas carry no values."""
+        checks = self.manifest.extra.get("checks", {})
+        if not checks:
+            return
+        mutable = [
+            c for c in self.user_cols
+            if c != self.key and c not in self.partition_by
+        ]
+        aggs = [F.max(F.when(F.col(OP) == OP_DELETE, F.col(SEQ))).alias("_del_seq")]
+        for c in mutable:
+            aggs.append(
+                F.max(
+                    F.when(
+                        (F.col(OP) == OP_UPDATE) & F.col(c).isNotNull(),
+                        F.struct(F.col(SEQ).alias("s"), F.col(c).alias("v")),
+                    )
+                ).alias(f"__u_{c}")
+            )
+        folded = (
+            delta.groupBy(RID)
+            .agg(*aggs)
+            .where(F.col("_del_seq").isNull())
+        )
+        cur = self.current_view(include_meta=True).select(
+            F.col(RID), *[F.col(c) for c in self.user_cols]
+        )
+        post = folded.join(cur, on=RID, how="inner").select(
+            *[
+                (
+                    F.coalesce(F.col(f"__u_{c}.v"), F.col(c))
+                    if c in mutable
+                    else F.col(c)
+                ).alias(c)
+                for c in self.user_cols
+            ]
+        )
+        bad_aggs = [
+            F.sum(F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)).alias(n)
+            for n, e in checks.items()
+        ]
+        row = post.agg(*bad_aggs).collect()[0].asDict()
+        bad = {n: v for n, v in row.items() if v}
+        if bad:
+            raise CheckViolation(
+                f"check constraint(s) violated by folded post-update rows: {bad}"
+            )
 
     def _check_aggs(self) -> dict[str, Any]:
         """One violation-counting aggregate per registered check —
@@ -528,6 +588,7 @@ class LineageTable:
             F.current_timestamp().alias(TS),
             *[_delta_col(c) for c in self.user_cols],
         )
+        self._validate_folded_updates(out)
         self._append_via_staging(out, self.tail_dir)
         self._maybe_auto_compact()
 
@@ -614,6 +675,7 @@ class LineageTable:
                 F.current_timestamp().alias(TS),
                 *[_delta_col(c) for c in self.user_cols],
             )
+            self._validate_folded_updates(upd)
             self._append_via_staging(upd, self.tail_dir)
             ins_cols = [
                 (
@@ -742,6 +804,7 @@ class LineageTable:
         for d in deltas[1:]:
             out = out.unionByName(d)
         try:
+            self._validate_folded_updates(out)
             self._append_via_staging(out, self.tail_dir)
         finally:
             for d in deltas[:-1]:
@@ -837,6 +900,11 @@ class LineageTable:
                 if bad:
                     self._pending_tail = []
                     raise CheckViolation(f"check constraint(s) violated: {bad}")
+                try:
+                    self._validate_folded_updates(df)
+                except CheckViolation:
+                    self._pending_tail = []
+                    raise
             df.coalesce(1).write.mode("append").parquet(self.tail_dir)
             self._pending_tail = []
         # No manifest save here: the open batch was reserved (and the
@@ -1271,7 +1339,18 @@ class LineageTable:
         single-column ``sort_by`` gives the first column everything
         and the rest nothing). The expression is pure Catalyst
         shift/or arithmetic — codegen'd, no UDF."""
-        stats = self.table_stats() or {"columns": {}}
+        # Work on a COPY of the persisted stats (never the live
+        # manifest dict — an augmented fallback entry would otherwise
+        # be persisted by the next _save_manifest), and trust min/max
+        # only when collected at the current commit watermark; stale
+        # bounds would mis-normalize values outside them (ADVICE r3).
+        import copy
+
+        saved = self.table_stats()
+        if saved and saved.get("watermark") == self.watermark():
+            stats = {"columns": copy.deepcopy(saved.get("columns", {}))}
+        else:
+            stats = {"columns": {}}
         need = [
             c for c in cols
             if isinstance(self.schema[c].dataType, (T.NumericType, T.DateType,

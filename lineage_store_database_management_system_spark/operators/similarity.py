@@ -240,11 +240,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     list_col: str = "_list",
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF probe: rank centroids by distance to the query driver-side,
     restrict the exact cosine scan to the ``nprobe`` nearest inverted
     lists. With lists as partition keys this reads nprobe/n_lists of
-    the data."""
+    the data. ``round_to`` ranks by the ROUNDED cosine (id tiebreak)
+    so an oracle ordering by ``ROUND(c, n), id`` picks the identical
+    boundary set."""
     import numpy as np
 
     cents = np.asarray(centroids, dtype=np.float64)
@@ -252,7 +255,7 @@ def ivf_topk(
     order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()[:nprobe]
     probes = [int(i) for i in order]
     candidates = df.where(F.col(list_col).isin(probes))
-    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col, round_to)
 
 
 def knn_join(

@@ -2951,8 +2951,11 @@ def ds_ivf_full_probe(spark, sf_dir):
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     cents = similarity.ivf_centroids(emb, n_lists=8)
     assigned = similarity.ivf_assign(emb, cents)
-    top = similarity.ivf_topk(assigned, q, cents, k=20, nprobe=8)
-    return top.select("vec_id", F.round("cosine", 3).alias("cosine"))
+    # round_to=3 threads through to brute_force_topk so BOTH engines
+    # rank by the rounded cosine with vec_id tiebreak — no flaky
+    # boundary set when rows tie after rounding (ADVICE r3).
+    top = similarity.ivf_topk(assigned, q, cents, k=20, nprobe=8, round_to=3)
+    return top.select("vec_id", F.col("cosine"))
 
 
 @workload(

@@ -829,3 +829,66 @@ def test_check_constraints_enforced_atomically(spark, tmp_path):
     t2.drop_check_constraint("v_positive")
     t2.ingest_dataframe(bad)  # now allowed
     assert t2.current_view().where("k = 1000").count() == 1
+
+def test_check_constraints_folded_update(spark, tmp_path):
+    """A multi-column CHECK (lo <= hi) must be evaluated on the FOLDED
+    post-update row: the tail's NULL = 'unchanged' encoding would
+    otherwise make the check UNKNOWN for a delta that sets only one of
+    the columns, silently publishing a violating visible row. A batch
+    that updates then tombstones the same rid is exempt — the folded
+    row never becomes visible."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark import Query
+    from lineage_store_database_management_system_spark.catalog import Database
+    from lineage_store_database_management_system_spark.lineage import CheckViolation
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(20).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("lo"),
+        (F.col("id") + 10.0).alias("hi"),
+    )
+    t = db.create_table_typed("t", src.schema, "k")
+    t.ingest_dataframe(src)
+    t.add_check_constraint("lo_le_hi", "lo <= hi")
+
+    # single-column update whose folded row violates -> rejected, nothing published
+    with pytest.raises(CheckViolation):
+        t.bulk_update(spark.createDataFrame([(3, 99.0)], "k long, lo double"))
+    assert t.current_view().where("k = 3").collect()[0]["lo"] == 3.0
+
+    # same shape with a legal value passes
+    t.bulk_update(spark.createDataFrame([(3, 12.9)], "k long, lo double"))
+    assert t.current_view().where("k = 3").collect()[0]["lo"] == 12.9
+
+    # the other column alone: folded (lo=12.9, hi=5.0) violates
+    with pytest.raises(CheckViolation):
+        t.bulk_update(spark.createDataFrame([(3, 5.0)], "k long, hi double"))
+
+    # buffered point-update path enforces the folded row at flush
+    q = Query(t)
+    assert q.update(4, None, 99.5, None) is True  # buffers (lo=99.5 > hi=14)
+    with pytest.raises(CheckViolation):
+        t.flush()
+    assert t.current_view().where("k = 4").collect()[0]["lo"] == 4.0
+
+    # merge_into's update branch folds too
+    with pytest.raises(CheckViolation):
+        t.merge_into(spark.createDataFrame([(5, 99.0)], "k long, lo double"))
+
+    # update-then-delete of the same key in one batch: folded row is
+    # never visible, so the batch commits and the record is gone
+    with t.mutation_batch() as b:
+        b.update(spark.createDataFrame([(6, 99.0)], "k long, lo double"))
+        b.delete(spark.createDataFrame([(6,)], "k long"))
+    assert t.current_view().where("k = 6").count() == 0
+
+    # ...but a violating update of a SURVIVING rid in a batch aborts all of it
+    before = t.current_view().count()
+    with pytest.raises(CheckViolation):
+        with t.mutation_batch() as b:
+            b.update(spark.createDataFrame([(7, 99.0)], "k long, lo double"))
+            b.delete(spark.createDataFrame([(8,)], "k long"))
+    assert t.current_view().count() == before
+    assert t.current_view().where("k = 7").collect()[0]["lo"] == 7.0
