@@ -882,21 +882,97 @@ def ds_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-@workload("ds_minhash_lsh_candidates")  # hash-based: rows-only check
+@workload(
+    "ds_minhash_lsh_candidates",
+    # Oracle-gated the ds_ivf_full_probe way (VERDICT r3 next-steps
+    # #3): the gated rows are the EXACT word-3-gram Jaccard >= 0.95
+    # pairs of documents + 50 planted near-clones (both engines
+    # compute identical integer set arithmetic), and `recalled`
+    # states that MinHash+LSH surfaced the pair. With 16 bands of 4,
+    # P(miss | J >= 0.95) = (1 - J^4)^16 < 2e-12 — deterministic in
+    # practice; a FALSE here means the sketch/band/join pipeline
+    # broke, and the hash gate goes red.
+    """WITH firstdocs AS (
+  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50
+), corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra token' FROM firstdocs
+), words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM corpus
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+  FROM words WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard,
+       TRUE AS recalled
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95""",
+)
 def ds_minhash(spark, sf_dir):
-    """MinHash+LSH candidate pairs (64 hashes, 16 bands). No SQL
-    oracle (xxhash64-specific); correctness cross-checked in tests
-    against exact Jaccard, and the candidate count is stable."""
-    docs = load_star(spark, sf_dir)["documents"]
-    return dedup.minhash_lsh_candidates(docs, "doc_id", "text").orderBy("id_a", "id_b")
+    """MinHash+LSH (64 hashes, 16 bands) gated against exact Jaccard:
+    plant 50 near-clones, compute the exact J >= 0.95 pair set (SQL-
+    replicable), and assert per pair that LSH recalled it — the
+    hash-specific candidate set becomes a deterministic boolean."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    base = docs.orderBy("doc_id").limit(50)
+    clones = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    corpus = docs.unionByName(clones)
+    cands = (
+        dedup.minhash_lsh_candidates(corpus, "doc_id", "text")
+        .select("id_a", "id_b")
+        .withColumn("_c", F.lit(True))
+    )
+    truth = dedup.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", threshold=0.95, max_shingle_freq=1 << 40
+    )
+    return truth.join(cands, on=["id_a", "id_b"], how="left").select(
+        "id_a",
+        "id_b",
+        F.round("jaccard", 4).alias("jaccard"),
+        F.coalesce(F.col("_c"), F.lit(False)).alias("recalled"),
+    )
 
 
-@workload("ds_simhash_candidates")  # hash-based: rows-only check
+@workload(
+    "ds_simhash_candidates",
+    # 50 planted EXACT clones: identical normalized text gives an
+    # identical 64-bit simhash, which shares every pigeonhole block,
+    # so each planted pair MUST surface with Hamming 0 — the output
+    # restricted to planted-shape pairs is fully deterministic. A
+    # missing pair (sketch/block/verify breakage) shows as a
+    # row-count mismatch.
+    """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)""",
+)
 def ds_simhash(spark, sf_dir):
-    """SimHash near-dup candidates (<= 3 Hamming over 64-bit sketch,
-    pigeonhole-blocked joins). No SQL oracle (hash-specific)."""
-    docs = load_star(spark, sf_dir)["documents"]
-    return dedup.simhash_candidates(docs, "doc_id", "text").orderBy("id_a", "id_b")
+    """SimHash near-dup candidates (<= 3 Hamming, pigeonhole-blocked
+    joins), oracle-gated via planted exact clones (guaranteed Hamming
+    0). Near-dup (non-identical) behavior stays covered in pytest."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    base = docs.orderBy("doc_id").limit(50)
+    clones = base.select((F.col("doc_id") + 1000000).alias("doc_id"), F.col("text"))
+    corpus = docs.unionByName(clones)
+    cands = dedup.simhash_candidates(corpus, "doc_id", "text")
+    return (
+        cands.where(
+            (F.col("id_b") >= 1000000) & (F.col("id_b") - F.col("id_a") == 1000000)
+        )
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
 
 
 @workload(
@@ -926,14 +1002,52 @@ def ds_embed_topk(spark, sf_dir):
     return similarity.brute_force_topk(emb, q, k=20, round_to=3)
 
 
-@workload("ds_embedding_lsh_topk")  # approx: rows-only check
+@workload(
+    "ds_embedding_lsh_topk",
+    # Gated rows = the EXACT top-20 (same SQL as ds_embedding_topk);
+    # the LSH path's hash-specific result enters as two deterministic
+    # booleans: the query's own vector MUST be in the probed bucket
+    # (self_in_lsh — guaranteed by construction), and exact∩approx
+    # overlap >= 3 of 20 (observed 7; the bound matches the pytest
+    # recall assertion).
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM embeddings, q
+)
+SELECT vec_id, ROUND(c, 3) AS cosine, TRUE AS self_in_lsh, TRUE AS overlap_ok
+FROM scored ORDER BY ROUND(c, 3) DESC, vec_id LIMIT 20""",
+)
 def ds_embed_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (random hyperplanes, multiprobe r=1): the
-    100 TB path — prunes the scan to matching buckets. Approximate by
-    design, so no SQL oracle; recall vs brute force asserted in tests."""
+    """LSH-bucketed ANN (random hyperplanes, multiprobe r=2): the
+    100 TB path — prunes the scan to matching buckets. Oracle-gated
+    by emitting the exact top-20 alongside in-query recall booleans
+    for the approximate path (VERDICT r3 next-steps #3)."""
     emb = load_star(spark, sf_dir)["embeddings"]
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return similarity.lsh_topk(emb, q, k=20)
+    exact = similarity.brute_force_topk(emb, q, k=20, round_to=3)
+    approx = similarity.lsh_topk(emb, q, k=20).select(F.col("vec_id").alias("_aid"))
+    overlap = (
+        exact.select("vec_id")
+        .join(approx, F.col("vec_id") == F.col("_aid"))
+        .agg(F.count(F.lit(1)).alias("_ov"))
+    )
+    self_hit = approx.agg(
+        F.max(F.when(F.col("_aid") == 0, F.lit(True))).alias("_self")
+    )
+    flags = overlap.crossJoin(self_hit).select(
+        F.coalesce(F.col("_self"), F.lit(False)).alias("self_in_lsh"),
+        (F.col("_ov") >= 3).alias("overlap_ok"),
+    )
+    return exact.crossJoin(F.broadcast(flags)).select(
+        "vec_id", "cosine", "self_in_lsh", "overlap_ok"
+    )
 
 
 @workload(
@@ -1214,14 +1328,36 @@ def ds_quality(spark, sf_dir):
     return textops.quality_score(docs, "doc_id", "text")
 
 
-@workload("ds_winnowing_fingerprints")  # xxhash64-based: rows-only check
+@workload(
+    "ds_winnowing_fingerprints",
+    # Per-doc deterministic booleans gate the hash-specific
+    # fingerprint sets: winnowing guarantees >= 1 selected hash per
+    # window, and its defining property is alignment robustness — a
+    # prefix shift preserves most fingerprints (Jaccard >= 0.5; the
+    # corpus-wide observed minimum is 0.82).
+    """SELECT doc_id, TRUE AS has_fingerprints, TRUE AS shift_overlap_ok
+FROM documents""",
+)
 def ds_winnowing(spark, sf_dir):
-    """Winnowing fingerprints (SIGMOD '03): per-doc count of selected
-    k-gram hashes. Hash-specific, so no SQL oracle; determinism and
-    robustness-to-shift asserted in tests."""
+    """Winnowing fingerprints (SIGMOD '03), oracle-gated per doc:
+    non-emptiness plus overlap-under-prefix-shift computed in-query
+    over the real fingerprint sets (VERDICT r3 next-steps #3)."""
     docs = load_star(spark, sf_dir)["documents"]
     fp = textops.winnowing_fingerprint(docs, "doc_id", "text")
-    return fp.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
+    shifted = docs.select(
+        "doc_id", F.concat(F.lit("PREFIX "), F.col("text")).alias("text")
+    )
+    fp2 = textops.winnowing_fingerprint(shifted, "doc_id", "text").select(
+        F.col("doc_id"), F.col("fingerprints").alias("_fp2")
+    )
+    j = F.size(F.array_intersect("fingerprints", "_fp2")) / F.size(
+        F.array_union("fingerprints", "_fp2")
+    )
+    return fp.join(fp2, "doc_id").select(
+        "doc_id",
+        (F.size("fingerprints") > 0).alias("has_fingerprints"),
+        (j >= 0.5).alias("shift_overlap_ok"),
+    )
 
 
 @workload(
@@ -1248,15 +1384,35 @@ def ds_cosine_pairs(spark, sf_dir):
     return similarity.cosine_pairs_exact(emb, 0.3, round_to=3)
 
 
-@workload("ds_embedding_near_dup_lsh")  # LSH-blocked: rows-only check
+@workload(
+    "ds_embedding_near_dup_lsh",
+    # 50 planted EXACT duplicate vectors: an identical vector has an
+    # identical sign-signature (collides on every hyperplane), so
+    # LSH blocking MUST recover each planted pair with cosine 1.0 —
+    # the planted-shape slice of the output is fully deterministic.
+    # Sub-identical recall stays a pytest property (sign-signature
+    # blocking is only near-certain as cosine -> 1).
+    """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+       CAST(1.0 AS DOUBLE) AS cosine
+FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 50)""",
+)
 def ds_near_dup_lsh(spark, sf_dir):
     """LSH-blocked cosine near-dup pairs over the full embedding table
     (the 100 TB path: join only within sign-signature buckets, verify
-    exactly). Approximate by design -> no SQL oracle; recall vs the
-    exact subset asserted in tests."""
-    emb = load_star(spark, sf_dir)["embeddings"]
-    return similarity.cosine_near_dup_pairs(emb, threshold=0.2).orderBy(
-        "id_a", "id_b"
+    exactly) — oracle-gated via planted exact-duplicate vectors whose
+    recovery is guaranteed by construction."""
+    emb = load_star(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    base = emb.orderBy("vec_id").limit(50)
+    clones = base.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(clones)
+    pairs = similarity.cosine_near_dup_pairs(corpus, threshold=0.2)
+    return (
+        pairs.where(
+            (F.col("id_b") >= 1000000)
+            & (F.col("id_b") - F.col("id_a") == 1000000)
+            & (F.col("cosine") >= 0.9995)
+        )
+        .select("id_a", "id_b", F.round("cosine", 1).alias("cosine"))
     )
 
 
@@ -1356,17 +1512,58 @@ def st_sessions(spark, sf_dir):
     return run_stream_once(streaming_sessionize(stream))
 
 
-@workload("ds_embedding_ivf_topk")  # approx: rows-only check
+@workload(
+    "ds_embedding_ivf_topk",
+    # Gated rows = the exact top-20 (ds_embedding_topk SQL); the
+    # partial-probe IVF result enters as deterministic booleans. The
+    # query vector's own list is always probe #1 (its centroid is by
+    # definition nearest the query), so self_in_ivf is guaranteed;
+    # overlap >= 4 of 20 when probing 4 of 16 lists (observed 10).
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM embeddings, q
+)
+SELECT vec_id, ROUND(c, 3) AS cosine, TRUE AS self_in_ivf, TRUE AS overlap_ok
+FROM scored ORDER BY ROUND(c, 3) DESC, vec_id LIMIT 20""",
+)
 def ds_embed_ivf(spark, sf_dir):
     """IVF ANN: k-means coarse quantizer (trained on a deterministic
     sample), vectors bucketed into inverted lists, query probes the
     nprobe nearest lists then exact-ranks — the partition-pruning ANN
-    path alongside LSH. Recall vs brute force asserted in tests."""
+    path alongside LSH. Oracle-gated like ds_embedding_lsh_topk:
+    exact top-20 rows plus in-query recall booleans for the
+    partial-probe path."""
     emb = load_star(spark, sf_dir)["embeddings"]
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     cents = similarity.ivf_centroids(emb, n_lists=16)
     assigned = similarity.ivf_assign(emb, cents)
-    return similarity.ivf_topk(assigned, q, cents, k=20, nprobe=4)
+    exact = similarity.brute_force_topk(emb, q, k=20, round_to=3)
+    approx = (
+        similarity.ivf_topk(assigned, q, cents, k=20, nprobe=4)
+        .select(F.col("vec_id").alias("_aid"))
+    )
+    overlap = (
+        exact.select("vec_id")
+        .join(approx, F.col("vec_id") == F.col("_aid"))
+        .agg(F.count(F.lit(1)).alias("_ov"))
+    )
+    self_hit = approx.agg(
+        F.max(F.when(F.col("_aid") == 0, F.lit(True))).alias("_self")
+    )
+    flags = overlap.crossJoin(self_hit).select(
+        F.coalesce(F.col("_self"), F.lit(False)).alias("self_in_ivf"),
+        (F.col("_ov") >= 4).alias("overlap_ok"),
+    )
+    return exact.crossJoin(F.broadcast(flags)).select(
+        "vec_id", "cosine", "self_in_ivf", "overlap_ok"
+    )
 
 
 @workload("st_stream_stream_join")
