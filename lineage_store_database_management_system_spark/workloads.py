@@ -1473,11 +1473,22 @@ def mm_features(spark, sf_dir):
 # ===========================================================================
 
 
-@workload("st_tumbling_hour")
+@workload(
+    "st_tumbling_hour",
+    # Streaming drained with trigger(availableNow) over static input
+    # is deterministic: complete-mode final state == the batch
+    # answer, so the oracle can state it directly (VERDICT r3
+    # next-steps #6 — st_* semantics now visible in CORRECTNESS, not
+    # just pytest).
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2""",
+)
 def st_tumbling(spark, sf_dir):
     """Watermarked streaming tumbling windows, drained with
-    trigger(availableNow) — equals ext_events_tumbling_hour on static
-    input (asserted in tests)."""
+    trigger(availableNow) — the final complete-mode state is the
+    batch answer, hash-gated against the ext_events_tumbling_hour
+    oracle SQL."""
     stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     return run_stream_once(streaming_tumbling_agg(stream))
 
@@ -1500,12 +1511,32 @@ def mm_frames(spark, sf_dir):
     return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 
-@workload("st_session_windows")
+@workload(
+    "st_session_windows",
+    # Drained session_window state == batch gap-sessionization with
+    # session_end = last event + gap (verified byte-equal vs the
+    # batch twin); the ext_events_sessions oracle restated with that
+    # end convention gates the streaming operator directly.
+    """WITH marked AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_id""",
+)
 def st_sessions(spark, sf_dir):
     """Streaming gap-based session windows (built-in session_window,
-    watermark-bounded state); no SQL oracle — incremental execution;
-    equality with batch sessionization on static input asserted in
-    tests."""
+    watermark-bounded state), hash-gated against the batch
+    sessionization oracle (session_window end = last event + gap)."""
     from .streaming.stream_ops import streaming_sessionize
 
     stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
@@ -1566,11 +1597,23 @@ def ds_embed_ivf(spark, sf_dir):
     )
 
 
-@workload("st_stream_stream_join")
+@workload(
+    "st_stream_stream_join",
+    # An inner stream-stream join drained over static input emits
+    # each match exactly once (append mode), so the result set is the
+    # plain batch interval join — directly SQL-stateable.
+    """SELECT l.user_id AS user_id, l.event_id AS left_event_id,
+       l.ts AS left_ts, r.event_id AS right_event_id,
+       r.value AS right_value
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'purchase' AND r.event_type = 'click'
+ AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts""",
+)
 def st_ss_join(spark, sf_dir):
     """Stream-stream event-time range join (purchase <- clicks within
-    the preceding hour), watermark-bounded state on both sides; no SQL
-    oracle — equality with the batch twin asserted in tests."""
+    the preceding hour), watermark-bounded state on both sides,
+    hash-gated against the equivalent batch interval-join SQL."""
     from .streaming import streaming_event_join
 
     ev1 = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
@@ -1582,16 +1625,29 @@ def st_ss_join(spark, sf_dir):
     return run_stream_once(joined, output_mode="append")
 
 
-@workload("st_stateful_user_totals")
+@workload(
+    "st_stateful_user_totals",
+    # update mode emits post-batch totals per user per micro-batch;
+    # keeping each user's final emission (max n_events — totals are
+    # monotone) yields the batch per-user aggregate. ROUND(2) on both
+    # sides absorbs pandas-vs-SQL float summation order.
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(COALESCE(value, 0.0)), 2) AS sum_value
+FROM events GROUP BY user_id""",
+)
 def st_user_totals(spark, sf_dir):
     """Custom stateful operator via applyInPandasWithState: per-user
-    running totals kept as explicit group state. Drained with
-    availableNow this equals the batch groupBy (asserted in tests);
-    no SQL oracle — the operator is stateful/incremental by nature."""
+    running totals kept as explicit group state, drained with
+    availableNow and hash-gated against the batch groupBy oracle
+    (final emission per user)."""
     from .streaming.stateful import running_user_totals
 
     stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    return run_stream_once(running_user_totals(stream), output_mode="update")
+    out = run_stream_once(running_user_totals(stream), output_mode="update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("sum_value", "n_events"), 2).alias("sum_value"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2336,17 +2392,26 @@ def ds_embed_centroids(spark, sf_dir):
     )
 
 
-@workload("st_stream_dedup")
+@workload(
+    "st_stream_dedup",
+    # event_id is unique in events, so deduping the doubled stream
+    # must restore exactly the per-type counts of the input — a
+    # closed-form oracle for the stateful dedup operator.
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type""",
+)
 def st_dedup(spark, sf_dir):
     """Watermarked streaming dedup (dropDuplicatesWithinWatermark):
     duplicated input stream -> exactly one row per event_id; state
-    bounded by the watermark horizon. Batch-twin equality asserted in
-    tests; no SQL oracle (stateful streaming op)."""
+    bounded by the watermark horizon. Hash-gated: post-dedup per-type
+    counts must equal the undoubled input's counts."""
     from .streaming import streaming_dedup
 
     ev = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     dup = ev.unionByName(ev)  # simulate at-least-once duplication
-    out = streaming_dedup(dup).groupBy("event_type").count()
+    out = streaming_dedup(dup).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
     return run_stream_once(out, output_mode="complete")
 
 
