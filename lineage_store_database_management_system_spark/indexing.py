@@ -54,29 +54,60 @@ def index_dir(table: LineageTable, col: str) -> str:
 
 
 def build_secondary_index(
-    table: LineageTable, col: str, n_buckets: int = 64
+    table: LineageTable, col: str, n_buckets: int = 64, layout: str = "hash"
 ) -> str:
     """Build (or rebuild) the secondary index for ``col``.
 
     One job: current view -> (value, rid, bucket) -> Parquet
-    partitioned by bucket. The bucket is ``pmod(xxhash64(value),
-    n_buckets)`` so a point lookup prunes to one partition
-    (1/n_buckets of the index bytes) via a partition filter. The
-    build watermark (every committed id is <= it) is recorded next to
-    the data for the delta catch-up at read time."""
+    partitioned by bucket. Two layouts:
+
+    * ``layout='hash'`` — bucket = ``pmod(xxhash64(value),
+      n_buckets)``: a POINT lookup prunes to one partition
+      (1/n_buckets of the index bytes) via a partition filter, but
+      hashing destroys value order, so range predicates cannot prune.
+    * ``layout='range'`` (numeric columns) — bucket boundaries are
+      the value's approximate quantiles (one approxQuantile job), so
+      buckets are balanced under skew AND monotone in the value: a
+      range predicate maps to a contiguous ``_b`` range — the 100 TB
+      analogue of the reference's ``Index.locate_range`` (reference
+      index.py:42-53). Point lookups work on either layout.
+
+    The build watermark (every committed id is <= it) is recorded
+    next to the data for the delta catch-up at read time."""
     if col not in table.user_cols:
         raise ValueError(f"no such column: {col!r}")
     wm = table.watermark()
     out = index_dir(table, col)
-    pairs = (
+    live = (
         table.current_view(include_meta=True)
         .select(F.col(col), F.col(RID))
         .where(F.col(col).isNotNull())
-        .withColumn("_b", F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)))
     )
+    meta: dict = {"col": col, "n_buckets": n_buckets, "built_watermark": wm,
+                  "layout": layout}
+    if layout == "range":
+        import pyspark.sql.types as T
+
+        if not isinstance(table.schema[col].dataType, T.NumericType):
+            raise ValueError(
+                f"layout='range' needs a numeric column, got "
+                f"{table.schema[col].dataType.simpleString()} for {col!r}"
+            )
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        boundaries = live.approxQuantile(col, probs, 0.001)
+        meta["boundaries"] = boundaries
+        arr = F.array(*[F.lit(float(b)) for b in boundaries])
+        bucket = F.size(F.filter(arr, lambda x: F.col(col).cast("double") > x))
+        pairs = live.withColumn("_b", bucket)
+    elif layout == "hash":
+        pairs = live.withColumn(
+            "_b", F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets))
+        )
+    else:
+        raise ValueError(f"unknown layout {layout!r} (hash|range)")
     pairs.write.mode("overwrite").partitionBy("_b").parquet(out)
     with open(os.path.join(out, _META_FILE), "w") as f:
-        json.dump({"col": col, "n_buckets": n_buckets, "built_watermark": wm}, f)
+        json.dump(meta, f)
     return out
 
 
@@ -105,6 +136,77 @@ def _bucket_of(table: LineageTable, col: str, value, n_buckets: int) -> int:
     return int(row["b"])
 
 
+def _range_bucket_of(boundaries: list, value) -> int:
+    """Quantile bucket of a literal: the number of boundaries strictly
+    below it — EXACTLY what the build-time expression
+    ``size(filter(boundaries, x -> value > x))`` computes, so the
+    partition-filter literal and the stored buckets always agree."""
+    import bisect
+
+    return bisect.bisect_left(boundaries, float(value))
+
+
+def _resolve_and_verify(table: LineageTable, rid_df: DataFrame, cond) -> DataFrame:
+    """Fold the candidate rids through the current view and re-apply
+    the predicate: stale index entries (value changed away) and
+    tombstoned records drop out, making lookups exact at any index
+    staleness (module docstring). Below ISIN_CAP the rid set becomes
+    a pushed-down ``_rid IN (...)`` on base AND tail scans; above it,
+    a broadcast semi-join — never a full unpruned fold."""
+    rids = [r[RID] for r in rid_df.limit(ISIN_CAP + 1).collect()]
+    cur = table.current_view(include_meta=True)
+    if len(rids) <= ISIN_CAP:
+        hit = cur.where(F.col(RID).isin(rids)) if rids else cur.where(F.lit(False))
+    else:  # pragma: no cover - degenerate selectivity; stay distributed
+        hit = cur.join(F.broadcast(rid_df), on=RID, how="left_semi")
+    return hit.where(cond).select(*table.user_cols)
+
+
+def indexed_range_lookup(table: LineageTable, col: str, lo=None, hi=None) -> DataFrame:
+    """Exact INCLUSIVE range lookup ``lo <= col <= hi`` accelerated by
+    the secondary index — the scale analogue of the reference's
+    ``Index.locate_range`` (reference index.py:42-53, which iterates
+    a dense value domain on the driver; here the range is one
+    partition-pruned scan).
+
+    On a ``layout='range'`` index the quantile bucketing is monotone,
+    so the value range maps to a contiguous ``_b`` range and the
+    index scan partition-prunes to the intersecting buckets. On a
+    hash layout the index is still consulted (a 2-column scan beats
+    folding the table) but every bucket must be read — build with
+    ``layout='range'`` for range-heavy columns. Delta catch-up and
+    verify-at-read are identical to :func:`indexed_lookup`."""
+    if lo is None and hi is None:
+        raise ValueError("indexed_range_lookup needs at least one bound")
+    meta = _index_meta(table, col)
+    wm = int(meta["built_watermark"])
+    dt = table.schema[col].dataType
+    conds = []
+    if lo is not None:
+        conds.append(F.col(col) >= F.lit(lo).cast(dt))
+    if hi is not None:
+        conds.append(F.col(col) <= F.lit(hi).cast(dt))
+    cond = conds[0] if len(conds) == 1 else conds[0] & conds[1]
+
+    idx = table.spark.read.parquet(index_dir(table, col))
+    if meta.get("layout", "hash") == "range":
+        bnd = meta.get("boundaries", [])
+        blo = _range_bucket_of(bnd, lo) if lo is not None else 0
+        bhi = _range_bucket_of(bnd, hi) if hi is not None else len(bnd)
+        idx = idx.where(F.col("_b").between(blo, bhi))
+    idx = idx.where(cond).select(F.col(RID))
+    fresh_base = (
+        table.base_df().where((F.col(RID) > wm) & cond).select(F.col(RID))
+    )
+    fresh_tail = (
+        table.tail_df()
+        .where((F.col(SEQ) > wm) & (F.col(OP) == OP_UPDATE) & cond)
+        .select(F.col(RID))
+    )
+    rid_df = idx.unionByName(fresh_base).unionByName(fresh_tail).distinct()
+    return _resolve_and_verify(table, rid_df, cond)
+
+
 def indexed_lookup(table: LineageTable, col: str, value) -> DataFrame:
     """Exact point lookup ``col == value`` accelerated by the index.
 
@@ -120,7 +222,10 @@ def indexed_lookup(table: LineageTable, col: str, value) -> DataFrame:
     meta = _index_meta(table, col)
     wm = int(meta["built_watermark"])
     lit = F.lit(value).cast(table.schema[col].dataType)
-    b = _bucket_of(table, col, value, int(meta["n_buckets"]))
+    if meta.get("layout", "hash") == "range":
+        b = _range_bucket_of(meta.get("boundaries", []), value)
+    else:
+        b = _bucket_of(table, col, value, int(meta["n_buckets"]))
 
     idx = (
         table.spark.read.parquet(index_dir(table, col))
@@ -139,13 +244,4 @@ def indexed_lookup(table: LineageTable, col: str, value) -> DataFrame:
         .select(F.col(RID))
     )
     rid_df = idx.unionByName(fresh_base).unionByName(fresh_tail).distinct()
-
-    rids = [r[RID] for r in rid_df.limit(ISIN_CAP + 1).collect()]
-    cur = table.current_view(include_meta=True)
-    if len(rids) <= ISIN_CAP:
-        # rid IN (...) pushes through the fold into BOTH the base scan
-        # and the tail scan (rid is the fold's join/grouping key)
-        hit = cur.where(F.col(RID).isin(rids)) if rids else cur.where(F.lit(False))
-    else:  # pragma: no cover - degenerate selectivity; stay distributed
-        hit = cur.join(F.broadcast(rid_df), on=RID, how="left_semi")
-    return hit.where(F.col(col) == lit).select(*table.user_cols)
+    return _resolve_and_verify(table, rid_df, F.col(col) == lit)

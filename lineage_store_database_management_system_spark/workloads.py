@@ -3247,6 +3247,38 @@ def pq_indexed_lookup(spark, sf_dir):
 
 
 @workload(
+    "pq_indexed_range_lookup",
+    f"""SELECT o_orderkey, o_custkey, {_CUR} AS o_totalprice
+FROM orders WHERE o_custkey BETWEEN 40 AND 45 AND {_LIVE}""",
+)
+def pq_indexed_range_lookup(spark, sf_dir):
+    """Range lookup on a non-key column through a RANGE-layout
+    secondary index: quantile-bucketed (value, rid) parquet, so the
+    value range maps to a contiguous partition range — the 100 TB
+    analogue of the reference's Index.locate_range (reference
+    index.py:42-53), which iterates a dense value domain on the
+    driver. Exact at any staleness (delta catch-up + re-verify); must
+    equal the plain current-view filter (the oracle). Rebuilds the
+    shared o_custkey index with layout='range' when a prior workload
+    left a hash layout (point lookups dispatch through either)."""
+    import json as _json
+
+    from . import indexing
+
+    t = _table(spark, sf_dir, "orders_a")
+    meta_path = os.path.join(indexing.index_dir(t, "o_custkey"), "_index_meta.json")
+    need = True
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            need = _json.load(f).get("layout", "hash") != "range"
+    if need:
+        indexing.build_secondary_index(t, "o_custkey", n_buckets=16, layout="range")
+    return indexing.indexed_range_lookup(t, "o_custkey", 40, 45).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@workload(
     "pq_table_stats",
     f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_custkey,

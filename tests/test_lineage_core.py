@@ -892,3 +892,61 @@ def test_check_constraints_folded_update(spark, tmp_path):
             b.delete(spark.createDataFrame([(8,)], "k long"))
     assert t.current_view().count() == before
     assert t.current_view().where("k = 7").collect()[0]["lo"] == 7.0
+
+def test_secondary_index_range_layout(spark, tmp_path):
+    """Range-layout secondary index: quantile bucketing makes a value
+    range a contiguous bucket range (partition-pruned scan), lookups
+    stay exact after post-build mutations, point lookups dispatch
+    through the range layout, and non-numeric columns are rejected."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark import indexing
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).alias("grp"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    t = db.create_table_typed("t", src.schema, "k")
+    t.ingest_dataframe(src)
+    with pytest.raises(ValueError):
+        indexing.build_secondary_index(t, "s", layout="range")
+    indexing.build_secondary_index(t, "grp", n_buckets=8, layout="range")
+
+    got = sorted(r["k"] for r in indexing.indexed_range_lookup(t, "grp", 10, 19).collect())
+    exp = sorted(r["k"] for r in t.current_view().where("grp BETWEEN 10 AND 19").collect())
+    assert got == exp and len(got) == 100
+
+    # staleness: mutations after the build are caught up and verified
+    t.bulk_update(spark.createDataFrame([(5, 12), (15, 50)], "k long, grp long"))
+    t.bulk_delete(spark.createDataFrame([(12,)], "k long"))
+    got2 = sorted(r["k"] for r in indexing.indexed_range_lookup(t, "grp", 10, 19).collect())
+    exp2 = sorted(r["k"] for r in t.current_view().where("grp BETWEEN 10 AND 19").collect())
+    assert got2 == exp2
+    assert 5 in got2       # updated INTO the range after the build
+    assert 15 not in got2  # updated OUT of the range (stale entry dropped)
+    assert 12 not in got2  # tombstoned
+
+    # one-sided bounds
+    hi_only = sorted(r["k"] for r in indexing.indexed_range_lookup(t, "grp", hi=1).collect())
+    exp_hi = sorted(r["k"] for r in t.current_view().where("grp <= 1").collect())
+    assert hi_only == exp_hi
+
+    # point lookup dispatches through the range layout
+    gotp = sorted(r["k"] for r in indexing.indexed_lookup(t, "grp", 12).collect())
+    expp = sorted(r["k"] for r in t.current_view().where("grp = 12").collect())
+    assert gotp == expp
+
+    # the bucket range genuinely prunes, and it is a PARTITION filter
+    meta = indexing._index_meta(t, "grp")
+    blo = indexing._range_bucket_of(meta["boundaries"], 10)
+    bhi = indexing._range_bucket_of(meta["boundaries"], 19)
+    assert bhi - blo + 1 < 8
+    idx = (
+        spark.read.parquet(indexing.index_dir(t, "grp"))
+        .where(F.col("_b").between(blo, bhi) & F.col("grp").between(10, 19))
+    )
+    iplan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in iplan and "_b" in iplan.split("PartitionFilters")[1][:120], iplan
