@@ -99,10 +99,24 @@ def main() -> int:
     # read.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     REBUILD = {"pq_insert_bulk_current_view"}
+
+    # The registry's minhash workload became gate-shaped in round 4
+    # (it also computes the exact-Jaccard truth set to oracle the
+    # candidates). The BENCH keeps timing the raw operator over the
+    # documents table so per-query numbers stay comparable across
+    # rounds and measure the operator, not its correctness harness.
+    def _bench_minhash(spark, sf_dir):
+        from lineage_store_database_management_system_spark.operators import dedup
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return dedup.minhash_lsh_candidates(docs, "doc_id", "text")
+
+    FN_OVERRIDES = {"ds_minhash_lsh_candidates": _bench_minhash}
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
-        fn = workloads.QUERIES[name]
+        fn = FN_OVERRIDES.get(name, workloads.QUERIES[name])
         per_run: list[float] = []
         n = 0
         for _ in range(runs):

@@ -150,6 +150,24 @@ def _schema_from_json(s: str) -> T.StructType:
     return T.StructType.fromJson(json.loads(s))
 
 
+def _parse_size_bytes(v) -> int:
+    """Parse a Spark size conf value ('10485760', '10MB', '-1') to
+    bytes; -1 (or unparseable) means 'disabled'."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+                   ("tb", 1024**4), ("k", 1024), ("m", 1024**2),
+                   ("g", 1024**3), ("b", 1)):
+        if s.endswith(suf):
+            s = s[: -len(suf)]
+            mult = m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return -1
+
+
 def _has_parquet(path: str) -> bool:
     if not os.path.isdir(path):
         return False
@@ -951,6 +969,7 @@ class LineageTable:
         tail: DataFrame,
         drop_deleted: bool = True,
         tail_known_empty: bool = False,
+        broadcast_tail: bool = False,
     ) -> DataFrame:
         """base ⟕ latest-tail coalesce — the lazily-computed
         page_directory (reference table.py:37, query.py:96).
@@ -1011,6 +1030,13 @@ class LineageTable:
         else:
             join_cols = [RID]
         folded = tail.groupBy(*join_cols).agg(*aggs)
+        if broadcast_tail:
+            # Stats-driven (ANALYZE): the folded tail is small enough
+            # to broadcast, but Catalyst cannot see through the
+            # aggregate to know that statically — without the hint the
+            # initial plan is a sort-merge join and only AQE rescues
+            # it at runtime. The hint removes both exchanges up front.
+            folded = F.broadcast(folded)
         joined = base.join(folded, on=join_cols, how="left")
         if drop_deleted:
             joined = joined.where(F.col("_del_seq").isNull())
@@ -1043,7 +1069,33 @@ class LineageTable:
             base = self.base_df()
             tail = self.tail_df()
             known_empty = not self._pending_tail and not _has_parquet(self.tail_dir)
-        out = self._fold_tail(base, tail, tail_known_empty=known_empty)
+        # ANALYZE-driven planning: stats collected at the CURRENT
+        # commit watermark (any write invalidates them) know exactly
+        # how many tail rows the fold would process. Zero rows -> skip
+        # the outer join entirely (a compacted-and-idle table folds
+        # nothing); a small count -> broadcast-hint the folded tail so
+        # the initial plan is already the broadcast join AQE would
+        # otherwise only discover at runtime.
+        broadcast_tail = False
+        st = m.extra.get("stats")
+        if not known_empty and st and st.get("watermark") == self.watermark():
+            tail_rows = st.get("tail_rows_past_tps")
+            if tail_rows == 0 and not self._pending_tail:
+                known_empty = True
+            elif tail_rows is not None:
+                thr = _parse_size_bytes(
+                    self.spark.conf.get(
+                        "spark.sql.autoBroadcastJoinThreshold", "10485760"
+                    )
+                )
+                # the folded side has one row per DISTINCT rid, however
+                # many deltas fold into it
+                rids = st.get("tail_rids_past_tps", tail_rows)
+                est = rids * (48 + 16 * len(self.user_cols))
+                broadcast_tail = 0 < thr and est <= thr
+        out = self._fold_tail(
+            base, tail, tail_known_empty=known_empty, broadcast_tail=broadcast_tail
+        )
         if not include_meta:
             out = out.select(*self.user_cols)
         return out
@@ -1192,10 +1244,33 @@ class LineageTable:
                 return v.isoformat()
             return v
 
+        # One extra tiny agg: how many tail rows the current-view fold
+        # would process (seq > TPS), and how many DISTINCT rids they
+        # touch — the latter IS the folded side's output size, which
+        # Catalyst cannot estimate through the aggregate (it sees only
+        # the tail file bytes). current_view() consumes both while
+        # these stats stay fresh: 0 rows skips the fold join entirely,
+        # a small rid count broadcast-hints the folded side.
+        if self._pending_tail or _has_parquet(self.tail_dir):
+            trow = (
+                self.tail_df()
+                .where(F.col(SEQ) > self.manifest.tps)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.approx_count_distinct(RID).alias("d"),
+                )
+                .collect()[0]
+            )
+            tail_past, tail_rids = int(trow["n"]), int(trow["d"])
+        else:
+            tail_past, tail_rids = 0, 0
+
         stats = {
             "n_rows": row["__n"],
             "watermark": self.watermark(),
             "exact_ndv": bool(exact),
+            "tail_rows_past_tps": tail_past,
+            "tail_rids_past_tps": tail_rids,
             "columns": {
                 c: {
                     "min": _json_safe(row[f"__min_{c}"]),

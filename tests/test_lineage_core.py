@@ -950,3 +950,76 @@ def test_secondary_index_range_layout(spark, tmp_path):
     )
     iplan = idx._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in iplan and "_b" in iplan.split("PartitionFilters")[1][:120], iplan
+
+def test_stats_driven_fold_planning(spark, tmp_path):
+    """ANALYZE stats drive the current-view fold plan (VERDICT r3 #5):
+    many deltas over FEW rids -> Catalyst's file-size estimate picks
+    SMJ but fresh stats know the folded side is tiny and broadcast-
+    hint it; broadcast disabled -> no hint misfire; zero post-TPS
+    tail rows -> no join at all; any write invalidates the stats."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    t = db.create_table_typed("t", src.schema, "k")
+    t.ingest_dataframe(src)
+    # 20k update deltas over 50 rids via a CDC feed (one append):
+    # the tail FILE is big, the folded output is 50 rows
+    import datetime
+
+    rid_of = {
+        r["k"]: r["_rid"]
+        for r in t.current_view(include_meta=True).where("k < 50").select("k", "_rid").collect()
+    }
+    wm = t.watermark()
+    base_seq = ((wm >> 48) + 1) << 48
+    now = datetime.datetime(2026, 1, 1)
+    feed_rows = []
+    i = 0
+    for k, rid in sorted(rid_of.items()):
+        for _ in range(400):
+            feed_rows.append((rid, base_seq + i, "U", now, k, float(i)))
+            i += 1
+    feed = spark.createDataFrame(feed_rows, t.tail_schema)
+    t.apply_changes(feed)
+
+    def plan():
+        return t.current_view()._jdf.queryExecution().executedPlan().toString()
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+    try:
+        # stale stats (never analyzed): Catalyst sees only the big
+        # tail file -> un-hinted sort-merge join
+        assert "SortMergeJoin" in plan() and "BroadcastHashJoin" not in plan()
+
+        # fresh stats: 50 folded rids -> broadcast hint up front
+        t.analyze()
+        st = t.table_stats()
+        assert st["tail_rows_past_tps"] == 20000 and st["tail_rids_past_tps"] <= 55
+        assert "BroadcastHashJoin" in plan()
+
+        # broadcast disabled -> the hint must NOT fire
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert "BroadcastHashJoin" not in plan() and "SortMergeJoin" in plan()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    # the fold answer is the last delta per rid regardless of plan
+    assert (
+        t.current_view().where("k = 0").collect()[0]["v"] == 399.0
+    )
+
+    # compacted + analyzed: zero post-TPS tail rows -> fold skipped
+    t.compact()
+    t.analyze()
+    assert t.table_stats()["tail_rows_past_tps"] == 0
+    p = plan()
+    assert "Join" not in p, p
+    assert t.current_view().where("k = 0").collect()[0]["v"] == 399.0
+
+    # a write invalidates the stats: the fold (and the join) return
+    t.bulk_update(spark.createDataFrame([(7, 99.0)], "k long, v double"))
+    assert "Join" in plan()
+    assert t.current_view().where("k = 7").collect()[0]["v"] == 99.0
