@@ -44,6 +44,15 @@ AUDIT = [
     ("ds_chunk_documents", ["Generate"], ["Exchange", "BatchEvalPython"]),
     ("ds_tfidf_top_terms", ["Window", "HashAggregate"], ["BatchEvalPython"]),
     ("ds_ivf_full_probe", ["TakeOrderedAndProject"], ["BatchEvalPython"]),
+    # round-4 additions. The indexed lookups must push the candidate
+    # rid set into the scans; the gated ANN workloads keep the exact
+    # side a top-k (TakeOrderedAndProject), never a global sort; no
+    # row-at-a-time Python anywhere.
+    ("pq_indexed_lookup", ["_rid"], ["BatchEvalPython"]),
+    ("pq_indexed_range_lookup", ["_rid"], ["BatchEvalPython"]),
+    ("ds_embedding_lsh_topk", ["TakeOrderedAndProject"], ["BatchEvalPython"]),
+    ("ds_embedding_ivf_topk", ["TakeOrderedAndProject"], ["BatchEvalPython"]),
+    ("ds_winnowing_fingerprints", ["lambdafunction"], ["BatchEvalPython"]),
 ]
 
 
