@@ -1361,6 +1361,57 @@ def ds_winnowing(spark, sf_dir):
 
 
 @workload(
+    "ds_embedding_quantize",
+    # Scalar int8 quantization is deterministic per-element double
+    # arithmetic (FLOOR bucketing dodges round-half tie semantics),
+    # so the oracle replicates it exactly: per-vector min/step, the
+    # integer code SUM (order-independent), and a reconstruction
+    # error bound that holds by construction.
+    """WITH q AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS qmin,
+         (CAST(list_max(embedding) AS DOUBLE)
+          - CAST(list_min(embedding) AS DOUBLE)) / 256.0 AS qstep
+  FROM embeddings
+)
+SELECT vec_id, qmin, qstep,
+       CAST(list_aggregate(list_transform(embedding,
+            x -> CASE WHEN qstep = 0 THEN 0
+                 ELSE LEAST(255, CAST(FLOOR((CAST(x AS DOUBLE) - qmin) / qstep)
+                                      AS BIGINT)) END),
+            'sum') AS BIGINT) AS sum_codes,
+       TRUE AS recon_ok
+FROM q""",
+)
+def ds_embed_quant(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column (4x smaller
+    storage before ANN; pure Catalyst, map-only, no shuffle) with the
+    reconstruction-error bound asserted in-query: every element must
+    round-trip to within half a quantization step."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    q = similarity.scalar_quantize(emb)
+    err = similarity.dequantize_error(q, emb).select(
+        "vec_id", "max_abs_err"
+    )
+    sum_codes = F.aggregate(
+        F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+    )
+    return (
+        q.join(err, on="vec_id")
+        .select(
+            "vec_id",
+            "qmin",
+            "qstep",
+            sum_codes.alias("sum_codes"),
+            (
+                (F.col("qstep") == 0.0)
+                | (F.col("max_abs_err") <= F.col("qstep") * 0.5000001)
+            ).alias("recon_ok"),
+        )
+    )
+
+
+@workload(
     "ds_cosine_pairs_exact",
     """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
 p AS (

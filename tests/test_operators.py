@@ -321,7 +321,6 @@ def test_minhash_sketch_dir_reuse(spark, sf_dir, tmp_path):
     second candidate query reads the sketch instead of recomputing,
     and results are identical to the in-memory path."""
     import os
-    import time
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
     sdir = str(tmp_path / "mh_sketch")
@@ -330,26 +329,26 @@ def test_minhash_sketch_dir_reuse(spark, sf_dir, tmp_path):
         (r["id_a"], r["id_b"], r["n_shared_bands"])
         for r in dedup.minhash_lsh_candidates(docs, "doc_id", "text").collect()
     }
-    t0 = time.time()
     first = {
         (r["id_a"], r["id_b"], r["n_shared_bands"])
         for r in dedup.minhash_lsh_candidates(
             docs, "doc_id", "text", sketch_dir=sdir
         ).collect()
     }
-    t_first = time.time() - t0
-    assert os.path.exists(os.path.join(sdir, "_SUCCESS"))
-    t0 = time.time()
+    success = os.path.join(sdir, "_SUCCESS")
+    assert os.path.exists(success)
+    mtime_first = os.path.getmtime(success)
     again = {
         (r["id_a"], r["id_b"], r["n_shared_bands"])
         for r in dedup.minhash_lsh_candidates(
             docs, "doc_id", "text", sketch_dir=sdir
         ).collect()
     }
-    t_again = time.time() - t0
     assert mem == first == again
-    # the reuse run skips the signature computation entirely
-    assert t_again < t_first
+    # the reuse run reads the persisted sketch instead of recomputing:
+    # the sketch table must NOT have been rewritten (wall-clock
+    # comparisons are meaningless on this host — 3-7x run variance)
+    assert os.path.getmtime(success) == mtime_first
 
 
 def test_codec_stub_contract(spark, docs):
@@ -588,3 +587,16 @@ def test_tfidf_top_terms_ranking(spark):
     assert per_group["g2"][0][0] == "gamma"
     assert all(len(v) <= 2 for v in per_group.values())
     assert all(s >= 0 for v in per_group.values() for _t, s in v)
+
+def test_scalar_quantize_roundtrip(emb):
+    q = similarity.scalar_quantize(emb.limit(100))
+    rows = q.collect()
+    assert all(0 <= c <= 255 for r in rows for c in r["codes"])
+    err = similarity.dequantize_error(q, emb.limit(100)).collect()
+    assert all(
+        r["max_abs_err"] <= r["qstep"] * 0.5000001 or r["qstep"] == 0.0
+        for r in err
+    )
+    # deterministic across runs
+    again = {r["vec_id"]: r["codes"] for r in similarity.scalar_quantize(emb.limit(100)).collect()}
+    assert all(again[r["vec_id"]] == r["codes"] for r in rows)
