@@ -278,6 +278,49 @@ def chunk_fixed(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame, id_col: str, text_col: str, min_docs: int = 3
+) -> DataFrame:
+    """C4/RefinedWeb-style line-level boilerplate removal: any line
+    appearing in >= ``min_docs`` DISTINCT documents (nav bars, ToS
+    footers, cookie banners) is stripped from every document.
+
+    Scale shape: lines explode once; the corpus-wide frequency count
+    groups on the line's 64-bit xxhash (8-byte shuffle keys, never
+    raw text — collision odds are ~n^2/2^64); the boilerplate set
+    anti-joins back on the same hash; documents reassemble with an
+    order-preserving in-group sort (array_sort over (pos, line)
+    structs — no global sort). Documents whose every line is
+    boilerplate come back as empty strings, not dropped rows."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_h", F.xxhash64("_line"))
+    boiler = (
+        lines.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    kept = lines.join(boiler, on="_h", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("_cleaned")
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col), F.coalesce(F.col("_cleaned"), F.lit("")).alias(text_col)
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,

@@ -1361,6 +1361,82 @@ def ds_winnowing(spark, sf_dir):
 
 
 @workload(
+    "ds_boilerplate_lines",
+    # Plant a ToS-style header line on every document; line-level
+    # dedup must strip it everywhere (it appears in every doc), and a
+    # document whose BODY also repeats across >= 3 docs (exact-dup
+    # texts exist in the corpus) loses that line too — the oracle
+    # replicates the whole frequency computation, not just the happy
+    # path.
+    """WITH lines AS (
+  SELECT doc_id, 0 AS pos, 'XX COOKIE AND TERMS BANNER XX' AS line FROM documents
+  UNION ALL
+  SELECT doc_id, 1, text FROM documents
+), counts AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+), keep AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l
+  JOIN counts c ON l.line = c.line WHERE c.nd < 3
+)
+SELECT d.doc_id,
+       COALESCE(CAST(LENGTH(string_agg(k.line, chr(10) ORDER BY k.pos)) AS BIGINT),
+                0) AS cleaned_chars,
+       COALESCE(LENGTH(string_agg(k.line, chr(10) ORDER BY k.pos)), 0)
+         < LENGTH('XX COOKIE AND TERMS BANNER XX' || chr(10) || d.text)
+         AS removed_any
+FROM documents d LEFT JOIN keep k ON d.doc_id = k.doc_id
+GROUP BY d.doc_id, d.text""",
+)
+def ds_boilerplate(spark, sf_dir):
+    """Line-level boilerplate removal (C4/RefinedWeb): strip lines
+    appearing in >= 3 distinct documents. The corpus plants a banner
+    line on every document so the boilerplate path is exercised
+    deterministically; the gate hashes per-doc cleaned sizes."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("XX COOKIE AND TERMS BANNER XX\n"), F.col("text")
+        ).alias("text"),
+    )
+    cleaned = textops.remove_boilerplate_lines(corpus, "doc_id", "text", min_docs=3)
+    orig = corpus.select("doc_id", F.length("text").alias("_orig_chars"))
+    return (
+        cleaned.join(orig, on="doc_id")
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("cleaned_chars"),
+            (F.length("text") < F.col("_orig_chars")).alias("removed_any"),
+        )
+    )
+
+
+@workload(
+    "ext_lateral_topk_per_nation",
+    """SELECT n_name, c.c_custkey, c.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""",
+)
+def ext_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT
+    (top-2 customers per nation) — the SQL-standard lateral join
+    shape, identical text on both engines. Catalyst decorrelates it
+    into a ranked window join."""
+    d = load_star(spark, sf_dir)
+    d["nation"].createOrReplaceTempView("nation")
+    d["customer"].createOrReplaceTempView("customer")
+    return spark.sql(
+        """SELECT n_name, c.c_custkey, c.c_acctbal
+           FROM nation, LATERAL (
+             SELECT c_custkey, c_acctbal FROM customer
+             WHERE c_nationkey = n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c"""
+    )
+
+
+@workload(
     "ds_embedding_quantize",
     # Scalar int8 quantization is deterministic per-element double
     # arithmetic (FLOOR bucketing dodges round-half tie semantics),

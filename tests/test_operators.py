@@ -600,3 +600,26 @@ def test_scalar_quantize_roundtrip(emb):
     # deterministic across runs
     again = {r["vec_id"]: r["codes"] for r in similarity.scalar_quantize(emb.limit(100)).collect()}
     assert all(again[r["vec_id"]] == r["codes"] for r in rows)
+
+def test_remove_boilerplate_lines(spark):
+    """Lines in >= min_docs distinct docs are stripped everywhere;
+    order of surviving lines is preserved; an all-boilerplate doc
+    becomes an empty string, not a dropped row."""
+    footer = "(c) example corp - all rights reserved"
+    rows = [
+        (1, f"unique alpha\n{footer}\nunique beta"),
+        (2, f"{footer}\nsomething else"),
+        (3, f"third body\n{footer}"),
+        (4, footer),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in textops.remove_boilerplate_lines(df, "doc_id", "text", min_docs=3).collect()
+    }
+    assert out == {
+        1: "unique alpha\nunique beta",
+        2: "something else",
+        3: "third body",
+        4: "",
+    }
