@@ -1361,6 +1361,36 @@ def ds_winnowing(spark, sf_dir):
 
 
 @workload(
+    "pq_materialized_view",
+    f"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM({_CUR}), 2) AS sum_price
+FROM orders WHERE {_LIVE} GROUP BY o_orderstatus""",
+)
+def pq_materialized_view(spark, sf_dir):
+    """Materialized view over a lineage table: the aggregate is
+    computed once, stored as Parquet with the dependency's commit
+    watermark, and served with zero fold cost; staleness is an exact
+    watermark comparison (refresh no-ops while fresh). The gate
+    hashes the MV's stored answer against the direct oracle over the
+    mutated lineage state."""
+    from .catalog import Database as _DB
+
+    t = _table(spark, sf_dir, "orders_a")
+    db = _DB().open(os.path.dirname(t.path), spark)
+    name = "mv_orders_status"
+    sql = (
+        "SELECT o_orderstatus, COUNT(*) AS n, "
+        "ROUND(SUM(o_totalprice), 2) AS sum_price "
+        "FROM orders_a GROUP BY o_orderstatus"
+    )
+    if name not in db.list_materialized_views():
+        db.create_materialized_view(name, sql, deps=["orders_a"])
+    else:
+        db.refresh_materialized_view(name)  # no-op while fresh
+    return db.materialized_view(name)
+
+
+@workload(
     "ds_boilerplate_lines",
     # Plant a ToS-style header line on every document; line-level
     # dedup must strip it everywhere (it appears in every doc), and a

@@ -1023,3 +1023,51 @@ def test_stats_driven_fold_planning(spark, tmp_path):
     t.bulk_update(spark.createDataFrame([(7, 99.0)], "k long, v double"))
     assert "Join" in plan()
     assert t.current_view().where("k = 7").collect()[0]["v"] == 99.0
+
+def test_materialized_views(spark, tmp_path):
+    """MV lifecycle: exact watermark-based staleness, stale reads
+    return the stored (old) answer, refresh recomputes atomically and
+    no-ops when fresh, persistence across reopen, drop."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("grp"), F.lit(1.0).alias("v")
+    )
+    t = db.create_table_typed("t", src.schema, "k")
+    t.ingest_dataframe(src)
+    sql = "SELECT grp, COUNT(*) AS n, ROUND(SUM(v), 2) AS s FROM t GROUP BY grp"
+    db.create_materialized_view("mv_sum", sql, deps=["t"])
+    with pytest.raises(ValueError):
+        db.create_materialized_view("mv_sum", sql, deps=["t"])
+    with pytest.raises(KeyError):
+        db.create_materialized_view("mv_other", sql, deps=["nope"])
+
+    def direct():
+        t.current_view().createOrReplaceTempView("t")
+        return {(r["grp"], r["n"], r["s"]) for r in spark.sql(sql).collect()}
+
+    def stored():
+        return {(r["grp"], r["n"], r["s"]) for r in db.materialized_view("mv_sum").collect()}
+
+    assert db.mv_is_fresh("mv_sum") and stored() == direct()
+    old = stored()
+
+    t.bulk_update(spark.createDataFrame([(5, 100.0)], "k long, v double"))
+    assert not db.mv_is_fresh("mv_sum")
+    assert stored() == old  # stale MV serves the stored answer
+    assert db.refresh_materialized_view("mv_sum") is True
+    assert db.mv_is_fresh("mv_sum") and stored() == direct() != old
+    assert db.refresh_materialized_view("mv_sum") is False  # fresh -> no-op
+
+    db2 = Database().open(str(tmp_path / "db"), spark)
+    assert db2.list_materialized_views() == ["mv_sum"]
+    assert {
+        (r["grp"], r["n"], r["s"]) for r in db2.materialized_view("mv_sum").collect()
+    } == stored()
+    assert db2.drop_materialized_view("mv_sum") is True
+    assert db2.list_materialized_views() == []
+    with pytest.raises(KeyError):
+        db2.materialized_view("mv_sum")
