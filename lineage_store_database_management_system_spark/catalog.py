@@ -162,18 +162,11 @@ class Database:
         self._mv_build(name, sql, deps)
 
     def _mv_build(self, name: str, sql: str, deps: list[str]) -> None:
-        import uuid
-
         for d in deps:
             self.get_table(d).current_view().createOrReplaceTempView(d)
-        out = self.spark.sql(sql)
-        mv_dir = self._mv_dir(name)
-        staging = os.path.join(
-            os.path.dirname(mv_dir), f"_staging_{name}_{uuid.uuid4().hex[:8]}"
-        )
-        out.write.mode("overwrite").parquet(os.path.join(staging, "data"))
-        _atomic_write_json(
-            os.path.join(staging, "_mv_meta.json"),
+        self._mv_write(
+            name,
+            self.spark.sql(sql),
             {
                 "name": name,
                 "sql": sql,
@@ -181,12 +174,6 @@ class Database:
                 "dep_watermarks": {d: self.get_table(d).watermark() for d in deps},
             },
         )
-        old = mv_dir + ".old"
-        if os.path.isdir(mv_dir):
-            os.rename(mv_dir, old)
-        os.makedirs(os.path.dirname(mv_dir), exist_ok=True)
-        os.rename(staging, mv_dir)
-        shutil.rmtree(old, ignore_errors=True)
 
     def _mv_meta(self, name: str) -> dict:
         meta_path = os.path.join(self._mv_dir(name), "_mv_meta.json")
@@ -212,12 +199,203 @@ class Database:
 
     def refresh_materialized_view(self, name: str, force: bool = False) -> bool:
         """Recompute and atomically swap the MV if any dependency
-        moved (or ``force``). Returns True if a rebuild happened."""
+        moved (or ``force``). Aggregate MVs maintain incrementally
+        (:meth:`refresh_aggregate_mv`); SQL MVs recompute fully.
+        Returns True if anything was rebuilt."""
         meta = self._mv_meta(name)
+        if meta.get("kind") == "agg":
+            if force:
+                self._agg_mv_build(
+                    name, meta["table"], meta["group_by"], meta["sums"],
+                    meta["count_col"],
+                )
+                return True
+            return self.refresh_aggregate_mv(name) != "fresh"
         if not force and self.mv_is_fresh(name):
             return False
         self._mv_build(name, meta["sql"], meta["deps"])
         return True
+
+    # -- incremental aggregate MVs (lineage-native IVM) -----------------
+    def create_aggregate_mv(
+        self,
+        name: str,
+        table_name: str,
+        group_by: list[str],
+        sums: dict[str, str],
+        count_col: str = "n",
+    ) -> None:
+        """Aggregate MV with INCREMENTAL maintenance — the feature the
+        lineage format exists for (the L-Store premise: updates are
+        first-class deltas, so downstream state can be maintained
+        from them instead of recomputed). Stores ``group_by`` keys, a
+        live-row count, and ``SUM(COALESCE(col, 0))`` per entry in
+        ``sums`` (nulls count as 0 so full and incremental paths agree
+        identically).
+
+        :meth:`refresh_aggregate_mv` reads ONLY the deltas since the
+        recorded watermark: the touched rid set comes straight from
+        the tail (+ fresh base rids), the old and new states of those
+        rids fold through rid-pruned scans, and the per-group
+        difference merges into the stored (small) aggregate — cost
+        proportional to churn, not table size. Handles inserts,
+        value updates, GROUP-KEY updates (decrement old group,
+        increment new), and tombstones."""
+        self._require_open()
+        if os.path.isdir(self._mv_dir(name)):
+            raise ValueError(f"materialized view {name!r} already exists")
+        t = self.get_table(table_name)
+        bad = [c for c in list(group_by) + list(sums.values()) if c not in t.user_cols]
+        if bad:
+            raise ValueError(f"no such columns on {table_name!r}: {bad}")
+        self._agg_mv_build(name, table_name, group_by, sums, count_col)
+
+    def _agg_mv_aggs(self, sums: dict[str, str], count_col: str):
+        from pyspark.sql import functions as F
+
+        return [F.count(F.lit(1)).alias(count_col)] + [
+            F.sum(F.coalesce(F.col(src).cast("double"), F.lit(0.0))).alias(out)
+            for out, src in sums.items()
+        ]
+
+    def _agg_mv_build(self, name, table_name, group_by, sums, count_col) -> None:
+        t = self.get_table(table_name)
+        wm = t.watermark()
+        out = (
+            t.current_view()
+            .groupBy(*group_by)
+            .agg(*self._agg_mv_aggs(sums, count_col))
+        )
+        self._mv_write(
+            name,
+            out,
+            {
+                "name": name,
+                "kind": "agg",
+                "table": table_name,
+                "group_by": list(group_by),
+                "sums": dict(sums),
+                "count_col": count_col,
+                "dep_watermarks": {table_name: wm},
+            },
+        )
+
+    def _mv_write(self, name: str, df, meta: dict) -> None:
+        import uuid
+
+        mv_dir = self._mv_dir(name)
+        staging = os.path.join(
+            os.path.dirname(mv_dir), f"_staging_{name}_{uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("overwrite").parquet(os.path.join(staging, "data"))
+        _atomic_write_json(os.path.join(staging, "_mv_meta.json"), meta)
+        old = mv_dir + ".old"
+        if os.path.isdir(mv_dir):
+            os.rename(mv_dir, old)
+        os.makedirs(os.path.dirname(mv_dir), exist_ok=True)
+        os.rename(staging, mv_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def refresh_aggregate_mv(self, name: str) -> str:
+        """Incrementally maintain an aggregate MV from the lineage
+        deltas since its recorded watermark. Returns 'fresh' (no-op),
+        'incremental', or 'rebuild' (history needed for the old state
+        was vacuumed — falls back to a full recompute)."""
+        from pyspark.sql import functions as F
+
+        from .lineage import RID, SEQ
+
+        meta = self._mv_meta(name)
+        if meta.get("kind") != "agg":
+            raise ValueError(
+                f"{name!r} is a SQL materialized view; use "
+                "refresh_materialized_view"
+            )
+        table_name = meta["table"]
+        t = self.get_table(table_name)
+        old_wm = meta["dep_watermarks"][table_name]
+        new_wm = t.watermark()
+        if new_wm == old_wm:
+            return "fresh"
+        group_by = meta["group_by"]
+        sums = meta["sums"]
+        count_col = meta["count_col"]
+        floor = t.manifest.extra.get("history_floor")
+        if floor is not None and int(floor) > int(old_wm):
+            # pre-old-watermark deltas were vacuumed: the old state of
+            # touched rids is no longer reconstructable from history
+            self._agg_mv_build(name, table_name, group_by, sums, count_col)
+            return "rebuild"
+        t.flush()
+        base = t.base_df()
+        tail = t.tail_df()
+        touched = (
+            tail.where(F.col(SEQ) > old_wm)
+            .select(F.col(RID))
+            .unionByName(base.where(F.col(RID) > old_wm).select(F.col(RID)))
+            .distinct()
+        )
+        # churn guard: past ~5M touched rids the broadcast rid set and
+        # double fold stop beating a straight recompute
+        if touched.limit(5_000_001).count() > 5_000_000:
+            self._agg_mv_build(name, table_name, group_by, sums, count_col)
+            return "rebuild"
+        touched = F.broadcast(touched)
+
+        def state(rid_hi, seq_hi):
+            b = base.where(F.col(RID) <= rid_hi).join(touched, on=RID, how="left_semi")
+            d = tail.where(F.col(SEQ) <= seq_hi).join(touched, on=RID, how="left_semi")
+            return t._fold_tail(b, d)
+
+        aggs = self._agg_mv_aggs(sums, count_col)
+        new_agg = state(new_wm, new_wm).groupBy(*group_by).agg(*aggs)
+        old_agg = state(old_wm, old_wm).groupBy(*group_by).agg(*aggs)
+        neg = old_agg.select(
+            *group_by,
+            (-F.col(count_col)).alias(count_col),
+            *[(-F.col(c)).alias(c) for c in sums],
+        )
+        diff = (
+            new_agg.unionByName(neg)
+            .groupBy(*group_by)
+            .agg(
+                F.sum(count_col).alias(count_col),
+                *[F.sum(c).alias(c) for c in sums],
+            )
+        )
+        cur = self.materialized_view(name)
+        value_cols = [count_col, *sums]
+        # null-SAFE key merge: groupBy treats NULL keys as one group,
+        # so the merge join must too (plain equality would never match
+        # them and a NULL-keyed group would fork on every refresh)
+        m = cur.select(*group_by, *[F.col(c).alias(f"__m_{c}") for c in value_cols])
+        d = F.broadcast(
+            diff.select(
+                *[F.col(c).alias(f"__k_{c}") for c in group_by],
+                *[F.col(c).alias(f"__d_{c}") for c in value_cols],
+            )
+        )
+        cond = None
+        for c in group_by:
+            e = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+            cond = e if cond is None else cond & e
+        merged = (
+            m.join(d, cond, "full_outer")
+            .select(
+                *[F.coalesce(F.col(c), F.col(f"__k_{c}")).alias(c) for c in group_by],
+                *[
+                    (
+                        F.coalesce(F.col(f"__m_{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+                    ).alias(c)
+                    for c in value_cols
+                ],
+            )
+            .where(F.col(count_col) > 0)
+        )
+        meta["dep_watermarks"] = {table_name: new_wm}
+        self._mv_write(name, merged, meta)
+        return "incremental"
 
     def drop_materialized_view(self, name: str) -> bool:
         existed = os.path.isdir(self._mv_dir(name))

@@ -126,6 +126,12 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
             (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"), "o_totalprice"
         )
         t.merge_into(matched.unionByName(fresh))
+    elif name == "customer_imv":
+        # ingest ONLY — the incremental-MV workload mutates through
+        # its own Database handle after creating the MV
+        src = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        t = db.create_table_typed(name, src.schema, "c_custkey")
+        t.ingest_dataframe(src)
     elif name == "customer_b":
         src = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
         t = db.create_table_typed(name, src.schema, "c_custkey")
@@ -1388,6 +1394,46 @@ def pq_materialized_view(spark, sf_dir):
     else:
         db.refresh_materialized_view(name)  # no-op while fresh
     return db.materialized_view(name)
+
+
+@workload(
+    "pq_incremental_mv",
+    f"""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM({_INC}), 2) AS s
+FROM customer WHERE c_custkey % 10 <> 7 GROUP BY c_nationkey""",
+)
+def pq_incremental_mv(spark, sf_dir):
+    """Incremental view maintenance — the L-Store premise made real:
+    the aggregate MV is built BEFORE a bulk update + bulk delete,
+    then maintained from the lineage deltas alone (touched-rid folds
+    at the old and new watermarks + a group diff merge; cost tracks
+    churn, not table size). The gate hashes the incrementally
+    maintained state against the direct oracle over the mutated
+    table."""
+    from .catalog import Database as _DB
+
+    t = _table(spark, sf_dir, "customer_imv")
+    db = _DB().open(os.path.dirname(t.path), spark)
+    name = "mv_cust_nation"
+    if name not in db.list_materialized_views():
+        db.create_aggregate_mv(
+            name, "customer_imv", group_by=["c_nationkey"], sums={"s": "c_acctbal"}
+        )
+        th = db.get_table("customer_imv")
+        src = th.current_view()
+        th.bulk_update(
+            src.where("c_custkey % 13 = 0").select(
+                "c_custkey", (F.col("c_acctbal") + 1).alias("c_acctbal")
+            )
+        )
+        th.bulk_delete(src.where("c_custkey % 10 = 7").select("c_custkey"))
+        mode = db.refresh_aggregate_mv(name)
+        assert mode == "incremental", mode
+    else:
+        db.refresh_aggregate_mv(name)  # no-op while fresh
+    return db.materialized_view(name).select(
+        "c_nationkey", F.col("n"), F.round("s", 2).alias("s")
+    )
 
 
 @workload(

@@ -1071,3 +1071,75 @@ def test_materialized_views(spark, tmp_path):
     assert db2.list_materialized_views() == []
     with pytest.raises(KeyError):
         db2.materialized_view("mv_sum")
+
+def test_incremental_aggregate_mv(spark, tmp_path):
+    """Lineage-native incremental view maintenance: the aggregate MV
+    refreshed from deltas must equal a full recompute after inserts,
+    value updates, GROUP-KEY updates, and deletes; refresh is a no-op
+    while fresh; vacuumed history falls back to a rebuild."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    t = db.create_table_typed("t", src.schema, "k")
+    t.ingest_dataframe(src)
+    db.create_aggregate_mv("mv", "t", group_by=["grp"], sums={"s": "v"})
+
+    def full():
+        return {
+            (r["grp"], r["n"], round(r["s"], 6))
+            for r in t.current_view()
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce(F.col("v"), F.lit(0.0))).alias("s"),
+            )
+            .collect()
+        }
+
+    def stored():
+        return {
+            (r["grp"], r["n"], round(r["s"], 6))
+            for r in db.materialized_view("mv").collect()
+        }
+
+    assert stored() == full()
+    assert db.refresh_aggregate_mv("mv") == "fresh"
+
+    # value updates + group-key moves + deletes + inserts
+    t.bulk_update(
+        spark.range(50).select(F.col("id").alias("k"), F.lit(1000.0).alias("v"))
+    )
+    t.bulk_update(
+        spark.range(50, 80).select(F.col("id").alias("k"), F.lit(99).alias("grp"))
+    )
+    t.bulk_delete(spark.range(80, 120).select(F.col("id").alias("k")))
+    t.ingest_dataframe(
+        spark.range(5000, 5100).select(
+            F.col("id").alias("k"), F.lit(99).alias("grp"), F.lit(2.0).alias("v")
+        )
+    )
+    assert db.refresh_aggregate_mv("mv") == "incremental"
+    assert stored() == full()
+    assert db.mv_is_fresh("mv")
+
+    # a group emptied entirely disappears from the MV
+    t.delete_where("grp = 99")
+    assert db.refresh_materialized_view("mv") is True  # dispatches to incremental
+    assert stored() == full()
+    assert not any(g == 99 for g, _, _ in stored())
+
+    # vacuumed history -> old state unreconstructable -> full rebuild
+    t.bulk_update(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(-1.0).alias("v"))
+    )
+    t.compact()
+    t.vacuum_tail()
+    assert db.refresh_aggregate_mv("mv") == "rebuild"
+    assert stored() == full()
