@@ -124,6 +124,46 @@ class Database:
         self.tables[name] = table
         return table
 
+    def clone_table(self, src: str, dst: str) -> LineageTable:
+        """ZERO-COPY shallow clone: hardlink every data file and copy
+        the manifest under the new name — O(number of files), no data
+        bytes moved, regardless of table size. The append-only lineage
+        format makes sharing safe: neither side ever mutates a shared
+        file in place (appends create new files, compaction writes a
+        NEW snapshot directory, vacuum only unlinks its own directory
+        entries — the other side's hardlinks keep the inodes alive).
+        After the clone, the two tables have fully independent
+        histories: writes, compaction, CHECKs, and indexes on one are
+        invisible to the other. The lakehouse SHALLOW CLONE, powered
+        by the same immutability the reference's base pages promise
+        (reference table.py:100-133)."""
+        self._require_open()
+        if dst in self.tables or dst in self._on_disk_tables():
+            raise ValueError(f"table {dst!r} already exists")
+        src_t = self.get_table(src)
+        src_t.flush()
+        src_dir = os.path.join(self.path, src)
+        dst_dir = os.path.join(self.path, dst)
+        skip_names = {"_manifest.json", "_manifest.lock"}
+        for root, dirs, files in os.walk(src_dir):
+            rel = os.path.relpath(root, src_dir)
+            # staging leftovers and swap temporaries are not table state
+            dirs[:] = [
+                d for d in dirs if not d.startswith("_staging_") and not d.endswith(".old")
+            ]
+            out_root = dst_dir if rel == "." else os.path.join(dst_dir, rel)
+            os.makedirs(out_root, exist_ok=True)
+            for f in files:
+                if rel == "." and f in skip_names:
+                    continue
+                os.link(os.path.join(root, f), os.path.join(out_root, f))
+        meta = src_t.manifest.to_dict()
+        meta["name"] = dst
+        _atomic_write_json(os.path.join(dst_dir, "_manifest.json"), meta)
+        table = LineageTable.load(self.spark, dst_dir)
+        self.tables[dst] = table
+        return table
+
     # -- Spark SQL integration (extension layer, SURVEY §7.2 M4) --------
     def register_views(self, versions: bool = False) -> None:
         """Expose every table's current view as a session temp view so

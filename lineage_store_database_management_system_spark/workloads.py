@@ -1397,6 +1397,34 @@ def pq_materialized_view(spark, sf_dir):
 
 
 @workload(
+    "pq_shallow_clone",
+    f"""SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 11 = 0 THEN ({_CUR}) + 1000 ELSE ({_CUR}) END
+         AS o_totalprice
+FROM orders WHERE {_LIVE}""",
+)
+def pq_shallow_clone(spark, sf_dir):
+    """Zero-copy shallow clone (hardlinked data files, independent
+    manifests): the clone takes an extra bulk update that must be
+    invisible to the source, and the gate hashes the clone's current
+    view — source history + divergent clone delta — against the
+    closed-form oracle."""
+    from .catalog import Database as _DB
+
+    t = _table(spark, sf_dir, "orders_a")
+    db = _DB().open(os.path.dirname(t.path), spark)
+    if "orders_a_clone" not in db.list_tables():
+        c = db.clone_table("orders_a", "orders_a_clone")
+        c.bulk_update(
+            c.current_view()
+            .where("o_orderkey % 11 = 0")
+            .select("o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice"))
+        )
+    c = db.get_table("orders_a_clone")
+    return c.current_view().select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@workload(
     "pq_incremental_mv",
     f"""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM({_INC}), 2) AS s

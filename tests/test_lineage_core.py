@@ -1143,3 +1143,45 @@ def test_incremental_aggregate_mv(spark, tmp_path):
     t.vacuum_tail()
     assert db.refresh_aggregate_mv("mv") == "rebuild"
     assert stored() == full()
+
+def test_shallow_clone_table(spark, tmp_path):
+    """Zero-copy clone: identical answers at clone time, fully
+    independent histories afterwards — and vacuuming one side must
+    not corrupt the other (hardlinked inodes stay alive)."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    t = db.create_table_typed("t", src.schema, "k")
+    t.ingest_dataframe(src)
+    t.bulk_update(spark.range(50).select(F.col("id").alias("k"), F.lit(-1.0).alias("v")))
+
+    c = db.clone_table("t", "t_clone")
+    with pytest.raises(ValueError):
+        db.clone_table("t", "t_clone")
+    snap = {(r["k"], r["v"]) for r in t.current_view().collect()}
+    assert {(r["k"], r["v"]) for r in c.current_view().collect()} == snap
+
+    # diverge: each side's writes are invisible to the other
+    c.bulk_update(spark.createDataFrame([(7, 700.0)], "k long, v double"))
+    t.bulk_delete(spark.createDataFrame([(9,)], "k long"))
+    assert t.current_view().where("k = 7").collect()[0]["v"] == -1.0
+    assert c.current_view().where("k = 7").collect()[0]["v"] == 700.0
+    assert t.current_view().where("k = 9").count() == 0
+    assert c.current_view().where("k = 9").count() == 1
+
+    # source compact + vacuum unlinks ITS tail entries; the clone's
+    # hardlinks keep the shared inodes alive and answers intact
+    t.compact()
+    t.vacuum_tail()
+    assert c.current_view().where("k = 7").collect()[0]["v"] == 700.0
+    assert {(r["k"], r["v"]) for r in t.current_view().collect()} == (
+        snap - {(9, -1.0)}
+    )
+
+    # persists across reopen
+    db2 = Database().open(str(tmp_path / "db"), spark)
+    assert "t_clone" in db2.list_tables()
+    assert db2.get_table("t_clone").current_view().count() == 500
