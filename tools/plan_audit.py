@@ -53,6 +53,14 @@ AUDIT = [
     ("ds_embedding_lsh_topk", ["TakeOrderedAndProject"], ["BatchEvalPython"]),
     ("ds_embedding_ivf_topk", ["TakeOrderedAndProject"], ["BatchEvalPython"]),
     ("ds_winnowing_fingerprints", ["lambdafunction"], ["BatchEvalPython"]),
+    # The LATERAL subquery must decorrelate to a ranked window join
+    # (per-row re-execution would be a nested loop); reading a
+    # materialized view must be a bare parquet scan — zero join or
+    # aggregate work at read time; boilerplate removal stays
+    # JVM-side end to end.
+    ("ext_lateral_topk_per_nation", ["WindowGroupLimit", "BroadcastHashJoin"], ["BatchEvalPython"]),
+    ("pq_materialized_view", ["Scan parquet"], ["Join", "HashAggregate", "BatchEvalPython"]),
+    ("ds_boilerplate_lines", ["Generate", "HashAggregate"], ["BatchEvalPython"]),
 ]
 
 
