@@ -1290,6 +1290,45 @@ class LineageTable:
         recorded watermark tells the consumer how stale it is."""
         return self.manifest.extra.get("stats")
 
+    def record_history(self) -> DataFrame:
+        """EVERY version of every record as rows: version 0 is the
+        base insert, version k the state after the k-th delta (per
+        rid, commit order). The reference's indirection-chain walk
+        (get_indirection, table.py:162-170) materialized as ONE
+        window computation: running ``last(col, ignorenulls=True)``
+        over the per-rid seq order folds each delta onto the state
+        before it. Delete deltas appear as terminal ``_op = 'D'``
+        rows. Requires un-vacuumed history (version travel contract,
+        :meth:`vacuum_tail`). The per-rid window shuffles base+tail
+        once — this is the audit/debug query, not the hot path."""
+        from pyspark.sql import Window
+
+        b = self.base_df().select(
+            F.col(RID),
+            F.lit(-1).cast("long").alias(SEQ),  # before any real seq (ids >= 0)
+            F.lit("I").alias(OP),
+            F.col(TS),
+            *[F.col(c) for c in self.user_cols],
+        )
+        u = b.unionByName(self.tail_df().select(b.columns))
+        w = (
+            Window.partitionBy(RID)
+            .orderBy(SEQ)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return u.select(
+            F.col(RID),
+            (F.row_number().over(Window.partitionBy(RID).orderBy(SEQ)) - 1)
+            .cast("long")
+            .alias("version_no"),
+            F.col(OP).alias("_op"),
+            F.col(TS),
+            *[
+                F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+                for c in self.user_cols
+            ],
+        )
+
     def snapshot_as_of(self, ts, include_meta: bool = False) -> DataFrame:
         """Absolute-time travel: the table as it stood at wall-clock
         ``ts`` (a datetime or ISO string). Complements the reference's

@@ -1397,6 +1397,36 @@ def pq_materialized_view(spark, sf_dir):
 
 
 @workload(
+    "pq_record_history",
+    # Keys divisible by 35 take BOTH mutation rounds (+100 then *2 on
+    # the pending value); excluding the %10=3 tombstones leaves a
+    # closed-form three-version chain per key that the oracle can
+    # state outright.
+    """WITH k AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey % 35 = 0 AND o_orderkey % 10 <> 3
+)
+SELECT o_orderkey, CAST(0 AS BIGINT) AS version_no,
+       o_totalprice FROM k
+UNION ALL
+SELECT o_orderkey, CAST(1 AS BIGINT), o_totalprice + 100 FROM k
+UNION ALL
+SELECT o_orderkey, CAST(2 AS BIGINT), (o_totalprice + 100) * 2 FROM k""",
+)
+def pq_record_history(spark, sf_dir):
+    """Full per-record version chains (reference indirection walk,
+    table.py:162-170, as one window computation): every version of
+    every record as rows, gated against the closed-form history of
+    the scenario's double-mutated keys."""
+    t = _table(spark, sf_dir, "orders_a")
+    return (
+        t.record_history()
+        .where("o_orderkey % 35 = 0 AND o_orderkey % 10 <> 3")
+        .select("o_orderkey", "version_no", "o_totalprice")
+    )
+
+
+@workload(
     "pq_shallow_clone",
     f"""SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey % 11 = 0 THEN ({_CUR}) + 1000 ELSE ({_CUR}) END

@@ -1185,3 +1185,32 @@ def test_shallow_clone_table(spark, tmp_path):
     db2 = Database().open(str(tmp_path / "db"), spark)
     assert "t_clone" in db2.list_tables()
     assert db2.get_table("t_clone").current_view().count() == 500
+
+def test_record_history_chains(spark, tmp_path):
+    """record_history materializes every version: base insert at
+    version 0, each delta folded onto the state before it, deletes as
+    terminal 'D' rows; unchanged columns carry forward."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b")], "k long, v double, s string"
+    )
+    t = db.create_table_typed("t", src.schema, "k")
+    t.ingest_dataframe(src)
+    t.bulk_update(spark.createDataFrame([(1, 11.0)], "k long, v double"))
+    t.bulk_update(spark.createDataFrame([(1, "aa")], "k long, s string"))
+    t.bulk_delete(spark.createDataFrame([(2,)], "k long"))
+
+    h = {
+        (r["k"], r["version_no"]): (r["_op"], r["v"], r["s"])
+        for r in t.record_history().collect()
+    }
+    assert h[(1, 0)] == ("I", 10.0, "a")
+    assert h[(1, 1)] == ("U", 11.0, "a")   # s carries forward
+    assert h[(1, 2)] == ("U", 11.0, "aa")  # v carries forward
+    assert h[(2, 0)] == ("I", 20.0, "b")
+    assert h[(2, 1)] == ("D", 20.0, "b")   # terminal tombstone row
+    assert len(h) == 5
