@@ -3211,6 +3211,49 @@ def ds_split(spark, sf_dir):
 
 
 @workload(
+    "ds_curation_pipeline",
+    # The composed curation pipeline a pretraining run actually uses:
+    # length filter -> exact dedup (keep min id per normalized text)
+    # -> deterministic split -> audit aggregate. Every stage reuses a
+    # formula already proven by its own gated workload; composing
+    # them under ONE oracle proves the stages stack without
+    # interference.
+    """WITH filtered AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 150
+), kept AS (
+  SELECT MIN(doc_id) AS doc_id FROM filtered
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+), labeled AS (
+  SELECT f.doc_id, length(f.text) AS n_chars,
+         CASE WHEN f.doc_id % 100 < 80 THEN 'train'
+              WHEN f.doc_id % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM filtered f JOIN kept k ON f.doc_id = k.doc_id
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM labeled GROUP BY split""",
+)
+def ds_curation_pipeline(spark, sf_dir):
+    """End-to-end curation: quality-gate by length, exact-dedup the
+    survivors, split deterministically, and emit the per-split audit
+    table — the composed form of ds_dedup_corpus +
+    ds_train_val_test_split under one oracle."""
+    from .operators.sampling import deterministic_split
+
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    filtered = docs.where(F.length("text") >= 150)
+    deduped = dedup.dedup_exact(filtered, "doc_id", "text")
+    labeled = deterministic_split(
+        deduped.withColumn("n_chars", F.length("text")), "doc_id"
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@workload(
     "ds_cap_per_source",
     """SELECT source, COUNT(*) AS n_kept,
        CAST(SUM(n_chars) AS BIGINT) AS chars_kept
