@@ -181,3 +181,32 @@ def register_star_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def read_binary_assets(
+    spark: SparkSession, path: str, pattern: str | None = None
+) -> DataFrame:
+    """Ingest raw asset files (images/audio/video blobs) through
+    Spark's built-in ``binaryFile`` source: one row per file with
+    ``payload binary`` plus typed metadata — the on-ramp from an
+    object store of media files into the multimodal operators
+    (``operators.multimodal``). ``pattern`` is a glob over file names
+    (pushed to the file listing, e.g. ``'*.png'``). The asset id is
+    the xxhash64 of the file path: stable across re-reads,
+    partition-count independent."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if pattern:
+        reader = reader.option("pathGlobFilter", pattern)
+    raw = reader.load(path)
+    return raw.select(
+        F.xxhash64("path").alias("asset_id"),
+        F.col("path"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.col("length").alias("n_bytes"),
+            F.col("modificationTime").alias("modified"),
+            F.element_at(F.split(F.col("path"), "\\."), -1).alias("ext"),
+        ).alias("asset_meta"),
+    )
