@@ -136,7 +136,21 @@ class Database:
         histories: writes, compaction, CHECKs, and indexes on one are
         invisible to the other. The lakehouse SHALLOW CLONE, powered
         by the same immutability the reference's base pages promise
-        (reference table.py:100-133)."""
+        (reference table.py:100-133).
+
+        Single-handle contract: the clone flushes (and snapshots) the
+        handle registered in THIS Database. Unflushed point-op buffers
+        held by a different live handle of the same table path (e.g. a
+        Query facade on another Database instance) are driver-local
+        state, invisible to any other process by definition, and are
+        NOT part of the on-disk table the clone copies — flush such
+        handles first if their buffers must be included. The walk
+        itself is crash-safe: files hardlink into a ``_staging_`` dir
+        that is renamed into place only after the manifest is written,
+        so an interrupted clone leaves only an ignorable (and
+        manifest-less) staging directory, never a half-visible table."""
+        import uuid
+
         self._require_open()
         if dst in self.tables or dst in self._on_disk_tables():
             raise ValueError(f"table {dst!r} already exists")
@@ -144,22 +158,31 @@ class Database:
         src_t.flush()
         src_dir = os.path.join(self.path, src)
         dst_dir = os.path.join(self.path, dst)
+        staging = os.path.join(
+            self.path, f"_staging_clone_{dst}_{uuid.uuid4().hex[:8]}"
+        )
         skip_names = {"_manifest.json", "_manifest.lock"}
-        for root, dirs, files in os.walk(src_dir):
-            rel = os.path.relpath(root, src_dir)
-            # staging leftovers and swap temporaries are not table state
-            dirs[:] = [
-                d for d in dirs if not d.startswith("_staging_") and not d.endswith(".old")
-            ]
-            out_root = dst_dir if rel == "." else os.path.join(dst_dir, rel)
-            os.makedirs(out_root, exist_ok=True)
-            for f in files:
-                if rel == "." and f in skip_names:
-                    continue
-                os.link(os.path.join(root, f), os.path.join(out_root, f))
-        meta = src_t.manifest.to_dict()
-        meta["name"] = dst
-        _atomic_write_json(os.path.join(dst_dir, "_manifest.json"), meta)
+        try:
+            for root, dirs, files in os.walk(src_dir):
+                rel = os.path.relpath(root, src_dir)
+                # staging leftovers and swap temporaries are not table state
+                dirs[:] = [
+                    d for d in dirs
+                    if not d.startswith("_staging_") and not d.endswith(".old")
+                ]
+                out_root = staging if rel == "." else os.path.join(staging, rel)
+                os.makedirs(out_root, exist_ok=True)
+                for f in files:
+                    if rel == "." and f in skip_names:
+                        continue
+                    os.link(os.path.join(root, f), os.path.join(out_root, f))
+            meta = src_t.manifest.to_dict()
+            meta["name"] = dst
+            _atomic_write_json(os.path.join(staging, "_manifest.json"), meta)
+            os.rename(staging, dst_dir)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         table = LineageTable.load(self.spark, dst_dir)
         self.tables[dst] = table
         return table
@@ -202,18 +225,38 @@ class Database:
         self._mv_build(name, sql, deps)
 
     def _mv_build(self, name: str, sql: str, deps: list[str]) -> None:
+        # The MV's SQL references dependencies by bare table name, so
+        # the build needs session temp views under those names — but
+        # the session may already have same-named views (register_views,
+        # load_star). Save any pre-existing view's DataFrame, bind ours
+        # for the duration of the build, then restore (or drop) in a
+        # finally: an MV build must not leak view bindings into the
+        # session (ADVICE r4).
+        saved: dict[str, object] = {}
         for d in deps:
+            try:
+                if self.spark.catalog.tableExists(d):
+                    saved[d] = self.spark.table(d)
+            except Exception:
+                pass
             self.get_table(d).current_view().createOrReplaceTempView(d)
-        self._mv_write(
-            name,
-            self.spark.sql(sql),
-            {
-                "name": name,
-                "sql": sql,
-                "deps": deps,
-                "dep_watermarks": {d: self.get_table(d).watermark() for d in deps},
-            },
-        )
+        try:
+            self._mv_write(
+                name,
+                self.spark.sql(sql),
+                {
+                    "name": name,
+                    "sql": sql,
+                    "deps": deps,
+                    "dep_watermarks": {d: self.get_table(d).watermark() for d in deps},
+                },
+            )
+        finally:
+            for d in deps:
+                if d in saved:
+                    saved[d].createOrReplaceTempView(d)
+                else:
+                    self.spark.catalog.dropTempView(d)
 
     def _mv_meta(self, name: str) -> dict:
         meta_path = os.path.join(self._mv_dir(name), "_mv_meta.json")

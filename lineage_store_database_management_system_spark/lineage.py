@@ -73,6 +73,11 @@ META_TAIL = [RID, SEQ, OP, TS]
 OP_UPDATE = "U"
 OP_DELETE = "D"
 
+# Driver-side rid-list cap for folded CHECK validation (mirrors
+# indexing.ISIN_CAP): below it the touched-rid set is pushed into the
+# base/tail scans as ``_rid IN (...)``; above it, broadcast semi-join.
+_CHECK_ISIN_CAP = 100_000
+
 # rid/seq encoding: high 15 bits = commit batch, low 48 bits =
 # within-batch monotonic id (executor-side partition<<33 | row).
 _BATCH_SHIFT = 48
@@ -430,6 +435,21 @@ class LineageTable:
         cur = self.current_view(include_meta=True).select(
             F.col(RID), *[F.col(c) for c in self.user_cols]
         )
+        # Touched-rids-only for real: the fold must prune the BASE and
+        # TAIL scans, not just filter after a full-table fold. Below
+        # the cap the rid set becomes a pushed-down ``_rid IN (...)``
+        # on the view (same fast path as indexing.ISIN_CAP); above it,
+        # a broadcast semi-join prunes the view before the inner join
+        # — never an O(table) fold for an O(delta) validation.
+        rids = [r[RID] for r in folded.select(RID).limit(_CHECK_ISIN_CAP + 1).collect()]
+        if not rids:
+            return
+        if len(rids) <= _CHECK_ISIN_CAP:
+            cur = cur.where(F.col(RID).isin(rids))
+        else:  # pragma: no cover - >100k rids in one delta batch
+            cur = cur.join(
+                F.broadcast(folded.select(RID)), on=RID, how="left_semi"
+            )
         post = folded.join(cur, on=RID, how="inner").select(
             *[
                 (
@@ -1227,6 +1247,9 @@ class LineageTable:
         if bad:
             raise ValueError(f"no such columns: {bad}")
         aggs = [F.count(F.lit(1)).alias("__n")]
+        str_cols = {
+            c for c in cols if isinstance(self.schema[c].dataType, T.StringType)
+        }
         for c in cols:
             aggs.append(F.min(c).alias(f"__min_{c}"))
             aggs.append(F.max(c).alias(f"__max_{c}"))
@@ -1235,6 +1258,10 @@ class LineageTable:
                 (F.count_distinct(F.col(c)) if exact
                  else F.approx_count_distinct(c)).alias(f"__ndv_{c}")
             )
+            if c in str_cols:
+                # avg byte width feeds driver-side memory estimates
+                # (point-op directory cap) and join-side sizing
+                aggs.append(F.avg(F.length(c)).alias(f"__len_{c}"))
         row = self.current_view().agg(*aggs).collect()[0]
 
         def _json_safe(v):
@@ -1277,6 +1304,11 @@ class LineageTable:
                     "max": _json_safe(row[f"__max_{c}"]),
                     "nulls": row[f"__nulls_{c}"],
                     "ndv": row[f"__ndv_{c}"],
+                    **(
+                        {"avg_len": row[f"__len_{c}"]}
+                        if c in str_cols
+                        else {}
+                    ),
                 }
                 for c in cols
             },
@@ -1302,6 +1334,18 @@ class LineageTable:
         :meth:`vacuum_tail`). The per-rid window shuffles base+tail
         once — this is the audit/debug query, not the hot path."""
         from pyspark.sql import Window
+
+        # Vacuumed history would silently shift version numbers and
+        # fabricate intermediate states (the early deltas are gone) —
+        # fail loudly, like refresh_aggregate_mv's rebuild check.
+        if self.manifest.extra.get("history_floor") is not None:
+            raise ValueError(
+                "record_history() needs un-vacuumed history: vacuum_tail() "
+                f"folded deltas below seq floor "
+                f"{self.manifest.extra['history_floor']} into the snapshot, "
+                "so version numbering from the base insert is no longer "
+                "reconstructible"
+            )
 
         b = self.base_df().select(
             F.col(RID),
@@ -1600,14 +1644,54 @@ class LineageTable:
             if self.partition_by:
                 writer = writer.partitionBy(*self.partition_by)
             writer.parquet(out_dir)
-        old_version = self.manifest.compact_version
         self.manifest.compact_version = new_version
         self.manifest.tps = new_tps if new_tps is not None else -1
         self.manifest.compact_rid_hi = rid_hi
         self._save_manifest()
-        if old_version >= 0:
-            shutil.rmtree(self.compacted_dir(old_version), ignore_errors=True)
+        # Reader-safe retention: a concurrent reader may hold a
+        # DataFrame planned against the OLD snapshot dir (single-WRITER
+        # is the documented model, but readers aren't writers). Keep
+        # the ``snapshot_retain`` most recent prior versions (default
+        # 1) so in-flight scans survive the swap; older ones reclaim
+        # here, or explicitly via :meth:`vacuum_snapshots` — the
+        # retention-window VACUUM pattern.
+        retain = int(self.manifest.extra.get("snapshot_retain", 1))
+        self._reclaim_snapshots(keep_above=new_version - 1 - retain)
         return new_version
+
+    def _snapshot_versions(self) -> list[int]:
+        """Snapshot versions present on disk, ascending."""
+        root = os.path.join(self.path, "compacted")
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for name in os.listdir(root):
+            if name.startswith("v"):
+                try:
+                    out.append(int(name[1:]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _reclaim_snapshots(self, keep_above: int) -> int:
+        removed = 0
+        for v in self._snapshot_versions():
+            if v <= keep_above and v != self.manifest.compact_version:
+                shutil.rmtree(self.compacted_dir(v), ignore_errors=True)
+                removed += 1
+        return removed
+
+    def vacuum_snapshots(self, retain: int = 0) -> int:
+        """Reclaim prior compacted-snapshot versions, keeping the
+        ``retain`` most recent BELOW the current one (0 = current
+        only). Run it once no reader can still hold plans over the old
+        snapshot dirs — the explicit analogue of a retention-window
+        VACUUM. Returns the number of versions removed."""
+        if retain < 0:
+            raise ValueError("retain must be >= 0")
+        return self._reclaim_snapshots(
+            keep_above=self.manifest.compact_version - 1 - retain
+        )
 
     def _compact_incremental(self, out_dir: str) -> None:
         """Partition-level compaction: recompute affected partitions

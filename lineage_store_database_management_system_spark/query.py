@@ -109,9 +109,40 @@ class Index:
         self.indices[column] = {}
 
 
-# Directory rebuild guard: above this row count, point ops on a
-# bulk-ingested table should go through the DataFrame API instead.
+# Directory rebuild guards: the point-op facade collects the full
+# current view to the driver, so the honest cap is BYTES, not rows —
+# a 5M-row table of 3 longs is ~0.5 GB collected, a 5M-row wide-string
+# table is many GB. The estimate is rows x schema width: fixed sizes
+# for atomic types, ANALYZE's measured avg_len for strings when stats
+# exist (any staleness — widths drift slowly), a conservative default
+# otherwise, plus per-Row driver overhead. The row cap stays as a
+# secondary guard for narrow-but-huge tables.
 MAX_DIRECTORY_ROWS = 5_000_000
+MAX_DIRECTORY_BYTES = 2_000_000_000
+_ROW_OVERHEAD = 64  # driver-side Row object overhead per record
+_DEFAULT_STR_WIDTH = 32
+_FIXED_WIDTHS = {
+    "long": 8, "integer": 4, "short": 2, "byte": 1, "double": 8,
+    "float": 4, "boolean": 1, "date": 4, "timestamp": 8,
+    "timestamp_ntz": 8,
+}
+
+
+def _estimated_row_width(table: LineageTable) -> int:
+    stats_cols = ((table.table_stats() or {}).get("columns")) or {}
+    width = _ROW_OVERHEAD
+    for f in table.schema.fields:
+        name = f.dataType.typeName()
+        if name in _FIXED_WIDTHS:
+            width += _FIXED_WIDTHS[name]
+        elif name == "string":
+            avg = (stats_cols.get(f.name) or {}).get("avg_len")
+            width += int(avg) + 8 if avg is not None else _DEFAULT_STR_WIDTH
+        elif name == "decimal":
+            width += 16
+        else:  # array/map/struct/binary — point-op tables rarely carry these
+            width += 256
+    return width
 
 
 class Query:
@@ -147,6 +178,15 @@ class Query:
             raise RuntimeError(
                 f"table has {n} rows; point-op directory capped at "
                 f"{MAX_DIRECTORY_ROWS} — use the DataFrame API (current_view/bulk_*)"
+            )
+        est = n * _estimated_row_width(self.table)
+        if est > MAX_DIRECTORY_BYTES:
+            raise RuntimeError(
+                f"table would collect an estimated {est / 1e9:.1f} GB "
+                f"({n} rows x ~{_estimated_row_width(self.table)} B/row) to the "
+                f"driver; point-op directory capped at "
+                f"{MAX_DIRECTORY_BYTES / 1e9:.1f} GB — use the DataFrame API "
+                "(current_view/bulk_*)"
             )
         cur = self.table.current_view(include_meta=True).collect()
         self.directory.clear()

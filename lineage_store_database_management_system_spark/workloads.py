@@ -1502,10 +1502,16 @@ def pq_incremental_mv(spark, sf_dir):
     # texts exist in the corpus) loses that line too — the oracle
     # replicates the whole frequency computation, not just the happy
     # path.
+    # The body splits on chr(10) exactly like the operator (zipped
+    # unnest keeps positions) so the oracle stays correct even if a
+    # regenerated corpus gains embedded newlines (ADVICE r4).
     """WITH lines AS (
   SELECT doc_id, 0 AS pos, 'XX COOKIE AND TERMS BANNER XX' AS line FROM documents
   UNION ALL
-  SELECT doc_id, 1, text FROM documents
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM documents
 ), counts AS (
   SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line
 ), keep AS (

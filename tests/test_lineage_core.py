@@ -1214,3 +1214,73 @@ def test_record_history_chains(spark, tmp_path):
     assert h[(2, 0)] == ("I", 20.0, "b")
     assert h[(2, 1)] == ("D", 20.0, "b")   # terminal tombstone row
     assert len(h) == 5
+
+
+def test_snapshot_retention_and_vacuum(tmp_db, spark, sf_dir):
+    """compact() keeps the previous snapshot version on disk so a
+    reader holding a DataFrame planned against it survives the swap
+    (its cached file listing still resolves); vacuum_snapshots()
+    reclaims old versions explicitly, and the default retention
+    window (1 prior) rolls forward on each compact."""
+    import os
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .limit(500)
+    )
+    t = tmp_db.create_table_typed("orders", orders_schema(), "o_orderkey")
+    t.ingest_dataframe(src)
+
+    def bump(n):
+        t.bulk_update(
+            src.limit(n).select(
+                "o_orderkey", (F.col("o_totalprice") + 1).alias("o_totalprice")
+            )
+        )
+
+    bump(100)
+    v0 = t.compact()
+    reader = t.current_view()  # plan bound to snapshot v0's files
+    n_before = reader.count()
+
+    bump(50)
+    v1 = t.compact()
+    assert v1 == v0 + 1
+    # old snapshot retained -> the pre-compact reader still collects
+    assert os.path.isdir(t.compacted_dir(v0))
+    assert reader.count() == n_before
+
+    # explicit vacuum reclaims everything below the current version
+    assert t.vacuum_snapshots() == 1
+    assert not os.path.isdir(t.compacted_dir(v0))
+    assert os.path.isdir(t.compacted_dir(v1))
+
+    # rolling window: after another compact, v1 is retained, then a
+    # further compact (retain=1) reclaims it automatically
+    bump(25)
+    v2 = t.compact()
+    assert os.path.isdir(t.compacted_dir(v1))
+    bump(10)
+    t.compact()
+    assert not os.path.isdir(t.compacted_dir(v1))
+    assert os.path.isdir(t.compacted_dir(v2))
+    # answers unaffected throughout
+    assert t.current_view().count() == n_before
+
+
+def test_record_history_raises_after_vacuum(spark, tmp_path):
+    """Vacuumed history would silently shift version numbers, so
+    record_history must refuse (ADVICE r4)."""
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    t = db.create_table_typed("t", src.schema, "k")
+    t.ingest_dataframe(src)
+    t.bulk_update(spark.createDataFrame([(1, 11.0)], "k long, v double"))
+    assert t.record_history().count() == 3  # fine pre-vacuum
+    t.compact()
+    t.vacuum_tail()
+    with pytest.raises(ValueError, match="un-vacuumed"):
+        t.record_history()
