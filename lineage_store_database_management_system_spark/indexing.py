@@ -37,7 +37,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .lineage import OP, OP_UPDATE, RID, SEQ, LineageTable
+from .lineage import OP, OP_UPDATE, RID, SEQ, LineageTable, _atomic_write_json
 
 _META_FILE = "_index_meta.json"
 
@@ -51,6 +51,47 @@ ISIN_CAP = 100_000
 
 def index_dir(table: LineageTable, col: str) -> str:
     return os.path.join(table.path, "index", col)
+
+
+def _data_dir(table: LineageTable, col: str, meta: dict) -> str:
+    """Resolve the CURRENT data directory. Indexes are versioned like
+    compacted snapshots (``v0``, ``v1``, ...): a build or refresh
+    writes a NEW version dir, publishes it with one atomic meta
+    rewrite, and reclaims versions older than the previous one — so a
+    torn refresh can never leave a half-rewritten bucket visible, and
+    an in-flight reader's plan over the old version keeps resolving.
+    Legacy flat layouts (no "version" key) read from the index root."""
+    root = index_dir(table, col)
+    v = meta.get("version")
+    return root if v is None else os.path.join(root, f"v{v}")
+
+
+def _bucket_expr(col: str, meta: dict):
+    """The bucket-assignment expression, shared by build and refresh
+    so stored buckets and partition-filter literals always agree."""
+    if meta.get("layout", "hash") == "range":
+        arr = F.array(*[F.lit(float(b)) for b in meta.get("boundaries", [])])
+        return F.size(F.filter(arr, lambda x: F.col(col).cast("double") > x))
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(int(meta["n_buckets"])))
+
+
+def _publish(table: LineageTable, col: str, meta: dict) -> None:
+    """Atomically publish ``meta`` (the new version pointer) and
+    reclaim data versions older than the immediately-previous one
+    (retained for in-flight readers, like snapshot_retain)."""
+    root = index_dir(table, col)
+    _atomic_write_json(os.path.join(root, _META_FILE), meta)
+    cur = meta.get("version", 0)
+    for name in os.listdir(root):
+        if name.startswith("v"):
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v < cur - 1:
+                import shutil
+
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
 def build_secondary_index(
@@ -77,14 +118,19 @@ def build_secondary_index(
     if col not in table.user_cols:
         raise ValueError(f"no such column: {col!r}")
     wm = table.watermark()
-    out = index_dir(table, col)
+    root = index_dir(table, col)
+    try:
+        prev_version = int(_index_meta(table, col).get("version", -1))
+    except (FileNotFoundError, json.JSONDecodeError):
+        prev_version = -1
+    version = prev_version + 1
     live = (
         table.current_view(include_meta=True)
         .select(F.col(col), F.col(RID))
         .where(F.col(col).isNotNull())
     )
     meta: dict = {"col": col, "n_buckets": n_buckets, "built_watermark": wm,
-                  "layout": layout}
+                  "layout": layout, "version": version}
     if layout == "range":
         import pyspark.sql.types as T
 
@@ -96,18 +142,12 @@ def build_secondary_index(
         probs = [i / n_buckets for i in range(1, n_buckets)]
         boundaries = live.approxQuantile(col, probs, 0.001)
         meta["boundaries"] = boundaries
-        arr = F.array(*[F.lit(float(b)) for b in boundaries])
-        bucket = F.size(F.filter(arr, lambda x: F.col(col).cast("double") > x))
-        pairs = live.withColumn("_b", bucket)
-    elif layout == "hash":
-        pairs = live.withColumn(
-            "_b", F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets))
-        )
-    else:
+    elif layout != "hash":
         raise ValueError(f"unknown layout {layout!r} (hash|range)")
+    pairs = live.withColumn("_b", _bucket_expr(col, meta))
+    out = os.path.join(root, f"v{version}")
     pairs.write.mode("overwrite").partitionBy("_b").parquet(out)
-    with open(os.path.join(out, _META_FILE), "w") as f:
-        json.dump(meta, f)
+    _publish(table, col, meta)
     return out
 
 
@@ -188,7 +228,7 @@ def indexed_range_lookup(table: LineageTable, col: str, lo=None, hi=None) -> Dat
         conds.append(F.col(col) <= F.lit(hi).cast(dt))
     cond = conds[0] if len(conds) == 1 else conds[0] & conds[1]
 
-    idx = table.spark.read.parquet(index_dir(table, col))
+    idx = table.spark.read.parquet(_data_dir(table, col, meta))
     if meta.get("layout", "hash") == "range":
         bnd = meta.get("boundaries", [])
         blo = _range_bucket_of(bnd, lo) if lo is not None else 0
@@ -228,7 +268,7 @@ def indexed_lookup(table: LineageTable, col: str, value) -> DataFrame:
         b = _bucket_of(table, col, value, int(meta["n_buckets"]))
 
     idx = (
-        table.spark.read.parquet(index_dir(table, col))
+        table.spark.read.parquet(_data_dir(table, col, meta))
         .where((F.col("_b") == b) & (F.col(col) == lit))
         .select(F.col(RID))
     )
@@ -245,3 +285,125 @@ def indexed_lookup(table: LineageTable, col: str, value) -> DataFrame:
     )
     rid_df = idx.unionByName(fresh_base).unionByName(fresh_tail).distinct()
     return _resolve_and_verify(table, rid_df, F.col(col) == lit)
+
+
+def index_staleness(table: LineageTable, col: str) -> dict:
+    """How far the index lags the table: the number of delta rows
+    (tail entries + fresh base inserts) every lookup must catch up on.
+    Two watermark-pruned COUNT jobs — the scans read only pruned id
+    ranges, never values. Lookups stay EXACT at any staleness (module
+    docstring); this measures their creeping per-lookup cost."""
+    meta = _index_meta(table, col)
+    wm = int(meta["built_watermark"])
+    tail_n = table.tail_df().where(F.col(SEQ) > wm).count()
+    base_n = table.base_df().where(F.col(RID) > wm).count()
+    return {
+        "col": col,
+        "built_watermark": wm,
+        "watermark": table.watermark(),
+        "stale_deltas": tail_n + base_n,
+    }
+
+
+def refresh_secondary_index(
+    table: LineageTable, col: str, rebuild_above: int = ISIN_CAP
+) -> str:
+    """Incrementally catch the index up to the table watermark — the
+    write-path maintenance policy that keeps lookup-time delta
+    catch-up bounded (VERDICT r4 item 6), reusing the watermark-diff
+    machinery of the aggregate-MV maintainer (catalog.py):
+
+    1. The touched rid set comes straight from the deltas past the
+       build watermark (monotone ids make this a pruned range scan).
+    2. Affected buckets = buckets holding a touched rid's OLD entry
+       (one rid-filtered 2-column index scan) union buckets its NEW
+       value hashes into (current view folded for touched rids only).
+    3. ONLY those buckets rewrite (old entries minus touched rids,
+       plus the touched rids' live pairs); every untouched bucket's
+       immutable files hardlink into the new version dir.
+    4. One atomic meta rewrite publishes the new version; the prior
+       version is retained for in-flight readers, older ones reclaim.
+
+    Cost tracks churn (affected buckets), not index size. Above
+    ``rebuild_above`` touched rids — or on a legacy unversioned
+    layout — falls back to a full rebuild. Returns 'fresh',
+    'incremental', or 'rebuild'."""
+    import shutil
+
+    meta = _index_meta(table, col)
+    wm_old = int(meta["built_watermark"])
+    wm_new = table.watermark()
+    if wm_new == wm_old:
+        return "fresh"
+    if "version" not in meta:  # pragma: no cover - legacy flat layout
+        build_secondary_index(
+            table, col, int(meta["n_buckets"]), meta.get("layout", "hash")
+        )
+        return "rebuild"
+    touched_df = (
+        table.tail_df().where(F.col(SEQ) > wm_old).select(F.col(RID))
+        .unionByName(table.base_df().where(F.col(RID) > wm_old).select(F.col(RID)))
+        .distinct()
+    )
+    rids = [r[RID] for r in touched_df.limit(rebuild_above + 1).collect()]
+    if len(rids) > rebuild_above:
+        build_secondary_index(
+            table, col, int(meta["n_buckets"]), meta.get("layout", "hash")
+        )
+        return "rebuild"
+    old_dir = _data_dir(table, col, meta)
+    idx = table.spark.read.parquet(old_dir)
+    new_pairs = (
+        table.current_view(include_meta=True)
+        .where(F.col(RID).isin(rids))
+        .select(F.col(col), F.col(RID))
+        .where(F.col(col).isNotNull())
+        .withColumn("_b", _bucket_expr(col, meta))
+    )
+    affected = {
+        r["_b"]
+        for r in idx.where(F.col(RID).isin(rids)).select("_b").distinct().collect()
+    } | {r["_b"] for r in new_pairs.select("_b").distinct().collect()}
+    version = int(meta["version"]) + 1
+    new_dir = os.path.join(index_dir(table, col), f"v{version}")
+    if affected:
+        merged = (
+            idx.where(F.col("_b").isin(list(affected)) & ~F.col(RID).isin(rids))
+            .unionByName(new_pairs)
+        )
+        merged.write.mode("overwrite").partitionBy("_b").parquet(new_dir)
+    os.makedirs(new_dir, exist_ok=True)
+    # hardlink untouched buckets' immutable files (metadata-only copies)
+    for name in os.listdir(old_dir):
+        if not name.startswith("_b="):
+            continue
+        try:
+            b_val = int(name.split("=", 1)[1])
+        except ValueError:
+            b_val = name.split("=", 1)[1]
+        if b_val in affected:
+            continue
+        src = os.path.join(old_dir, name)
+        dst = os.path.join(new_dir, name)
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+    meta["version"] = version
+    meta["built_watermark"] = wm_new
+    _publish(table, col, meta)
+    return "incremental"
+
+
+def maybe_refresh_secondary_index(
+    table: LineageTable, col: str, max_stale_deltas: int = 10_000
+) -> str:
+    """The staleness policy: refresh only once the per-lookup delta
+    catch-up exceeds ``max_stale_deltas`` rows. Call it from the write
+    path (e.g. after bulk mutations or compaction) — lookups
+    themselves never mutate the index. Returns the refresh outcome,
+    or 'fresh' when under threshold."""
+    st = index_staleness(table, col)
+    if st["stale_deltas"] <= max_stale_deltas:
+        return "fresh"
+    return refresh_secondary_index(table, col)
