@@ -321,6 +321,92 @@ def remove_boilerplate_lines(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level (cross-document) dedup: remove every token
+    covered by a ``k``-token window whose exact text appears in
+    >= ``min_docs`` DISTINCT documents — the hash-bucketed flavor of
+    suffix-array training-data dedup (the "deduplicating training
+    data" pipeline shape: repeated ~50-token spans are memorization
+    fuel; here ``k`` is a knob). Finer-grained than
+    :func:`remove_boilerplate_lines` (line-level) and
+    :mod:`..operators.dedup` (document-level): it catches a licence
+    paragraph pasted mid-document with different surroundings.
+
+    Scale shape — never all-pairs:
+
+    1. every document emits its overlapping k-token windows ONCE
+       (``sequence`` + ``slice``, one projection);
+    2. the corpus-wide frequency count groups on the window's 64-bit
+       ``xxhash64`` — 8-byte shuffle keys, never window text
+       (collision odds ~n_windows^2/2^64);
+    3. duplicated window hashes join back (hash equi-join, work
+       proportional to duplicated windows, not documents^2);
+    4. each document drops tokens covered by any duplicated window
+       and reassembles order-preserving, entirely in Catalyst
+       (``filter`` + ``exists`` over the per-doc duplicated-start
+       list — O(tokens x dup-spans) per doc, dup-spans is small on
+       real corpora). Overlapping duplicated windows merge naturally:
+       coverage is by token membership, so span boundaries need no
+       interval arithmetic.
+
+    Tokens are single-space-split; documents with fewer than ``k``
+    tokens emit no windows and pass through unchanged."""
+    toks = F.split(F.col(text_col), " ")
+    starts_arr = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = df.select(
+        F.col(id_col),
+        F.explode(starts_arr).alias("_s"),
+        toks.alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col("_s"),
+        F.xxhash64(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_s"), k))).alias(
+            "_wh"
+        ),
+    )
+    dup = (
+        wins.groupBy("_wh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_wh")
+    )
+    dup_starts = (
+        wins.join(dup, on="_wh")
+        .groupBy(id_col)
+        .agg(F.collect_list("_s").alias("_dup_starts"))
+    )
+    idx_toks = F.transform(
+        F.split(F.col(text_col), " "),
+        lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i")),
+    )
+    covered = lambda st: F.exists(  # noqa: E731 - local plan fragment
+        F.col("_dup_starts"),
+        lambda s: (s <= st["i"]) & (st["i"] < s + k),
+    )
+    return (
+        df.join(dup_starts, on=id_col, how="left")
+        .withColumn(
+            "_dup_starts",
+            F.coalesce(F.col("_dup_starts"), F.array().cast("array<int>")),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ",
+                F.transform(F.filter(idx_toks, lambda st: ~covered(st)), lambda st: st["t"]),
+            ).alias(text_col),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,

@@ -1552,6 +1552,85 @@ def ds_boilerplate(spark, sf_dir):
 
 
 @workload(
+    "ds_substring_dedup",
+    # Cross-document repeated-SPAN removal (substring-level dedup,
+    # the suffix-array/50-token-window pipeline shape; VERDICT r4
+    # item 5). A 10-token span is planted on every 7th document
+    # (~72 docs >> min_docs=3), so the three fully-planted 8-token
+    # windows are corpus-duplicated and the whole prefix must
+    # disappear from every planted doc, while windows straddling
+    # into the unique body are not duplicated and the body survives.
+    # The oracle replicates the ENTIRE computation (tokenize ->
+    # windows -> distinct-doc frequency -> coverage -> reassembly)
+    # on the raw window text; the operator groups on xxhash64 of the
+    # same text — identical answers absent 64-bit collisions.
+    """WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'spana spanb spanc spand spane spanf spang spanh spani spanj ' || text
+              ELSE text END AS text
+  FROM documents
+), d AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM corpus
+), st AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS s FROM d
+), wins AS (
+  SELECT doc_id, s, array_to_string(list_slice(ts, s, s + 7), ' ') AS w FROM st
+), dups AS (
+  SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 3
+), toks AS (
+  SELECT doc_id, unnest(generate_series(1, len(ts))) AS i, unnest(ts) AS tok FROM d
+), cov AS (
+  SELECT DISTINCT t.doc_id, t.i
+  FROM toks t
+  JOIN wins v ON t.doc_id = v.doc_id AND t.i BETWEEN v.s AND v.s + 7
+  JOIN dups u ON v.w = u.w
+), kept AS (
+  SELECT t.doc_id, t.i, t.tok FROM toks t
+  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
+  WHERE c.doc_id IS NULL
+)
+SELECT c.doc_id,
+       COALESCE(CAST(LENGTH(string_agg(k.tok, ' ' ORDER BY k.i)) AS BIGINT), 0)
+         AS cleaned_chars,
+       COALESCE(LENGTH(string_agg(k.tok, ' ' ORDER BY k.i)), 0) < LENGTH(c.text)
+         AS removed_any
+FROM corpus c LEFT JOIN kept k ON c.doc_id = k.doc_id
+GROUP BY c.doc_id, c.text""",
+)
+def ds_substring_dedup(spark, sf_dir):
+    """Substring-level dedup over the documents corpus: strip every
+    token covered by an 8-token window repeated in >= 3 distinct
+    documents (textops.remove_repeated_spans — hash-bucketed windows,
+    never all-pairs). The gate hashes per-doc cleaned sizes plus a
+    removal flag; planted spans guarantee the removal path fires."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(
+                    "spana spanb spanc spand spane spanf spang spanh spani spanj "
+                ),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cleaned = textops.remove_repeated_spans(
+        corpus, "doc_id", "text", k=8, min_docs=3
+    )
+    orig = corpus.select("doc_id", F.length("text").alias("_orig_chars"))
+    return cleaned.join(orig, on="doc_id").select(
+        "doc_id",
+        F.length("text").cast("long").alias("cleaned_chars"),
+        (F.length("text") < F.col("_orig_chars")).alias("removed_any"),
+    )
+
+
+@workload(
     "ext_lateral_topk_per_nation",
     """SELECT n_name, c.c_custkey, c.c_acctbal
 FROM nation, LATERAL (

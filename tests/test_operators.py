@@ -623,3 +623,51 @@ def test_remove_boilerplate_lines(spark):
         3: "third body",
         4: "",
     }
+
+
+def test_remove_repeated_spans_boundaries(spark):
+    """Span-boundary reassembly for substring-level dedup: covered
+    tokens drop exactly (boundary neighbours survive), overlapping /
+    adjacent duplicated windows merge via token coverage, spans at
+    document start/middle work, sub-k documents pass through, and
+    WITHIN-document repetition alone is never removed (the threshold
+    counts distinct documents)."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.operators import textops
+
+    SPAN = "q w e r t y u i"  # 8 tokens = exactly one k=8 window
+    docs = [
+        (1, f"a b c {SPAN} d e f"),      # mid-doc: neighbours c/d survive
+        (2, f"{SPAN} x y z"),            # doc-start boundary
+        (3, "a b c d e f g h i j"),      # clean doc unchanged
+        (4, f"m n {SPAN} {SPAN} o"),     # adjacent copies merge coverage
+        (5, "p p p p p p p p p p p p"),  # within-doc repetition only
+        (6, "t i n y"),                  # < k tokens: no windows
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in textops.remove_repeated_spans(
+            df, "doc_id", "text", k=8, min_docs=2
+        ).collect()
+    }
+    assert out[1] == "a b c d e f"
+    assert out[2] == "x y z"
+    assert out[3] == "a b c d e f g h i j"
+    assert out[4] == "m n o"
+    assert out[5] == "p p p p p p p p p p p p"
+    assert out[6] == "t i n y"
+
+    # a doc that is ENTIRELY a duplicated span comes back empty, not dropped
+    df2 = spark.createDataFrame(
+        [(1, SPAN), (2, SPAN), (3, "u n r e l a t e d x")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in textops.remove_repeated_spans(
+            df2, "doc_id", "text", k=8, min_docs=2
+        ).collect()
+    }
+    assert out2[1] == "" and out2[2] == "" and len(out2) == 3
