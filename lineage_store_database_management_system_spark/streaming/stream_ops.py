@@ -121,17 +121,67 @@ def streaming_event_join(
     )
 
 
-def stream_ingest_lineage(stream_df: DataFrame, table) -> int:
+def stream_ingest_lineage(
+    stream_df: DataFrame,
+    table,
+    stream_id: str = "default",
+    on_batch=None,
+) -> int:
     """Continuously ingest a stream into a LineageTable via
     ``foreachBatch`` — each micro-batch becomes one committed base
-    batch (rids encode the batch id, so the append is atomic per
-    trigger and replayable). Drains all available input
-    (availableNow) and returns the number of micro-batches."""
+    batch. Drains all available input (availableNow) and returns the
+    number of micro-batches actually ingested.
+
+    EXACTLY-ONCE across checkpoint restarts. ``foreachBatch`` alone is
+    at-least-once: a crash after the table commit but before the
+    checkpoint commit replays that micro-batch on restart. The sink is
+    made idempotent the Delta way (txnAppId/txnVersion): an
+    idempotency marker ``{stream_id: (spark batch id, reserved
+    lineage batch)}`` is staged into ``manifest.extra`` BEFORE the
+    ingest, so it publishes atomically with the batch-id reservation
+    CAS (lineage._save_manifest — the ingest's first step). On replay:
+
+    * marker batch > incoming batch -> already past it, skip;
+    * marker batch == incoming batch -> the reservation published,
+      but the DATA rename is a later step; one rid-range-pruned
+      existence probe on the base dir decides — files landed means
+      this exact micro-batch committed (skip), no files means the
+      writer died between reservation and rename (re-apply under a
+      fresh lineage batch; the orphaned batch id stays unused).
+
+    Every crash window therefore resolves to apply-exactly-once.
+    ``on_batch(batch_id)`` (called AFTER the table commit, before the
+    checkpoint commit) is a hook for metrics — and for fault
+    injection in the restart test."""
+    from ..lineage import _BATCH_SHIFT, RID
+
     n_batches = {"n": 0}
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        table.ingest_dataframe(batch_df)
-        n_batches["n"] += 1
+        table.flush()  # any buffered point-op batch commits first
+        marker = table.manifest.extra.get("stream_ingest", {}).get(stream_id)
+        applied = False
+        if marker is not None and int(marker["stream_batch"]) >= batch_id:
+            applied = int(marker["stream_batch"]) > batch_id
+            if not applied:
+                lb = int(marker["lineage_batch"])
+                lo, hi = lb << _BATCH_SHIFT, (lb + 1) << _BATCH_SHIFT
+                applied = (
+                    table.base_df()
+                    .where((F.col(RID) >= lo) & (F.col(RID) < hi))
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+        if not applied:
+            table.manifest.extra.setdefault("stream_ingest", {})[stream_id] = {
+                "stream_batch": batch_id,
+                "lineage_batch": table.manifest.next_batch,
+            }
+            table.ingest_dataframe(batch_df)
+            n_batches["n"] += 1
+        if on_batch is not None:
+            on_batch(batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(_ingest)

@@ -124,3 +124,81 @@ def test_streaming_dedup_equals_batch(spark, sf_dir):
         for r in batch.dropDuplicates(["event_id"]).groupBy("event_type").count().collect()
     }
     assert got == exp
+
+
+def test_stream_ingest_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill the ingest stream AFTER a micro-batch's table commit but
+    BEFORE its checkpoint commit (the at-least-once window), restart
+    from the same checkpoint, and prove the lineage log is
+    exactly-once: the replayed batch is detected via the idempotency
+    marker + landed-data probe and skipped, the final view equals the
+    batch twin, and no rid or event duplicates exist (VERDICT r4
+    item 4)."""
+    import glob
+    import os
+
+    from pyspark.sql import types as T
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    # source: 6 separate parquet FILES -> 6 micro-batches at
+    # maxFilesPerTrigger=1, deterministic batch boundaries
+    src_dir = str(tmp_path / "src")
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    for i in range(6):
+        spark.range(i * 100, i * 100 + 100).selectExpr(
+            "id as event_id", "cast(id as double) as value"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+    assert len(glob.glob(os.path.join(src_dir, "*.parquet"))) == 6
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    t = db.create_table_typed("ev", schema, "event_id")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+    # phase 1: crash in the at-least-once window of batch 2 — the
+    # on_batch hook runs after the table commit, before the
+    # checkpoint commit, exactly where a real failure duplicates data
+    boom = {"armed": True}
+
+    def inject(batch_id):
+        if batch_id == 2 and boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected failure between table and checkpoint commit")
+
+    with pytest.raises(Exception, match="injected failure"):
+        stream_ingest_lineage(make_stream(), t, on_batch=inject)
+
+    # batch 2's DATA is durably committed despite the crash
+    assert t.current_view().count() == 300
+
+    # phase 2: restart from the same checkpoint; Spark replays batch 2
+    n2 = stream_ingest_lineage(make_stream(), t)
+    assert n2 == 3, f"replayed batch was re-ingested (n2={n2})"
+
+    # exactly-once: view equals the batch twin, no duplicates anywhere
+    static = spark.read.parquet(src_dir)
+    view = t.current_view()
+    assert view.count() == static.count() == 600
+    assert view.select("event_id").distinct().count() == 600
+    assert (
+        t.current_view(include_meta=True).select("_rid").distinct().count() == 600
+    )
+    assert (
+        view.agg(F.sum("value")).first()[0] == static.agg(F.sum("value")).first()[0]
+    )
+
+    # marker reflects the last applied spark batch
+    marker = t.manifest.extra["stream_ingest"]["default"]
+    assert int(marker["stream_batch"]) == 5
+
+    # idle restart: nothing to do, nothing ingested
+    assert stream_ingest_lineage(make_stream(), t) == 0
+    assert t.current_view().count() == 600
