@@ -431,14 +431,18 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 )
 def ext_q3(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join (dims broadcast), agg, top-k."""
+    """TPC-H Q3 shape: 3-way join, agg, top-k. Join strategy is
+    size-based (64MB plan-time threshold + AQE runtime conversion):
+    at bench scale both filtered sides broadcast; at cluster scale
+    orders/customer grow with SF and correctly fall back to shuffle
+    joins — no unconditional hint on SF-scaling tables."""
     d = load_star(spark, sf_dir)
     cust = d["customer"].where(F.col("c_mktsegment") == "BUILDING")
     ords = d["orders"].where(F.col("o_orderdate") < "1998-03-15")
     li = d["lineitem"].where(F.col("l_shipdate") > "1998-03-15")
     return (
-        li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -462,17 +466,19 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name""",
 )
 def ext_q5(spark, sf_dir):
-    """TPC-H Q5 shape: 6-way star join; every dimension broadcast so
-    the only big-table pass is the lineitem scan."""
+    """TPC-H Q5 shape: 6-way star join. Fixed-size dims (nation,
+    region) are hint-broadcast; SF-scaling dims (orders, customer,
+    supplier) are left to the size-based planner so the plan stays
+    valid when they outgrow the broadcast threshold at cluster SF."""
     d = load_star(spark, sf_dir)
     return (
         d["lineitem"]
-        .join(F.broadcast(d["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(d["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(d["customer"]), F.col("o_custkey") == F.col("c_custkey")
+            d["customer"], F.col("o_custkey") == F.col("c_custkey")
         )
         .join(
-            F.broadcast(d["supplier"]),
+            d["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -784,8 +790,10 @@ JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
 )
 def ext_q18(spark, sf_dir):
     """TPC-H Q18 shape: agg-then-having subquery joined back to the
-    fact's dimensions; the filtered order list and customer dim are
-    both broadcast."""
+    fact's dimensions. The HAVING>300 aggregate is tiny at any SF
+    (AQE broadcasts it at runtime once its true size is known — a
+    plan-time hint is unnecessary and an aggregate has no plan-time
+    stats anyway); customer scales with SF so it gets no hint either."""
     d = load_star(spark, sf_dir)
     big = (
         d["lineitem"]
@@ -795,8 +803,8 @@ def ext_q18(spark, sf_dir):
     )
     return (
         d["orders"]
-        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(d["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(d["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",
@@ -2072,12 +2080,12 @@ ORDER BY revenue DESC, c_custkey LIMIT 20""",
 )
 def ext_q10(spark, sf_dir):
     """TPC-H Q10 shape: fact-to-fact join (lineitem-orders) plus two
-    broadcast dims, returned-items filter first, top-20 by revenue."""
+    size-planned dim joins, returned-items filter first, top-20 by revenue."""
     d = load_star(spark, sf_dir)
     li = d["lineitem"].where(F.col("l_returnflag") == "R")
     return (
         li.join(d["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(d["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(d["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(d["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -2101,7 +2109,7 @@ WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-03-01 00:00:00'""",
 )
 def ext_q14(spark, sf_dir):
-    """TPC-H Q14 shape: conditional aggregation over a broadcast
+    """TPC-H Q14 shape: conditional aggregation over a size-planned
     dimension join — one lineitem pass, no shuffle for the ratio."""
     d = load_star(spark, sf_dir)
     li = d["lineitem"].where(
@@ -2109,7 +2117,7 @@ def ext_q14(spark, sf_dir):
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(d["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(d["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -2131,7 +2139,7 @@ WHERE (p_brand = 'Brand#1' AND p_size >= 1 AND p_size <= 15
        AND l_quantity >= 10 AND l_quantity <= 30)""",
 )
 def ext_q19(spark, sf_dir):
-    """TPC-H Q19 shape: disjunctive mixed predicates over a broadcast
+    """TPC-H Q19 shape: disjunctive mixed predicates over a size-planned
     equi-join — Catalyst keeps the equi key as the join condition and
     evaluates the OR-of-ANDs as a post-join filter."""
     d = load_star(spark, sf_dir)
@@ -2146,7 +2154,7 @@ def ext_q19(spark, sf_dir):
     )
     return (
         d["lineitem"]
-        .join(F.broadcast(d["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(d["part"], F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -2807,7 +2815,7 @@ def ext_q7(spark, sf_dir):
     """TPC-H Q7 shape: two-nation bilateral trade volume by year.
     The nation dimension is joined TWICE under different roles
     (supplier side / customer side) with a disjunctive cross-filter;
-    both sides broadcast, one pass over lineitem."""
+    both nation copies hint-broadcast (fixed 25 rows), one pass over lineitem."""
     d = load_star(spark, sf_dir)
     n1 = d["nation"].select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
@@ -2817,9 +2825,9 @@ def ext_q7(spark, sf_dir):
     )
     return (
         d["lineitem"]
-        .join(F.broadcast(d["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(d["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(d["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(d["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(d["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(d["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(
@@ -2872,12 +2880,12 @@ def ext_q8(spark, sf_dir):
     return (
         d["lineitem"]
         .join(
-            F.broadcast(d["part"].where(F.col("p_type") == "PROMO")),
+            d["part"].where(F.col("p_type") == "PROMO"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(d["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(d["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(d["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(d["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(d["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(d["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("nc_key"))
         .join(
             F.broadcast(d["region"].where(F.col("r_name") == "ASIA")),
@@ -2913,7 +2921,7 @@ def ext_q9(spark, sf_dir):
     """TPC-H Q9 shape: product-line profit by supplier nation and
     year, parts selected by a LIKE pattern (no partsupp table in the
     star schema, so profit = discounted revenue). The LIKE filter
-    prunes the part dimension BEFORE the broadcast. The per-group sum
+    prunes the part dimension BEFORE the size-planned join. The per-group sum
     accumulates in DECIMAL so the total is exact and independent of
     partition/merge order — with ~200 groups a double sum lands on a
     half-cent rounding boundary often enough to flake."""
@@ -2922,11 +2930,11 @@ def ext_q9(spark, sf_dir):
     return (
         d["lineitem"]
         .join(
-            F.broadcast(d["part"].where(F.col("p_name").like("%widget%"))),
+            d["part"].where(F.col("p_name").like("%widget%")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(d["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(d["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(d["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(d["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(d["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -2956,7 +2964,7 @@ def ext_q12(spark, sf_dir):
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         d["lineitem"]
-        .join(F.broadcast(d["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(d["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .groupBy("l_linestatus")
         .agg(
@@ -3045,7 +3053,9 @@ def ext_q16(spark, sf_dir):
     """TPC-H Q16 shape: distinct-supplier count per part attribute
     cell (lineitem stands in for partsupp as the part↔supplier
     association). COUNT(DISTINCT) expands to a two-phase aggregate;
-    the NOT/IN filters prune the broadcast part dimension."""
+    the NOT/IN filters shrink the part side, which the size-based
+    planner broadcasts while it fits (part scales with SF — no
+    unconditional hint)."""
     d = load_star(spark, sf_dir)
     parts = d["part"].where(
         (F.col("p_brand") != "Brand#4")
@@ -3053,7 +3063,7 @@ def ext_q16(spark, sf_dir):
     )
     return (
         d["lineitem"]
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -3078,13 +3088,13 @@ def ext_q17(spark, sf_dir):
     brand_parts = d["part"].where(F.col("p_brand") == "Brand#4").select("p_partkey")
     thresholds = (
         d["lineitem"]
-        .join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey")
         .agg((F.avg("l_quantity") * 0.2).alias("_qty_cap"))
     )
     return (
         d["lineitem"]
-        .join(F.broadcast(thresholds), F.col("l_partkey") == F.col("p_partkey"))
+        .join(thresholds, F.col("l_partkey") == F.col("p_partkey"))
         .where(F.col("l_quantity") < F.col("_qty_cap"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -3125,14 +3135,14 @@ def ext_q21(spark, sf_dir):
     fords = d["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey")
     return (
         li.where(F.col("l_returnflag") == "R")
-        .join(F.broadcast(fords), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(fords, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             per_order,
             (F.col("l_orderkey") == F.col("po_orderkey"))
             & (F.col("_n_supp") > 1)
             & (F.col("_n_fault") == 1),
         )
-        .join(F.broadcast(d["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(d["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -3205,10 +3215,10 @@ def ext_q2(spark, sf_dir):
     ).where(F.col("unit_cost") == F.col("_best"))
     return (
         best.join(
-            F.broadcast(d["part"].where(F.col("p_size") == 10)),
+            d["part"].where(F.col("p_size") == 10),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(d["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(d["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "p_partkey", "p_name", "s_name", F.round("unit_cost", 4).alias("best_cost")
         )
@@ -3245,7 +3255,7 @@ def ext_q11(spark, sf_dir):
     )
     pv = (
         d["lineitem"]
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("value"))
     )
