@@ -1639,6 +1639,159 @@ def ds_substring_dedup(spark, sf_dir):
 
 
 @workload(
+    "ds_incremental_dedup",
+    # Cross-run exact dedup: fingerprint store built from the even
+    # half of the corpus; the batch is the odd half + 20 planted
+    # clones of stored docs (must be rejected by the store) + 10
+    # planted clones of in-batch docs (must be rejected by the
+    # in-batch keeper rule). `replay_survivors` is the count from
+    # re-running the same batch after the store update — exactly-once
+    # semantics make it 0 deterministically.
+    """WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM documents
+), first_evens AS (
+  SELECT doc_id, h FROM fp WHERE doc_id % 2 = 0 ORDER BY doc_id LIMIT 20
+), first_odds AS (
+  SELECT doc_id, h FROM fp WHERE doc_id % 2 = 1 ORDER BY doc_id LIMIT 10
+), batch AS (
+  SELECT doc_id, h FROM fp WHERE doc_id % 2 = 1
+  UNION ALL SELECT doc_id + 2000000, h FROM first_evens
+  UNION ALL SELECT doc_id + 3000000, h FROM first_odds
+)
+SELECT b.doc_id, CAST(0 AS BIGINT) AS replay_survivors
+FROM batch b
+WHERE b.h NOT IN (SELECT h FROM fp WHERE doc_id % 2 = 0)
+  AND b.doc_id = (SELECT MIN(b2.doc_id) FROM batch b2 WHERE b2.h = b.h)""",
+)
+def ds_incremental_dedup(spark, sf_dir):
+    """Exact dedup of an ingest batch against a persisted fingerprint
+    store (operators/incremental.py) — the 100 TB pattern where each
+    increment deduplicates against 8-byte digests of everything seen
+    before, never against raw text. The replay after the store update
+    returning zero survivors is asserted in-query."""
+    import tempfile as _tf
+
+    from .operators import incremental
+
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    evens = docs.where("doc_id % 2 = 0")
+    odds = docs.where("doc_id % 2 = 1")
+    clone_evens = (
+        evens.orderBy("doc_id")
+        .limit(20)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    clone_odds = (
+        odds.orderBy("doc_id")
+        .limit(10)
+        .select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    )
+    batch = odds.unionByName(clone_evens).unionByName(clone_odds)
+    store = os.path.join(_tf.mkdtemp(prefix="lss_fp_store_"), "fp")
+    incremental.update_fingerprint_store(evens, "doc_id", "text", store)
+    survivors = incremental.dedup_against_store(
+        batch, "doc_id", "text", store, update_store=True
+    )
+    replay = incremental.dedup_against_store(
+        batch, "doc_id", "text", store, update_store=False
+    )
+    n_replay = replay.count()  # exactly-once: must be 0
+    return survivors.select(
+        "doc_id", F.lit(n_replay).cast("long").alias("replay_survivors")
+    )
+
+
+@workload(
+    "ds_incremental_minhash",
+    # Near-dup candidates of a batch against a persisted MinHash band
+    # store, gated the ds_minhash way: the EXACT cross-side word-3-gram
+    # Jaccard >= 0.95 pairs (both engines do identical integer set
+    # arithmetic) each assert `recalled` — with 16 bands of 4,
+    # P(miss | J >= 0.95) < 2e-12, deterministic in practice. Batch =
+    # odd docs + 50 near-clones of stored (even) docs; clone ids use
+    # +5000001 so every batch id is odd and every store id even.
+    """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000001, text || ' extra token' FROM
+    (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+     ORDER BY doc_id LIMIT 50)
+), words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM corpus
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+  FROM words WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT CASE WHEN a.doc_id % 2 = 1 THEN a.doc_id ELSE b.doc_id END AS batch_id,
+         CASE WHEN a.doc_id % 2 = 0 THEN a.doc_id ELSE b.doc_id END AS store_id,
+         COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       AND (a.doc_id % 2) <> (b.doc_id % 2)
+  GROUP BY 1, 2
+)
+SELECT batch_id, store_id, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard,
+       TRUE AS recalled
+FROM inter
+JOIN sizes sa ON sa.doc_id = batch_id
+JOIN sizes sb ON sb.doc_id = store_id
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95""",
+)
+def ds_incremental_minhash(spark, sf_dir):
+    """Near-dup candidate generation for an ingest batch against a
+    persisted MinHash band store (operators/incremental.py): the
+    store holds (id, band, band_hash) sketch rows of every even doc;
+    the batch (odd docs + 50 near-clones of stored docs) pairs
+    against it via one (band, hash) bucket join — each increment
+    touches the store once instead of re-pairing the corpus."""
+    import tempfile as _tf
+
+    from .operators import dedup as _dedup
+    from .operators import incremental
+
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    evens = docs.where("doc_id % 2 = 0")
+    odds = docs.where("doc_id % 2 = 1")
+    clones = (
+        evens.orderBy("doc_id")
+        .limit(50)
+        .select(
+            (F.col("doc_id") + 5000001).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        )
+    )
+    batch = odds.unionByName(clones)
+    store = os.path.join(_tf.mkdtemp(prefix="lss_mh_store_"), "bands")
+    incremental.update_minhash_store(evens, "doc_id", "text", store)
+    cands = incremental.minhash_candidates_against_store(
+        batch, "doc_id", "text", store, update_store=False
+    ).select("batch_id", "store_id").withColumn("_c", F.lit(True))
+    corpus = docs.unionByName(clones)
+    truth = _dedup.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", threshold=0.95, max_shingle_freq=1 << 40
+    ).where((F.col("id_a") % 2) != (F.col("id_b") % 2))
+    cross = truth.select(
+        F.when(F.col("id_a") % 2 == 1, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("batch_id"),
+        F.when(F.col("id_a") % 2 == 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("store_id"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+    return cross.join(cands, on=["batch_id", "store_id"], how="left").select(
+        "batch_id",
+        "store_id",
+        "jaccard",
+        F.coalesce(F.col("_c"), F.lit(False)).alias("recalled"),
+    )
+
+
+@workload(
     "ext_lateral_topk_per_nation",
     """SELECT n_name, c.c_custkey, c.c_acctbal
 FROM nation, LATERAL (
