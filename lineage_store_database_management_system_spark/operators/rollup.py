@@ -1,0 +1,168 @@
+"""Hypertable-style continuous rollups ("real-time aggregates").
+
+The TimescaleDB / Druid pattern for time-series at scale: time
+buckets at or before a SEAL boundary are served from a pre-aggregated
+rollup table (a bare Parquet scan — no touch of raw data), and only
+the open tail past the boundary is aggregated from raw events at
+query time. Exactness holds because the seal boundary is a bucket
+edge: every raw event belongs to exactly one side.
+
+Partial-aggregate state (count + sum [+ min/max]) is stored rather
+than finished averages, so sealed buckets can be advanced
+incrementally — refresh aggregates ONLY raw events in
+(sealed_until, new_boundary] and appends those buckets, never
+recomputing history. The same state merges with the live tail when a
+query straddles a refresh.
+
+At 100 TB: the rollup table is ~ (n_buckets x n_groups) rows —
+orders of magnitude smaller than raw — and the query-time scan of
+raw is bounded by one open bucket's worth of data, pruned by the
+``ts >= sealed_until`` predicate pushed into the Parquet scan. The
+rollup dir is partitioned by bucket date so bucket-range queries
+prune partitions.
+
+Beyond the reference (it has no time-series support at all);
+extension layer per SURVEY §2.6.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META = "_rollup_meta.json"
+_GRAINS = {"hour": "1 hour", "day": "1 day", "minute": "1 minute"}
+
+
+def _bucket(ts_col: str, grain: str):
+    if grain not in _GRAINS:
+        raise ValueError(f"grain must be one of {sorted(_GRAINS)}, got {grain!r}")
+    return F.date_trunc(grain, F.col(ts_col))
+
+
+def _state_agg(value_col: str):
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    ]
+
+
+def _meta_path(rollup_dir: str) -> str:
+    return os.path.join(rollup_dir, _META)
+
+
+def rollup_meta(rollup_dir: str) -> dict:
+    with open(_meta_path(rollup_dir)) as f:
+        return json.load(f)
+
+
+def create_rollup(
+    events: DataFrame,
+    rollup_dir: str,
+    seal_before,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    grain: str = "hour",
+) -> None:
+    """Materialize partial-aggregate state for every bucket strictly
+    before ``seal_before`` (a bucket edge; events at or past it stay
+    in the open tail). One aggregation job over the sealed range."""
+    key_cols = key_cols or []
+    bucket = _bucket(ts_col, grain)
+    sealed = (
+        events.where(F.col(ts_col) < F.lit(seal_before))
+        .groupBy(bucket.alias("bucket"), *key_cols)
+        .agg(*_state_agg(value_col))
+        .withColumn("bucket_date", F.to_date("bucket"))
+    )
+    sealed.write.mode("overwrite").partitionBy("bucket_date").parquet(rollup_dir)
+    meta = {
+        "sealed_until": str(seal_before),
+        "ts_col": ts_col,
+        "key_cols": key_cols,
+        "value_col": value_col,
+        "grain": grain,
+    }
+    tmp = _meta_path(rollup_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(rollup_dir))
+
+
+def refresh_rollup(events: DataFrame, rollup_dir: str, seal_before) -> int:
+    """Advance the seal boundary: aggregate ONLY raw events in
+    [old_boundary, new_boundary) and append those buckets. History is
+    never rescanned — refresh cost tracks the new data, not the
+    table. Returns the number of appended bucket rows."""
+    meta = rollup_meta(rollup_dir)
+    lo = meta["sealed_until"]
+    bucket = _bucket(meta["ts_col"], meta["grain"])
+    fresh = (
+        events.where(
+            (F.col(meta["ts_col"]) >= F.lit(lo))
+            & (F.col(meta["ts_col"]) < F.lit(seal_before))
+        )
+        .groupBy(bucket.alias("bucket"), *meta["key_cols"])
+        .agg(*_state_agg(meta["value_col"]))
+        .withColumn("bucket_date", F.to_date("bucket"))
+        .localCheckpoint(eager=True)  # pin before touching the dir we read from
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy("bucket_date").parquet(rollup_dir)
+    meta["sealed_until"] = str(seal_before)
+    tmp = _meta_path(rollup_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(rollup_dir))
+    return n
+
+
+def rollup_query(
+    spark: SparkSession,
+    rollup_dir: str,
+    raw_events: DataFrame,
+    bucket_lo=None,
+    bucket_hi=None,
+) -> DataFrame:
+    """The real-time aggregate: sealed buckets from the rollup table
+    (bare Parquet scan, partition-pruned by the bucket range) UNION
+    the open tail aggregated from raw at query time (``ts >=
+    sealed_until`` pushed into the raw scan). Returns finished
+    aggregates per (bucket, *key_cols): n_events, sum/avg/min/max.
+
+    Exact at every instant: the boundary is a bucket edge, so no
+    bucket is half-sealed."""
+    meta = rollup_meta(rollup_dir)
+    sealed = spark.read.parquet(rollup_dir).drop("bucket_date")
+    bucket = _bucket(meta["ts_col"], meta["grain"])
+    tail = (
+        raw_events.where(F.col(meta["ts_col"]) >= F.lit(meta["sealed_until"]))
+        .groupBy(bucket.alias("bucket"), *meta["key_cols"])
+        .agg(*_state_agg(meta["value_col"]))
+    )
+    merged = (
+        sealed.unionByName(tail)
+        # a bucket can appear in both halves only if the tail was
+        # refreshed into the rollup between plan build and execution;
+        # merging partial states keeps the answer exact regardless
+        .groupBy("bucket", *meta["key_cols"])
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .withColumn("avg_value", F.col("sum_value") / F.col("n_events"))
+    )
+    if bucket_lo is not None:
+        merged = merged.where(F.col("bucket") >= F.lit(bucket_lo))
+    if bucket_hi is not None:
+        merged = merged.where(F.col("bucket") < F.lit(bucket_hi))
+    return merged

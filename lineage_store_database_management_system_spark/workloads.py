@@ -1792,6 +1792,50 @@ def ds_incremental_minhash(spark, sf_dir):
 
 
 @workload(
+    "ext_rollup_realtime_agg",
+    # Hypertable continuous aggregate: hourly buckets sealed before
+    # 2024-01-20 are materialized, the seal then ADVANCES to
+    # 2024-01-22 by aggregating only the two fresh days (incremental
+    # append — history never rescanned), and the query unions the
+    # rollup with the live tail. The oracle is the direct GROUP BY
+    # over raw events: the split+merge must be invisible.
+    """SELECT date_trunc('hour', ts) AS bucket, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+GROUP BY 1, 2""",
+)
+def ext_rollup_realtime(spark, sf_dir):
+    """Real-time aggregate over a continuous rollup
+    (operators/rollup.py): sealed hours come from the partial-state
+    rollup table (bare partition-pruned Parquet scan), the open tail
+    aggregates raw events at query time, and merging the partial
+    states reproduces the direct aggregate exactly."""
+    import tempfile as _tf
+
+    from .operators import rollup as _rollup
+
+    ev = load_star(spark, sf_dir)["events"]
+    rdir = os.path.join(_tf.mkdtemp(prefix="lss_rollup_"), "hourly")
+    _rollup.create_rollup(
+        ev, rdir, "2024-01-20 00:00:00", key_cols=["event_type"], value_col="value"
+    )
+    _rollup.refresh_rollup(ev, rdir, "2024-01-22 00:00:00")
+    out = _rollup.rollup_query(
+        spark, rdir, ev, bucket_lo="2024-01-10 00:00:00"
+    )
+    return out.select(
+        "bucket",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("sum_value"), 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@workload(
     "ext_lateral_topk_per_nation",
     """SELECT n_name, c.c_custkey, c.c_acctbal
 FROM nation, LATERAL (
