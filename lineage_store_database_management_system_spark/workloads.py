@@ -1836,6 +1836,57 @@ def ext_rollup_realtime(spark, sf_dir):
 
 
 @workload(
+    "ds_bloom_decontaminate",
+    # Train-side decontamination, Bloom-accelerated: 15 planted train
+    # docs embed a full test document (guaranteed leaks) on top of
+    # any natural 8-gram overlap. The Bloom filter only PRUNES the
+    # train shingle stream (no false negatives; false positives die
+    # in the exact verify join), so the gated output is the exact
+    # leak report — identical set arithmetic in both engines.
+    rf"""WITH te AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE doc_id % 11 = 0
+), planted AS (
+  SELECT doc_id + 4000000 AS doc_id,
+         'prefix filler words then ' || text AS text
+  FROM documents WHERE doc_id % 11 = 0 ORDER BY doc_id LIMIT 15
+), trn AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL SELECT doc_id, text FROM planted
+), trw AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM trn
+), tg AS (
+  SELECT DISTINCT unnest({_NGRAMS8_SQL}) AS g FROM te
+), trg AS (
+  SELECT doc_id, unnest({_NGRAMS8_SQL}) AS g FROM trw
+)
+SELECT trg.doc_id, CAST(COUNT(DISTINCT trg.g) AS BIGINT) AS n_leaked
+FROM trg JOIN tg ON trg.g = tg.g
+GROUP BY trg.doc_id""",
+)
+def ds_bloom_decontaminate(spark, sf_dir):
+    """Exact train-corpus leak report via map-side Bloom pruning
+    (operators/bloom.py): every 11th document is the held-out test
+    set; the train side (the rest + 15 planted docs embedding a test
+    doc) is scrubbed for any shared word 8-gram. The filter prunes
+    the big side's shuffle; the answer stays exact."""
+    from .operators import bloom as _bloom
+
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    test = docs.where(F.col("doc_id") % 11 == 0)
+    planted = (
+        test.orderBy("doc_id")
+        .limit(15)
+        .select(
+            (F.col("doc_id") + 4000000).alias("doc_id"),
+            F.concat(F.lit("prefix filler words then "), F.col("text")).alias("text"),
+        )
+    )
+    train = docs.where(F.col("doc_id") % 11 != 0).unionByName(planted)
+    return _bloom.bloom_decontaminate(train, test, "doc_id", "text", n=8)
+
+
+@workload(
     "ext_lateral_topk_per_nation",
     """SELECT n_name, c.c_custkey, c.c_acctbal
 FROM nation, LATERAL (
