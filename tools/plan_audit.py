@@ -61,6 +61,18 @@ AUDIT = [
     ("ext_lateral_topk_per_nation", ["WindowGroupLimit", "BroadcastHashJoin"], ["BatchEvalPython"]),
     ("pq_materialized_view", ["Scan parquet"], ["Join", "HashAggregate", "BatchEvalPython"]),
     ("ds_boilerplate_lines", ["Generate", "HashAggregate"], ["BatchEvalPython"]),
+    # round-5 additions. Substring dedup stays JVM-side (explode +
+    # hash aggregate, window hashes never text). The incremental
+    # dedup result is a checkpointed RDD scan BY DESIGN (the answer
+    # is pinned before the store append — refreshByPath would
+    # recompute a live plan against the updated store). The rollup
+    # query must push the seal predicate into the raw scan. Bloom
+    # probing must be the Arrow path (ArrowEvalPython), never
+    # row-at-a-time (BatchEvalPython).
+    ("ds_substring_dedup", ["Generate", "HashAggregate"], ["BatchEvalPython"]),
+    ("ds_incremental_dedup", ["Scan ExistingRDD"], ["BatchEvalPython"]),
+    ("ext_rollup_realtime_agg", ["GreaterThanOrEqual(ts", "HashAggregate"], ["BatchEvalPython"]),
+    ("ds_bloom_decontaminate", ["ArrowEvalPython", "xxhash64"], ["BatchEvalPython"]),
 ]
 
 
