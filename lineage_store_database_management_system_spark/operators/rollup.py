@@ -43,13 +43,20 @@ def _bucket(ts_col: str, grain: str):
     return F.date_trunc(grain, F.col(ts_col))
 
 
-def _state_agg(value_col: str):
-    return [
+def _state_agg(value_col: str, distinct_col: str | None = None):
+    aggs = [
         F.count(F.lit(1)).alias("n_events"),
         F.sum(value_col).alias("sum_value"),
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
     ]
+    if distinct_col:
+        # HyperLogLog state, not a finished count: per-bucket distinct
+        # counts cannot be re-aggregated (sum overcounts), but HLL
+        # sketches UNION losslessly — any bucket range or regrouping
+        # re-merges the sealed sketches without touching raw data
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("hll_state"))
+    return aggs
 
 
 def _meta_path(rollup_dir: str) -> str:
@@ -69,16 +76,19 @@ def create_rollup(
     key_cols: list[str] | None = None,
     value_col: str = "value",
     grain: str = "hour",
+    distinct_col: str | None = None,
 ) -> None:
     """Materialize partial-aggregate state for every bucket strictly
     before ``seal_before`` (a bucket edge; events at or past it stay
-    in the open tail). One aggregation job over the sealed range."""
+    in the open tail). One aggregation job over the sealed range.
+    With ``distinct_col``, each bucket also stores an HLL sketch of
+    that column (see :func:`_state_agg`)."""
     key_cols = key_cols or []
     bucket = _bucket(ts_col, grain)
     sealed = (
         events.where(F.col(ts_col) < F.lit(seal_before))
         .groupBy(bucket.alias("bucket"), *key_cols)
-        .agg(*_state_agg(value_col))
+        .agg(*_state_agg(value_col, distinct_col))
         .withColumn("bucket_date", F.to_date("bucket"))
     )
     sealed.write.mode("overwrite").partitionBy("bucket_date").parquet(rollup_dir)
@@ -88,6 +98,7 @@ def create_rollup(
         "key_cols": key_cols,
         "value_col": value_col,
         "grain": grain,
+        "distinct_col": distinct_col,
     }
     tmp = _meta_path(rollup_dir) + ".tmp"
     with open(tmp, "w") as f:
@@ -109,7 +120,7 @@ def refresh_rollup(events: DataFrame, rollup_dir: str, seal_before) -> int:
             & (F.col(meta["ts_col"]) < F.lit(seal_before))
         )
         .groupBy(bucket.alias("bucket"), *meta["key_cols"])
-        .agg(*_state_agg(meta["value_col"]))
+        .agg(*_state_agg(meta["value_col"], meta.get("distinct_col")))
         .withColumn("bucket_date", F.to_date("bucket"))
         .localCheckpoint(eager=True)  # pin before touching the dir we read from
     )
@@ -130,6 +141,7 @@ def rollup_query(
     raw_events: DataFrame,
     bucket_lo=None,
     bucket_hi=None,
+    keep_sketch: bool = False,
 ) -> DataFrame:
     """The real-time aggregate: sealed buckets from the rollup table
     (bare Parquet scan, partition-pruned by the bucket range) UNION
@@ -138,31 +150,58 @@ def rollup_query(
     aggregates per (bucket, *key_cols): n_events, sum/avg/min/max.
 
     Exact at every instant: the boundary is a bucket edge, so no
-    bucket is half-sealed."""
+    bucket is half-sealed. With a ``distinct_col`` rollup the output
+    carries ``n_distinct_est`` (merged-HLL estimate); pass
+    ``keep_sketch`` to ALSO keep the mergeable ``hll_state`` so
+    callers can re-merge across buckets (see
+    :func:`estimate_distinct`)."""
     meta = rollup_meta(rollup_dir)
+    dcol = meta.get("distinct_col")
     sealed = spark.read.parquet(rollup_dir).drop("bucket_date")
     bucket = _bucket(meta["ts_col"], meta["grain"])
     tail = (
         raw_events.where(F.col(meta["ts_col"]) >= F.lit(meta["sealed_until"]))
         .groupBy(bucket.alias("bucket"), *meta["key_cols"])
-        .agg(*_state_agg(meta["value_col"]))
+        .agg(*_state_agg(meta["value_col"], dcol))
     )
+    merge_aggs = [
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    ]
+    if dcol:
+        merge_aggs.append(F.hll_union_agg("hll_state").alias("hll_state"))
     merged = (
         sealed.unionByName(tail)
         # a bucket can appear in both halves only if the tail was
         # refreshed into the rollup between plan build and execution;
         # merging partial states keeps the answer exact regardless
         .groupBy("bucket", *meta["key_cols"])
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("sum_value").alias("sum_value"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
-        )
+        .agg(*merge_aggs)
         .withColumn("avg_value", F.col("sum_value") / F.col("n_events"))
     )
+    if dcol:
+        merged = merged.withColumn(
+            "n_distinct_est", F.hll_sketch_estimate("hll_state")
+        )
+        if not keep_sketch:
+            merged = merged.drop("hll_state")
     if bucket_lo is not None:
         merged = merged.where(F.col("bucket") >= F.lit(bucket_lo))
     if bucket_hi is not None:
         merged = merged.where(F.col("bucket") < F.lit(bucket_hi))
     return merged
+
+
+def estimate_distinct(rolled: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Re-aggregate a ``keep_sketch=True`` rollup result to ANY
+    coarser grouping (hour sketches -> daily / weekly / per-key
+    distinct counts) by unioning the HLL states — the query that
+    finished distinct counts cannot answer from pre-aggregates (sums
+    of per-bucket distincts overcount shared members). One sketch
+    merge, zero raw-data access."""
+    return rolled.groupBy(*group_cols).agg(
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("hll_state")).alias("n_distinct_est"),
+    )

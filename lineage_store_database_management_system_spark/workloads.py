@@ -1887,6 +1887,56 @@ def ds_bloom_decontaminate(spark, sf_dir):
 
 
 @workload(
+    "ext_rollup_distinct_sketch",
+    # Mergeable-sketch rollup: per-day distinct users answered by
+    # UNIONING the sealed hourly HLL sketches (plus the live tail's)
+    # — the query a finished-count rollup cannot answer (sums of
+    # per-bucket distincts overcount shared users). The exact count
+    # comes from raw on both engines; `est_ok` asserts the merged
+    # estimate lands within 2% of it (deterministic: the Datasketches
+    # HLL state for given data is a pure function, and at this
+    # cardinality sparse mode is exact).
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS est_ok
+FROM events GROUP BY 1""",
+)
+def ext_rollup_distinct(spark, sf_dir):
+    """Distinct-count rollup via HLL sketch state
+    (operators/rollup.py): hourly buckets each store an hll_sketch_agg
+    of user_id; daily distincts re-merge the sealed sketches with
+    hll_union_agg — zero raw-data access for sealed history — and the
+    estimate is gated within 2% of the exact count."""
+    import tempfile as _tf
+
+    from .operators import rollup as _rollup
+
+    ev = load_star(spark, sf_dir)["events"]
+    rdir = os.path.join(_tf.mkdtemp(prefix="lss_rollup_hll_"), "hourly")
+    _rollup.create_rollup(
+        ev, rdir, "2024-01-20 00:00:00", distinct_col="user_id"
+    )
+    _rollup.refresh_rollup(ev, rdir, "2024-01-25 00:00:00")
+    rolled = _rollup.rollup_query(spark, rdir, ev, keep_sketch=True)
+    daily = _rollup.estimate_distinct(
+        rolled.withColumn("day", F.to_date("bucket")), ["day"]
+    )
+    exact = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    return daily.join(exact, on="day").select(
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_users").cast("long").alias("n_users"),
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_users")) / F.col("n_users")
+            <= 0.02
+        ).alias("est_ok"),
+    )
+
+
+@workload(
     "ext_lateral_topk_per_nation",
     """SELECT n_name, c.c_custkey, c.c_acctbal
 FROM nation, LATERAL (

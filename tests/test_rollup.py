@@ -81,3 +81,42 @@ def test_empty_key_cols_and_bad_grain(spark, events, tmp_path):
     with pytest.raises(ValueError):
         rollup.create_rollup(events, os.path.join(str(tmp_path), "x"),
                              "2024-01-15 00:00:00", grain="fortnight")
+
+
+def test_hll_sketch_rollup_distinct_over_ranges(spark, events, tmp_path):
+    rdir = os.path.join(str(tmp_path), "r")
+    rollup.create_rollup(
+        events, rdir, "2024-01-15 00:00:00", distinct_col="user_id"
+    )
+    rollup.refresh_rollup(events, rdir, "2024-01-20 00:00:00")
+    rolled = rollup.rollup_query(spark, rdir, events, keep_sketch=True)
+    # per-bucket estimate present and near-exact at test cardinality
+    per_bucket = rolled.select("bucket", "n_distinct_est").collect()
+    assert all(r.n_distinct_est >= 1 for r in per_bucket)
+    # re-merge sealed hour sketches to WEEKLY distincts: compare exact
+    weekly = rollup.estimate_distinct(
+        rolled.withColumn("wk", F.weekofyear("bucket")), ["wk"]
+    )
+    exact = events.groupBy(F.weekofyear(F.date_trunc("hour", "ts")).alias("wk")).agg(
+        F.count_distinct("user_id").alias("exact")
+    )
+    j = weekly.join(exact, on="wk").collect()
+    assert j and all(abs(r.n_distinct_est - r.exact) / r.exact <= 0.02 for r in j)
+    # finished counts would overcount: the sum of per-bucket distincts
+    # strictly exceeds the merged estimate whenever users span buckets
+    summed = (
+        rolled.withColumn("wk", F.weekofyear("bucket"))
+        .groupBy("wk")
+        .agg(F.sum("n_distinct_est").alias("summed"))
+    )
+    s = {r.wk: r.summed for r in summed.collect()}
+    m = {r.wk: r.n_distinct_est for r in j}
+    assert all(s[w] > m[w] for w in m)
+
+
+def test_rollup_without_distinct_col_has_no_sketch(spark, events, tmp_path):
+    rdir = os.path.join(str(tmp_path), "r")
+    rollup.create_rollup(events, rdir, "2024-01-15 00:00:00")
+    rolled = rollup.rollup_query(spark, rdir, events, keep_sketch=True)
+    assert "hll_state" not in rolled.columns
+    assert "n_distinct_est" not in rolled.columns
