@@ -63,6 +63,41 @@ class BloomFilter:
         arr = np.frombuffer(self.bits, dtype=np.uint8)
         return float(np.unpackbits(arr).mean())
 
+    def save(self, path: str) -> None:
+        """Persist for cross-run reuse (the decontamination filter of
+        a frozen eval set is built once, probed by every ingest).
+        Atomic: temp file + rename."""
+        import json as _json
+        import os as _os
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            header = _json.dumps(
+                {"num_bits": self.num_bits, "num_hashes": self.num_hashes}
+            ).encode()
+            f.write(len(header).to_bytes(4, "big") + header + self.bits)
+        _os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "BloomFilter":
+        import json as _json
+
+        with open(path, "rb") as f:
+            hlen = int.from_bytes(f.read(4), "big")
+            meta = _json.loads(f.read(hlen).decode())
+            bits = f.read()
+        return cls(bits, meta["num_bits"], meta["num_hashes"])
+
+    def union(self, other: "BloomFilter") -> "BloomFilter":
+        """OR-merge two filters built with identical parameters —
+        incremental growth of the member set (e.g. a new eval-set
+        release) without rebuilding from scratch."""
+        if (self.num_bits, self.num_hashes) != (other.num_bits, other.num_hashes):
+            raise ValueError("bloom parameters differ; filters cannot merge")
+        a = np.frombuffer(self.bits, dtype=np.uint8)
+        b = np.frombuffer(other.bits, dtype=np.uint8)
+        return BloomFilter((a | b).tobytes(), self.num_bits, self.num_hashes)
+
 
 def build_bloom(
     df: DataFrame,

@@ -205,3 +205,80 @@ def estimate_distinct(rolled: DataFrame, group_cols: list[str]) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.hll_sketch_estimate(F.hll_union_agg("hll_state")).alias("n_distinct_est"),
     )
+
+
+def stream_maintain_rollup(
+    stream_df: DataFrame,
+    rollup_dir: str,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    grain: str = "hour",
+    distinct_col: str | None = None,
+) -> int:
+    """Maintain a rollup FROM A STREAM: every micro-batch aggregates
+    to partial state and lands in its own ``batch=<id>`` partition —
+    ``foreachBatch`` replay after a crash OVERWRITES the same
+    partition, so maintenance is idempotent across checkpoint
+    restarts with no marker bookkeeping (the partition IS the
+    marker). The rollup is a partial-state log: the same bucket may
+    appear in many batches, and :func:`streaming_rollup_state` merges
+    states exactly — the same property that makes a mid-refresh
+    ``rollup_query`` exact. Drains available input (availableNow);
+    returns the number of micro-batches processed this run."""
+    key_cols = key_cols or []
+    data_dir = os.path.join(rollup_dir, "data")
+    os.makedirs(rollup_dir, exist_ok=True)
+    meta = {
+        "ts_col": ts_col,
+        "key_cols": key_cols,
+        "value_col": value_col,
+        "grain": grain,
+        "distinct_col": distinct_col,
+        "streaming": True,
+    }
+    tmp = _meta_path(rollup_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(rollup_dir))
+    bucket = _bucket(ts_col, grain)
+    n = {"n": 0}
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy(bucket.alias("bucket"), *key_cols).agg(
+            *_state_agg(value_col, distinct_col)
+        )
+        part.write.mode("overwrite").parquet(
+            os.path.join(data_dir, f"batch={batch_id}")
+        )
+        n["n"] += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(_upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(rollup_dir, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination()
+    return n["n"]
+
+
+def streaming_rollup_state(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Merged finished aggregates of a stream-maintained rollup —
+    one partial-state merge over the batch log, no raw events."""
+    meta = rollup_meta(rollup_dir)
+    parts = spark.read.parquet(os.path.join(rollup_dir, "data")).drop("batch")
+    merge_aggs = [
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    ]
+    if meta.get("distinct_col"):
+        merge_aggs.append(F.hll_union_agg("hll_state").alias("hll_state"))
+    out = parts.groupBy("bucket", *meta["key_cols"]).agg(*merge_aggs)
+    if meta.get("distinct_col"):
+        out = out.withColumn(
+            "n_distinct_est", F.hll_sketch_estimate("hll_state")
+        ).drop("hll_state")
+    return out

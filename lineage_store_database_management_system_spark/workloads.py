@@ -2126,6 +2126,38 @@ def mm_features(spark, sf_dir):
 
 
 @workload(
+    "st_rollup_maintained",
+    # A stream-maintained continuous rollup drained with availableNow
+    # is deterministic: per-micro-batch partial states land in
+    # batch=<id> partitions (replay overwrites, so maintenance is
+    # idempotent) and the merged state equals the direct hourly
+    # aggregate — the closed-form oracle below.
+    """SELECT date_trunc('hour', ts) AS bucket, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2""",
+)
+def st_rollup_maintained(spark, sf_dir):
+    """Continuous rollup maintained by Structured Streaming
+    (operators/rollup.py): foreachBatch writes each micro-batch's
+    partial-aggregate state to its own batch partition; the merged
+    rollup state is hash-gated against the direct GROUP BY."""
+    import tempfile as _tf
+
+    from .operators import rollup as _rollup
+
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    rdir = os.path.join(_tf.mkdtemp(prefix="lss_stroll_"), "r")
+    _rollup.stream_maintain_rollup(stream, rdir, key_cols=["event_type"])
+    out = _rollup.streaming_rollup_state(spark, rdir)
+    return out.select(
+        "bucket",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
+@workload(
     "st_tumbling_hour",
     # Streaming drained with trigger(availableNow) over static input
     # is deterministic: complete-mode final state == the batch

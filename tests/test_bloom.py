@@ -75,3 +75,25 @@ def test_num_bits_must_be_byte_aligned(spark):
     df = spark.range(1).select(F.lit("a").alias("v"))
     with pytest.raises(ValueError):
         bloom.build_bloom(df, "v", num_bits=1001)
+
+
+def test_save_load_union_roundtrip(spark, tmp_path):
+    import os
+
+    a_side = spark.range(0, 300).select(F.concat(F.lit("a"), F.col("id")).alias("v"))
+    b_side = spark.range(0, 300).select(F.concat(F.lit("b"), F.col("id")).alias("v"))
+    bf_a = bloom.build_bloom(a_side, "v", num_bits=1 << 14, num_hashes=4)
+    bf_b = bloom.build_bloom(b_side, "v", num_bits=1 << 14, num_hashes=4)
+    p = os.path.join(str(tmp_path), "f.bloom")
+    bf_a.save(p)
+    loaded = bloom.BloomFilter.load(p)
+    assert loaded.bits == bf_a.bits
+    assert (loaded.num_bits, loaded.num_hashes) == (1 << 14, 4)
+
+    merged = loaded.union(bf_b)
+    both = a_side.unionAll(b_side)
+    hits = both.withColumn("hit", bloom.might_contain(both, "v", merged))
+    assert hits.where(~F.col("hit")).count() == 0  # no FN through save+union
+
+    with pytest.raises(ValueError):
+        bf_a.union(bloom.build_bloom(b_side, "v", num_bits=1 << 13, num_hashes=4))

@@ -120,3 +120,54 @@ def test_rollup_without_distinct_col_has_no_sketch(spark, events, tmp_path):
     rolled = rollup.rollup_query(spark, rdir, events, keep_sketch=True)
     assert "hll_state" not in rolled.columns
     assert "n_distinct_est" not in rolled.columns
+
+
+def test_stream_maintained_rollup_idempotent_replay(spark, sf_dir, tmp_path):
+    from lineage_store_database_management_system_spark.streaming import (
+        read_events_stream,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    rdir = os.path.join(str(tmp_path), "r")
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    n1 = rollup.stream_maintain_rollup(stream, rdir, key_cols=["event_type"])
+    assert n1 >= 1
+    got1 = {
+        (r.bucket, r.event_type, r.n_events)
+        for r in rollup.streaming_rollup_state(spark, rdir).collect()
+    }
+    ev = spark.read.parquet(path)
+    direct = {
+        (r.bucket, r.event_type, r.n)
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got1 == direct
+
+    # simulate a crash-replay of the last micro-batch: re-writing the
+    # same batch partition must leave the merged state unchanged
+    batches = sorted(os.listdir(os.path.join(rdir, "data")))
+    last = batches[-1]
+    bucket = F.date_trunc("hour", F.col("ts")).alias("bucket")
+    part = ev.groupBy(bucket, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    part.write.mode("overwrite").parquet(os.path.join(rdir, "data", last))
+    got2 = {
+        (r.bucket, r.event_type, r.n_events)
+        for r in rollup.streaming_rollup_state(spark, rdir).collect()
+    }
+    assert got2 == direct
+
+    # a second drain from the same checkpoint appends nothing new
+    stream2 = read_events_stream(spark, path, max_files_per_trigger=1)
+    rollup.stream_maintain_rollup(stream2, rdir, key_cols=["event_type"])
+    got3 = {
+        (r.bucket, r.event_type, r.n_events)
+        for r in rollup.streaming_rollup_state(spark, rdir).collect()
+    }
+    assert got3 == direct
