@@ -458,3 +458,52 @@ def tfidf_top_terms(
         .where(F.col("_rnk") <= k)
         .select(group_col, "term", "tfidf")
     )
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The published Gopher / MassiveText repetition-free quality
+    rules (Rae et al. 2021, appendix A) as per-document flags — the
+    standard pre-training filter set, distinct from the composite
+    ``quality_score``: each rule is a named boolean so pipelines can
+    relax/tighten individual thresholds and audit WHY a document was
+    dropped. Every term is a portable SQL expression (one projection,
+    no shuffle, runs over 100 TB map-only):
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - >= 80% of words contain an alphabetic character
+    - '#' symbol-to-word ratio < 0.1
+    - >= 2 distinct English stop words present
+    """
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
+    chars_no_space = F.length(F.replace(t, F.lit(" "), F.lit("")))
+    mean_wl = chars_no_space / F.greatest(n_words, F.lit(1)).cast("double")
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_ratio = alpha_words / F.greatest(n_words, F.lit(1)).cast("double")
+    hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    symbol_ratio = hashes / F.greatest(n_words, F.lit(1)).cast("double")
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_hits = sum(
+        F.when(padded.contains(f" {w} "), 1).otherwise(0)
+        for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
+    )
+    ok_words = (n_words >= 50) & (n_words <= 100_000)
+    ok_mean = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    ok_alpha = alpha_ratio >= 0.8
+    ok_symbol = symbol_ratio < 0.1
+    ok_stop = stop_hits >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 3).alias("mean_word_len"),
+        F.round(alpha_ratio, 3).alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("stop_word_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_stop_words"),
+        (ok_words & ok_mean & ok_alpha & ok_symbol & ok_stop).alias("passes_gopher"),
+    )

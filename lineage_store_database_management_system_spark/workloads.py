@@ -1937,6 +1937,58 @@ def ext_rollup_distinct(spark, sf_dir):
 
 
 @workload(
+    "ds_gopher_quality",
+    # The published Gopher/MassiveText per-rule quality flags; every
+    # term is identical portable SQL in both engines.
+    """WITH s AS (
+  SELECT doc_id, trim(text) AS t,
+         regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CASE WHEN length(t) = 0 THEN 0 ELSE len(w) END AS n_words,
+    length(replace(t, ' ', ''))
+      / CAST(GREATEST(CASE WHEN length(t)=0 THEN 0 ELSE len(w) END, 1) AS DOUBLE)
+      AS mean_wl,
+    len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+      / CAST(GREATEST(CASE WHEN length(t)=0 THEN 0 ELSE len(w) END, 1) AS DOUBLE)
+      AS alpha_ratio,
+    (length(t) - length(replace(t, '#', '')))
+      / CAST(GREATEST(CASE WHEN length(t)=0 THEN 0 ELSE len(w) END, 1) AS DOUBLE)
+      AS symbol_ratio,
+    (CASE WHEN position(' the '  IN ' ' || lower(t) || ' ') > 0 THEN 1 ELSE 0 END
+   + CASE WHEN position(' be '   IN ' ' || lower(t) || ' ') > 0 THEN 1 ELSE 0 END
+   + CASE WHEN position(' to '   IN ' ' || lower(t) || ' ') > 0 THEN 1 ELSE 0 END
+   + CASE WHEN position(' of '   IN ' ' || lower(t) || ' ') > 0 THEN 1 ELSE 0 END
+   + CASE WHEN position(' and '  IN ' ' || lower(t) || ' ') > 0 THEN 1 ELSE 0 END
+   + CASE WHEN position(' that ' IN ' ' || lower(t) || ' ') > 0 THEN 1 ELSE 0 END
+   + CASE WHEN position(' have ' IN ' ' || lower(t) || ' ') > 0 THEN 1 ELSE 0 END
+   + CASE WHEN position(' with ' IN ' ' || lower(t) || ' ') > 0 THEN 1 ELSE 0 END)
+      AS stop_hits
+  FROM s
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mean_wl, 3) AS mean_word_len,
+       ROUND(alpha_ratio, 3) AS alpha_word_ratio,
+       CAST(stop_hits AS BIGINT) AS stop_word_hits,
+       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_mean_word_len,
+       (alpha_ratio >= 0.8) AS ok_alpha_words,
+       (symbol_ratio < 0.1) AS ok_symbol_ratio,
+       (stop_hits >= 2) AS ok_stop_words,
+       ((n_words >= 50 AND n_words <= 100000) AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+        AND (alpha_ratio >= 0.8) AND (symbol_ratio < 0.1) AND (stop_hits >= 2))
+         AS passes_gopher
+FROM m""",
+)
+def ds_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveText quality rules as auditable per-rule flags
+    (textops.gopher_quality_flags) — map-only, one projection."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return textops.gopher_quality_flags(docs, "doc_id", "text")
+
+
+@workload(
     "ext_lateral_topk_per_nation",
     """SELECT n_name, c.c_custkey, c.c_acctbal
 FROM nation, LATERAL (

@@ -671,3 +671,29 @@ def test_remove_repeated_spans_boundaries(spark):
         ).collect()
     }
     assert out2[1] == "" and out2[2] == "" and len(out2) == 3
+
+
+def test_gopher_quality_flags_edges(spark):
+    from lineage_store_database_management_system_spark.operators import textops
+
+    good = " ".join(
+        ["the quick brown fox and that dog have fun with games to play"] * 6
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),                       # passes everything
+            (2, ""),                         # empty -> fails word count
+            (3, "short text only"),          # too few words
+            (4, "#### " * 60),               # symbol ratio + no alpha
+            (5, ("x" * 40 + " ") * 60),      # mean word length 40
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.gopher_quality_flags(
+        docs, "doc_id", "text").collect()}
+    assert out[1].passes_gopher
+    assert out[1].ok_stop_words and out[1].stop_word_hits >= 2
+    assert out[2].n_words == 0 and not out[2].passes_gopher
+    assert not out[3].ok_word_count
+    assert not out[4].ok_symbol_ratio and not out[4].ok_alpha_words
+    assert not out[5].ok_mean_word_len and out[5].n_words == 60
