@@ -340,3 +340,153 @@ def knn_join(
     )
     w = Window.partitionBy(left_id).orderBy(F.desc("cosine"), F.asc(f"nn_{right_id}"))
     return scored.withColumn("_rnk", F.row_number().over(w)).where(F.col("_rnk") <= k).drop("_rnk")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the IVF+PQ billion-scale recipe)
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    nbits: int = 4,
+    sample_n: int = 512,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split each vector into
+    ``m`` contiguous sub-blocks and run the same deterministic
+    mini k-means as :func:`ivf_centroids` per block (2^nbits
+    centroids each). Codebooks are tiny (m x 2^nbits x dim/m) and
+    broadcast; at 100 TB you train once on a sample. A d-dim float32
+    vector compresses to m codes — with m=4, nbits=4 that is 2 bytes
+    per vector, a 128x reduction at d=64."""
+    import numpy as np
+
+    rows = df.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    ksz = 1 << nbits
+    rng = __import__("random").Random(seed)
+    books = []
+    for b in range(m):
+        xb = x[:, b * sub : (b + 1) * sub]
+        idx = sorted(rng.sample(range(len(xb)), min(ksz, len(xb))))
+        cents = xb[idx].copy()
+        for _ in range(iters):
+            d2 = ((xb[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(cents)):
+                members = xb[assign == j]
+                if len(members):
+                    cents[j] = members.mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "_pq",
+) -> DataFrame:
+    """Encode every vector to its m nearest-centroid codes (array<int>).
+    Vectorized Pandas UDF — one small matmul per block per Arrow
+    batch. The encoded table is what you persist at scale; raw
+    vectors are only needed by an exact-refine stage."""
+    import numpy as np
+    import pandas as pd
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+
+    def _enc_fn(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((len(x), len(books)), dtype=np.int32)
+        for b, cents in enumerate(books):
+            xb = x[:, b * sub : (b + 1) * sub]
+            d2 = (
+                (xb * xb).sum(1)[:, None]
+                - 2.0 * (xb @ cents.T)
+                + (cents * cents).sum(1)[None, :]
+            )
+            codes[:, b] = d2.argmin(axis=1)
+        return pd.Series([c.tolist() for c in codes])
+
+    _enc = F.pandas_udf(_enc_fn, "array<int>")
+    return df.withColumn(out_col, _enc(F.col(vec_col)))
+
+
+def pq_adc_candidates(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    n_candidates: int = 100,
+    id_col: str = "vec_id",
+    code_col: str = "_pq",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) scan: the query builds one lookup
+    table per block driver-side (||q_b - centroid||^2 for every
+    centroid), and each encoded vector's approximate squared L2
+    distance is m table lookups + a sum — a vectorized numpy take
+    over the code column, never touching raw vectors. Returns the
+    ``n_candidates`` lowest-distance ids (deterministic: ADC distance
+    with id tiebreak)."""
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    lut = np.stack(
+        [
+            ((q[b * sub : (b + 1) * sub][None, :] - cents) ** 2).sum(axis=1)
+            for b, cents in enumerate(books)
+        ]
+    )  # (m, 2^nbits)
+
+    def _adc_fn(codes):
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        c = np.asarray([np.asarray(v, dtype=np.int64) for v in codes])
+        rows = np.arange(lut.shape[0])[None, :]
+        return pd.Series(lut[rows, c].sum(axis=1))
+
+    _adc = F.pandas_udf(_adc_fn, "double")
+    return (
+        df.withColumn("_adc", _adc(F.col(code_col)))
+        .orderBy(F.asc("_adc"), F.asc(id_col))
+        .limit(n_candidates)
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "_pq",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Two-phase PQ search: ADC scan over the compressed codes picks
+    ``n_candidates``, then the exact cosine re-ranks ONLY those — the
+    standard refine step that restores exact ordering among whatever
+    the compressed scan recalled. At scale the first phase reads 2-8
+    bytes per vector instead of 4d, and composes with IVF partition
+    pruning (encode per inverted list)."""
+    cands = pq_adc_candidates(
+        df, query_vec, codebooks, n_candidates, id_col, code_col
+    ).select(id_col)
+    subset = df.join(F.broadcast(cands), on=id_col, how="left_semi")
+    return brute_force_topk(subset, query_vec, k, id_col, vec_col, round_to)

@@ -1989,6 +1989,60 @@ def ds_gopher_quality(spark, sf_dir):
 
 
 @workload(
+    "ds_embedding_pq_topk",
+    # Gated rows = the exact top-20 (same SQL as ds_embedding_topk);
+    # the compressed-scan path enters as deterministic booleans. The
+    # query vector itself always survives the ADC scan (its only
+    # error is its own quantization distortion — top-200 of 2000 by a
+    # huge margin), and overlap >= 8 of 20 at m=8 codebooks with 200
+    # candidates (observed 18).
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM embeddings, q
+)
+SELECT vec_id, ROUND(c, 3) AS cosine, TRUE AS self_in_pq, TRUE AS overlap_ok
+FROM scored ORDER BY ROUND(c, 3) DESC, vec_id LIMIT 20""",
+)
+def ds_embed_pq(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_*): vectors compress
+    to m=8 4-bit codes (4 bytes each, 64x smaller than raw float64);
+    the query scans ONLY the codes via an ADC lookup table, and the
+    exact cosine re-ranks the 200 recalled candidates — the IVF+PQ
+    billion-scale recipe's PQ half, gated like ds_embedding_ivf_topk
+    (exact top-20 rows + in-query recall booleans)."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    books = similarity.pq_train(emb, m=8, nbits=4)
+    enc = similarity.pq_encode(emb, books)
+    exact = similarity.brute_force_topk(emb, q, k=20, round_to=3)
+    approx = similarity.pq_topk(
+        enc, q, books, k=20, n_candidates=200, round_to=3
+    ).select(F.col("vec_id").alias("_aid"))
+    overlap = (
+        exact.select("vec_id")
+        .join(approx, F.col("vec_id") == F.col("_aid"))
+        .agg(F.count(F.lit(1)).alias("_ov"))
+    )
+    self_hit = approx.agg(
+        F.max(F.when(F.col("_aid") == 0, F.lit(True))).alias("_self")
+    )
+    flags = overlap.crossJoin(self_hit).select(
+        F.coalesce(F.col("_self"), F.lit(False)).alias("self_in_pq"),
+        (F.col("_ov") >= 8).alias("overlap_ok"),
+    )
+    return exact.crossJoin(F.broadcast(flags)).select(
+        "vec_id", "cosine", "self_in_pq", "overlap_ok"
+    )
+
+
+@workload(
     "ext_lateral_topk_per_nation",
     """SELECT n_name, c.c_custkey, c.c_acctbal
 FROM nation, LATERAL (

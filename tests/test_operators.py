@@ -697,3 +697,51 @@ def test_gopher_quality_flags_edges(spark):
     assert not out[3].ok_word_count
     assert not out[4].ok_symbol_ratio and not out[4].ok_alpha_words
     assert not out[5].ok_mean_word_len and out[5].n_words == 60
+
+
+def test_product_quantization_roundtrip_and_refine(spark, sf_dir):
+    import os
+
+    from lineage_store_database_management_system_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    books = similarity.pq_train(emb, m=8, nbits=4)
+    assert len(books) == 8 and len(books[0]) == 16
+    assert len(books[0][0]) == len(q) // 8
+
+    enc = similarity.pq_encode(emb, books)
+    codes = enc.select("_pq").limit(50).collect()
+    assert all(len(r["_pq"]) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["_pq"])
+
+    # encoding is a pure function: repartitioning must not change it
+    enc2 = similarity.pq_encode(emb.repartition(7), books)
+    a = {r.vec_id: tuple(r["_pq"]) for r in enc.collect()}
+    b = {r.vec_id: tuple(r["_pq"]) for r in enc2.collect()}
+    assert a == b
+
+    # the refined top-k equals brute force restricted to the ADC
+    # candidate set, and the query's own vector is always recalled
+    cands = similarity.pq_adc_candidates(enc, q, books, n_candidates=50)
+    cand_ids = {r.vec_id for r in cands.select("vec_id").collect()}
+    assert 1 in cand_ids
+    topk = similarity.pq_topk(enc, q, books, k=5, n_candidates=50, round_to=3)
+    got = [r.vec_id for r in topk.collect()]
+    assert got[0] == 1  # exact refine ranks the query itself first
+    subset = emb.where(F.col("vec_id").isin(list(cand_ids)))
+    direct = [
+        r.vec_id
+        for r in similarity.brute_force_topk(subset, q, k=5, round_to=3).collect()
+    ]
+    assert got == direct
+
+
+def test_pq_train_rejects_indivisible_dim(spark, sf_dir):
+    import os
+
+    from lineage_store_database_management_system_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    with pytest.raises(ValueError):
+        similarity.pq_train(emb, m=7)
