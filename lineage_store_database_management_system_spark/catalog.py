@@ -495,6 +495,57 @@ class Database:
             if os.path.isfile(os.path.join(root, n, "_mv_meta.json"))
         )
 
+    def maintain(
+        self,
+        *,
+        compact: bool = True,
+        refresh_indexes: bool = True,
+        max_stale_deltas: int = 10_000,
+        refresh_mvs: bool = True,
+        snapshot_retain: int = 1,
+    ) -> dict:
+        """One housekeeping pass over the whole database — the cron
+        job a deployment would run between ingest waves. Per table:
+        flush buffered point-ops, compact when the tail has outgrown
+        its threshold, catch up secondary indexes past the staleness
+        policy, reclaim snapshot versions beyond the retention
+        window; then refresh every stale materialized view (SQL MVs
+        recompute, aggregate MVs maintain incrementally from the
+        deltas). Every step is the existing bounded-work primitive;
+        this only sequences them. Returns a per-table report."""
+        self._require_open()
+        from . import indexing
+
+        report: dict[str, dict] = {}
+        for name in self.list_tables():
+            t = self.get_table(name)
+            r: dict = {}
+            t.flush()
+            if compact:
+                r["compacted"] = t.maybe_compact()
+            if refresh_indexes:
+                idx_root = os.path.join(t.path, "index")
+                cols = (
+                    [c for c in os.listdir(idx_root) if not c.startswith(("_", "."))]
+                    if os.path.isdir(idx_root)
+                    else []
+                )
+                r["indexes"] = {
+                    c: indexing.maybe_refresh_secondary_index(
+                        t, c, max_stale_deltas=max_stale_deltas
+                    )
+                    for c in cols
+                }
+            if snapshot_retain >= 0:
+                r["snapshots_reclaimed"] = t.vacuum_snapshots(snapshot_retain)
+            report[name] = r
+        if refresh_mvs:
+            report["_materialized_views"] = {
+                mv: ("refreshed" if self.refresh_materialized_view(mv) else "fresh")
+                for mv in self.list_materialized_views()
+            }
+        return report
+
     def _require_open(self) -> None:
         if not self.path or self.spark is None:
             raise RuntimeError("Database.open(path) must be called first")

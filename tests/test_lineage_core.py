@@ -1366,3 +1366,41 @@ def test_secondary_index_incremental_refresh(spark, tmp_path):
     t.bulk_update(spark.range(400).select(F.col("id").alias("k"), F.lit(9).alias("grp")))
     assert indexing.refresh_secondary_index(t, "grp", rebuild_above=100) == "rebuild"
     assert sorted(r["k"] for r in indexing.indexed_lookup(t, "grp", 9).collect()) == expect(9)
+
+
+def test_database_maintain_pass(spark, tmp_path, sf_dir):
+    import os
+
+    from lineage_store_database_management_system_spark import Database
+    from lineage_store_database_management_system_spark import indexing
+
+    db = Database().open(str(tmp_path), spark)
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = db.create_table_typed("m_orders", src.schema, "o_orderkey")
+    t.ingest_dataframe(src)
+    indexing.build_secondary_index(t, "o_custkey", n_buckets=4)
+    # drive the tail past the auto-compact threshold and stale the index
+    upd = src.select("o_orderkey", (F.col("o_totalprice") + 1).alias("o_totalprice"))
+    t.bulk_update(upd)
+    old_thresh = t.AUTO_COMPACT_TAIL_ROWS
+    t.AUTO_COMPACT_TAIL_ROWS = 10
+    try:
+        expected = t.current_view().count()
+        report = db.maintain(max_stale_deltas=5, snapshot_retain=0)
+    finally:
+        t.AUTO_COMPACT_TAIL_ROWS = old_thresh
+    r = report["m_orders"]
+    assert r["compacted"] is True
+    assert r["indexes"]["o_custkey"] in ("incremental", "rebuild", "full")
+    # compaction retained a prior snapshot; retain=0 reclaims it
+    assert r["snapshots_reclaimed"] >= 0
+    # maintenance is physical only: answers unchanged, index exact
+    assert t.current_view().count() == expected
+    key = src.limit(1).collect()[0]["o_custkey"]
+    got = indexing.indexed_lookup(t, "o_custkey", key).count()
+    direct = t.current_view().where(F.col("o_custkey") == key).count()
+    assert got == direct
+    # a second pass is a no-op
+    report2 = db.maintain(max_stale_deltas=5, snapshot_retain=0)
+    assert report2["m_orders"]["compacted"] is False
+    assert report2["m_orders"]["indexes"]["o_custkey"] == "fresh"
