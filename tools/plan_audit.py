@@ -73,6 +73,13 @@ AUDIT = [
     ("ds_incremental_dedup", ["Scan ExistingRDD"], ["BatchEvalPython"]),
     ("ext_rollup_realtime_agg", ["GreaterThanOrEqual(ts", "HashAggregate"], ["BatchEvalPython"]),
     ("ds_bloom_decontaminate", ["ArrowEvalPython", "xxhash64"], ["BatchEvalPython"]),
+    # Gopher rules must stay one map-only projection (no shuffle at
+    # all); PQ's exact-refine side compiles to top-k and its only
+    # Python is the Arrow-batched encode/ADC kernels; sketch rollups
+    # are aggregates end to end.
+    ("ds_gopher_quality", [], ["Exchange", "BatchEvalPython"]),
+    ("ds_embedding_pq_topk", ["TakeOrderedAndProject", "ArrowEvalPython"], ["BatchEvalPython"]),
+    ("ext_rollup_distinct_sketch", ["HashAggregate"], ["BatchEvalPython"]),
 ]
 
 
