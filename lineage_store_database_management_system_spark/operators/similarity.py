@@ -490,3 +490,40 @@ def pq_topk(
     ).select(id_col)
     subset = df.join(F.broadcast(cands), on=id_col, how="left_semi")
     return brute_force_topk(subset, query_vec, k, id_col, vec_col, round_to)
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    n_candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "_list",
+    code_col: str = "_pq",
+    round_to: int | None = None,
+) -> DataFrame:
+    """The composed billion-scale recipe (IVF+PQ, Jégou et al. 2011):
+    the coarse quantizer prunes to the ``nprobe`` nearest inverted
+    lists (partition pruning — reads nprobe/n_lists of the data), the
+    ADC scan over those lists' compressed codes picks
+    ``n_candidates`` (2-8 bytes per vector touched), and the exact
+    cosine re-ranks only the recalled candidates. Input is a table
+    prepared once with :func:`ivf_assign` + :func:`pq_encode` —
+    at scale, written partitioned by ``list_col`` with raw vectors
+    alongside codes so the refine stage stays partition-local."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()[:nprobe]
+    probes = [int(i) for i in order]
+    lists = df.where(F.col(list_col).isin(probes))
+    cands = pq_adc_candidates(
+        lists, query_vec, codebooks, n_candidates, id_col, code_col
+    ).select(id_col)
+    subset = lists.join(F.broadcast(cands), on=id_col, how="left_semi")
+    return brute_force_topk(subset, query_vec, k, id_col, vec_col, round_to)

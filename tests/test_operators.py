@@ -745,3 +745,33 @@ def test_pq_train_rejects_indivisible_dim(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     with pytest.raises(ValueError):
         similarity.pq_train(emb, m=7)
+
+
+def test_ivf_pq_composed_recipe(spark, sf_dir):
+    import os
+
+    from lineage_store_database_management_system_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    cents = similarity.ivf_centroids(emb, n_lists=8)
+    books = similarity.pq_train(emb, m=8, nbits=4)
+    prepared = similarity.pq_encode(similarity.ivf_assign(emb, cents), books)
+
+    got = similarity.ivf_pq_topk(
+        prepared, q, cents, books, k=5, nprobe=8, n_candidates=100, round_to=3
+    )
+    ids = [r.vec_id for r in got.collect()]
+    assert ids[0] == 0  # querying with vector 0: exact refine ranks it first
+    # with nprobe = n_lists the IVF stage prunes nothing, so the
+    # composed result equals plain PQ top-k
+    pq_only = similarity.pq_topk(
+        prepared, q, books, k=5, n_candidates=100, round_to=3
+    )
+    assert ids == [r.vec_id for r in pq_only.collect()]
+    # partial probe returns k rows from the probed lists only
+    part = similarity.ivf_pq_topk(
+        prepared, q, cents, books, k=5, nprobe=2, n_candidates=50, round_to=3
+    )
+    rows = part.collect()
+    assert len(rows) == 5 and rows[0].vec_id == 0
