@@ -191,19 +191,42 @@ def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 4) -> DataFr
 
     @F.pandas_udf("long")
     def _bit_votes(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.int64)
+        # Vectorized across the WHOLE Arrow batch: flatten every
+        # document's token hashes into one array with a parallel
+        # doc-index, expand to a (tokens, 64) sign matrix, and
+        # accumulate per-(doc, bit) votes with 64 bincounts — no
+        # per-document Python loop. Integer vote sums are
+        # order-independent, so results are bit-identical to the
+        # per-row formulation. Token chunks bound peak memory.
+        n = len(hashes)
         shifts = np.arange(64, dtype=np.uint64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
-                continue
-            arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
-            bits = ((arr[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = (bits * 2 - 1).sum(axis=0)
-            v = np.uint64(0)
-            for bpos in np.nonzero(votes > 0)[0]:
-                v |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.array([v], dtype=np.uint64).view(np.int64)[0]
-        return pd.Series(out)
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
+        ).view(np.uint64)
+        doc_idx = np.repeat(np.arange(n), lens)
+        votes = np.zeros((n, 64), dtype=np.int64)
+        chunk = 1 << 18
+        for lo in range(0, total, chunk):
+            fl = flat[lo : lo + chunk]
+            di = doc_idx[lo : lo + chunk]
+            signed = (
+                ((fl[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2
+                - 1
+            )
+            for b in range(64):
+                votes[:, b] += np.bincount(di, weights=signed[:, b], minlength=n).astype(
+                    np.int64
+                )
+        out = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(out.view(np.int64))
 
     toks = F.split(normalized_text(F.col(text_col)), " ")
     tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
