@@ -2043,6 +2043,80 @@ def ds_embed_pq(spark, sf_dir):
 
 
 @workload(
+    "ds_knn_join",
+    # Exact kNN join (the verify stage behind LSH blocking): both
+    # engines rank by the identical sequential double-precision
+    # cosine (F.aggregate / list_aggregate), so the top-3 boundary
+    # set matches bit for bit; rounding is display-only.
+    """WITH lv AS (
+  SELECT vec_id AS l_id, embedding AS le FROM embeddings WHERE vec_id < 20
+), scored AS (
+  SELECT l_id, e.vec_id AS nn_vec_id,
+    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(le[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(e.embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(le,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM embeddings e, lv
+), ranked AS (
+  SELECT l_id, nn_vec_id, c,
+         row_number() OVER (PARTITION BY l_id ORDER BY c DESC, nn_vec_id) AS r
+  FROM scored
+)
+SELECT l_id AS vec_id, nn_vec_id, ROUND(c, 4) AS cosine
+FROM ranked WHERE r <= 3""",
+)
+def ds_knn_join(spark, sf_dir):
+    """Exact k-nearest-neighbor join (similarity.knn_join): 20 query
+    vectors against the full embedding table, top-3 each by cosine
+    with id tiebreak — broadcast right side, per-left window rank."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    left = emb.where(F.col("vec_id") < 20)
+    out = similarity.knn_join(left, emb, k=3)
+    return out.select(
+        "vec_id", "nn_vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+@workload(
+    "ds_skew_salted_agg",
+    # The salted two-phase aggregate must be indistinguishable from
+    # the direct GROUP BY — salting is physical skew mitigation only.
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type""",
+)
+def ds_skew_salted(spark, sf_dir):
+    """Skew-safe two-phase aggregation (operators/skew.py): the
+    deterministic row-hash salt splits hot keys across partitions in
+    phase one, phase two merges the partials — gated equal to the
+    plain aggregate."""
+    from .operators import skew
+
+    ev = load_star(spark, sf_dir)["events"]
+    out = skew.salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("*", "count"),
+            "total": ("value", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 2).alias("total"),
+        "min_value",
+        "max_value",
+    )
+
+
+@workload(
     "ext_lateral_topk_per_nation",
     """SELECT n_name, c.c_custkey, c.c_acctbal
 FROM nation, LATERAL (
