@@ -2117,6 +2117,171 @@ def ds_skew_salted(spark, sf_dir):
 
 
 @workload(
+    "ext_sliding_windows",
+    # 1-hour windows sliding every 30 minutes: each event belongs to
+    # exactly two windows, whose starts are the two preceding
+    # 30-minute grid points (Spark's window origin is the epoch, so
+    # the grid matches epoch//1800 arithmetic exactly).
+    """WITH e2 AS (
+  SELECT event_type, value,
+         unnest([CAST(to_timestamp((epoch_us(ts) // 1800000000) * 1800) AS TIMESTAMP),
+                 CAST(to_timestamp((epoch_us(ts) // 1800000000) * 1800 - 1800) AS TIMESTAMP)])
+           AS ws
+  FROM events
+)
+SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM e2 GROUP BY 1, 2, 3""",
+)
+def ext_sliding(spark, sf_dir):
+    """Sliding event-time windows (windows.sliding_agg): 1h width /
+    30m slide — one hash aggregate after a 2x window-explode
+    projection."""
+    ev = load_star(spark, sf_dir)["events"]
+    return windows.sliding_agg(ev, width="1 hour", slide="30 minutes",
+                               keys=["event_type"])
+
+
+@workload(
+    "ext_session_stats",
+    """WITH marked AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM marked GROUP BY user_id""",
+)
+def ext_session_stats(spark, sf_dir):
+    """Per-user session rollup (windows.session_stats): gap-based
+    sessionization reduced to (n_sessions, n_events) per user."""
+    ev = load_star(spark, sf_dir)["events"]
+    out = windows.session_stats(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@workload(
+    "ds_skew_salted_join",
+    # The salted broadcast join must equal the plain join — the salt
+    # is physical (splits a hot key across partitions) and never
+    # leaks into semantics.
+    """WITH dim AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS user_events
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, d.user_events
+FROM events e JOIN dim d ON e.user_id = d.user_id""",
+)
+def ds_skew_salted_join(spark, sf_dir):
+    """Skew-safe broadcast join (operators/skew.py): the hot left
+    side never shuffles — the small right side replicates n_salts
+    times and the join key becomes (key, salt); gated equal to the
+    plain join."""
+    from .operators import skew
+
+    ev = load_star(spark, sf_dir)["events"]
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    out = skew.salted_broadcast_left_join(
+        ev.select("event_id", "user_id"), dim, on="user_id", n_salts=8
+    )
+    return out.select("event_id", "user_id",
+                      F.col("user_events").cast("long").alias("user_events"))
+
+
+@workload(
+    "ext_interval_bucketized",
+    # The bucketized (scale-path) interval join must equal the naive
+    # range join: explode intervals into 1-day buckets, equi-join on
+    # the bucket, re-apply the exact predicate.
+    """WITH iv AS (
+  SELECT event_type AS label, MIN(ts) AS start_ts,
+         MIN(ts) + INTERVAL 3 DAY AS end_ts
+  FROM events GROUP BY event_type
+)
+SELECT iv.label, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 2) AS sum_value
+FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+GROUP BY iv.label""",
+)
+def ext_interval_bucketized(spark, sf_dir):
+    """Bucketized interval join (joins.bucketized_interval_join) —
+    the LARGE-interval-side scale path: shuffle volume is |events| +
+    |intervals x buckets| instead of a nested loop; gated equal to
+    the naive range join."""
+    ev = load_star(spark, sf_dir)["events"]
+    iv = ev.groupBy(F.col("event_type").alias("label")).agg(
+        F.min("ts").alias("start_ts"),
+        (F.min("ts") + F.expr("INTERVAL 3 DAYS")).alias("end_ts"),
+    )
+    out = joins.bucketized_interval_join(
+        ev, iv, bucket="1 day", ts_col="ts",
+        start_col="start_ts", end_col="end_ts",
+    )
+    return out.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@workload(
+    "ds_embedding_ivf_pq_topk",
+    # The composed IVF+PQ recipe, gated the ds_embedding_ivf_topk
+    # way: exact top-20 rows + recall booleans for the doubly-
+    # approximate path (nprobe 4 of 16 lists, then a 200-candidate
+    # ADC scan). Query self-recall is guaranteed (its own list is
+    # probe #1 and its ADC error is its quantization distortion);
+    # overlap >= 4 of 20 (observed 10).
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM embeddings, q
+)
+SELECT vec_id, ROUND(c, 3) AS cosine, TRUE AS self_in_ivfpq, TRUE AS overlap_ok
+FROM scored ORDER BY ROUND(c, 3) DESC, vec_id LIMIT 20""",
+)
+def ds_embed_ivf_pq(spark, sf_dir):
+    """IVF+PQ composed ANN (similarity.ivf_pq_topk): coarse-list
+    pruning, compressed-code ADC scan, exact refine — the full
+    billion-scale recipe under one gate."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    cents = similarity.ivf_centroids(emb, n_lists=16)
+    books = similarity.pq_train(emb, m=8, nbits=4)
+    prepared = similarity.pq_encode(similarity.ivf_assign(emb, cents), books)
+    exact = similarity.brute_force_topk(emb, q, k=20, round_to=3)
+    approx = similarity.ivf_pq_topk(
+        prepared, q, cents, books, k=20, nprobe=4, n_candidates=200, round_to=3
+    ).select(F.col("vec_id").alias("_aid"))
+    overlap = (
+        exact.select("vec_id")
+        .join(approx, F.col("vec_id") == F.col("_aid"))
+        .agg(F.count(F.lit(1)).alias("_ov"))
+    )
+    self_hit = approx.agg(
+        F.max(F.when(F.col("_aid") == 0, F.lit(True))).alias("_self")
+    )
+    flags = overlap.crossJoin(self_hit).select(
+        F.coalesce(F.col("_self"), F.lit(False)).alias("self_in_ivfpq"),
+        (F.col("_ov") >= 4).alias("overlap_ok"),
+    )
+    return exact.crossJoin(F.broadcast(flags)).select(
+        "vec_id", "cosine", "self_in_ivfpq", "overlap_ok"
+    )
+
+
+@workload(
     "ext_lateral_topk_per_nation",
     """SELECT n_name, c.c_custkey, c.c_acctbal
 FROM nation, LATERAL (
