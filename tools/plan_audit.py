@@ -80,6 +80,15 @@ AUDIT = [
     ("ds_gopher_quality", [], ["Exchange", "BatchEvalPython"]),
     ("ds_embedding_pq_topk", ["TakeOrderedAndProject", "ArrowEvalPython"], ["BatchEvalPython"]),
     ("ext_rollup_distinct_sketch", ["HashAggregate"], ["BatchEvalPython"]),
+    # The salted broadcast join must really broadcast (its whole
+    # point is no shuffle of the hot left side); the bucketized
+    # interval join is explode + equi-join, never a nested-loop
+    # range join; sliding windows stay one aggregate after the
+    # window-explode projection.
+    ("ds_skew_salted_join", ["BroadcastHashJoin"], ["SortMergeJoin", "BatchEvalPython"]),
+    ("ext_interval_bucketized", ["Generate", "HashAggregate"], ["BroadcastNestedLoopJoin", "BatchEvalPython"]),
+    ("ext_sliding_windows", ["HashAggregate"], ["BatchEvalPython"]),
+    ("ds_knn_join", ["WindowGroupLimit"], ["BatchEvalPython"]),
 ]
 
 
