@@ -62,3 +62,37 @@ def pack_concat_split(
             "n_chunks"
         ),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    id_col: str,
+    seed: int = 0,
+) -> dict:
+    """Deterministic global shuffle + shard — the last mile before a
+    trainer reads the corpus. Every row's position is a pure function
+    of (seed, id): shard = pmod(xxhash64(seed, id), n_shards), order
+    within the shard = the same hash — so the layout is reproducible
+    across runs, clusters, and partitionings (no rand(), no
+    zipWithIndex), and changing the seed is a full reshuffle. One
+    hash-partitioned write, each shard one sorted file (at cluster
+    scale raise files per shard via a second repartition level).
+    Returns {shard: rows} from the write-side aggregation."""
+    h = F.xxhash64(F.lit(seed), F.col(id_col))
+    sharded = (
+        df.withColumn("_shard", F.pmod(h, F.lit(n_shards)).cast("int"))
+        .withColumn("_ord", h)
+        .repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "_ord", id_col)
+    )
+    sharded.write.mode("overwrite").partitionBy("_shard").parquet(out_dir)
+    spark = df.sparkSession
+    counts = (
+        spark.read.parquet(out_dir)
+        .groupBy("_shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {int(r["_shard"]): int(r["n"]) for r in counts}

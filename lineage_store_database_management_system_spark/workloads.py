@@ -2282,6 +2282,54 @@ def ds_embed_ivf_pq(spark, sf_dir):
 
 
 @workload(
+    "ds_training_shards",
+    # Shard assignment hashes with xxhash64 (not SQL-portable), so
+    # the gate checks the INVARIANTS the trainer depends on, stated
+    # closed-form: total coverage (no row lost or duplicated), every
+    # shard non-empty, and balance within 30% of ideal — all
+    # deterministic for fixed (seed, ids). Per-shard determinism and
+    # seed-reshuffle behavior are pytest-proven.
+    """SELECT CAST(8 AS BIGINT) AS n_shards,
+       CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS distinct_ids,
+       TRUE AS all_covered, TRUE AS none_empty, TRUE AS balanced
+FROM documents""",
+)
+def ds_training_shards(spark, sf_dir):
+    """Deterministic shuffle-and-shard writer
+    (packing.write_training_shards): layout is a pure function of
+    (seed, id); the gate asserts coverage, non-emptiness, and
+    balance of the written shards."""
+    import tempfile as _tf
+
+    from .operators import packing
+
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    out = os.path.join(_tf.mkdtemp(prefix="lss_shards_"), "s")
+    counts = packing.write_training_shards(docs, out, n_shards=8, id_col="doc_id")
+    total = sum(counts.values())
+    n_docs = docs.count()
+    back = spark.read.parquet(out)
+    distinct = back.select("doc_id").distinct().count()
+    ideal = n_docs / 8
+    balanced = all(abs(c - ideal) / ideal <= 0.3 for c in counts.values())
+    return spark.createDataFrame(
+        [
+            (
+                8,
+                total,
+                distinct,
+                total == n_docs and distinct == n_docs,
+                len(counts) == 8 and min(counts.values()) > 0,
+                balanced,
+            )
+        ],
+        "n_shards long, total_rows long, distinct_ids long, "
+        "all_covered boolean, none_empty boolean, balanced boolean",
+    )
+
+
+@workload(
     "ext_lateral_topk_per_nation",
     """SELECT n_name, c.c_custkey, c.c_acctbal
 FROM nation, LATERAL (

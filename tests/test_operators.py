@@ -775,3 +775,29 @@ def test_ivf_pq_composed_recipe(spark, sf_dir):
     )
     rows = part.collect()
     assert len(rows) == 5 and rows[0].vec_id == 0
+
+
+def test_training_shards_deterministic_and_reshuffled_by_seed(spark, tmp_path, sf_dir):
+    import os
+
+    from lineage_store_database_management_system_spark.operators import packing
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    a = os.path.join(str(tmp_path), "a")
+    b = os.path.join(str(tmp_path), "b")
+    c = os.path.join(str(tmp_path), "c")
+    ca = packing.write_training_shards(docs, a, n_shards=4, id_col="doc_id", seed=7)
+    cb = packing.write_training_shards(
+        docs.repartition(13), b, n_shards=4, id_col="doc_id", seed=7
+    )
+    assert ca == cb  # layout independent of input partitioning
+    la = spark.read.parquet(a).orderBy("_shard", "_ord").select("doc_id").collect()
+    lb = spark.read.parquet(b).orderBy("_shard", "_ord").select("doc_id").collect()
+    assert [r.doc_id for r in la] == [r.doc_id for r in lb]  # full order identical
+
+    cc = packing.write_training_shards(docs, c, n_shards=4, id_col="doc_id", seed=8)
+    lc = spark.read.parquet(c).orderBy("_shard", "_ord").select("doc_id").collect()
+    assert [r.doc_id for r in la] != [r.doc_id for r in lc]  # new seed reshuffles
+    assert sum(cc.values()) == sum(ca.values()) == docs.count()
