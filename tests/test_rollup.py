@@ -171,3 +171,30 @@ def test_stream_maintained_rollup_idempotent_replay(spark, sf_dir, tmp_path):
         for r in rollup.streaming_rollup_state(spark, rdir).collect()
     }
     assert got3 == direct
+
+
+def test_stream_maintained_rollup_with_hll_sketches(spark, sf_dir, tmp_path):
+    from lineage_store_database_management_system_spark.streaming import (
+        read_events_stream,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    rdir = os.path.join(str(tmp_path), "r")
+    stream = read_events_stream(spark, path)
+    rollup.stream_maintain_rollup(stream, rdir, distinct_col="user_id")
+    got = {
+        r.bucket: (r.n_events, r.n_distinct_est)
+        for r in rollup.streaming_rollup_state(spark, rdir).collect()
+    }
+    ev = spark.read.parquet(path)
+    exact = {
+        r.bucket: (r.n, r.d)
+        for r in ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("d")
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    for b, (n, d) in exact.items():
+        gn, gd = got[b]
+        assert gn == n
+        assert abs(gd - d) / max(d, 1) <= 0.02
