@@ -527,3 +527,73 @@ def ivf_pq_topk(
     ).select(id_col)
     subset = lists.join(F.broadcast(cands), on=id_col, how="left_semi")
     return brute_force_topk(subset, query_vec, k, id_col, vec_col, round_to)
+
+
+def ivf_pq_write_index(
+    df: DataFrame,
+    index_dir: str,
+    n_lists: int = 16,
+    m: int = 4,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a durable ANN index: train the coarse quantizer and PQ
+    codebooks (once, on the deterministic sample), assign + encode
+    every vector, and write the table PARTITIONED BY inverted list —
+    so a probe is a partition-pruned read of nprobe/n_lists of the
+    files, the same storage trick as the secondary index. Raw vectors
+    ride along inside each partition so the exact-refine stage stays
+    partition-local. Codebooks/centroids land in a JSON sidecar
+    (underscore-prefixed: invisible to the Parquet reader)."""
+    import json as _json
+    import os as _os
+
+    cents = ivf_centroids(df, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
+    books = pq_train(df, vec_col=vec_col, id_col=id_col, m=m, nbits=nbits)
+    prepared = pq_encode(
+        ivf_assign(df, cents, vec_col=vec_col), books, vec_col=vec_col
+    )
+    prepared.write.mode("overwrite").partitionBy("_list").parquet(index_dir)
+    tmp = _os.path.join(index_dir, "_ann_meta.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(
+            {"centroids": cents, "codebooks": books, "id_col": id_col,
+             "vec_col": vec_col},
+            f,
+        )
+    _os.replace(tmp, _os.path.join(index_dir, "_ann_meta.json"))
+
+
+def ivf_pq_topk_from_index(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    n_candidates: int = 100,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Query a persisted ANN index: rank centroids driver-side, read
+    ONLY the nprobe nearest list partitions (`_list IN (...)` becomes
+    a partition filter — files of unprobed lists are never opened),
+    ADC-scan their codes, exact-refine the recalled candidates."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    with open(_os.path.join(index_dir, "_ann_meta.json")) as f:
+        meta = _json.load(f)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()[:nprobe]
+    probes = [int(i) for i in order]
+    lists = spark.read.parquet(index_dir).where(F.col("_list").isin(probes))
+    cands = pq_adc_candidates(
+        lists, query_vec, meta["codebooks"], n_candidates, meta["id_col"]
+    ).select(meta["id_col"])
+    subset = lists.join(F.broadcast(cands), on=meta["id_col"], how="left_semi")
+    return brute_force_topk(
+        subset, query_vec, k, meta["id_col"], meta["vec_col"], round_to
+    )

@@ -801,3 +801,30 @@ def test_training_shards_deterministic_and_reshuffled_by_seed(spark, tmp_path, s
     lc = spark.read.parquet(c).orderBy("_shard", "_ord").select("doc_id").collect()
     assert [r.doc_id for r in la] != [r.doc_id for r in lc]  # new seed reshuffles
     assert sum(cc.values()) == sum(ca.values()) == docs.count()
+
+
+def test_persisted_ann_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    import os
+
+    from lineage_store_database_management_system_spark.operators import similarity
+    from lineage_store_database_management_system_spark.plans.explain import explain_str
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = os.path.join(str(tmp_path), "ann")
+    similarity.ivf_pq_write_index(emb, idx, n_lists=8, m=8, nbits=4)
+    # list partitions on disk
+    assert sum(d.startswith("_list=") for d in os.listdir(idx)) == 8
+
+    q = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    got = similarity.ivf_pq_topk_from_index(
+        spark, idx, q, k=5, nprobe=8, n_candidates=100, round_to=3
+    )
+    ids = [r.vec_id for r in got.collect()]
+    assert ids[0] == 3  # exact refine puts the query's own vector first
+
+    # partial probe must push the list filter to the scan as a
+    # PARTITION filter (unprobed list files never open)
+    part = similarity.ivf_pq_topk_from_index(spark, idx, q, k=5, nprobe=2)
+    plan = explain_str(part)
+    assert "PartitionFilters" in plan and "_list" in plan
+    assert len(part.collect()) == 5
