@@ -206,3 +206,49 @@ def minhash_candidates_against_store(
         banded.write.mode("append").parquet(store_dir)
     banded.unpersist()
     return out
+
+
+def dedup_cdc_inserts(
+    table,
+    store_dir: str,
+    id_col: str,
+    text_col: str,
+    update_store: bool = True,
+    n_buckets: int = DEFAULT_BUCKETS,
+):
+    """The lineage-native ingest-dedup loop: dedup a lineage table's
+    newly INSERTED documents against the fingerprint store, resuming
+    from the watermark the store recorded last time. Each call
+    processes only the CDC window since the previous one
+    (``changes_between`` — an incremental scan, not a snapshot diff),
+    so repeated invocation over a growing table does work
+    proportional to the NEW documents. Returns ``(survivors_df,
+    window)`` where ``window`` is the ``(from_seq, to_seq]`` range
+    this call covered; the watermark advances only when
+    ``update_store`` is set (a dry run inspects without consuming).
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    wm_path = os.path.join(store_dir, "_cdc_watermark.json")
+    last = 0
+    if os.path.isfile(wm_path):
+        with open(wm_path) as f:
+            last = int(json.load(f)["last_seq"])
+    to_seq = table.watermark()
+    feed = (
+        table.changes_between(last, to_seq)
+        .where(F.col("_op") == "I")
+        .select(id_col, text_col)
+    )
+    survivors = dedup_against_store(
+        feed, id_col, text_col, store_dir, update_store=update_store,
+        n_buckets=n_buckets,
+    )
+    if update_store:
+        tmp = wm_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_seq": int(to_seq)}, f)
+        os.replace(tmp, wm_path)
+    return survivors, (last, int(to_seq))

@@ -122,3 +122,33 @@ def test_minhash_store_seeds_from_corpus_sketch(spark, tmp_path):
     )
     got = {(r.batch_id, r.store_id) for r in via_sketch.collect()}
     assert (200, 4) in got and (200, 5) in got
+
+
+def test_cdc_ingest_dedup_loop(spark, tmp_path):
+    import os
+
+    from lineage_store_database_management_system_spark import Database
+
+    db = Database().open(os.path.join(str(tmp_path), "db"), spark)
+    docs1 = _docs(spark, [(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+    t = db.create_table_typed("docs", docs1.schema, "doc_id")
+    t.ingest_dataframe(docs1)
+    store = os.path.join(str(tmp_path), "fp")
+
+    s1, w1 = incremental.dedup_cdc_inserts(t, store, "doc_id", "text")
+    assert sorted(r.doc_id for r in s1.collect()) == [1, 2]
+
+    # second wave: one dup of wave 1, one fresh; only the fresh survives
+    t.ingest_dataframe(_docs(spark, [(10, "alpha beta gamma"), (11, "eta theta iota")]))
+    s2, w2 = incremental.dedup_cdc_inserts(t, store, "doc_id", "text")
+    assert [r.doc_id for r in s2.collect()] == [11]
+    assert w2[0] == w1[1]  # resumed exactly where wave 1 stopped
+
+    # no new inserts -> empty window, nothing to dedup
+    s3, w3 = incremental.dedup_cdc_inserts(t, store, "doc_id", "text")
+    assert s3.count() == 0 and w3[0] == w2[1]
+
+    # updates are not inserts: mutating wave-1 docs adds nothing
+    t.bulk_update(_docs(spark, [(1, "alpha beta gamma EDITED")]))
+    s4, _ = incremental.dedup_cdc_inserts(t, store, "doc_id", "text")
+    assert s4.count() == 0
