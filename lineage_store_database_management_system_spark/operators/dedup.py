@@ -238,6 +238,36 @@ def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 4) -> DataFr
     return df.select(F.col(id_col), _bit_votes(tok_hashes).alias("simhash"))
 
 
+def simhash_exploded(
+    df: DataFrame, id_col: str, text_col: str, blocks: int
+) -> DataFrame:
+    """(id, simhash, blk, bv): the sketch exploded into its pigeonhole
+    blocks — the join-ready (and store-ready) simhash layout shared by
+    the corpus self-join and the incremental store."""
+    sk = simhash(df, id_col, text_col)
+    # distribute 64 bits over `blocks` blocks (widths differ by <= 1)
+    base_w, extra = divmod(64, blocks)
+    widths = [base_w + (1 if i < extra else 0) for i in range(blocks)]
+    offsets = [sum(widths[:i]) for i in range(blocks)]
+    return sk.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("bv"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.blk", "bb.bv")
+
+
 def simhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -256,28 +286,7 @@ def simhash_candidates(
     if blocks is None:
         blocks = min(64, max_hamming + 1)
     assert blocks > max_hamming, "pigeonhole needs blocks > max_hamming"
-    sk = simhash(df, id_col, text_col)
-    # distribute 64 bits over `blocks` blocks (widths differ by <= 1)
-    base_w, extra = divmod(64, blocks)
-    widths = [base_w + (1 if i < extra else 0) for i in range(blocks)]
-    offsets = [sum(widths[:i]) for i in range(blocks)]
-    exploded = sk.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("simhash"), offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        .alias("bv"),
-                    )
-                    for i in range(blocks)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "simhash", "bb.blk", "bb.bv")
+    exploded = simhash_exploded(df, id_col, text_col, blocks)
     exploded = _materialize(exploded, sketch_dir)
     a, b = exploded.alias("a"), exploded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

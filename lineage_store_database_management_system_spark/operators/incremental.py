@@ -252,3 +252,71 @@ def dedup_cdc_inserts(
             json.dump({"last_seq": int(to_seq)}, f)
         os.replace(tmp, wm_path)
     return survivors, (last, int(to_seq))
+
+
+def update_simhash_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_dir: str,
+    max_hamming: int = 3,
+    blocks: int | None = None,
+) -> None:
+    """Append ``df``'s pigeonhole-exploded SimHash rows
+    (id, simhash, blk, bv) — the same layout
+    ``dedup.simhash_candidates`` persists via ``sketch_dir``, so a
+    corpus sketch seeds this store directly (third member of the
+    incremental family, after exact digests and MinHash bands)."""
+    from .dedup import simhash_exploded
+
+    if blocks is None:
+        blocks = min(64, max_hamming + 1)
+    simhash_exploded(df, id_col, text_col, blocks).write.mode("append").parquet(
+        store_dir
+    )
+
+
+def simhash_candidates_against_store(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_dir: str,
+    update_store: bool = True,
+    max_hamming: int = 3,
+    blocks: int | None = None,
+) -> DataFrame:
+    """(batch_id, store_id, hamming) near-dup candidates of the new
+    batch against everything stored: pigeonhole guarantees any pair
+    within ``max_hamming`` shares an exact (blk, bv) bucket, the join
+    verifies with bit_count(a XOR b). One bucket join per increment."""
+    from .dedup import simhash_exploded
+
+    if blocks is None:
+        blocks = min(64, max_hamming + 1)
+    spark = batch.sparkSession
+    ex = simhash_exploded(batch, id_col, text_col, blocks).persist()
+    ex.count()
+    stored = _store_df(spark, store_dir)
+    if stored is None:
+        out = spark.createDataFrame([], "batch_id long, store_id long, hamming long")
+    else:
+        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        out = (
+            ex.alias("a")
+            .join(
+                stored.alias("b"),
+                (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bv") == F.col("b.bv")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("batch_id"),
+                F.col(f"b.{id_col}").alias("store_id"),
+                ham.cast("long").alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .distinct()
+            .localCheckpoint(eager=True)  # pin before the append below
+        )
+    if update_store:
+        ex.write.mode("append").parquet(store_dir)
+    ex.unpersist()
+    return out

@@ -152,3 +152,29 @@ def test_cdc_ingest_dedup_loop(spark, tmp_path):
     t.bulk_update(_docs(spark, [(1, "alpha beta gamma EDITED")]))
     s4, _ = incremental.dedup_cdc_inserts(t, store, "doc_id", "text")
     assert s4.count() == 0
+
+
+def test_simhash_store_candidates(spark, tmp_path):
+    store = os.path.join(str(tmp_path), "sh")
+    base = [(i, f"the quick brown fox jumps over the lazy dog variant {i} " * 4)
+            for i in range(10)]
+    incremental.update_simhash_store(_docs(spark, base), "doc_id", "text", store)
+    batch = _docs(
+        spark,
+        [
+            (100, base[2][1]),  # exact clone of stored doc 2 -> hamming 0
+            (101, "totally different content with nothing shared at all whatsoever"),
+        ],
+    )
+    cands = incremental.simhash_candidates_against_store(
+        batch, "doc_id", "text", store, update_store=True
+    )
+    got = {(r.batch_id, r.store_id): r.hamming for r in cands.collect()}
+    assert got[(100, 2)] == 0
+    assert all(b in (100, 101) for b, _ in got)
+    # replay after the append: the clone now also pairs with itself
+    replay = incremental.simhash_candidates_against_store(
+        batch, "doc_id", "text", store, update_store=False
+    )
+    rg = {(r.batch_id, r.store_id) for r in replay.collect()}
+    assert (100, 100) in rg and (100, 2) in rg
