@@ -282,3 +282,58 @@ def streaming_rollup_state(spark: SparkSession, rollup_dir: str) -> DataFrame:
             "n_distinct_est", F.hll_sketch_estimate("hll_state")
         ).drop("hll_state")
     return out
+
+
+def patch_rollup(
+    events: DataFrame,
+    rollup_dir: str,
+    bucket_lo,
+    bucket_hi,
+) -> int:
+    """Late-data / backfill repair: recompute the SEALED buckets in
+    ``[bucket_lo, bucket_hi)`` from raw and swap them in — the
+    bounded-work answer to events that arrived behind the seal
+    boundary (a sealed bucket was materialized without them, and
+    ``rollup_query``'s tail predicate will never look at them again).
+    Work is proportional to the patched range: only the affected
+    bucket-date partitions rewrite (dynamic partition overwrite);
+    rows of those dates OUTSIDE the range are carried over untouched.
+    Returns the number of bucket rows written into the range."""
+    meta = rollup_meta(rollup_dir)
+    if str(bucket_hi) > meta["sealed_until"]:
+        raise ValueError(
+            f"patch range end {bucket_hi} exceeds sealed_until "
+            f"{meta['sealed_until']}; the open tail needs no patching"
+        )
+    spark = events.sparkSession
+    bucket = _bucket(meta["ts_col"], meta["grain"])
+    fresh = (
+        events.where(
+            (F.col(meta["ts_col"]) >= F.lit(bucket_lo))
+            & (F.col(meta["ts_col"]) < F.lit(bucket_hi))
+        )
+        .groupBy(bucket.alias("bucket"), *meta["key_cols"])
+        .agg(*_state_agg(meta["value_col"], meta.get("distinct_col")))
+        .withColumn("bucket_date", F.to_date("bucket"))
+    )
+    stored = spark.read.parquet(rollup_dir)
+    dates = [r["bucket_date"] for r in fresh.select("bucket_date").distinct().collect()]
+    keep = stored.where(
+        F.col("bucket_date").isin(dates)
+        & ~(
+            (F.col("bucket") >= F.lit(bucket_lo))
+            & (F.col("bucket") < F.lit(bucket_hi))
+        )
+    )
+    # pin BEFORE the overwrite: both inputs read the directory being
+    # rewritten (and refreshByPath would recompute a lazy plan
+    # against the half-written state)
+    out = fresh.unionByName(keep).localCheckpoint(eager=True)
+    n = fresh.count()
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket_date")
+        .parquet(rollup_dir)
+    )
+    return n

@@ -198,3 +198,30 @@ def test_stream_maintained_rollup_with_hll_sketches(spark, sf_dir, tmp_path):
         gn, gd = got[b]
         assert gn == n
         assert abs(gd - d) / max(d, 1) <= 0.02
+
+
+def test_patch_rollup_repairs_late_data(spark, events, tmp_path):
+    rdir = os.path.join(str(tmp_path), "r")
+    rollup.create_rollup(events, rdir, "2024-01-20 00:00:00", key_cols=["event_type"])
+
+    # late events land BEHIND the seal: the rollup is now stale for
+    # those buckets and the tail predicate will never see them
+    late = events.limit(500).withColumn(
+        "ts", F.lit("2024-01-05 10:15:00").cast("timestamp")
+    )
+    all_events = events.unionByName(late)
+    stale = _got(rollup.rollup_query(spark, rdir, all_events))
+    assert stale != _direct(all_events)  # the hole is real
+
+    n = rollup.patch_rollup(
+        all_events, rdir, "2024-01-05 00:00:00", "2024-01-06 00:00:00"
+    )
+    assert n > 0
+    assert _got(rollup.rollup_query(spark, rdir, all_events)) == _direct(all_events)
+
+    # untouched sealed dates were carried over, not recomputed away
+    assert rollup.rollup_meta(rdir)["sealed_until"] == "2024-01-20 00:00:00"
+
+    with pytest.raises(ValueError):
+        rollup.patch_rollup(all_events, rdir,
+                            "2024-01-19 00:00:00", "2024-01-25 00:00:00")
