@@ -337,3 +337,24 @@ def patch_rollup(
         .parquet(rollup_dir)
     )
     return n
+
+
+def late_arrival_range(batch: DataFrame, rollup_dir: str):
+    """Ingest-side detection for :func:`patch_rollup`: given a batch
+    about to be appended to the raw table, return the (bucket_lo,
+    sealed_until) range it invalidates — the late rows' earliest
+    bucket up to the seal — or None when nothing in the batch lands
+    behind the seal. O(batch), never a rescan of the table: at scale
+    the writer calls this per ingest and patches exactly the
+    invalidated range."""
+    meta = rollup_meta(rollup_dir)
+    sealed = meta["sealed_until"]
+    bucket = _bucket(meta["ts_col"], meta["grain"])
+    row = (
+        batch.where(F.col(meta["ts_col"]) < F.lit(sealed))
+        .agg(F.min(bucket).alias("lo"))
+        .collect()[0]
+    )
+    if row["lo"] is None:
+        return None
+    return (str(row["lo"]), sealed)

@@ -225,3 +225,24 @@ def test_patch_rollup_repairs_late_data(spark, events, tmp_path):
     with pytest.raises(ValueError):
         rollup.patch_rollup(all_events, rdir,
                             "2024-01-19 00:00:00", "2024-01-25 00:00:00")
+
+
+def test_late_arrival_detection_drives_patch(spark, events, tmp_path):
+    rdir = os.path.join(str(tmp_path), "r")
+    rollup.create_rollup(events, rdir, "2024-01-20 00:00:00", key_cols=["event_type"])
+
+    on_time = events.limit(10).withColumn(
+        "ts", F.lit("2024-01-25 09:00:00").cast("timestamp")
+    )
+    assert rollup.late_arrival_range(on_time, rdir) is None
+
+    late = events.limit(10).withColumn(
+        "ts", F.lit("2024-01-03 23:59:59").cast("timestamp")
+    )
+    rng = rollup.late_arrival_range(late, rdir)
+    assert rng == ("2024-01-03 23:00:00", "2024-01-20 00:00:00")
+
+    # the detected range drives the repair end to end
+    all_events = events.unionByName(late)
+    rollup.patch_rollup(all_events, rdir, rng[0], rng[1])
+    assert _got(rollup.rollup_query(spark, rdir, all_events)) == _direct(all_events)
