@@ -2330,6 +2330,45 @@ def ds_training_shards(spark, sf_dir):
 
 
 @workload(
+    "ds_incremental_simhash",
+    # 40 planted EXACT clones of stored (even) docs in the batch:
+    # identical normalized text -> identical simhash -> shares every
+    # pigeonhole block -> MUST pair at Hamming 0. Restricting the
+    # output to the planted shape makes the hash-specific candidate
+    # set fully deterministic (the ds_simhash_candidates pattern,
+    # store-incremental flavor).
+    """SELECT doc_id AS store_id, doc_id + 7000001 AS batch_id,
+       CAST(0 AS BIGINT) AS hamming
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+      ORDER BY doc_id LIMIT 40)""",
+)
+def ds_incremental_simhash(spark, sf_dir):
+    """SimHash near-dup candidates of a batch against the persisted
+    block store (operators/incremental.py) — third member of the
+    incremental family, gated via planted exact clones (guaranteed
+    Hamming 0)."""
+    import tempfile as _tf
+
+    from .operators import incremental
+
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    evens = docs.where("doc_id % 2 = 0")
+    store = os.path.join(_tf.mkdtemp(prefix="lss_sh_store_"), "blocks")
+    incremental.update_simhash_store(evens, "doc_id", "text", store)
+    batch = (
+        evens.orderBy("doc_id")
+        .limit(40)
+        .select((F.col("doc_id") + 7000001).alias("doc_id"), "text")
+    )
+    cands = incremental.simhash_candidates_against_store(
+        batch, "doc_id", "text", store, update_store=False
+    )
+    return cands.where(
+        F.col("batch_id") - F.col("store_id") == 7000001
+    ).select("store_id", "batch_id", "hamming")
+
+
+@workload(
     "ext_lateral_topk_per_nation",
     """SELECT n_name, c.c_custkey, c.c_acctbal
 FROM nation, LATERAL (
