@@ -96,3 +96,44 @@ def write_training_shards(
         .collect()
     )
     return {int(r["_shard"]): int(r["n"]) for r in counts}
+
+
+def repeat_by_weight(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-domain epoch repetition — the data-mixing knob that sees a
+    domain w times per training pass (fractional w = a deterministic
+    subset sees one extra epoch). Every row of domain d appears
+    floor(w_d) times, plus once more iff
+    ``pmod(xxhash64(seed, id), 2^31) < frac(w_d) * 2^31`` — RNG-free,
+    so the realized corpus is a pure function of (seed, ids), stable
+    under retries/partitioning, and a seed change redraws the
+    fractional subset. Unlisted domains keep weight 1. An ``_epoch``
+    column (0-based repeat index) disambiguates copies downstream
+    (e.g. as part of the shard-writer sort key). Map-only: one
+    explode, no shuffle."""
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    scale = 1 << 31
+    frac_thresh = F.lit(0)
+    n_full = F.lit(1)
+    for d, w in weights.items():
+        full, frac = int(w), w - int(w)
+        n_full = F.when(F.col(domain_col) == d, F.lit(full)).otherwise(n_full)
+        frac_thresh = F.when(
+            F.col(domain_col) == d, F.lit(int(frac * scale))
+        ).otherwise(frac_thresh)
+    draw = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(scale))
+    n_copies = n_full + (draw < frac_thresh).cast("int")
+    return (
+        df.withColumn("_n", n_copies)
+        .where(F.col("_n") > 0)
+        .withColumn(
+            "_epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1))
+        )
+        .drop("_n")
+    )

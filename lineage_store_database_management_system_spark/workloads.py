@@ -2369,6 +2369,37 @@ def ds_incremental_simhash(spark, sf_dir):
 
 
 @workload(
+    "ds_epoch_weights",
+    # Integral weights are exactly closed-form (src0 x3, src1
+    # dropped, src2 x2, everything else x1); the fractional-weight
+    # draw is hash-specific and stays pytest-gated
+    # (test_repeat_by_weight_deterministic_epochs).
+    """SELECT source,
+       CAST(COUNT(*) * CASE source WHEN 'src0' THEN 3
+                                   WHEN 'src2' THEN 2 ELSE 1 END AS BIGINT)
+         AS n_rows,
+       CAST(CASE source WHEN 'src0' THEN 2 WHEN 'src2' THEN 1 ELSE 0 END
+            AS BIGINT) AS max_epoch
+FROM documents WHERE source <> 'src1' GROUP BY source""",
+)
+def ds_epoch_weights(spark, sf_dir):
+    """Per-domain epoch repetition (packing.repeat_by_weight): the
+    data-mixing knob that sees a domain w times per pass — RNG-free,
+    map-only; gated on integral weights where the realized corpus is
+    closed-form."""
+    from .operators import packing
+
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "source")
+    out = packing.repeat_by_weight(
+        docs, "source", {"src0": 3.0, "src1": 0.0, "src2": 2.0}, id_col="doc_id"
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("_epoch").cast("long").alias("max_epoch"),
+    )
+
+
+@workload(
     "ext_lateral_topk_per_nation",
     """SELECT n_name, c.c_custkey, c.c_acctbal
 FROM nation, LATERAL (

@@ -828,3 +828,40 @@ def test_persisted_ann_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     plan = explain_str(part)
     assert "PartitionFilters" in plan and "_list" in plan
     assert len(part.collect()) == 5
+
+
+def test_repeat_by_weight_deterministic_epochs(spark):
+    from lineage_store_database_management_system_spark.operators import packing
+
+    rows = [(i, "web" if i % 2 else "code", f"doc {i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    out = packing.repeat_by_weight(
+        df, "domain", {"code": 2.0, "web": 1.5}, id_col="doc_id", seed=3
+    )
+    by_dom = {r.domain: r.n for r in out.groupBy("domain").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert by_dom["code"] == 400  # integral weight: exactly 2x of 200
+    assert 200 * 1.3 <= by_dom["web"] <= 200 * 1.7  # 1.5 +- sampling band
+
+    # pure function of (seed, id): partitioning cannot change the draw
+    out2 = packing.repeat_by_weight(
+        df.repartition(17), "domain", {"code": 2.0, "web": 1.5},
+        id_col="doc_id", seed=3,
+    )
+    a = sorted((r.doc_id, r._epoch) for r in out.collect())
+    b = sorted((r.doc_id, r._epoch) for r in out2.collect())
+    assert a == b
+
+    # a different seed redraws WHICH web docs get the extra epoch
+    out3 = packing.repeat_by_weight(
+        df, "domain", {"code": 2.0, "web": 1.5}, id_col="doc_id", seed=4
+    )
+    extra3 = {r.doc_id for r in out3.where("domain='web' AND _epoch=1").collect()}
+    extra1 = {r.doc_id for r in out.where("domain='web' AND _epoch=1").collect()}
+    assert extra3 != extra1
+
+    # weight 0 drops the domain; unlisted domains default to one epoch
+    out4 = packing.repeat_by_weight(df, "domain", {"code": 0.0},
+                                    id_col="doc_id", seed=3)
+    assert out4.where("domain='code'").count() == 0
+    assert out4.where("domain='web'").count() == 200
