@@ -134,6 +134,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_words: int = 3,
     sketch_dir: str | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, n_shared_bands).
     Pipeline: signatures -> split into ``bands`` bands of r rows ->
@@ -144,7 +145,19 @@ def minhash_lsh_candidates(
     actual collisions, not n^2. Giant buckets (degenerate text) are
     capped upstream by the shingle filter. ``sketch_dir`` persists the
     banded sketch as a Parquet table reused across queries (see
-    :func:`_materialize`)."""
+    :func:`_materialize`).
+
+    ``bucket_cap``: the sf10 probe showed candidate ENUMERATION going
+    quadratic on data with 100-way clone groups (s docs in one bucket
+    emit s(s-1)/2 pairs). With a cap, buckets larger than it switch to
+    STAR linking — every member pairs only with the bucket's minimum
+    id — emitting s-1 pairs instead. Connected components over the
+    pair graph (graph.duplicate_clusters) are unchanged (a bucket
+    stays one component through its hub); only the explicit pair list
+    thins, so downstream "drop everything joined to a smaller id"
+    dedup keeps the identical survivor set. This is how production
+    MinHash pipelines (e.g. BigCode's) keep clone-heavy corpora
+    linear. Default None preserves exhaustive pairs."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_words)
@@ -165,6 +178,37 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
     banded = _materialize(banded, sketch_dir)
+    if bucket_cap is not None:
+        # Annotate each sketch row with its bucket's size and hub
+        # (minimum id). One extra aggregate + join, both keyed on the
+        # SAME (band, bh) the pair join uses — co-partitioned.
+        stats = banded.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("_sz"), F.min(id_col).alias("_hub")
+        )
+        ann = banded.join(stats, on=["band", "bh"])
+        small = ann.where(F.col("_sz") <= bucket_cap).drop("_sz", "_hub")
+        a = small.alias("a")
+        b = small.alias("b")
+        exhaustive = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        # Oversized buckets: hub -> member star, no join at all (the
+        # hub rides on every row), s-1 pairs per bucket.
+        star = (
+            ann.where(F.col("_sz") > bucket_cap)
+            .where(F.col(id_col) != F.col("_hub"))
+            .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        return (
+            exhaustive.unionByName(star)
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

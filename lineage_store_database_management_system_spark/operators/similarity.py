@@ -597,3 +597,56 @@ def ivf_pq_topk_from_index(
     return brute_force_topk(
         subset, query_vec, k, meta["id_col"], meta["vec_col"], round_to
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    round_to: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    the IVF coarse quantizer, then drop every vector that has a
+    LOWER-ID near-neighbor (cosine >= threshold) inside its own
+    cluster — semantic near-duplicate pruning without an all-pairs
+    scan. Returns (id, cluster, n_close_prior, keep).
+
+    Deterministic by construction: k-means is the seeded
+    deterministic-sample trainer (ivf_centroids), assignment is a
+    vectorized matmul, and the survivor of a near-dup group is always
+    its smallest id (the paper keeps one exemplar per group; lowest-id
+    is the engine-stable choice of exemplar).
+
+    Scale shape: the quadratic stage is confined WITHIN clusters — the
+    self-join keys on the cluster id, so work is sum(|c|^2/2) ~ n^2 /
+    n_lists for balanced clusters, and each cluster's pair generation
+    co-locates on one shuffle partition. n_lists grows with the
+    corpus (the paper runs 50k clusters at billions of docs); the
+    centroid table stays a driver-side broadcast either way. The
+    threshold tests the RAW double cosine (bit-identical across
+    engines); ``round_to`` applies only to displayed scores."""
+    cents = ivf_centroids(df, id_col, vec_col, n_lists=n_lists)
+    assigned = ivf_assign(df, cents, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("_list")
+    )
+    a = assigned.select(
+        F.col("_list"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col("_list"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    close_prior = (
+        a.join(b, on="_list")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+        .groupBy(F.col("_idb").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_close_prior"))
+    )
+    return assigned.join(close_prior, on=id_col, how="left").select(
+        F.col(id_col),
+        F.col("_list").alias("cluster"),
+        F.coalesce("n_close_prior", F.lit(0)).alias("n_close_prior"),
+        F.col("n_close_prior").isNull().alias("keep"),
+    )

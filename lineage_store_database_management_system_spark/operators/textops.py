@@ -507,3 +507,76 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         ok_stop.alias("ok_stop_words"),
         (ok_words & ok_mean & ok_alpha & ok_symbol & ok_stop).alias("passes_gopher"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents for a bag-of-words query
+    (Robertson & Zaragoza 2009; the reference has no text-retrieval
+    surface at all — extension per SURVEY §2.6). Scores round BEFORE
+    ranking (see tfidf_top_terms: ln differs in the last ulp between
+    libm builds), tie-break on id.
+
+    Scale shape: ONE tokenize/explode pass feeds both the per-doc
+    length (all tokens) and the per-(doc, term) tf (filtered to the
+    query terms — a tiny IN-list that prunes the aggregate input
+    map-side). df/N/avgdl are scalar-or-tiny frames broadcast onto the
+    scored docs; the only wide shuffle keys are doc_id and the query
+    terms themselves. No all-pairs stage, no UDF; final top-k is a
+    single TakeOrdered, not a full sort."""
+    terms = [t.lower() for t in query_terms]
+    toks = spread(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    ).where(F.length("term") > 0)
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    qtoks = toks.where(F.col("term").isin(terms))
+    tf = qtoks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        qtoks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    corpus = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    avgdl = doclen.agg(F.avg("dl").alias("avgdl"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(corpus))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), on="term")
+        .join(doclen, on=id_col)
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            F.col(id_col),
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), round_to).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)

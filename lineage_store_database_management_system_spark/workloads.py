@@ -4510,3 +4510,192 @@ def pq_table_stats(spark, sf_dir):
         ],
         schema,
     )
+
+
+# ===========================================================================
+# round-5 late additions: retrieval, sketches, time series, semantic dedup
+# ===========================================================================
+
+
+@workload(
+    "ds_bm25_topk",
+    # Okapi BM25 (k1=1.2, b=0.75) — both engines run the identical
+    # double-precision formula over exact-integer tf/df/dl inputs;
+    # scores round to 4 before ranking (tfidf_top_terms precedent).
+    """WITH t2 AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM documents) WHERE length(term) > 0
+), dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2
+       WHERE term IN ('join', 'filter', 'merge') GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t2
+        WHERE term IN ('join', 'filter', 'merge') GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 4) AS bm25
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""",
+)
+def ds_bm25_topk(spark, sf_dir):
+    """BM25 retrieval top-20 for a 3-term query
+    (textops.bm25_topk): one tokenize pass feeds doc lengths and
+    query-term tf; df/idf/avgdl are broadcast scalars; the only wide
+    shuffles key on doc_id and the query terms."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return textops.bm25_topk(
+        docs, "doc_id", "text", ["join", "filter", "merge"], k=20
+    )
+
+
+@workload(
+    "ds_heavy_hitters",
+    # Exact heavy hitters; the sketch only PRUNES (over-estimate =>
+    # superset), the exact groupBy confirms — so plain GROUP BY ...
+    # HAVING is the exact twin.
+    """SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents)
+WHERE length(term) > 0
+GROUP BY term HAVING COUNT(*) >= 500""",
+)
+def ds_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch-pruned exact heavy hitters
+    (operators/sketch.py): tokens with >= 500 corpus occurrences. The
+    CMS builds in one distributed pass (mergeable, like the rollup
+    HLL states), prunes the token stream MAP-SIDE, and the exact
+    count over survivors drops sketch collisions — exact answer,
+    shuffle cut to the skew."""
+    from .operators import sketch as _sketch
+
+    docs = load_star(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    ).where(F.length("term") > 0)
+    return _sketch.heavy_hitters(toks, "term", 500)
+
+
+@workload(
+    "ext_gapfill_locf",
+    # TimescaleDB's time_bucket_gapfill + locf shape; DuckDB builds
+    # the dense grid with generate_series and carries forward with
+    # last_value IGNORE NULLS — same dense-grid-left-join-window plan
+    # the Spark operator declares.
+    """WITH src AS (SELECT * FROM events WHERE user_id < 8),
+keys AS (SELECT DISTINCT user_id FROM src),
+grid AS (SELECT k.user_id, gs.generate_series AS b
+         FROM keys k, generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                      TIMESTAMP '2024-01-05 00:00:00',
+                                      INTERVAL 1 HOUR) gs),
+obs AS (SELECT user_id, date_trunc('hour', ts) AS b,
+               ROUND(AVG(value), 3) AS observed
+        FROM src
+        WHERE date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+                                         AND TIMESTAMP '2024-01-05 00:00:00'
+        GROUP BY 1, 2)
+SELECT g.user_id, g.b AS bucket, o.observed AS observed,
+       last_value(o.observed IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       (o.observed IS NULL) AS is_gap
+FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b""",
+)
+def ext_gapfill_locf(spark, sf_dir):
+    """Gap-filled hourly series with last-observation-carried-forward
+    (operators/timeseries.gapfill_locf): dense grid = one exploded
+    sequence() per distinct key (bounded by key cardinality, not
+    event count); observed side pre-aggregated before the join; LOCF
+    is one per-key window."""
+    from .operators import timeseries as _ts
+
+    ev = load_star(spark, sf_dir)["events"].where(F.col("user_id") < 8)
+    return _ts.gapfill_locf(
+        ev,
+        "ts",
+        "user_id",
+        "value",
+        "2024-01-02 00:00:00",
+        "2024-01-05 00:00:00",
+        bucket="hour",
+        agg="avg",
+        round_to=3,
+    )
+
+
+@workload(
+    "ext_time_weighted_avg",
+    # The step-function integral (TimescaleDB time_weight 'LOCF'):
+    # identical lead-window + weighted-sum formula, total ordering via
+    # the event_id tiebreak, epoch seconds keep microseconds in both
+    # engines.
+    """WITH s AS (
+  SELECT user_id, value,
+         epoch(COALESCE(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                        TIMESTAMP '2024-01-31 00:00:00')) - epoch(ts) AS dur
+  FROM events
+  WHERE user_id < 30 AND ts <= TIMESTAMP '2024-01-31 00:00:00')
+SELECT user_id, ROUND(SUM(value * dur) / SUM(dur), 3) AS tw_avg,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM s GROUP BY user_id""",
+)
+def ext_time_weighted_avg(spark, sf_dir):
+    """Per-user time-weighted average of an irregular signal
+    (operators/timeseries.time_weighted_avg): one per-key lead window
+    + one aggregate, every shuffle keyed on the series key."""
+    from .operators import timeseries as _ts
+
+    ev = load_star(spark, sf_dir)["events"].where(F.col("user_id") < 30)
+    return _ts.time_weighted_avg(
+        ev,
+        "ts",
+        "user_id",
+        "value",
+        "2024-01-31 00:00:00",
+        round_to=3,
+        tiebreak_col="event_id",
+    )
+
+
+@workload(
+    "ds_semantic_dedup",
+    # SemDeDup gated the planted-clone way (ds_embedding_near_dup_lsh
+    # precedent): every planted exact clone lands in its original's
+    # cluster (deterministic assignment) at cosine 1.0 >= 0.99, and
+    # the clone id is always the larger — so clone_dropped is TRUE by
+    # construction and the exact twin is closed-form.
+    """SELECT CAST(vec_id + 100000 AS BIGINT) AS clone_id,
+       vec_id AS orig_id, TRUE AS clone_dropped
+FROM embeddings WHERE vec_id % 25 = 0""",
+)
+def ds_semantic_dedup(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedup, Abbas et al. 2023):
+    k-means-cluster the embedding space, drop vectors with a lower-id
+    near-neighbor (cosine >= 0.99) inside their cluster — the
+    quadratic stage confined within clusters, keyed on the cluster
+    id. Gated over planted exact clones (vec_id + 100000)."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    clones = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    allv = emb.select("vec_id", "embedding", "label").unionByName(clones)
+    res = similarity.semantic_dedup(allv, threshold=0.99, n_lists=16)
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("clone_id"),
+        F.col("vec_id").alias("orig_id"),
+    )
+    return planted.join(
+        res.select(
+            F.col("vec_id").alias("clone_id"),
+            (~F.col("keep")).alias("clone_dropped"),
+        ),
+        on="clone_id",
+    ).select("clone_id", "orig_id", "clone_dropped")

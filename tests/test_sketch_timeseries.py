@@ -1,0 +1,258 @@
+"""Round-5 late additions: BM25 retrieval, count-min heavy hitters,
+time-series gap-fill / time-weighted average, SemDeDup, and the LSH
+bucket cap (star linking)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lineage_store_database_management_system_spark.operators import (
+    dedup,
+    graph,
+    similarity,
+    textops,
+    timeseries,
+)
+from lineage_store_database_management_system_spark.operators.sketch import (
+    CountMinSketch,
+    build_cms,
+    cms_estimate,
+    heavy_hitters,
+)
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),
+            (2, "spark filler filler filler filler filler filler filler"),
+            (3, "nothing relevant here at all"),
+            (4, "spark join"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = textops.bm25_topk(docs, "doc_id", "text", ["spark"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    # doc 3 has no query term at all -> absent
+    assert 3 not in ids
+    # doc 4 (short, on-topic) and doc 1 (high tf) outrank the long
+    # one-mention doc 2 (length normalization)
+    assert ids.index(4) < ids.index(2)
+    assert ids.index(1) < ids.index(2)
+    # scores are descending
+    scores = [r["bm25"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_multi_term_sums_per_term_scores(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha"), (3, "beta")],
+        ["doc_id", "text"],
+    )
+    both = textops.bm25_topk(docs, "doc_id", "text", ["alpha", "beta"], k=3)
+    top = both.first()
+    # the doc matching BOTH terms wins over either single-term doc
+    assert top["doc_id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch / heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    rows = [Row(v=f"tok{i % 7}") for i in range(700)]
+    df = spark.createDataFrame(rows)
+    sk = build_cms(df, "v", width=1 << 12, depth=4)
+    est = df.distinct().select(
+        "v", cms_estimate(df, "v", sk).alias("est")
+    ).collect()
+    for r in est:
+        assert r["est"] >= 100  # true count
+        # 7 distinct values in 4096 buckets: collisions ~impossible
+        assert r["est"] == 100
+
+
+def test_heavy_hitters_exact_vs_groupby(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    ).where(F.length("term") > 0)
+    hh = {
+        (r["term"], r["n_occurrences"])
+        for r in heavy_hitters(toks, "term", 40).collect()
+    }
+    exact = {
+        (r["term"], r["n"])
+        for r in toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 40)
+        .collect()
+    }
+    assert hh == exact
+
+
+def test_cms_merge_and_persistence_roundtrip(spark, tmp_path):
+    a = spark.createDataFrame([Row(v="x")] * 5 + [Row(v="y")] * 2)
+    b = spark.createDataFrame([Row(v="x")] * 3)
+    sa = build_cms(a, "v", width=1 << 10, depth=3)
+    sb = build_cms(b, "v", width=1 << 10, depth=3)
+    merged = sa.merge(sb)
+    p = str(tmp_path / "cms.bin")
+    merged.save(p)
+    loaded = CountMinSketch.load(p)
+    assert np.array_equal(loaded.counts, merged.counts)
+    est = (
+        a.select("v")
+        .distinct()
+        .select("v", cms_estimate(a, "v", loaded).alias("e"))
+        .collect()
+    )
+    by = {r["v"]: r["e"] for r in est}
+    assert by["x"] == 8 and by["y"] == 2
+    with pytest.raises(ValueError):
+        sa.merge(build_cms(b, "v", width=1 << 9, depth=3))
+
+
+# ---------------------------------------------------------------------------
+# Time series
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_locf_carries_forward_and_leads_null(spark):
+    rows = [
+        Row(ts="2024-01-01 01:30:00", k=1, v=10.0),
+        Row(ts="2024-01-01 04:10:00", k=1, v=20.0),
+        Row(ts="2024-01-01 04:40:00", k=1, v=30.0),
+        Row(ts="2024-01-01 03:00:00", k=2, v=5.0),
+    ]
+    df = spark.createDataFrame(rows).select(
+        F.col("ts").cast("timestamp").alias("ts"), "k", "v"
+    )
+    out = timeseries.gapfill_locf(
+        df, "ts", "k", "v", "2024-01-01 00:00:00", "2024-01-01 05:00:00"
+    )
+    got = {
+        (r["k"], r["bucket"].hour): (r["observed"], r["filled"], r["is_gap"])
+        for r in out.collect()
+    }
+    assert len(got) == 12  # 2 keys x 6 hourly buckets
+    # before first observation: NULL, flagged gap
+    assert got[(1, 0)] == (None, None, True)
+    # observed bucket: own value, not a gap
+    assert got[(1, 1)] == (10.0, 10.0, False)
+    # gap buckets carry the last value forward
+    assert got[(1, 2)] == (None, 10.0, True)
+    assert got[(1, 3)] == (None, 10.0, True)
+    # multi-observation bucket aggregates (avg of 20, 30)
+    assert got[(1, 4)] == (25.0, 25.0, False)
+    assert got[(2, 3)] == (5.0, 5.0, False)
+    assert got[(2, 5)] == (None, 5.0, True)
+
+
+def test_gapfill_rejects_unknown_bucket(spark):
+    df = spark.createDataFrame([Row(ts="2024-01-01", k=1, v=1.0)])
+    with pytest.raises(ValueError):
+        timeseries.gapfill_locf(df, "ts", "k", "v", "2024-01-01", "2024-01-02", bucket="minute")
+
+
+def test_time_weighted_avg_weights_by_duration(spark):
+    # value 10 holds for 1h, value 20 for 3h -> tw = (10*1 + 20*3)/4
+    rows = [
+        Row(ts="2024-01-01 00:00:00", k=1, v=10.0, i=1),
+        Row(ts="2024-01-01 01:00:00", k=1, v=20.0, i=2),
+    ]
+    df = spark.createDataFrame(rows).select(
+        F.col("ts").cast("timestamp").alias("ts"), "k", "v", "i"
+    )
+    out = timeseries.time_weighted_avg(
+        df, "ts", "k", "v", "2024-01-01 04:00:00", tiebreak_col="i"
+    ).collect()
+    assert out[0]["tw_avg"] == pytest.approx(17.5)
+    assert out[0]["n_obs"] == 2
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_drops_planted_clones_keeps_originals(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clones = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    allv = emb.select("vec_id", "embedding", "label").unionByName(clones)
+    res = similarity.semantic_dedup(allv, threshold=0.99, n_lists=8)
+    n_clones = clones.count()
+    out = {r["vec_id"]: r for r in res.collect()}
+    assert len(out) == allv.count()
+    dropped_clones = [
+        i for i in out if i >= 100000 and not out[i]["keep"]
+    ]
+    assert len(dropped_clones) == n_clones  # every clone dropped
+    for i in dropped_clones:
+        assert out[i]["n_close_prior"] >= 1
+        # its original is in the same cluster (deterministic assignment)
+        assert out[i]["cluster"] == out[i - 100000]["cluster"]
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket cap (star linking)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_bucket_cap_thins_pairs_but_keeps_components(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark engine "
+        "shuffles partitions across the cluster with broadcast joins"
+    )
+    # a 12-way clone group + 3 unrelated docs
+    rows = [Row(doc_id=i, text=base) for i in range(12)] + [
+        Row(doc_id=100 + i, text=f"totally different number {i} " * 8)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows)
+    full = dedup.minhash_lsh_candidates(df, "doc_id", "text")
+    capped = dedup.minhash_lsh_candidates(df, "doc_id", "text", bucket_cap=4)
+    n_full = full.count()
+    n_capped = capped.count()
+    assert n_full == 12 * 11 // 2  # exhaustive clone pairs
+    assert n_capped == 11  # star: hub 0 -> 11 members
+    # connected components identical through the hub
+    cl_full = graph.connected_components(full, "id_a", "id_b")
+    cl_capped = graph.connected_components(capped, "id_a", "id_b")
+
+    def comp_sets(cl):
+        by_root = {}
+        for r in cl.collect():
+            by_root.setdefault(r["component"], set()).add(r["id"])
+        return {frozenset(v) for v in by_root.values()}
+
+    assert comp_sets(cl_full) == comp_sets(cl_capped)
+
+
+def test_lsh_bucket_cap_no_op_on_small_buckets(spark):
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=3, text="one two three four five six seven eight nine"),
+    ]
+    df = spark.createDataFrame(rows)
+    full = {
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in dedup.minhash_lsh_candidates(df, "doc_id", "text").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in dedup.minhash_lsh_candidates(
+            df, "doc_id", "text", bucket_cap=8
+        ).collect()
+    }
+    assert full == capped
