@@ -89,6 +89,20 @@ AUDIT = [
     ("ext_interval_bucketized", ["Generate", "HashAggregate"], ["BroadcastNestedLoopJoin", "BatchEvalPython"]),
     ("ext_sliding_windows", ["HashAggregate"], ["BatchEvalPython"]),
     ("ds_knn_join", ["WindowGroupLimit"], ["BatchEvalPython"]),
+    # Round-5 late additions. BM25's final rank must compile to top-k
+    # (TakeOrderedAndProject), never a global sort; heavy hitters'
+    # only Python is the Arrow-batched CMS probe and the confirm step
+    # is a hash aggregate; the gap-fill grid comes from an exploded
+    # sequence (Generate) + per-key window, never a nested-loop range
+    # join; the time-weighted average is window + aggregate end to
+    # end; SemDeDup's only Python is the Arrow-batched cluster
+    # assignment and the pair stage must never degrade to a cartesian
+    # product.
+    ("ds_bm25_topk", ["TakeOrderedAndProject"], ["BatchEvalPython"]),
+    ("ds_heavy_hitters", ["ArrowEvalPython", "HashAggregate"], ["BatchEvalPython"]),
+    ("ext_gapfill_locf", ["Generate", "Window"], ["BatchEvalPython", "BroadcastNestedLoopJoin"]),
+    ("ext_time_weighted_avg", ["Window", "HashAggregate"], ["BatchEvalPython"]),
+    ("ds_semantic_dedup", ["ArrowEvalPython"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
