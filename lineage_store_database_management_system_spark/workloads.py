@@ -4699,3 +4699,79 @@ def ds_semantic_dedup(spark, sf_dir):
         ),
         on="clone_id",
     ).select("clone_id", "orig_id", "clone_dropped")
+
+
+@workload(
+    "ds_pretrain_pipeline",
+    # The full pretraining-corpus build, composed end to end under
+    # ONE oracle: Gopher quality gate (the stop-word rule is dropped
+    # — the synthetic vocabulary has no English stop words, so it
+    # zeroes the corpus; rule subsets are the point of per-rule
+    # flags) -> held-out split -> exact dedup -> Bloom-pruned exact
+    # decontamination (any shared word 8-gram with the held-out set)
+    # -> per-source audit. Every stage reuses a formula already
+    # proven by its own gated workload.
+    rf"""WITH s AS (
+  SELECT doc_id, source, text, trim(text) AS t,
+         regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+), gated AS (
+  SELECT doc_id, source, text, w FROM s
+  WHERE (CASE WHEN length(t)=0 THEN 0 ELSE len(w) END)
+          BETWEEN 50 AND 100000
+    AND length(replace(t,' ',''))
+        / CAST(GREATEST(CASE WHEN length(t)=0 THEN 0 ELSE len(w) END,1)
+               AS DOUBLE) BETWEEN 3.0 AND 10.0
+    AND len(list_filter(w, x -> regexp_matches(x,'[a-zA-Z]')))
+        / CAST(GREATEST(CASE WHEN length(t)=0 THEN 0 ELSE len(w) END,1)
+               AS DOUBLE) >= 0.8
+), test AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE doc_id % 11 = 0
+), train AS (SELECT * FROM gated WHERE doc_id % 11 <> 0),
+kept AS (
+  SELECT MIN(doc_id) AS doc_id FROM train
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+), dd AS (SELECT t.* FROM train t JOIN kept k ON t.doc_id = k.doc_id),
+tg AS (SELECT DISTINCT unnest({_NGRAMS8_SQL}) AS g FROM test),
+trg AS (SELECT doc_id, unnest({_NGRAMS8_SQL}) AS g
+        FROM (SELECT doc_id, w AS words FROM dd)),
+leaked AS (SELECT DISTINCT trg.doc_id FROM trg JOIN tg ON trg.g = tg.g),
+clean AS (SELECT * FROM dd
+          WHERE doc_id NOT IN (SELECT doc_id FROM leaked))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(w)) AS BIGINT) AS total_tokens
+FROM clean GROUP BY source""",
+)
+def ds_pretrain_pipeline(spark, sf_dir):
+    """Flagship composed pipeline: Gopher quality gate (word-count +
+    mean-word-length + alpha-word rules) -> exact dedup of the train
+    split -> Bloom-pruned EXACT decontamination against the held-out
+    split (shared word 8-grams) -> per-source token audit. Chains
+    textops.gopher_quality_flags, dedup.dedup_exact and
+    bloom.bloom_decontaminate — each stage individually oracle-gated
+    by its own workload; this proves they stack."""
+    from .operators import bloom as _bloom
+
+    docs = load_star(spark, sf_dir)["documents"].select(
+        "doc_id", "source", "text"
+    )
+    flags = textops.gopher_quality_flags(docs, "doc_id", "text").where(
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_alpha_words")
+    )
+    gated = docs.join(flags.select("doc_id"), on="doc_id", how="left_semi")
+    test = docs.where(F.col("doc_id") % 11 == 0)
+    train = gated.where(F.col("doc_id") % 11 != 0)
+    dd = dedup.dedup_exact(train, "doc_id", "text")
+    leaked = _bloom.bloom_decontaminate(
+        dd, test, "doc_id", "text", n=8
+    ).select("doc_id")
+    clean = dd.join(leaked, on="doc_id", how="left_anti")
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("total_tokens"),
+    )
