@@ -4775,3 +4775,69 @@ def ds_pretrain_pipeline(spark, sf_dir):
         .cast("long")
         .alias("total_tokens"),
     )
+
+
+@workload(
+    "ext_q20_excess_inventory",
+    # TPC-H Q20 shape (the last of the 22): suppliers holding excess
+    # stock of name-filtered parts — lineitem's total shipped
+    # quantity stands in for partsupp availqty (the q2/q11 stand-in
+    # convention). DECIMAL sums + integer-multiple comparison keep
+    # the excess threshold bit-identical across engines.
+    """WITH fp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'),
+agg AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty,
+         SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                   AND l_shipdate < DATE '1997-01-01'
+                  THEN CAST(l_quantity AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS yr_qty
+  FROM lineitem JOIN fp ON l_partkey = p_partkey
+  GROUP BY 1, 2),
+excess AS (SELECT DISTINCT l_suppkey FROM agg
+           WHERE yr_qty > 0 AND total_qty * 2 > yr_qty * 3)
+SELECT s_suppkey, s_name
+FROM supplier JOIN excess ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'""",
+)
+def ext_q20(spark, sf_dir):
+    """TPC-H Q20: excess-inventory suppliers. The reference's two
+    correlated subqueries collapse into ONE conditional aggregate
+    (total + in-year quantity in the same groupBy — one shuffle where
+    the textbook plan takes two plus a correlated probe); the part
+    name filter broadcasts onto the lineitem scan, nation is a
+    broadcast dim, and the excess test is integer-multiple DECIMAL
+    (no double-threshold ulp flips)."""
+    d = load_star(spark, sf_dir)
+    fp = d["part"].where(F.col("p_name").like("%bolt%")).select("p_partkey")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    in_year = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("date")
+    )
+    agg = (
+        d["lineitem"]
+        .join(F.broadcast(fp), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qty).alias("total_qty"),
+            F.sum(
+                F.when(in_year, qty).otherwise(F.lit(0).cast("decimal(18,4)"))
+            ).alias("yr_qty"),
+        )
+    )
+    excess = (
+        agg.where(
+            (F.col("yr_qty") > 0)
+            & (F.col("total_qty") * 2 > F.col("yr_qty") * 3)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = d["nation"].where(F.col("n_name") == "NATION_3").select("n_nationkey")
+    return (
+        d["supplier"]
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
