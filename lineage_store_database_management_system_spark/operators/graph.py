@@ -114,3 +114,110 @@ def dedup_by_clusters(
         F.col("id").alias(id_col)
     )
     return df.join(heads, on=id_col, how="left_semi")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — same contract as :func:`connected_components`
+    (``(id, component)``, component = min reachable id) but
+    converging in O(log n) rounds instead of O(diameter): the fix for
+    long-path graphs the plain min-label propagation error message
+    points at.
+
+    Each round is two |E|-bounded shuffles keyed on node ids:
+
+    - large-star: for every node u, connect every STRICTLY GREATER
+      neighbor to u's minimum neighbor (incl. u) — hangs high nodes
+      under local minima without ever orienting an edge upward.
+    - small-star: for every node u, connect every neighbor <= u
+      (and u) to the minimum — flattens the remaining chains.
+
+    Both steps preserve connectivity exactly and only ever decrease
+    (node, parent) pairs lexicographically, so the fixpoint is the
+    min-id star per component; determinism for free. Edges
+    localCheckpoint per round (lineage truncation, same discipline as
+    the propagation variant)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("_u"), F.col(id_b).alias("_v"))
+        .where(F.col("_u") != F.col("_v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertex_ids = (
+        edges.select(F.col("_u").alias("_id"))
+        .unionByName(edges.select(F.col("_v").alias("_id")))
+        .distinct()
+    )
+    if nodes is not None:
+        vertex_ids = (
+            nodes.select(F.col(nodes.columns[0]).alias("_id"))
+            .distinct()
+            .unionByName(vertex_ids)
+            .distinct()
+        )
+    vertex_ids = vertex_ids.localCheckpoint(eager=True)
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+        )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhood of u = neighbors (+ u itself); m = its minimum.
+        # The self-pair must exist for EVERY endpoint (a node smaller
+        # than all its neighbors must be its own minimum, else it
+        # could drop out of the emitted edge set entirely).
+        sym = _sym(e)
+        nbr = sym.unionByName(
+            sym.select("_u", F.col("_u").alias("_v")).distinct()
+        )
+        m = nbr.groupBy("_u").agg(F.min("_v").alias("_m"))
+        j = nbr.join(m, on="_u")
+        if large:
+            out = j.where(F.col("_v") > F.col("_u"))
+        else:
+            out = j.where(F.col("_v") <= F.col("_u"))
+        return (
+            out.where(F.col("_v") != F.col("_m"))
+            .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        e2 = _star(edges, large=True)
+        e3 = _star(e2, large=False).localCheckpoint(eager=True)
+        # converged when every edge points directly at a root (edge
+        # set stable under another large-star)
+        stable = (
+            _star(e3, large=True)
+            .exceptAll(e3)
+            .limit(1)
+            .count()
+            == 0
+        )
+        edges = e3
+        if stable:
+            roots = edges.select(
+                F.col("_u").alias("_id"), F.col("_v").alias("_comp")
+            )
+            return (
+                vertex_ids.join(roots, on="_id", how="left")
+                .select(
+                    F.col("_id").alias("id"),
+                    F.coalesce(
+                        F.least(F.col("_comp"), F.col("_id")), F.col("_id")
+                    ).alias("component"),
+                )
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )

@@ -256,3 +256,47 @@ def test_lsh_bucket_cap_no_op_on_small_buckets(spark):
         ).collect()
     }
     assert full == capped
+
+
+# ---------------------------------------------------------------------------
+# Large-star / small-star connected components
+# ---------------------------------------------------------------------------
+
+
+def _comp_map(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_star_cc_matches_propagation_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        a = _comp_map(graph.connected_components(df))
+        b = _comp_map(graph.connected_components_star(df))
+        # both label with the min reachable id -> exact equality
+        assert a == b
+
+
+def test_star_cc_converges_on_long_path(spark):
+    # diameter-120 path: min-label propagation needs >120 rounds (the
+    # documented failure mode); the star alternation closes it in
+    # O(log n)
+    df = spark.createDataFrame([(i, i + 1) for i in range(120)], ["id_a", "id_b"])
+    got = _comp_map(graph.connected_components_star(df, max_iter=12))
+    assert len(got) == 121
+    assert set(got.values()) == {0}
+
+
+def test_star_cc_isolated_nodes_and_empty_edges(spark):
+    edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+    got = _comp_map(graph.connected_components_star(edges, nodes=nodes))
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4}
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got2 = _comp_map(graph.connected_components_star(empty, nodes=nodes))
+    assert got2 == {i: i for i in range(5)}
