@@ -4841,3 +4841,30 @@ def ext_q20(spark, sf_dir):
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name")
     )
+
+
+@workload("ds_dup_clusters_star", None)
+def ds_dup_clusters_star(spark, sf_dir):
+    """Same pipeline as ds_dup_clusters but clustered with the
+    alternating large-star/small-star algorithm
+    (graph.connected_components_star, Kiveris et al. 2014) — O(log n)
+    rounds instead of O(diameter), the variant a 100 TB pair graph
+    with long chains needs. Gated against the identical recursive-CTE
+    oracle, proving label-for-label equivalence with the propagation
+    path."""
+    docs = load_star(spark, sf_dir)["documents"]
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, shingle_words=3,
+        max_shingle_freq=1 << 40,
+    )
+    comp = graph.connected_components_star(
+        pairs, "id_a", "id_b", nodes=docs.select("doc_id")
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component"),
+        (F.col("component") == F.col("id")).alias("kept"),
+    )
+
+
+ORACLE["ds_dup_clusters_star"] = ORACLE["ds_dup_clusters"]
