@@ -105,6 +105,12 @@ class CheckViolation(ValueError):
     discarded — the table is untouched."""
 
 
+class UniqueViolation(CheckViolation):
+    """A write would duplicate a value in a UNIQUE-constrained column
+    (within the batch, or against a live row). Subclasses
+    CheckViolation so existing abort handling applies unchanged."""
+
+
 class _ManifestLock:
     """Filesystem mutex guarding the manifest compare-and-swap.
 
@@ -399,6 +405,89 @@ class LineageTable:
         del checks[name]
         self._save_manifest()
 
+    # ------------------------------------------------------------------
+    # UNIQUE constraints (extension; SQL semantics — NULLs exempt)
+    # ------------------------------------------------------------------
+    def add_unique_constraint(self, column: str) -> None:
+        """Register a UNIQUE constraint on a user column, enforced on
+        every subsequent write path (bulk ingest, buffered point
+        inserts, folded updates, merge_into). SQL semantics: NULLs
+        don't conflict. Existing data is validated once (one aggregate
+        job) before the constraint is accepted.
+
+        Enforcement cost is zero with no constraints registered; with
+        one, an insert batch pays one aggregate over the batch plus
+        one value-pruned probe of the current view (the probe values
+        push down as an IN-list below the same cap the CHECK fold
+        uses, so the live-side scan prunes instead of full-scanning).
+        Like every other write guarantee here this is single-writer:
+        two racing SESSIONS are serialized by the manifest CAS, but
+        uniqueness is check-then-act within one commit."""
+        if column not in self.user_cols:
+            raise ValueError(f"no such column: {column!r}")
+        uniques = self.manifest.extra.setdefault("uniques", [])
+        if column in uniques:
+            raise ValueError(f"unique constraint on {column!r} already exists")
+        dup = (
+            self.current_view()
+            .where(F.col(column).isNotNull())
+            .groupBy(column)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise UniqueViolation(
+                f"existing data has duplicate values in {column!r}"
+            )
+        uniques.append(column)
+        self._save_manifest()
+
+    def drop_unique_constraint(self, column: str) -> None:
+        uniques = self.manifest.extra.get("uniques", [])
+        if column not in uniques:
+            raise ValueError(f"no unique constraint on: {column!r}")
+        uniques.remove(column)
+        self._save_manifest()
+
+    def _validate_unique_inserts(self, batch: DataFrame) -> None:
+        """Reject an insert batch that would duplicate a UNIQUE value
+        — within the batch (count vs distinct in ONE aggregate over
+        all constrained columns) or against a live row (batch values
+        collected up to the CHECK cap and pushed into the view scan as
+        an IN-list; broadcast semi-join above it). Runs only when
+        constraints are registered."""
+        uniques = [
+            c for c in self.manifest.extra.get("uniques", []) if c in batch.columns
+        ]
+        if not uniques:
+            return
+        aggs = []
+        for c in uniques:
+            aggs.append(F.count(F.col(c)).alias(f"_n_{c}"))
+            aggs.append(F.count_distinct(F.col(c)).alias(f"_d_{c}"))
+        row = batch.agg(*aggs).collect()[0].asDict()
+        dups = [c for c in uniques if row[f"_n_{c}"] != row[f"_d_{c}"]]
+        if dups:
+            raise UniqueViolation(
+                f"insert batch contains duplicate values for unique column(s) {dups}"
+            )
+        cur = self.current_view()
+        for c in uniques:
+            vals_df = batch.select(c).where(F.col(c).isNotNull()).distinct()
+            vals = [r[c] for r in vals_df.limit(_CHECK_ISIN_CAP + 1).collect()]
+            if not vals:
+                continue
+            if len(vals) <= _CHECK_ISIN_CAP:
+                probe = cur.where(F.col(c).isin(vals))
+            else:  # pragma: no cover - >cap distinct values in one batch
+                probe = cur.join(F.broadcast(vals_df), on=c, how="left_semi")
+            if probe.limit(1).count():
+                raise UniqueViolation(
+                    f"insert would duplicate live value(s) in unique column {c!r}"
+                )
+
     def _validate_folded_updates(self, delta: DataFrame) -> None:
         """A CHECK must hold on the POST-update row, not on the delta
         encoding: NULL = 'column unchanged', so a multi-column check
@@ -409,9 +498,19 @@ class LineageTable:
         only when checks are registered) and reject on any violation.
         Rids the same batch also tombstones are exempt: the folded row
         never becomes visible. Insert paths check full rows on the
-        write itself; delete deltas carry no values."""
+        write itself; delete deltas carry no values.
+
+        UNIQUE constraints validate on the same folded rows: the
+        post-update values must not collide within the batch nor with
+        any UNTOUCHED live row (touched rids are excluded — they are
+        being replaced)."""
         checks = self.manifest.extra.get("checks", {})
-        if not checks:
+        uniq_cols = [
+            c
+            for c in self.manifest.extra.get("uniques", [])
+            if c != self.key and c not in self.partition_by
+        ]
+        if not checks and not uniq_cols:
             return
         mutable = [
             c for c in self.user_cols
@@ -451,6 +550,7 @@ class LineageTable:
                 F.broadcast(folded.select(RID)), on=RID, how="left_semi"
             )
         post = folded.join(cur, on=RID, how="inner").select(
+            F.col(RID),
             *[
                 (
                     F.coalesce(F.col(f"__u_{c}.v"), F.col(c))
@@ -460,16 +560,56 @@ class LineageTable:
                 for c in self.user_cols
             ]
         )
-        bad_aggs = [
-            F.sum(F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)).alias(n)
-            for n, e in checks.items()
-        ]
-        row = post.agg(*bad_aggs).collect()[0].asDict()
-        bad = {n: v for n, v in row.items() if v}
-        if bad:
-            raise CheckViolation(
-                f"check constraint(s) violated by folded post-update rows: {bad}"
+        if checks:
+            bad_aggs = [
+                F.sum(F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)).alias(n)
+                for n, e in checks.items()
+            ]
+            row = post.agg(*bad_aggs).collect()[0].asDict()
+            bad = {n: v for n, v in row.items() if v}
+            if bad:
+                raise CheckViolation(
+                    f"check constraint(s) violated by folded post-update rows: {bad}"
+                )
+        for c in uniq_cols:
+            vals_rows = post.select(F.col(RID), F.col(c)).where(
+                F.col(c).isNotNull()
             )
+            agg = vals_rows.agg(
+                F.count(c).alias("_n"), F.count_distinct(F.col(c)).alias("_d")
+            ).collect()[0]
+            if agg["_n"] != agg["_d"]:
+                raise UniqueViolation(
+                    f"update batch folds to duplicate values in unique column {c!r}"
+                )
+            vals = [
+                r[c]
+                for r in vals_rows.select(c)
+                .distinct()
+                .limit(_CHECK_ISIN_CAP + 1)
+                .collect()
+            ]
+            if not vals:
+                continue
+            live = self.current_view(include_meta=True).select(
+                F.col(RID), F.col(c)
+            )
+            if len(vals) <= _CHECK_ISIN_CAP:
+                probe = live.where(F.col(c).isin(vals))
+            else:  # pragma: no cover - >cap distinct values in one batch
+                probe = live.join(
+                    F.broadcast(vals_rows.select(c).distinct()), on=c, how="left_semi"
+                )
+            if len(rids) <= _CHECK_ISIN_CAP:
+                probe = probe.where(~F.col(RID).isin(rids))
+            else:  # pragma: no cover
+                probe = probe.join(
+                    F.broadcast(folded.select(RID)), on=RID, how="left_anti"
+                )
+            if probe.limit(1).count():
+                raise UniqueViolation(
+                    f"update would duplicate a live value in unique column {c!r}"
+                )
 
     def _check_aggs(self) -> dict[str, Any]:
         """One violation-counting aggregate per registered check —
@@ -569,6 +709,7 @@ class LineageTable:
         write path — ``monotonically_increasing_id`` is per-partition,
         the batch id comes from one manifest bump on the driver."""
         self.flush()  # keep rid ordering: buffered rows commit first
+        self._validate_unique_inserts(df)
         batch = self.manifest.next_batch
         self.manifest.next_batch += 1
         self._save_manifest()
@@ -924,6 +1065,11 @@ class LineageTable:
                     # abort the whole buffered batch — nothing publishes
                     self._pending_base = []
                     raise CheckViolation(f"check constraint(s) violated: {bad}")
+            try:
+                self._validate_unique_inserts(df)
+            except UniqueViolation:
+                self._pending_base = []
+                raise
             self._append_via_staging(df.coalesce(1), self.base_dir, partition_by=self.partition_by)
             self._pending_base = []
         if self._pending_tail:

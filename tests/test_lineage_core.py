@@ -1404,3 +1404,84 @@ def test_database_maintain_pass(spark, tmp_path, sf_dir):
     report2 = db.maintain(max_stale_deltas=5, snapshot_retain=0)
     assert report2["m_orders"]["compacted"] is False
     assert report2["m_orders"]["indexes"]["o_custkey"] == "fresh"
+
+
+def test_unique_constraint_enforced_on_all_write_paths(spark, tmp_path):
+    """UNIQUE constraints (SQL semantics: NULLs exempt): validated on
+    add, enforced on bulk ingest (intra-batch + vs-live), on folded
+    bulk updates (intra-batch collisions + collisions with untouched
+    live rows, self-value updates allowed), persisted in the
+    manifest; a violating write publishes nothing."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+    from lineage_store_database_management_system_spark.lineage import (
+        UniqueViolation,
+    )
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(50).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("u"),
+        F.lit("x").alias("s"),
+    )
+    t = db.create_table_typed("t", src.schema, "k")
+    t.ingest_dataframe(src)
+    t.add_unique_constraint("u")
+    with pytest.raises(ValueError):
+        t.add_unique_constraint("u")  # duplicate constraint
+    with pytest.raises(ValueError):
+        t.add_unique_constraint("nope")  # no such column
+
+    before = t.current_view().count()
+    # intra-batch duplicate -> rejected, nothing published
+    bad = spark.createDataFrame([(100, 5000, "a"), (101, 5000, "b")], src.schema)
+    with pytest.raises(UniqueViolation):
+        t.ingest_dataframe(bad)
+    assert t.current_view().count() == before
+    # conflict with a live value -> rejected
+    with pytest.raises(UniqueViolation):
+        t.ingest_dataframe(spark.createDataFrame([(102, 70, "c")], src.schema))
+    assert t.current_view().count() == before
+    # NULLs don't conflict (two at once is fine)
+    t.ingest_dataframe(
+        spark.createDataFrame(
+            [(103, None, "n1"), (104, None, "n2")],
+            "k long, u long, s string",
+        )
+    )
+    assert t.current_view().where("u IS NULL").count() == 2
+
+    # update folding to a live row's value -> rejected
+    with pytest.raises(UniqueViolation):
+        t.bulk_update(spark.createDataFrame([(3, 70)], "k long, u long"))
+    assert t.current_view().where("k = 3").first()["u"] == 30
+    # two updates in one batch folding to the same value -> rejected
+    with pytest.raises(UniqueViolation):
+        t.bulk_update(
+            spark.createDataFrame([(3, 7777), (4, 7777)], "k long, u long")
+        )
+    # self-value update (no-op on u) passes: the touched rid is excluded
+    t.bulk_update(spark.createDataFrame([(3, 30)], "k long, u long"))
+    assert t.current_view().where("k = 3").first()["u"] == 30
+    # fresh value passes
+    t.bulk_update(spark.createDataFrame([(3, 9999)], "k long, u long"))
+    assert t.current_view().where("k = 3").first()["u"] == 9999
+    # freed value is reusable after the update moved it
+    t.ingest_dataframe(spark.createDataFrame([(105, 30, "d")], src.schema))
+
+    # constraint survives reopen
+    t.flush()
+    db2 = Database().open(str(tmp_path / "db"), spark)
+    t2 = db2.get_table("t")
+    with pytest.raises(UniqueViolation):
+        t2.ingest_dataframe(spark.createDataFrame([(106, 70, "e")], src.schema))
+    # drop -> duplicates allowed again
+    t2.drop_unique_constraint("u")
+    t2.ingest_dataframe(spark.createDataFrame([(107, 70, "f")], src.schema))
+    assert t2.current_view().where("u = 70").count() == 2
+    with pytest.raises(ValueError):
+        t2.drop_unique_constraint("u")
+    # add over now-duplicated data fails
+    with pytest.raises(UniqueViolation):
+        t2.add_unique_constraint("u")
