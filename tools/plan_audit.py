@@ -103,6 +103,13 @@ AUDIT = [
     ("ext_gapfill_locf", ["Generate", "Window"], ["BatchEvalPython", "BroadcastNestedLoopJoin"]),
     ("ext_time_weighted_avg", ["Window", "HashAggregate"], ["BatchEvalPython"]),
     ("ds_semantic_dedup", ["ArrowEvalPython"], ["BatchEvalPython", "CartesianProduct"]),
+    # Q20 keeps the part filter broadcast and the excess test inside
+    # one conditional aggregate (no second lineitem scan, no SMJ);
+    # the composed pretraining pipeline's only Python is the
+    # Arrow-batched Bloom probe; the star-CC variant stays JVM-side.
+    ("ext_q20_excess_inventory", ["BroadcastHashJoin", "HashAggregate"], ["SortMergeJoin", "BatchEvalPython"]),
+    ("ds_pretrain_pipeline", ["ArrowEvalPython", "HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
+    ("ds_dup_clusters_star", ["HashAggregate"], ["BatchEvalPython"]),
 ]
 
 
