@@ -1839,6 +1839,90 @@ class LineageTable:
             keep_above=self.manifest.compact_version - 1 - retain
         )
 
+    def optimize_files(
+        self, target_bytes: int = 128 << 20, small_frac: float = 0.5
+    ) -> dict:
+        """Small-file bin-packing over the FRESH base dir (the Delta
+        OPTIMIZE shape): every commit appends its own part-files, so a
+        churn-heavy table accumulates thousands of KB-sized files
+        between compactions — and at 100 TB on an object store, per-file
+        open latency dominates the scan. This rewrites ONLY files
+        smaller than ``small_frac * target_bytes``, packing them into
+        ~``target_bytes`` outputs per Hive partition (rows never cross
+        a partition boundary); files already at target size are left
+        untouched, and row content (_rid, _ts, user columns) is
+        preserved byte-for-byte — physical-only, answers invariant,
+        version travel unaffected (tail deltas reference rids, not
+        files).
+
+        Publish protocol: packed files move in under an ``_``-prefixed
+        name (invisible to Spark's directory listing), the originals
+        unlink, then the new files rename into visibility — the
+        not-atomic window is rename-only. Single-writer maintenance,
+        same discipline as compact()/vacuum. Returns
+        {files_before, files_after, bytes_packed, partitions}."""
+        self.flush()
+        small_cap = int(target_bytes * small_frac)
+        # group candidate files by their partition subdirectory
+        by_part: dict[str, list[tuple[str, int]]] = {}
+        n_before = 0
+        for root, _dirs, files in os.walk(self.base_dir):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                n_before += 1
+                p = os.path.join(root, name)
+                sz = os.path.getsize(p)
+                if sz < small_cap:
+                    by_part.setdefault(root, []).append((p, sz))
+        packed_bytes = 0
+        n_parts = 0
+        for part_dir, members in by_part.items():
+            if len(members) < 2:
+                continue  # nothing to gain from rewriting one file
+            n_parts += 1
+            paths = [p for p, _ in members]
+            total = sum(sz for _, sz in members)
+            packed_bytes += total
+            n_out = max(1, -(-total // target_bytes))
+            # partition columns live in the directory name, not the
+            # files — read and rewrite exactly the columns the files
+            # hold so the packed files match their siblings
+            file_schema = T.StructType(
+                [
+                    f
+                    for f in self.base_schema.fields
+                    if f.name not in self.partition_by
+                ]
+            )
+            df = self.spark.read.schema(file_schema).parquet(*paths)
+            staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:8]}")
+            df.coalesce(n_out).write.mode("overwrite").parquet(staging)
+            hidden: list[str] = []
+            for name in os.listdir(staging):
+                if not name.endswith(".parquet"):
+                    continue
+                h = os.path.join(part_dir, f"_opt_{uuid.uuid4().hex[:8]}")
+                os.rename(os.path.join(staging, name), h)
+                hidden.append(h)
+            for p in paths:
+                os.remove(p)
+            for h in hidden:
+                os.rename(h, h.replace("_opt_", "opt-") + ".parquet")
+            shutil.rmtree(staging, ignore_errors=True)
+        n_after = sum(
+            1
+            for root, _d, files in os.walk(self.base_dir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        return {
+            "files_before": n_before,
+            "files_after": n_after,
+            "bytes_packed": packed_bytes,
+            "partitions": n_parts,
+        }
+
     def _compact_incremental(self, out_dir: str) -> None:
         """Partition-level compaction: recompute affected partitions
         from (previous snapshot ∪ fresh base) + new tail deltas —

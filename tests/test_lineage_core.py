@@ -1485,3 +1485,75 @@ def test_unique_constraint_enforced_on_all_write_paths(spark, tmp_path):
     # add over now-duplicated data fails
     with pytest.raises(UniqueViolation):
         t2.add_unique_constraint("u")
+
+
+def test_optimize_files_bin_packs_and_answers_invariant(spark, tmp_path):
+    """Small-file OPTIMIZE: many tiny per-commit base files pack into
+    few target-size files; the current view, point lookups, and
+    version travel are byte-identical before/after; files at target
+    size are left alone; Hive partitions keep their rows."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    t = db.create_table_typed("t", src.schema, "k")
+    for i in range(8):  # 8 commits -> many small files
+        t.ingest_dataframe(
+            spark.range(i * 10, i * 10 + 10).select(
+                F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+            )
+        )
+    t.bulk_update(spark.createDataFrame([(5, 99.0)], "k long, v double"))
+    before = sorted(
+        (r["k"], r["v"]) for r in t.current_view().collect()
+    )
+    before_m1 = sorted(
+        (r["k"], r["v"]) for r in t.version_view(-1).collect()
+    )
+    stats = t.optimize_files(target_bytes=1 << 20)
+    assert stats["files_before"] > stats["files_after"]
+    assert stats["files_after"] >= 1
+    after = sorted((r["k"], r["v"]) for r in t.current_view().collect())
+    after_m1 = sorted((r["k"], r["v"]) for r in t.version_view(-1).collect())
+    assert before == after
+    assert before_m1 == after_m1
+    assert t.current_view().where("k = 5").first()["v"] == 99.0
+    # second pass is a no-op (everything already packed)
+    stats2 = t.optimize_files(target_bytes=1 << 20)
+    assert stats2["files_after"] == stats2["files_before"]
+    # a tiny target leaves every file alone (none are "small")
+    stats3 = t.optimize_files(target_bytes=16)
+    assert stats3["partitions"] == 0
+
+
+def test_optimize_files_respects_hive_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    t = db.create_table_typed("t", src.schema, "k", partition_by=["p"])
+    for i in range(5):
+        t.ingest_dataframe(
+            spark.range(i * 20, i * 20 + 20).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 2).cast("string").alias("p"),
+                (F.col("id") * 2.0).alias("v"),
+            )
+        )
+    before = sorted((r["k"], r["p"], r["v"]) for r in t.current_view().collect())
+    stats = t.optimize_files(target_bytes=1 << 20)
+    assert stats["partitions"] == 2  # p=0 and p=1 each packed
+    after = sorted((r["k"], r["p"], r["v"]) for r in t.current_view().collect())
+    assert before == after
+    # partition pruning still works after the rewrite
+    assert t.current_view().where("p = '1'").count() == 50
