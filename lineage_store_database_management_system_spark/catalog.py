@@ -503,16 +503,19 @@ class Database:
         max_stale_deltas: int = 10_000,
         refresh_mvs: bool = True,
         snapshot_retain: int = 1,
+        optimize_target_bytes: int | None = None,
     ) -> dict:
         """One housekeeping pass over the whole database — the cron
         job a deployment would run between ingest waves. Per table:
         flush buffered point-ops, compact when the tail has outgrown
-        its threshold, catch up secondary indexes past the staleness
-        policy, reclaim snapshot versions beyond the retention
-        window; then refresh every stale materialized view (SQL MVs
-        recompute, aggregate MVs maintain incrementally from the
-        deltas). Every step is the existing bounded-work primitive;
-        this only sequences them. Returns a per-table report."""
+        its threshold, bin-pack undersized fresh-base files when
+        ``optimize_target_bytes`` is set (optimize_files), catch up
+        secondary indexes past the staleness policy, reclaim snapshot
+        versions beyond the retention window; then refresh every
+        stale materialized view (SQL MVs recompute, aggregate MVs
+        maintain incrementally from the deltas). Every step is the
+        existing bounded-work primitive; this only sequences them.
+        Returns a per-table report."""
         self._require_open()
         from . import indexing
 
@@ -523,6 +526,8 @@ class Database:
             t.flush()
             if compact:
                 r["compacted"] = t.maybe_compact()
+            if optimize_target_bytes:
+                r["optimized"] = t.optimize_files(optimize_target_bytes)
             if refresh_indexes:
                 idx_root = os.path.join(t.path, "index")
                 cols = (

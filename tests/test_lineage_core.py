@@ -1404,6 +1404,12 @@ def test_database_maintain_pass(spark, tmp_path, sf_dir):
     report2 = db.maintain(max_stale_deltas=5, snapshot_retain=0)
     assert report2["m_orders"]["compacted"] is False
     assert report2["m_orders"]["indexes"]["o_custkey"] == "fresh"
+    # optional file optimization reports through the same pass
+    report3 = db.maintain(
+        max_stale_deltas=5, snapshot_retain=0, optimize_target_bytes=1 << 20
+    )
+    assert "optimized" in report3["m_orders"]
+    assert t.current_view().count() == expected
 
 
 def test_unique_constraint_enforced_on_all_write_paths(spark, tmp_path):
