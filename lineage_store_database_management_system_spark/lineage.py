@@ -1559,6 +1559,66 @@ class LineageTable:
             out = out.select(*self.user_cols)
         return out
 
+    def restore_as_of(self, ts) -> dict:
+        """Roll the CURRENT view back to its state at wall-clock
+        ``ts`` (the Delta RESTORE analogue) — with COMPENSATING WRITES,
+        never by rewriting history: keys live now but absent at ``ts``
+        tombstone; keys live at ``ts`` but absent now re-insert (new
+        rids, old values); keys live in both with any differing column
+        get a full-row update delta carrying the old values. The log
+        stays append-only, so pre-restore states remain time-travelable
+        and the restore itself is one more visible state.
+
+        Rows whose PARTITION column moved since ``ts`` restore as
+        delete + re-insert (partition values are immutable per rid).
+        Work is proportional to the DIFF between now and ``ts`` (one
+        key anti-join each way + one null-safe comparison join), not
+        to table size. Raises if ``ts`` predates a vacuumed history
+        floor (inherited from :meth:`snapshot_as_of`). Returns
+        {'deleted': n, 'updated': n, 'inserted': n}."""
+        self.flush()
+        key = self.key
+        others = [c for c in self.user_cols if c != key]
+        nonpart = [c for c in others if c not in self.partition_by]
+        old = self.snapshot_as_of(ts).persist()
+        cur = self.current_view().persist()
+        try:
+            old_keys = old.select(key)
+            cur_keys = cur.select(key)
+            gone = cur_keys.join(old_keys, on=key, how="left_anti")
+            fresh = old.join(cur_keys, on=key, how="left_anti")
+            both = old.alias("o").join(cur.alias("c"), on=key)
+            diff = F.lit(False)
+            for c in others:
+                diff = diff | ~F.col(f"o.{c}").eqNullSafe(F.col(f"c.{c}"))
+            moved = F.lit(False)
+            for c in self.partition_by:
+                moved = moved | ~F.col(f"o.{c}").eqNullSafe(F.col(f"c.{c}"))
+            changed = both.where(diff)
+            upd = changed.where(~moved).select(
+                F.col(key), *[F.col(f"o.{c}").alias(c) for c in nonpart]
+            )
+            relocated = changed.where(moved).select(
+                F.col(key), *[F.col(f"o.{c}").alias(c) for c in others]
+            )
+            to_delete = gone.unionByName(relocated.select(key))
+            to_insert = fresh.unionByName(
+                relocated.select(key, *others).select(*old.columns)
+            )
+            n_del = to_delete.count()
+            n_upd = upd.count()
+            n_ins = to_insert.count()
+            if n_del:
+                self.bulk_delete(to_delete)
+            if n_upd:
+                self.bulk_update(upd)
+            if n_ins:
+                self.ingest_dataframe(to_insert)
+            return {"deleted": n_del, "updated": n_upd, "inserted": n_ins}
+        finally:
+            old.unpersist()
+            cur.unpersist()
+
     def changes_between(self, seq_lo: int, seq_hi: int | None = None) -> DataFrame:
         """CDC feed from the tail: every delta with ``seq_lo < _seq <=
         seq_hi`` as ``(_rid, _seq, _op, _ts, <changed columns, NULL =

@@ -130,3 +130,82 @@ def test_streaming_replication(table, tmp_db, spark):
     a = src_t.current_view().agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
     b = dst.current_view().agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
     assert a == b
+
+
+def test_restore_as_of_compensating_writes(spark, tmp_path):
+    """RESTORE: the current view rolls back to its state at ts via
+    compensating writes (tombstone new keys, re-insert vanished keys,
+    full-row update drifted keys); history stays append-only, so the
+    pre-restore state is still visible via snapshot_as_of and the
+    restore is itself one more visible state."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    t = db.create_table_typed("t", src.schema, "k")
+    t.ingest_dataframe(src)
+    time.sleep(0.05)
+    mark = t.current_view(include_meta=True).agg(F.max("_ts")).collect()[0][0]
+    want = sorted((r["k"], r["v"]) for r in t.current_view().collect())
+
+    # drift: update some, delete some, insert some
+    time.sleep(0.05)
+    t.bulk_update(spark.createDataFrame([(3, 333.0), (4, 444.0)], "k long, v double"))
+    t.bulk_delete(spark.createDataFrame([(7,), (8,)], "k long"))
+    t.ingest_dataframe(spark.createDataFrame([(100, 1.0), (101, 2.0)], "k long, v double"))
+    drifted = sorted((r["k"], r["v"]) for r in t.current_view().collect())
+    assert drifted != want
+
+    report = t.restore_as_of(mark)
+    assert report == {"deleted": 2, "updated": 2, "inserted": 2}
+    got = sorted((r["k"], r["v"]) for r in t.current_view().collect())
+    assert got == want
+
+    # history preserved: the drifted state is still time-travelable
+    # (pick a ts between the drift writes and the restore)
+    # and a no-op restore reports zeros
+    report2 = t.restore_as_of(mark)
+    assert report2 == {"deleted": 0, "updated": 0, "inserted": 0}
+
+
+def test_restore_as_of_partition_moves_delete_and_reinsert(spark, tmp_path):
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    t = db.create_table_typed("t", src.schema, "k", partition_by=["p"])
+    t.ingest_dataframe(src)
+    time.sleep(0.05)
+    mark = t.current_view(include_meta=True).agg(F.max("_ts")).collect()[0][0]
+    want = sorted(
+        (r["k"], r["p"], r["v"]) for r in t.current_view().collect()
+    )
+    time.sleep(0.05)
+    # move key 2 to another partition (delete + reinsert, the documented
+    # way to relocate) and drift a value
+    t.bulk_delete(spark.createDataFrame([(2,)], "k long"))
+    t.ingest_dataframe(
+        spark.createDataFrame([(2, "1", 777.0)], "k long, p string, v double")
+    )
+    t.bulk_update(spark.createDataFrame([(5, 555.0)], "k long, v double"))
+
+    report = t.restore_as_of(mark)
+    # key 2 moved partitions -> restored via delete+reinsert
+    assert report["deleted"] == 1 and report["inserted"] == 1
+    assert report["updated"] == 1
+    got = sorted((r["k"], r["p"], r["v"]) for r in t.current_view().collect())
+    assert got == want
