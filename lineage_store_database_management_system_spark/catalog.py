@@ -551,6 +551,19 @@ class Database:
             }
         return report
 
+    def snapshot_all_as_of(self, ts) -> dict:
+        """Database-level consistent read: every table as it stood at
+        the SAME wall-clock ``ts`` (name -> DataFrame). Cross-table
+        joins over these views see one transaction-time instant —
+        per-table snapshot_as_of gives each table its own fold; this
+        just fixes one ts for all of them. Raises if any table's
+        history floor postdates ``ts`` (vacuumed deltas)."""
+        self._require_open()
+        return {
+            name: self.get_table(name).snapshot_as_of(ts)
+            for name in self.list_tables()
+        }
+
     def _require_open(self) -> None:
         if not self.path or self.spark is None:
             raise RuntimeError("Database.open(path) must be called first")

@@ -1619,6 +1619,41 @@ class LineageTable:
             old.unpersist()
             cur.unpersist()
 
+    def commit_history(self) -> DataFrame:
+        """Table-level commit log (the DESCRIBE HISTORY analogue),
+        reconstructed from the data itself — the batch id is the high
+        16 bits of every rid/seq, so no separate log is maintained or
+        can drift. One aggregate over each of base and tail: per
+        commit batch, the operation mix (inserts / update deltas /
+        tombstones) and its wall-clock span. Batches vacuumed by
+        ``vacuum_tail`` no longer appear (their deltas are gone by
+        design); order by ``batch`` for commit order."""
+        base = self.base_df(include_pending=True).select(
+            F.shiftrightunsigned(F.col(RID), _BATCH_SHIFT).alias("batch"),
+            F.lit(1).alias("_ins"),
+            F.lit(0).alias("_upd"),
+            F.lit(0).alias("_del"),
+            F.col(TS),
+        )
+        tail = self.tail_df(include_pending=True).select(
+            F.shiftrightunsigned(F.col(SEQ), _BATCH_SHIFT).alias("batch"),
+            F.lit(0).alias("_ins"),
+            F.when(F.col(OP) == OP_UPDATE, 1).otherwise(0).alias("_upd"),
+            F.when(F.col(OP) == OP_DELETE, 1).otherwise(0).alias("_del"),
+            F.col(TS),
+        )
+        return (
+            base.unionByName(tail)
+            .groupBy("batch")
+            .agg(
+                F.sum("_ins").alias("n_inserts"),
+                F.sum("_upd").alias("n_updates"),
+                F.sum("_del").alias("n_deletes"),
+                F.min(TS).alias("started"),
+                F.max(TS).alias("finished"),
+            )
+        )
+
     def changes_between(self, seq_lo: int, seq_hi: int | None = None) -> DataFrame:
         """CDC feed from the tail: every delta with ``seq_lo < _seq <=
         seq_hi`` as ``(_rid, _seq, _op, _ts, <changed columns, NULL =

@@ -209,3 +209,59 @@ def test_restore_as_of_partition_moves_delete_and_reinsert(spark, tmp_path):
     assert report["updated"] == 1
     got = sorted((r["k"], r["p"], r["v"]) for r in t.current_view().collect())
     assert got == want
+
+
+def test_commit_history_reconstructs_operation_mix(spark, tmp_path):
+    """commit_history(): per-batch op mix reconstructed from the high
+    bits of rid/seq — no separate log to drift."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    t = db.create_table_typed("t", src.schema, "k")
+    t.ingest_dataframe(src)                                              # batch: 10 inserts
+    t.bulk_update(spark.createDataFrame([(1, 11.0), (2, 22.0)], "k long, v double"))
+    t.bulk_delete(spark.createDataFrame([(5,)], "k long"))
+    h = {r["batch"]: r for r in t.commit_history().collect()}
+    mixes = sorted(
+        (r["n_inserts"], r["n_updates"], r["n_deletes"]) for r in h.values()
+    )
+    assert (10, 0, 0) in mixes       # the ingest batch
+    assert (0, 2, 0) in mixes        # the update batch
+    assert (0, 0, 1) in mixes        # the delete batch
+    for r in h.values():
+        assert r["started"] <= r["finished"]
+
+
+def test_snapshot_all_as_of_is_cross_table_consistent(spark, tmp_path):
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    a_src = spark.range(5).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    b_src = spark.range(5).select(F.col("id").alias("k"), F.lit(2.0).alias("w"))
+    ta = db.create_table_typed("a", a_src.schema, "k")
+    tb = db.create_table_typed("b", b_src.schema, "k")
+    ta.ingest_dataframe(a_src)
+    tb.ingest_dataframe(b_src)
+    time.sleep(0.05)
+    mark = max(
+        ta.current_view(include_meta=True).agg(F.max("_ts")).collect()[0][0],
+        tb.current_view(include_meta=True).agg(F.max("_ts")).collect()[0][0],
+    )
+    time.sleep(0.05)
+    # later writes to BOTH tables must be invisible at the mark
+    ta.bulk_update(spark.createDataFrame([(1, 99.0)], "k long, v double"))
+    tb.bulk_delete(spark.createDataFrame([(2,)], "k long"))
+    views = db.snapshot_all_as_of(mark)
+    assert set(views) == {"a", "b"}
+    assert views["a"].where("k = 1").first()["v"] == 1.0
+    assert views["b"].count() == 5
+    # a cross-table join at the instant
+    j = views["a"].join(views["b"], on="k")
+    assert j.count() == 5
