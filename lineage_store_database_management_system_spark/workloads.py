@@ -4868,3 +4868,41 @@ def ds_dup_clusters_star(spark, sf_dir):
 
 
 ORACLE["ds_dup_clusters_star"] = ORACLE["ds_dup_clusters"]
+
+
+@workload(
+    "pq_commit_history",
+    # The scenario table's commit log is closed-form: one bulk ingest,
+    # then the three mutation_batch rounds (each reserving its own
+    # batch id) — op mixes derived straight from the source predicates.
+    """SELECT CAST(1 AS BIGINT) AS commit_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_inserts,
+       CAST(0 AS BIGINT) AS n_updates, CAST(0 AS BIGINT) AS n_deletes
+FROM orders
+UNION ALL
+SELECT 2, 0, CAST(COUNT(*) FILTER (WHERE o_orderkey % 7 = 0) AS BIGINT), 0
+FROM orders
+UNION ALL
+SELECT 3, 0, CAST(COUNT(*) FILTER (WHERE o_orderkey % 5 = 0) AS BIGINT), 0
+FROM orders
+UNION ALL
+SELECT 4, 0, 0, CAST(COUNT(*) FILTER (WHERE o_orderkey % 10 = 3) AS BIGINT)
+FROM orders""",
+)
+def pq_commit_history(spark, sf_dir):
+    """DESCRIBE HISTORY over the mutated scenario table
+    (lineage.commit_history): per-batch op mix reconstructed from the
+    batch id in the high bits of rid/seq — no separate commit log to
+    drift. Gated rows are the commit sequence with its insert /
+    update-delta / tombstone counts (timestamps excluded: wall-clock
+    is nondeterministic)."""
+    from pyspark.sql import Window
+
+    t = _table(spark, sf_dir, "orders_a")
+    w = Window.orderBy("batch")
+    return t.commit_history().select(
+        F.row_number().over(w).cast("long").alias("commit_seq"),
+        F.col("n_inserts").cast("long").alias("n_inserts"),
+        F.col("n_updates").cast("long").alias("n_updates"),
+        F.col("n_deletes").cast("long").alias("n_deletes"),
+    )
