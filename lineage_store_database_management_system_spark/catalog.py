@@ -524,6 +524,7 @@ class Database:
             t = self.get_table(name)
             r: dict = {}
             t.flush()
+            r["repair"] = t.repair_staging()
             if compact:
                 r["compacted"] = t.maybe_compact()
             if optimize_target_bytes:

@@ -1950,11 +1950,16 @@ class LineageTable:
         version travel unaffected (tail deltas reference rids, not
         files).
 
-        Publish protocol: packed files move in under an ``_``-prefixed
-        name (invisible to Spark's directory listing), the originals
-        unlink, then the new files rename into visibility — the
-        not-atomic window is rename-only. Single-writer maintenance,
-        same discipline as compact()/vacuum. Returns
+        Publish protocol (crash-safe): packed files move in under an
+        ``_``-prefixed name (invisible to Spark's directory listing),
+        a json intent marker listing originals + packed names commits
+        the swap, the originals unlink, the new files rename into
+        visibility, the marker deletes. A crash BEFORE the marker
+        leaves only invisible files (:meth:`repair_staging` discards
+        them — the pack never committed); a crash AFTER it rolls
+        FORWARD (repair finishes the unlink+rename from the marker).
+        Single-writer maintenance, same discipline as
+        compact()/vacuum. Returns
         {files_before, files_after, bytes_packed, partitions}."""
         self.flush()
         small_cap = int(target_bytes * small_frac)
@@ -2000,10 +2005,22 @@ class LineageTable:
                 h = os.path.join(part_dir, f"_opt_{uuid.uuid4().hex[:8]}")
                 os.rename(os.path.join(staging, name), h)
                 hidden.append(h)
+            marker = os.path.join(part_dir, f"_opt_commit_{uuid.uuid4().hex[:8]}.json")
+            tmp_marker = marker + ".tmp"
+            with open(tmp_marker, "w") as fh:
+                json.dump(
+                    {
+                        "originals": [os.path.basename(p) for p in paths],
+                        "packed": [os.path.basename(h) for h in hidden],
+                    },
+                    fh,
+                )
+            os.replace(tmp_marker, marker)  # <- the commit point
             for p in paths:
                 os.remove(p)
             for h in hidden:
                 os.rename(h, h.replace("_opt_", "opt-") + ".parquet")
+            os.remove(marker)
             shutil.rmtree(staging, ignore_errors=True)
         n_after = sum(
             1
@@ -2017,6 +2034,61 @@ class LineageTable:
             "bytes_packed": packed_bytes,
             "partitions": n_parts,
         }
+
+    def repair_staging(self, max_age_s: float = 3600.0) -> dict:
+        """Crash-artifact repair, safe to run any time (and run from
+        :meth:`Database.maintain`):
+
+        - ``_opt_commit_*.json`` markers roll FORWARD: the pack
+          committed, so any listed original still present unlinks and
+          every listed packed file renames into visibility (both
+          idempotent from the marker's listing).
+        - ``_opt_*`` files with NO marker roll BACK: the pack never
+          committed (originals are intact), so the invisible files
+          just delete.
+        - ``_staging_*`` dirs older than ``max_age_s`` delete — they
+          were never published by construction. Age-gated so a live
+          writer's in-flight staging survives.
+
+        Returns {'rolled_forward': n, 'discarded': n, 'staging': n}."""
+        fwd = disc = stag = 0
+        claimed: set[str] = set()
+        for root, _dirs, files in os.walk(self.base_dir):
+            for name in files:
+                if not name.startswith("_opt_commit_") or not name.endswith(".json"):
+                    continue
+                marker = os.path.join(root, name)
+                with open(marker) as fh:
+                    m = json.load(fh)
+                for orig in m["originals"]:
+                    p = os.path.join(root, orig)
+                    if os.path.exists(p):
+                        os.remove(p)
+                for h in m["packed"]:
+                    p = os.path.join(root, h)
+                    claimed.add(p)
+                    if os.path.exists(p):
+                        os.rename(p, p.replace("_opt_", "opt-") + ".parquet")
+                os.remove(marker)
+                fwd += 1
+        for root, _dirs, files in os.walk(self.base_dir):
+            for name in files:
+                if name.startswith("_opt_") and not name.endswith(".json"):
+                    p = os.path.join(root, name)
+                    if p not in claimed:
+                        os.remove(p)
+                        disc += 1
+        now = time.time()
+        for name in os.listdir(self.path):
+            if name.startswith("_staging_"):
+                p = os.path.join(self.path, name)
+                try:
+                    if now - os.path.getmtime(p) > max_age_s:
+                        shutil.rmtree(p, ignore_errors=True)
+                        stag += 1
+                except OSError:  # pragma: no cover - raced removal
+                    pass
+        return {"rolled_forward": fwd, "discarded": disc, "staging": stag}
 
     def _compact_incremental(self, out_dir: str) -> None:
         """Partition-level compaction: recompute affected partitions

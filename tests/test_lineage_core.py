@@ -1563,3 +1563,81 @@ def test_optimize_files_respects_hive_partitions(spark, tmp_path):
     assert before == after
     # partition pruning still works after the rewrite
     assert t.current_view().where("p = '1'").count() == 50
+
+
+def test_repair_staging_rolls_forward_and_back(spark, tmp_path):
+    """Crash repair for optimize_files: a committed marker rolls the
+    swap FORWARD (unlink originals, reveal packed files); an
+    uncommitted _opt_ file rolls BACK (deleted, originals intact);
+    stale _staging_ dirs age out. Answers invariant throughout."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(30).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    t = db.create_table_typed("t", src.schema, "k")
+    for i in range(3):
+        t.ingest_dataframe(
+            spark.range(i * 30, i * 30 + 30).select(
+                F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+            )
+        )
+    want = sorted((r["k"], r["v"]) for r in t.current_view().collect())
+
+    # --- simulate a crash AFTER the commit marker: pack two files by
+    # hand the way optimize_files stages them, write the marker, stop.
+    files = []
+    for root, _d, fs in os.walk(t.base_dir):
+        files += [os.path.join(root, f) for f in fs if f.endswith(".parquet")]
+    victims = files[:2]
+    packed_df = spark.read.schema(t.base_schema).parquet(*victims)
+    staging = os.path.join(str(tmp_path), "stage_once")
+    packed_df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part_dir = os.path.dirname(victims[0])
+    hidden = os.path.join(part_dir, "_opt_test1234")
+    src_file = next(
+        os.path.join(staging, f) for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    os.rename(src_file, hidden)
+    marker = os.path.join(part_dir, "_opt_commit_test1234.json")
+    with open(marker, "w") as fh:
+        json.dump(
+            {
+                "originals": [os.path.basename(p) for p in victims],
+                "packed": [os.path.basename(hidden)],
+            },
+            fh,
+        )
+    # crash here -> repair must roll forward
+    rep = t.repair_staging()
+    assert rep["rolled_forward"] == 1
+    got = sorted((r["k"], r["v"]) for r in t.current_view().collect())
+    assert got == want
+    for p in victims:
+        assert not os.path.exists(p)
+
+    # --- uncommitted _opt_ file (no marker): rolls back
+    orphan = os.path.join(part_dir, "_opt_orphan99")
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+    rep2 = t.repair_staging()
+    assert rep2["discarded"] == 1
+    assert not os.path.exists(orphan)
+    assert sorted((r["k"], r["v"]) for r in t.current_view().collect()) == want
+
+    # --- stale staging dir ages out; fresh one survives
+    stale = os.path.join(t.path, "_staging_deadbeef")
+    os.makedirs(stale)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    fresh_dir = os.path.join(t.path, "_staging_fresh")
+    os.makedirs(fresh_dir)
+    rep3 = t.repair_staging()
+    assert rep3["staging"] == 1
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh_dir)
