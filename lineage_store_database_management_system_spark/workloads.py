@@ -4906,3 +4906,22 @@ def pq_commit_history(spark, sf_dir):
         F.col("n_updates").cast("long").alias("n_updates"),
         F.col("n_deletes").cast("long").alias("n_deletes"),
     )
+
+
+@workload("st_replicate_lineage", _A_ORACLE_CUR)
+def st_replicate_lineage(spark, sf_dir):
+    """Streaming lineage replication gated end-to-end: the source
+    table's base/tail dirs ARE the change log (commits publish whole
+    files via the staging rename), so a file-source stream +
+    foreachBatch(apply_changes) follows it with preserved rids/seqs
+    (streaming.replicate_stream). The drained REPLICA's current view
+    gates against the same closed-form oracle as the source's —
+    replication is exact, not just row-count equal."""
+    from .streaming import replicate_stream
+
+    src_t = _table(spark, sf_dir, "orders_a")
+    root = tempfile.mkdtemp(prefix="lss_wl_replica_")
+    db = Database().open(root, spark)
+    dst = db.create_table_typed("replica", src_t.schema, "o_orderkey")
+    replicate_stream(src_t, dst)
+    return dst.current_view().select(*ORDER_COLS)
