@@ -190,17 +190,18 @@ def connected_components_star(
             .distinct()
         )
 
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         e2 = _star(edges, large=True)
         e3 = _star(e2, large=False).localCheckpoint(eager=True)
-        # converged when every edge points directly at a root (edge
-        # set stable under another large-star)
+        # Converged at the fixpoint of the round function (the paper's
+        # termination): successive edge sets equal. Comparing e3 to
+        # the PREVIOUS round's edges costs one anti-join over frames
+        # already computed — round-1's check used to run a whole extra
+        # large-star, which doubled per-round work.
         stable = (
-            _star(e3, large=True)
-            .exceptAll(e3)
-            .limit(1)
-            .count()
-            == 0
+            rnd > 0
+            and e3.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(e3).limit(1).count() == 0
         )
         edges = e3
         if stable:
