@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 _META = "_rollup_meta.json"
 _GRAINS = {"hour": "1 hour", "day": "1 day", "minute": "1 minute"}
+_QSKETCH = "_qsketch"  # underscore prefix: hidden from the rollup's own scan
 
 
 def _bucket(ts_col: str, grain: str):
@@ -63,6 +64,28 @@ def _meta_path(rollup_dir: str) -> str:
     return os.path.join(rollup_dir, _META)
 
 
+def _qsketch_rows(
+    events: DataFrame, meta: dict, lo=None, hi=None
+) -> DataFrame:
+    """Per-bucket quantile-sketch histogram rows (see
+    operators/quantile.py) for the raw events in [lo, hi) — the
+    mergeable state that answers percentiles over sealed history
+    without re-reading raw data."""
+    from . import quantile as _q
+
+    ts, bucket = meta["ts_col"], _bucket(meta["ts_col"], meta["grain"])
+    if lo is not None:
+        events = events.where(F.col(ts) >= F.lit(lo))
+    if hi is not None:
+        events = events.where(F.col(ts) < F.lit(hi))
+    return _q.quantile_sketch(
+        events.withColumn("bucket", bucket),
+        ["bucket", *meta["key_cols"]],
+        meta["quantile_col"],
+        meta.get("quantile_alpha", 0.01),
+    ).withColumn("bucket_date", F.to_date("bucket"))
+
+
 def rollup_meta(rollup_dir: str) -> dict:
     with open(_meta_path(rollup_dir)) as f:
         return json.load(f)
@@ -77,12 +100,17 @@ def create_rollup(
     value_col: str = "value",
     grain: str = "hour",
     distinct_col: str | None = None,
+    quantile_col: str | None = None,
+    quantile_alpha: float = 0.01,
 ) -> None:
     """Materialize partial-aggregate state for every bucket strictly
     before ``seal_before`` (a bucket edge; events at or past it stay
     in the open tail). One aggregation job over the sealed range.
     With ``distinct_col``, each bucket also stores an HLL sketch of
-    that column (see :func:`_state_agg`)."""
+    that column (see :func:`_state_agg`); with ``quantile_col``, a
+    mergeable log-histogram quantile sketch of that column lands in a
+    ``_qsketch`` side table (operators/quantile.py) so sealed-history
+    percentiles never re-read raw events."""
     key_cols = key_cols or []
     bucket = _bucket(ts_col, grain)
     sealed = (
@@ -99,7 +127,13 @@ def create_rollup(
         "value_col": value_col,
         "grain": grain,
         "distinct_col": distinct_col,
+        "quantile_col": quantile_col,
+        "quantile_alpha": quantile_alpha,
     }
+    if quantile_col:
+        _qsketch_rows(events, meta, hi=seal_before).write.mode(
+            "overwrite"
+        ).partitionBy("bucket_date").parquet(os.path.join(rollup_dir, _QSKETCH))
     tmp = _meta_path(rollup_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -127,6 +161,14 @@ def refresh_rollup(events: DataFrame, rollup_dir: str, seal_before) -> int:
     n = fresh.count()
     if n:
         fresh.write.mode("append").partitionBy("bucket_date").parquet(rollup_dir)
+    if meta.get("quantile_col"):
+        q = _qsketch_rows(
+            events, meta, lo=lo, hi=seal_before
+        ).localCheckpoint(eager=True)
+        if q.limit(1).count():
+            q.write.mode("append").partitionBy("bucket_date").parquet(
+                os.path.join(rollup_dir, _QSKETCH)
+            )
     meta["sealed_until"] = str(seal_before)
     tmp = _meta_path(rollup_dir) + ".tmp"
     with open(tmp, "w") as f:
@@ -204,6 +246,64 @@ def estimate_distinct(rolled: DataFrame, group_cols: list[str]) -> DataFrame:
     return rolled.groupBy(*group_cols).agg(
         F.sum("n_events").alias("n_events"),
         F.hll_sketch_estimate(F.hll_union_agg("hll_state")).alias("n_distinct_est"),
+    )
+
+
+def rollup_quantile_state(
+    spark: SparkSession,
+    rollup_dir: str,
+    raw_events: DataFrame,
+    bucket_lo=None,
+    bucket_hi=None,
+) -> DataFrame:
+    """The real-time quantile-sketch state per (bucket, *key_cols):
+    sealed buckets from the stored ``_qsketch`` side table (bare
+    Parquet scan, partition-pruned by the bucket range), the open
+    tail sketched from raw events past ``sealed_until`` at query
+    time. Histogram rows — regroup to ANY coarser key (daily from
+    hourly, per-key from per-bucket) with
+    :func:`quantile.merge_quantile_sketches` before extraction."""
+    meta = rollup_meta(rollup_dir)
+    if not meta.get("quantile_col"):
+        raise ValueError(f"rollup at {rollup_dir} has no quantile_col state")
+    sealed = spark.read.parquet(os.path.join(rollup_dir, _QSKETCH)).drop(
+        "bucket_date"
+    )
+    tail = _qsketch_rows(raw_events, meta, lo=meta["sealed_until"]).drop(
+        "bucket_date"
+    )
+    merged = sealed.unionByName(tail)
+    if bucket_lo is not None:
+        merged = merged.where(F.col("bucket") >= F.lit(bucket_lo))
+    if bucket_hi is not None:
+        merged = merged.where(F.col("bucket") < F.lit(bucket_hi))
+    return merged
+
+
+def rollup_quantiles(
+    spark: SparkSession,
+    rollup_dir: str,
+    raw_events: DataFrame,
+    qs: list[float],
+    bucket_lo=None,
+    bucket_hi=None,
+) -> DataFrame:
+    """Real-time percentiles from a ``quantile_col`` rollup: the
+    merged sealed+tail histogram (:func:`rollup_quantile_state`)
+    yields every requested q within ``quantile_alpha`` relative
+    error — the query finished per-bucket percentiles cannot answer
+    (a p95 of p95s is meaningless; histogram counts merge
+    losslessly). Output: (bucket, *key_cols, q, quantile_est)."""
+    from . import quantile as _q
+
+    meta = rollup_meta(rollup_dir)
+    merged = rollup_quantile_state(
+        spark, rollup_dir, raw_events, bucket_lo, bucket_hi
+    )
+    keys = ["bucket", *meta["key_cols"]]
+    sketch = _q.merge_quantile_sketches([merged], keys)
+    return _q.sketch_quantiles(
+        sketch, keys, qs, meta.get("quantile_alpha", 0.01)
     )
 
 
@@ -336,6 +436,23 @@ def patch_rollup(
         .partitionBy("bucket_date")
         .parquet(rollup_dir)
     )
+    if meta.get("quantile_col"):
+        qdir = os.path.join(rollup_dir, _QSKETCH)
+        qfresh = _qsketch_rows(events, meta, lo=bucket_lo, hi=bucket_hi)
+        qkeep = spark.read.parquet(qdir).where(
+            F.col("bucket_date").isin(dates)
+            & ~(
+                (F.col("bucket") >= F.lit(bucket_lo))
+                & (F.col("bucket") < F.lit(bucket_hi))
+            )
+        )
+        qout = qfresh.unionByName(qkeep).localCheckpoint(eager=True)
+        (
+            qout.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket_date")
+            .parquet(qdir)
+        )
     return n
 
 

@@ -1937,6 +1937,70 @@ def ext_rollup_distinct(spark, sf_dir):
 
 
 @workload(
+    "ext_rollup_quantile_sketch",
+    # Mergeable QUANTILE rollup (operators/quantile.py, the
+    # DDSketch/UDDSketch family): sealed hourly buckets store a
+    # log-histogram of `value`; p50/p95 answer from sealed state +
+    # live tail, within 1% RELATIVE error of the exact order
+    # statistic — the query finished per-bucket percentiles cannot
+    # answer (a p95 of p95s is meaningless; histogram counts merge
+    # losslessly). Both engines compute the same exact discrete
+    # quantile (rank = max(1, ceil(q*n)) via row_number — IEEE double
+    # math is identical); `est_ok` asserts the sketch bound.
+    """WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts) ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n
+  FROM events WHERE value IS NOT NULL
+), qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.95)) t(q))
+SELECT bucket, q, value AS exact_value, TRUE AS est_ok
+FROM ranked JOIN qs ON rn = GREATEST(1, CEIL(q * n))""",
+)
+def ext_rollup_quantile(spark, sf_dir):
+    """Percentile rollup via mergeable log-histogram sketch state
+    (operators/rollup.py + quantile.py): hourly buckets sealed to
+    2024-01-20, incrementally advanced to 2024-01-25, then p50/p95
+    per bucket from sealed sketch + raw tail; gated within the
+    sketch's alpha=1% relative-error guarantee against the exact
+    rank-th order statistic computed identically in both engines."""
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+
+    from .operators import rollup as _rollup
+
+    alpha = 0.01
+    ev = load_star(spark, sf_dir)["events"].where(F.col("value").isNotNull())
+    rdir = os.path.join(_tf.mkdtemp(prefix="lss_rollup_q_"), "hourly")
+    _rollup.create_rollup(
+        ev, rdir, "2024-01-20 00:00:00", quantile_col="value",
+        quantile_alpha=alpha,
+    )
+    _rollup.refresh_rollup(ev, rdir, "2024-01-25 00:00:00")
+    est = _rollup.rollup_quantiles(spark, rdir, ev, [0.5, 0.95])
+    wb = Window.partitionBy("bucket")
+    ranked = (
+        ev.withColumn("bucket", F.date_trunc("hour", "ts"))
+        .withColumn("rn", F.row_number().over(wb.orderBy("value")))
+        .withColumn("n", F.count(F.lit(1)).over(wb))
+    )
+    qdf = spark.createDataFrame([(0.5,), (0.95,)], "q double")
+    exact = ranked.join(
+        F.broadcast(qdf),
+        F.col("rn") == F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n"))),
+    ).select("bucket", "q", F.col("value").alias("exact_value"))
+    return est.join(exact, on=["bucket", "q"]).select(
+        "bucket",
+        "q",
+        "exact_value",
+        (
+            F.abs(F.col("quantile_est") - F.col("exact_value"))
+            <= alpha * F.abs(F.col("exact_value")) + 1e-9
+        ).alias("est_ok"),
+    )
+
+
+@workload(
     "ds_gopher_quality",
     # The published Gopher/MassiveText per-rule quality flags; every
     # term is identical portable SQL in both engines.
