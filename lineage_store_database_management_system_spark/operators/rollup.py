@@ -315,6 +315,8 @@ def stream_maintain_rollup(
     value_col: str = "value",
     grain: str = "hour",
     distinct_col: str | None = None,
+    quantile_col: str | None = None,
+    quantile_alpha: float = 0.01,
 ) -> int:
     """Maintain a rollup FROM A STREAM: every micro-batch aggregates
     to partial state and lands in its own ``batch=<id>`` partition —
@@ -324,8 +326,11 @@ def stream_maintain_rollup(
     marker). The rollup is a partial-state log: the same bucket may
     appear in many batches, and :func:`streaming_rollup_state` merges
     states exactly — the same property that makes a mid-refresh
-    ``rollup_query`` exact. Drains available input (availableNow);
-    returns the number of micro-batches processed this run."""
+    ``rollup_query`` exact. With ``quantile_col`` each micro-batch
+    also logs its quantile-sketch histogram (``qdata/batch=<id>``,
+    same idempotence) for :func:`streaming_rollup_quantiles`. Drains
+    available input (availableNow); returns the number of
+    micro-batches processed this run."""
     key_cols = key_cols or []
     data_dir = os.path.join(rollup_dir, "data")
     os.makedirs(rollup_dir, exist_ok=True)
@@ -335,6 +340,8 @@ def stream_maintain_rollup(
         "value_col": value_col,
         "grain": grain,
         "distinct_col": distinct_col,
+        "quantile_col": quantile_col,
+        "quantile_alpha": quantile_alpha,
         "streaming": True,
     }
     tmp = _meta_path(rollup_dir) + ".tmp"
@@ -351,6 +358,17 @@ def stream_maintain_rollup(
         part.write.mode("overwrite").parquet(
             os.path.join(data_dir, f"batch={batch_id}")
         )
+        if quantile_col:
+            from . import quantile as _q
+
+            _q.quantile_sketch(
+                batch_df.withColumn("bucket", bucket),
+                ["bucket", *key_cols],
+                quantile_col,
+                quantile_alpha,
+            ).write.mode("overwrite").parquet(
+                os.path.join(rollup_dir, "qdata", f"batch={batch_id}")
+            )
         n["n"] += 1
 
     q = (
@@ -382,6 +400,26 @@ def streaming_rollup_state(spark: SparkSession, rollup_dir: str) -> DataFrame:
             "n_distinct_est", F.hll_sketch_estimate("hll_state")
         ).drop("hll_state")
     return out
+
+
+def streaming_rollup_quantiles(
+    spark: SparkSession, rollup_dir: str, qs: list[float]
+) -> DataFrame:
+    """Percentiles of a stream-maintained ``quantile_col`` rollup:
+    merge the per-micro-batch sketch log (one sum per bucket) and
+    extract — same guarantees as :func:`rollup_quantiles`, zero raw
+    or in-flight data access."""
+    from . import quantile as _q
+
+    meta = rollup_meta(rollup_dir)
+    if not meta.get("quantile_col"):
+        raise ValueError(f"rollup at {rollup_dir} has no quantile_col state")
+    parts = spark.read.parquet(os.path.join(rollup_dir, "qdata")).drop("batch")
+    keys = ["bucket", *meta["key_cols"]]
+    sketch = _q.merge_quantile_sketches([parts], keys)
+    return _q.sketch_quantiles(
+        sketch, keys, qs, meta.get("quantile_alpha", 0.01)
+    )
 
 
 def patch_rollup(

@@ -189,3 +189,36 @@ def test_rollup_quantiles_regroup_and_patch(spark, events):
         assert got == want
     finally:
         shutil.rmtree(os.path.dirname(rdir), ignore_errors=True)
+
+
+def test_stream_maintained_quantiles(spark, sf_dir, events, tmp_path):
+    from lineage_store_database_management_system_spark.streaming import (
+        read_events_stream,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    rdir = os.path.join(str(tmp_path), "r")
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    n = rollup.stream_maintain_rollup(stream, rdir, quantile_col="value")
+    assert n >= 1
+    got = {
+        (r.bucket, r.q): r.quantile_est
+        for r in rollup.streaming_rollup_quantiles(
+            spark, rdir, [0.5, 0.95]
+        ).collect()
+    }
+    direct = quantile.quantile_sketch(
+        events.withColumn("bucket", F.date_trunc("hour", "ts")),
+        ["bucket"],
+        "value",
+        ALPHA,
+    )
+    want = {
+        (r.bucket, r.q): r.quantile_est
+        for r in quantile.sketch_quantiles(
+            direct, ["bucket"], [0.5, 0.95], ALPHA
+        ).collect()
+    }
+    # micro-batch partial sketches merge to EXACTLY the whole-data
+    # sketch — histogram counts are associative
+    assert got == want
