@@ -81,8 +81,10 @@ AUDIT = [
     ("ds_embedding_pq_topk", ["TakeOrderedAndProject", "ArrowEvalPython"], ["BatchEvalPython"]),
     ("ext_rollup_distinct_sketch", ["HashAggregate"], ["BatchEvalPython"]),
     # quantile rollup: sealed sketch is a bare scan + hash agg; the
-    # q-list join must broadcast; no Python anywhere
-    ("ext_rollup_quantile_sketch", ["HashAggregate", "BroadcastHashJoin"], ["BatchEvalPython"]),
+    # 2-row q-list join must broadcast (non-equi rank filter -> BNLJ);
+    # the est-vs-exact SMJ is gate apparatus (bucket-count-scaling,
+    # AQE-decided per the size-based join policy); no Python anywhere
+    ("ext_rollup_quantile_sketch", ["HashAggregate", "BroadcastNestedLoopJoin"], ["BatchEvalPython"]),
     # The salted broadcast join must really broadcast (its whole
     # point is no shuffle of the hot left side); the bucketized
     # interval join is explode + equi-join, never a nested-loop
