@@ -1168,6 +1168,63 @@ def ds_dedup_corpus(spark, sf_dir):
 
 
 @workload(
+    "ds_bpe_pair_stats",
+    # BPE tokenizer TRAINING statistics (Sennrich et al. 2016): the
+    # first merge round = corpus-wide adjacent character-pair counts.
+    # Both engines count pairs over the DISTINCT vocabulary weighted
+    # by word frequency — work scales with vocabulary size, not
+    # corpus size (exactly how production BPE trainers batch it).
+    """WITH words AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, COUNT(*) AS freq FROM words
+  WHERE length(w) >= 2 GROUP BY w
+), pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+  FROM vocab, unnest(generate_series(1, length(w) - 1)) AS t(i)
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair LIMIT 50""",
+)
+def ds_bpe_pairs(spark, sf_dir):
+    """BPE-training pair statistics: the adjacent-pair frequency
+    table that drives the first BPE merge (Sennrich et al., "Neural
+    Machine Translation of Rare Words with Subword Units", ACL 2016).
+
+    The 100 TB shape production tokenizer trainers use: fold the
+    corpus to its DISTINCT vocabulary with frequencies first (one
+    shuffle, map-side combinable), then enumerate character bigrams
+    per distinct word weighted by frequency — pair-enumeration work
+    scales with |vocab|, not corpus bytes. Top-50 compiles to
+    TakeOrderedAndProject; ties broken by pair text for
+    determinism. All Catalyst (sequence+transform+explode), no
+    Python."""
+    docs = load_star(spark, sf_dir)["documents"]
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+        )
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(50)
+    )
+
+
+@workload(
     "ds_token_count_bpe",
     """SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
