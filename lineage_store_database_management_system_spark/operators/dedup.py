@@ -226,10 +226,11 @@ def minhash_lsh_candidates(
     return pairs
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 4) -> DataFrame:
-    """(id, simhash bigint): 64-bit sign-of-sums sketch over token
-    hashes. Token hashing stays JVM-side (xxhash64, deterministic
-    across executors and runs); the bit-vote kernel is a vectorized
+def simhash_of_hashes(df: DataFrame, id_col: str, hashes) -> DataFrame:
+    """(id, simhash bigint) from ANY array<long> of feature hashes —
+    the modality-independent core of :func:`simhash` (text tokens
+    there; raw-byte shingles in operators/multimodal.py). Feature
+    hashing stays JVM-side; the bit-vote kernel is a vectorized
     Pandas UDF (Arrow batches + numpy) — the sanctioned slow path for
     a genuinely non-relational kernel."""
 
@@ -272,14 +273,20 @@ def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 4) -> DataFr
         )
         return pd.Series(out.view(np.int64))
 
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
     # NOTE: no spread() here — the kernel is a Pandas UDF, and fanning
     # a small input across 32 fresh partitions pays a Python-worker
     # spawn per core that dwarfs the kernel itself in a cold local
     # session. At real scale the scan already has many partitions and
     # warm workers.
-    return df.select(F.col(id_col), _bit_votes(tok_hashes).alias("simhash"))
+    return df.select(F.col(id_col), _bit_votes(hashes).alias("simhash"))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 4) -> DataFrame:
+    """(id, simhash bigint): 64-bit sign-of-sums sketch over token
+    hashes (xxhash64 JVM-side; see :func:`simhash_of_hashes`)."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return simhash_of_hashes(df, id_col, tok_hashes)
 
 
 def simhash_exploded(
@@ -288,7 +295,13 @@ def simhash_exploded(
     """(id, simhash, blk, bv): the sketch exploded into its pigeonhole
     blocks — the join-ready (and store-ready) simhash layout shared by
     the corpus self-join and the incremental store."""
-    sk = simhash(df, id_col, text_col)
+    return explode_sketch(simhash(df, id_col, text_col), id_col, blocks)
+
+
+def explode_sketch(sk: DataFrame, id_col: str, blocks: int) -> DataFrame:
+    """Explode ANY (id, simhash) frame into pigeonhole blocks — the
+    modality-independent half of :func:`simhash_exploded` (payload
+    sketches from operators/multimodal.py reuse it)."""
     # distribute 64 bits over `blocks` blocks (widths differ by <= 1)
     base_w, extra = divmod(64, blocks)
     widths = [base_w + (1 if i < extra else 0) for i in range(blocks)]
@@ -331,6 +344,20 @@ def simhash_candidates(
         blocks = min(64, max_hamming + 1)
     assert blocks > max_hamming, "pigeonhole needs blocks > max_hamming"
     exploded = simhash_exploded(df, id_col, text_col, blocks)
+    return sketch_candidates(
+        exploded, id_col, max_hamming, sketch_dir=sketch_dir
+    )
+
+
+def sketch_candidates(
+    exploded: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    sketch_dir: str | None = None,
+) -> DataFrame:
+    """Pigeonhole-blocked near-dup pairs from an already-exploded
+    (id, simhash, blk, bv) frame — shared by the text path above and
+    the binary-payload path (operators/multimodal.py)."""
     exploded = _materialize(exploded, sketch_dir)
     a, b = exploded.alias("a"), exploded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

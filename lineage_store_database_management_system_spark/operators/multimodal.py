@@ -149,6 +149,62 @@ def extract_byte_features(
     return spread(df.select(id_col, payload_col)).mapInPandas(_featurize, schema=schema)
 
 
+def payload_simhash(
+    df: DataFrame, id_col: str, payload_col: str = "payload", shingle_bytes: int = 4
+) -> DataFrame:
+    """(id, simhash bigint) over RAW payload bytes — genuinely
+    codec-free near-dup sketching for media columns (no decode stub
+    involved): shingle the byte stream into overlapping
+    ``shingle_bytes``-grams and sign-of-sums their hashes, exactly
+    the text simhash recipe (dedup.simhash_of_hashes) applied to
+    bytes. Byte shingling is pure Catalyst: hex() doubles each byte
+    into two chars, so byte k-grams are 2k-char substrings of the hex
+    string, hashed JVM-side with xxhash64 — only the shared
+    vectorized bit-vote kernel is Python (Arrow-batched).
+
+    Re-encoded media won't byte-collide (that needs real decoding —
+    see :func:`decode_image`), but exact and near-exact payloads
+    (metadata edits, truncated tails, container re-muxes) land within
+    a small Hamming distance — the cheap first pass a 100 TB media
+    dedup runs before any codec work."""
+    from . import dedup
+
+    hx = F.hex(F.col(payload_col))
+    width = 2 * shingle_bytes
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(length({'_hx'}) - {width - 1}, 1), 2), "
+        f"i -> substring(_hx, i, {width}))"
+    )
+    with_hx = df.select(F.col(id_col), hx.alias("_hx"))
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    return dedup.simhash_of_hashes(
+        with_hx.select(F.col(id_col), hashes.alias("_h")), id_col, F.col("_h")
+    )
+
+
+def payload_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    blocks: int | None = None,
+) -> DataFrame:
+    """Near-duplicate payload pairs (id_a, id_b, hamming) by byte
+    simhash + the pigeonhole block join shared with the text path
+    (dedup.sketch_candidates): any pair within ``max_hamming`` shares
+    an exact block, so candidate generation is a bucketed equi-join —
+    never all-pairs — and verification is one bit_count(XOR)."""
+    from . import dedup
+
+    if blocks is None:
+        blocks = min(64, max_hamming + 1)
+    assert blocks > max_hamming, "pigeonhole needs blocks > max_hamming"
+    sk = payload_simhash(df, id_col, payload_col)
+    return dedup.sketch_candidates(
+        dedup.explode_sketch(sk, id_col, blocks), id_col, max_hamming
+    )
+
+
 def sample_frames(
     df: DataFrame, id_col: str, payload_col: str = "payload", every_n_bytes: int = 64
 ) -> DataFrame:

@@ -2675,6 +2675,39 @@ def mm_payload(spark, sf_dir):
 
 
 @workload(
+    "mm_payload_neardup",
+    # 50 planted byte-identical payload clones: identical bytes give
+    # an identical raw-byte simhash, which shares every pigeonhole
+    # block, so each planted pair MUST surface at Hamming 0 — the
+    # output restricted to planted-shape pairs is fully
+    # deterministic (same gate pattern as ds_simhash_candidates). A
+    # missing pair (shingle/sketch/block/verify breakage) shows as a
+    # row-count mismatch.
+    """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)""",
+)
+def mm_payload_neardup(spark, sf_dir):
+    """Codec-free media near-dup: raw-byte shingle simhash over the
+    binary payload column + the pigeonhole block join shared with
+    text simhash (multimodal.payload_near_duplicates) — the cheap
+    first pass a 100 TB media dedup runs before any codec work.
+    Oracle-gated via planted byte-identical clones (guaranteed
+    Hamming 0); near-exact behavior (flipped bytes) covered in
+    pytest."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    base = docs.orderBy("doc_id").limit(50)
+    clones = base.select((F.col("doc_id") + 1000000).alias("doc_id"), F.col("text"))
+    corpus = multimodal.attach_binary_payload(
+        docs.unionByName(clones), "text"
+    ).select("doc_id", "payload")
+    cands = multimodal.payload_near_duplicates(corpus, "doc_id")
+    return cands.where(
+        (F.col("id_b") >= 1000000) & (F.col("id_b") - F.col("id_a") == 1000000)
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@workload(
     "mm_byte_features",
     # Byte-histogram twin in SQL: bucket b of 16 = bytes [16b, 16b+16).
     # The corpus is ASCII (asserted by the octet_length guard in the

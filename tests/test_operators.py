@@ -168,6 +168,39 @@ def test_multimodal_plumbing(spark, docs):
     assert frames.count() == (n_bytes + 15) // 16
 
 
+def test_payload_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    # one byte-identical clone, one single-char edit (near-exact),
+    # one unrelated payload
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base[:-5] + "cat "),
+        (4, "completely different content " * 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mm = multimodal.attach_binary_payload(df, "text").select("doc_id", "payload")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.payload_near_duplicates(
+            mm, "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical bytes -> hamming 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 3  # near-exact edit
+    assert not any(4 in p for p in pairs)  # unrelated never pairs
+    # sketch is deterministic across runs
+    s1 = {
+        r.doc_id: r.simhash
+        for r in multimodal.payload_simhash(mm, "doc_id").collect()
+    }
+    s2 = {
+        r.doc_id: r.simhash
+        for r in multimodal.payload_simhash(mm, "doc_id").collect()
+    }
+    assert s1 == s2 and s1[1] == s1[2]
+
+
 def test_sessionize_gap_semantics(spark):
     t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
     rows = [
