@@ -2775,6 +2775,66 @@ def st_rollup_maintained(spark, sf_dir):
 
 
 @workload(
+    "st_rollup_quantiles",
+    # Stream-maintained QUANTILE state: per-micro-batch log-histogram
+    # partials land in qdata/batch=<id> partitions (idempotent
+    # replay); merged partials equal the whole-data sketch exactly
+    # (histogram counts are associative), so p50/p95 from the stream
+    # state carry the same alpha=1% relative-error guarantee vs the
+    # exact order statistic — computed identically in both engines
+    # (same closed form as ext_rollup_quantile_sketch).
+    """WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts) ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n
+  FROM events WHERE value IS NOT NULL
+), qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.95)) t(q))
+SELECT bucket, q, value AS exact_value, TRUE AS est_ok
+FROM ranked JOIN qs ON rn = GREATEST(1, CEIL(q * n))""",
+)
+def st_rollup_quantiles(spark, sf_dir):
+    """Percentiles from a stream-maintained rollup
+    (rollup.stream_maintain_rollup(quantile_col=...) +
+    streaming_rollup_quantiles): micro-batch sketch partials merge to
+    exactly the whole-data histogram, gated within the alpha=1%
+    bound against the exact rank-th order statistic."""
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+
+    from .operators import rollup as _rollup
+
+    alpha = 0.01
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    rdir = os.path.join(_tf.mkdtemp(prefix="lss_strollq_"), "r")
+    _rollup.stream_maintain_rollup(
+        stream, rdir, quantile_col="value", quantile_alpha=alpha
+    )
+    est = _rollup.streaming_rollup_quantiles(spark, rdir, [0.5, 0.95])
+    ev = load_star(spark, sf_dir)["events"].where(F.col("value").isNotNull())
+    wb = Window.partitionBy("bucket")
+    ranked = (
+        ev.withColumn("bucket", F.date_trunc("hour", "ts"))
+        .withColumn("rn", F.row_number().over(wb.orderBy("value")))
+        .withColumn("n", F.count(F.lit(1)).over(wb))
+    )
+    qdf = spark.createDataFrame([(0.5,), (0.95,)], "q double")
+    exact = ranked.join(
+        F.broadcast(qdf),
+        F.col("rn") == F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n"))),
+    ).select("bucket", "q", F.col("value").alias("exact_value"))
+    return est.join(exact, on=["bucket", "q"]).select(
+        "bucket",
+        "q",
+        "exact_value",
+        (
+            F.abs(F.col("quantile_est") - F.col("exact_value"))
+            <= alpha * F.abs(F.col("exact_value")) + 1e-9
+        ).alias("est_ok"),
+    )
+
+
+@workload(
     "st_tumbling_hour",
     # Streaming drained with trigger(availableNow) over static input
     # is deterministic: complete-mode final state == the batch
