@@ -10,6 +10,7 @@ constructs (replace-count trick, simple character classes).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -580,3 +581,82 @@ def bm25_topk(
         .agg(F.round(F.sum("_s"), round_to).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    checkpoint_every: int = 8,
+):
+    """Train a byte-pair-encoding merge list on a corpus (Sennrich et
+    al., ACL 2016) — the iterated form of the single gated round
+    (`ds_bpe_merge_round`). Returns ``(merges, vocab)``: the ordered
+    list of learned ``(left, right)`` merges and the final vocabulary
+    DataFrame ``(syms array<string>, freq)``.
+
+    The 100 TB loop shape: ONE corpus scan folds to the distinct
+    vocabulary with frequencies (work past this point is ∝ |vocab|,
+    independent of corpus size); each round is one map-side-combinable
+    pair count, a bounded argmax collect (one row), and a vectorized
+    merge kernel over the vocab (Arrow-batched pandas_udf — adjacent-
+    pair folding is genuinely non-relational). Vocab localCheckpoints
+    every ``checkpoint_every`` rounds to truncate plan lineage, the
+    same discipline as the CC loops. Ties break (count desc, left asc,
+    right asc) so training is deterministic."""
+    vocab = (
+        df.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.expr("split(w, '')").alias("syms"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for rnd in range(n_merges):
+        pairs = (
+            # single-symbol words contribute no pairs (and sequence()
+            # runs BACKWARDS when size-1 < 1 — must not reach transform)
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                    )
+                ).alias("lr"),
+                "freq",
+            )
+            .groupBy("lr.l", "lr.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        left, right = pairs[0]["l"], pairs[0]["r"]
+        merges.append((left, right))
+
+        @F.pandas_udf("array<string>")
+        def _merge(syms: pd.Series) -> pd.Series:
+            out = []
+            for s in syms:
+                s = list(s)
+                res, i, n = [], 0, len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == left and s[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                out.append(res)
+            return pd.Series(out)
+
+        vocab = vocab.select(_merge(F.col("syms")).alias("syms"), "freq")
+        if (rnd + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges, vocab

@@ -1225,6 +1225,102 @@ def ds_bpe_pairs(spark, sf_dir):
 
 
 @workload(
+    "ds_bpe_merge_round",
+    # One full BPE training round: learn the argmax pair (count desc,
+    # pair asc — deterministic cross-engine), APPLY the merge to the
+    # vocabulary (replace() is left-to-right non-overlapping greedy in
+    # both engines — exactly BPE's merge order), and recount adjacent
+    # SYMBOL pairs. The merged symbol rides as chr(1) (corpus is
+    # ASCII) and expands back on output.
+    """WITH words AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, COUNT(*) AS freq FROM words WHERE length(w) >= 2 GROUP BY w
+), p1 AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, SUM(freq) AS c
+  FROM vocab, unnest(generate_series(1, length(w) - 1)) AS t(i)
+  GROUP BY pair
+), top1 AS (SELECT pair FROM p1 ORDER BY c DESC, pair LIMIT 1),
+merged AS (
+  SELECT replace(w, (SELECT pair FROM top1), chr(1)) AS s, freq FROM vocab
+), p2 AS (
+  SELECT substr(s, CAST(i AS INT), 1) AS l,
+         substr(s, CAST(i AS INT) + 1, 1) AS r, freq
+  FROM merged, unnest(generate_series(1, length(s) - 1)) AS t(i)
+  WHERE length(s) >= 2
+)
+SELECT CASE WHEN l = chr(1) THEN (SELECT pair FROM top1) ELSE l END AS left_sym,
+       CASE WHEN r = chr(1) THEN (SELECT pair FROM top1) ELSE r END AS right_sym,
+       CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM p2 GROUP BY left_sym, right_sym
+ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20""",
+)
+def ds_bpe_merge(spark, sf_dir):
+    """A complete BPE training round (learn argmax pair -> apply the
+    merge -> recount symbol pairs), the iterated core of tokenizer
+    training, all on the frequency-weighted DISTINCT vocabulary:
+    merge application and recount cost scale with |vocab| regardless
+    of corpus size, and the learned pair is a 1-row broadcast onto
+    the vocab — the loop shape that runs k=32000 rounds at 100 TB
+    without ever rescanning the corpus (one scan builds the vocab;
+    every round after is vocab-only)."""
+    docs = load_star(spark, sf_dir)["documents"]
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+        )
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    p1 = (
+        vocab.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("c"))
+    )
+    top1 = p1.orderBy(F.col("c").desc(), "pair").limit(1).select(
+        F.col("pair").alias("mp")
+    )
+    merged = vocab.join(F.broadcast(top1)).select(
+        F.expr("replace(w, mp, chr(1))").alias("s"), "freq", "mp"
+    )
+    p2 = merged.where(F.length("s") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(s) - 1), "
+                "i -> struct(substring(s, i, 1) AS l, substring(s, i + 1, 1) AS r))"
+            )
+        ).alias("lr"),
+        "freq",
+        "mp",
+    )
+    chr1 = F.lit("\x01")
+    return (
+        p2.select(
+            F.when(F.col("lr.l") == chr1, F.col("mp")).otherwise(F.col("lr.l")).alias(
+                "left_sym"
+            ),
+            F.when(F.col("lr.r") == chr1, F.col("mp")).otherwise(F.col("lr.r")).alias(
+                "right_sym"
+            ),
+            "freq",
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(20)
+    )
+
+
+@workload(
     "ds_token_count_bpe",
     """SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))

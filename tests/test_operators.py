@@ -898,3 +898,51 @@ def test_repeat_by_weight_deterministic_epochs(spark):
                                     id_col="doc_id", seed=3)
     assert out4.where("domain='code'").count() == 0
     assert out4.where("domain='web'").count() == 200
+
+
+def test_bpe_train_matches_reference(spark):
+    corpus = [
+        ("low low low low low lower lower newest newest newest "
+         "newest newest newest widest widest widest",),
+        ("low lower newest widest newest",),
+    ]
+    df = spark.createDataFrame(corpus, "text string")
+    merges, vocab = textops.bpe_train(df, "text", n_merges=6)
+
+    # pure-Python reference BPE (Sennrich et al. 2016 pseudocode)
+    from collections import Counter
+
+    words = Counter()
+    for (t,) in corpus:
+        for w in t.lower().strip().split():
+            words[tuple(w)] += 1
+    ref_merges = []
+    for _ in range(6):
+        pc = Counter()
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        best = max(pc.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0][0]]))
+        # deterministic tie-break matching the operator: count desc,
+        # then left asc, right asc
+        top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0][0]
+        ref_merges.append(top)
+        new = Counter()
+        for syms, f in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == top:
+                    res.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new[tuple(res)] += f
+        words = new
+    assert merges == ref_merges
+    got_vocab = {
+        tuple(r.syms): r.freq for r in vocab.collect()
+    }
+    assert got_vocab == {k: v for k, v in words.items()}
