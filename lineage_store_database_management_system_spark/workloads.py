@@ -2154,6 +2154,69 @@ def ext_rollup_quantile(spark, sf_dir):
 
 
 @workload(
+    "ext_rollup_quantile_daily",
+    # Regrouping quantile state: DAILY p50/p95 answered by merging the
+    # sealed HOURLY histograms under a day key — the re-aggregation a
+    # finished-percentile rollup cannot do (histogram counts merge
+    # losslessly; percentiles don't). Exact twin = the same discrete
+    # order statistic per day, identical closed form in both engines.
+    """WITH ranked AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts) ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY date_trunc('day', ts)) AS n
+  FROM events WHERE value IS NOT NULL
+), qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.95)) t(q))
+SELECT day, q, value AS exact_value, TRUE AS est_ok
+FROM ranked JOIN qs ON rn = GREATEST(1, CEIL(q * n))""",
+)
+def ext_rollup_quantile_daily(spark, sf_dir):
+    """Daily percentiles from HOURLY quantile-sketch state
+    (rollup.rollup_quantile_state + quantile.merge_quantile_sketches
+    regrouped under a day key): sealed history never re-reads raw
+    events; the day-merged histogram carries the same alpha=1%
+    relative-error bound vs the exact daily order statistic."""
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+
+    from .operators import quantile as _quant
+    from .operators import rollup as _rollup
+
+    alpha = 0.01
+    ev = load_star(spark, sf_dir)["events"].where(F.col("value").isNotNull())
+    rdir = os.path.join(_tf.mkdtemp(prefix="lss_rollup_qd_"), "hourly")
+    _rollup.create_rollup(
+        ev, rdir, "2024-01-20 00:00:00", quantile_col="value",
+        quantile_alpha=alpha,
+    )
+    state = _rollup.rollup_quantile_state(spark, rdir, ev).withColumn(
+        "day", F.to_date("bucket")
+    )
+    daily_sk = _quant.merge_quantile_sketches([state.drop("bucket")], ["day"])
+    est = _quant.sketch_quantiles(daily_sk, ["day"], [0.5, 0.95], alpha)
+    wb = Window.partitionBy("day")
+    ranked = (
+        ev.withColumn("day", F.to_date(F.date_trunc("day", "ts")))
+        .withColumn("rn", F.row_number().over(wb.orderBy("value")))
+        .withColumn("n", F.count(F.lit(1)).over(wb))
+    )
+    qdf = spark.createDataFrame([(0.5,), (0.95,)], "q double")
+    exact = ranked.join(
+        F.broadcast(qdf),
+        F.col("rn") == F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n"))),
+    ).select("day", "q", F.col("value").alias("exact_value"))
+    return est.join(exact, on=["day", "q"]).select(
+        "day",
+        "q",
+        "exact_value",
+        (
+            F.abs(F.col("quantile_est") - F.col("exact_value"))
+            <= alpha * F.abs(F.col("exact_value")) + 1e-9
+        ).alias("est_ok"),
+    )
+
+
+@workload(
     "ds_gopher_quality",
     # The published Gopher/MassiveText per-rule quality flags; every
     # term is identical portable SQL in both engines.
