@@ -85,6 +85,17 @@ AUDIT = [
     # the est-vs-exact SMJ is gate apparatus (bucket-count-scaling,
     # AQE-decided per the size-based join policy); no Python anywhere
     ("ext_rollup_quantile_sketch", ["HashAggregate", "BroadcastNestedLoopJoin"], ["BatchEvalPython"]),
+    # daily regroup reads ONLY the sealed sketch + tail sketch; no raw
+    # re-read beyond the tail predicate; no Python
+    ("ext_rollup_quantile_daily", ["HashAggregate"], ["BatchEvalPython"]),
+    # BPE stats fold to the distinct vocab first (two-level agg), and
+    # the top-k compiles to TakeOrderedAndProject; all Catalyst
+    ("ds_bpe_pair_stats", ["HashAggregate", "TakeOrderedAndProject"], ["BatchEvalPython"]),
+    # merge round: learned pair is a 1-row broadcast onto the vocab
+    ("ds_bpe_merge_round", ["TakeOrderedAndProject"], ["BatchEvalPython", "SortMergeJoin"]),
+    # payload near-dup: pigeonhole equi-join (never a cartesian);
+    # only the shared bit-vote kernel is (Arrow) Python
+    ("mm_payload_neardup", ["ArrowEvalPython"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # The salted broadcast join must really broadcast (its whole
     # point is no shuffle of the hot left side); the bucketized
     # interval join is explode + equi-join, never a nested-loop
