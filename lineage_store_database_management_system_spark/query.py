@@ -488,6 +488,23 @@ class Query:
         except Exception:
             return False
 
+    def percentile(self, start_range, end_range, aggregate_column_index, q):
+        """Beyond-reference: exact interpolated percentile (ANSI
+        percentile_cont) over a key range of the current view — the
+        quantile member the reference's sum/avg/min/max/count family
+        lacks. Same contract: False when no record is in range. For
+        approximate quantiles over sealed history at scale, see
+        operators/quantile.py (mergeable log-histogram sketches)."""
+        try:
+            return self._range_agg(
+                start_range,
+                end_range,
+                aggregate_column_index,
+                lambda c: F.percentile(c, F.lit(float(q))),
+            )
+        except Exception:
+            return False
+
     def count(self, start_range, end_range, aggregate_column_index):
         # reference counts records; the column arg is unused (query.py:332-343)
         try:

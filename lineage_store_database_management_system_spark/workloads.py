@@ -252,6 +252,38 @@ def pq_sum(spark, sf_dir):
 
 
 @workload(
+    "pq_percentile_range",
+    # percentile_cont over the same mutated key range the sum gate
+    # uses — the quantile member of the range-aggregate family
+    # (beyond the reference's sum/avg/min/max/count). Exact
+    # interpolated percentile; ROUND(,2) for a stable cross-engine
+    # hash (precedent: ext_median_percentile).
+    f"SELECT ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY {_CUR}), 2)"
+    f" AS p50,"
+    f" ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY {_CUR}), 2) AS p95"
+    f" FROM orders WHERE {_LIVE} AND o_orderkey BETWEEN 100 AND 8000",
+)
+def pq_percentile(spark, sf_dir):
+    """Range percentile on the lineage current view (Query.percentile
+    facade semantics, computed set-wise): exact percentile_cont over
+    the post-update post-delete state, range predicate pushed through
+    the fold into both scans like pq_sum_range."""
+    t = _table(spark, sf_dir, "orders_a")
+    return (
+        t.current_view()
+        .where(F.col("o_orderkey").between(100, 8000))
+        .agg(
+            F.round(
+                F.percentile(F.col("o_totalprice"), F.lit(0.5)), 2
+            ).alias("p50"),
+            F.round(
+                F.percentile(F.col("o_totalprice"), F.lit(0.95)), 2
+            ).alias("p95"),
+        )
+    )
+
+
+@workload(
     "pq_sum_version_range",
     f"SELECT ROUND(SUM({_V1}), 2) AS sum_total FROM orders "
     f"WHERE {_LIVE} AND o_orderkey BETWEEN 100 AND 8000",

@@ -84,9 +84,13 @@ def test_range_aggregates_spark_path(tmp_db):
     assert q.min(K, K + 9, 1) == 0
     assert q.max(K, K + 9, 1) == 9
     assert q.count(K, K + 9, 1) == 10
+    # beyond-reference quantile member of the same family
+    assert q.percentile(K, K + 9, 1, 0.5) == 4.5
+    assert q.percentile(K, K + 9, 1, 1.0) == 9
     # empty range -> False (reference query.py:195)
     assert q.sum(10, 20, 1) is False
     assert q.count(10, 20, 1) is False
+    assert q.percentile(10, 20, 1, 0.5) is False
 
 
 def test_sum_version(tmp_db):
