@@ -660,3 +660,67 @@ def bpe_train(
         if (rnd + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
     return merges, vocab
+
+
+def charlm_xent(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Language-model quality scoring, CCNet shape (Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data", LREC 2020): score every document by its
+    cross-entropy under a model trained on the corpus itself —
+    gibberish / boilerplate / non-language documents surface as high
+    xent outliers. The production filter uses a KenLM n-gram model;
+    with no LM runtime in this container the model here is a
+    char-BIGRAM LM with add-one smoothing — the same statistic family
+    (mean -log2 P(c_i | c_{i-1})), fully self-contained and exactly
+    SQL-replicable.
+
+    Shapes for 100 TB: training is ONE map-side-combinable bigram
+    count over the corpus; the model (bigram + context count tables,
+    ~|charset|^2 rows) broadcasts onto the scoring scan, so scoring
+    is map-only — no shuffle of document data at all. Returns
+    (id, n_bigrams, xent); unseen bigrams back off to the smoothed
+    floor 1/(ctx_count + V)."""
+    s = F.lower(F.trim(F.col(text_col)))
+    bg = (
+        df.select(F.col(id_col), s.alias("_s"))
+        .where(F.length("_s") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(_s) - 1), "
+                    "i -> substring(_s, i, 2))"
+                )
+            ).alias("b"),
+        )
+    )
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    cx = cb.groupBy(F.substring("b", 1, 1).alias("a")).agg(
+        F.sum("c").alias("cc")
+    )
+    v = cb.select(
+        F.countDistinct(F.substring("b", 2, 1)).alias("v")
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("cc"), F.lit(0)) + F.col("v"))
+    ) / F.log(F.lit(2.0))
+    return (
+        bg.join(F.broadcast(cb), on="b", how="left")
+        .join(
+            F.broadcast(cx),
+            F.substring("b", 1, 1) == F.col("a"),
+            "left",
+        )
+        .crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg(logp), round_to).alias("xent"),
+        )
+    )

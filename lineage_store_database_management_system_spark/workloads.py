@@ -2249,6 +2249,41 @@ def ext_rollup_quantile_daily(spark, sf_dir):
 
 
 @workload(
+    "ds_charlm_xent",
+    # CCNet-style LM quality scoring with a self-trained char-bigram
+    # model (the in-container stand-in for KenLM): per-doc mean
+    # -log2 P(c_i|c_{i-1}) with add-one smoothing. Identical
+    # closed-form statistic in both engines; ROUND(,4) absorbs
+    # summation-order noise in the mean.
+    """WITH d AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+bg AS (
+  SELECT doc_id, substr(s, CAST(i AS INT), 2) AS b
+  FROM d, unnest(generate_series(1, length(s) - 1)) AS t(i)
+  WHERE length(s) >= 2
+), cb AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+cx AS (SELECT substr(b, 1, 1) AS a, SUM(c) AS cc FROM cb GROUP BY a),
+v AS (SELECT COUNT(DISTINCT substr(b, 2, 1)) AS v FROM cb)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-AVG(LN((COALESCE(cb.c, 0) + 1.0)
+                     / (COALESCE(cx.cc, 0) + v.v)) / LN(2)), 4) AS xent
+FROM bg LEFT JOIN cb USING (b)
+LEFT JOIN cx ON substr(bg.b, 1, 1) = cx.a
+CROSS JOIN v
+GROUP BY bg.doc_id""",
+)
+def ds_charlm(spark, sf_dir):
+    """LM-based quality filtering (textops.charlm_xent, the CCNet
+    perplexity-filter shape): train a char-bigram LM on the corpus in
+    one map-side-combinable count, broadcast the (tiny) model onto
+    the scoring scan, score every document map-only. High-xent
+    outliers are the gibberish/boilerplate the production filter
+    prunes."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return textops.charlm_xent(docs, "doc_id", "text")
+
+
+@workload(
     "ds_gopher_quality",
     # The published Gopher/MassiveText per-rule quality flags; every
     # term is identical portable SQL in both engines.

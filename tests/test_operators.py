@@ -946,3 +946,19 @@ def test_bpe_train_matches_reference(spark):
         tuple(r.syms): r.freq for r in vocab.collect()
     }
     assert got_vocab == {k: v for k, v in words.items()}
+
+
+def test_charlm_xent_flags_gibberish(spark):
+    rows = [
+        (1, "the cat sat on the mat and the dog sat on the log " * 5),
+        (2, "the rat sat on the hat and the cat ran to the dog " * 5),
+        (3, "qzxjvk wqpzt xkcvbz jqwwpz zzxqkv bbqzxw " * 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.xent for r in textops.charlm_xent(df, "doc_id", "text").collect()}
+    # gibberish scores strictly worse than both natural docs under the
+    # corpus-trained model
+    assert got[3] > got[1] and got[3] > got[2]
+    # deterministic
+    again = {r.doc_id: r.xent for r in textops.charlm_xent(df, "doc_id", "text").collect()}
+    assert got == again
