@@ -31,6 +31,17 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
+    # transformWithState's state-server worker is a FRESH Python
+    # process that unpickles StatefulProcessor classes by module
+    # reference — it inherits PYTHONPATH but not the driver's
+    # sys.path, so make the package importable there (no-op when the
+    # package is pip-installed).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -202,3 +202,4 @@ def test_stream_ingest_checkpoint_restart_exactly_once(spark, tmp_path):
     # idle restart: nothing to do, nothing ingested
     assert stream_ingest_lineage(make_stream(), t) == 0
     assert t.current_view().count() == 600
+
