@@ -140,6 +140,40 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
             "c_custkey", (F.col("c_acctbal") + 1).alias("c_acctbal")
         )
         t.bulk_update(inc)
+    elif name == "orders_jmv":
+        # join-MV scenario: orders + customer in ONE database; the MV
+        # is built pre-mutation and incrementally maintained through
+        # mutations on BOTH sides (pq_incremental_join_mv)
+        osrc = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        csrc = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        t = db.create_table_typed(name, osrc.schema, "o_orderkey")
+        t.ingest_dataframe(osrc)
+        tc = db.create_table_typed("customer_jmv", csrc.schema, "c_custkey")
+        tc.ingest_dataframe(csrc)
+        db.create_join_mv(
+            "mv_orders_cust",
+            name,
+            "customer_jmv",
+            "o_custkey",
+            "c_custkey",
+            left_cols=["o_orderkey", "o_totalprice"],
+            right_cols=["c_nationkey"],
+        )
+        t.bulk_update(
+            osrc.where("o_orderkey % 11 = 0").select(
+                "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+            )
+        )
+        t.bulk_delete(osrc.where("o_orderkey % 10 = 4").select("o_orderkey"))
+        tc.bulk_update(
+            csrc.where("c_custkey % 9 = 0").select(
+                "c_custkey", F.lit(77).alias("c_nationkey")
+            )
+        )
+        tc.bulk_delete(csrc.where("c_custkey % 10 = 6").select("c_custkey"))
+        mode = db.refresh_join_mv("mv_orders_cust")
+        assert mode == "incremental", mode
+        t.jmv_db = db  # the workload reads the MV through this handle
     else:  # pragma: no cover
         raise KeyError(name)
     _SCENARIOS[key] = t
@@ -1684,6 +1718,37 @@ def pq_incremental_mv(spark, sf_dir):
         db.refresh_aggregate_mv(name)  # no-op while fresh
     return db.materialized_view(name).select(
         "c_nationkey", F.col("n"), F.round("s", 2).alias("s")
+    )
+
+
+@workload(
+    "pq_incremental_join_mv",
+    # Join-MV incremental maintenance: built BEFORE mutations on BOTH
+    # sides, then maintained purely from lineage deltas (remove by
+    # stored rid, re-add ΔL⋈R ∪ (L∖ΔL)⋈ΔR from current state — no
+    # old-state reconstruction, so vacuum never forces a rebuild).
+    # Oracle = the direct join over the closed-form mutation mixes.
+    """SELECT o_orderkey,
+       ROUND(CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 100
+             ELSE o_totalprice END, 2) AS o_totalprice,
+       c_custkey,
+       CAST(CASE WHEN c_custkey % 9 = 0 THEN 77 ELSE c_nationkey END AS BIGINT)
+         AS c_nationkey
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 10 <> 4 AND c_custkey % 10 <> 6""",
+)
+def pq_incremental_join_mv(spark, sf_dir):
+    """Incrementally maintained equi-join MV over two mutated lineage
+    tables (catalog.refresh_join_mv) — hash-gated against the direct
+    join of the final states."""
+    t = _table(spark, sf_dir, "orders_jmv")
+    db = t.jmv_db
+    db.refresh_join_mv("mv_orders_cust")  # no-op while fresh
+    return db.materialized_view("mv_orders_cust").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
     )
 
 

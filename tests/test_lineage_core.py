@@ -1641,3 +1641,89 @@ def test_repair_staging_rolls_forward_and_back(spark, tmp_path):
     assert rep3["staging"] == 1
     assert not os.path.exists(stale)
     assert os.path.exists(fresh_dir)
+
+
+def test_incremental_join_mv(spark, tmp_path):
+    """Join-MV incremental maintenance: after value updates, JOIN-KEY
+    updates, deletes, and inserts on BOTH sides, the refreshed MV must
+    equal the direct join of the current views; refresh is a no-op
+    while fresh; a vacuumed tail does NOT force a rebuild (no old
+    state is read)."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    cust = spark.range(100).select(
+        F.col("id").alias("c_id"), (F.col("id") % 5).alias("c_seg")
+    )
+    orders = spark.range(600).select(
+        F.col("id").alias("o_id"),
+        (F.col("id") % 120).alias("o_cust"),
+        (F.col("id") * 1.0).alias("o_amt"),
+    )
+    c = db.create_table_typed("cust", cust.schema, "c_id")
+    c.ingest_dataframe(cust)
+    o = db.create_table_typed("orders", orders.schema, "o_id")
+    o.ingest_dataframe(orders)
+    db.create_join_mv(
+        "jmv", "orders", "cust", "o_cust", "c_id",
+        left_cols=["o_id", "o_amt"], right_cols=["c_seg"],
+    )
+
+    def full():
+        return {
+            (r["o_id"], round(r["o_amt"], 6), r["c_id"], r["c_seg"])
+            for r in o.current_view()
+            .join(c.current_view(), F.col("o_cust") == F.col("c_id"))
+            .select("o_id", "o_amt", "c_id", "c_seg")
+            .collect()
+        }
+
+    def stored():
+        return {
+            (r["o_id"], round(r["o_amt"], 6), r["c_id"], r["c_seg"])
+            for r in db.materialized_view("jmv").collect()
+        }
+
+    assert stored() == full() and len(stored()) == 500  # o_cust 100..119 dangle
+    assert db.refresh_join_mv("jmv") == "fresh"
+
+    # left side: value update, JOIN-KEY update, delete, insert
+    o.bulk_update(
+        spark.range(10).select(F.col("id").alias("o_id"), F.lit(7.5).alias("o_amt"))
+    )
+    o.bulk_update(
+        spark.range(10, 20).select(
+            F.col("id").alias("o_id"), F.lit(110).alias("o_cust")  # now dangling
+        )
+    )
+    o.bulk_delete(spark.range(20, 40).select(F.col("id").alias("o_id")))
+    o.ingest_dataframe(
+        spark.range(1000, 1020).select(
+            F.col("id").alias("o_id"), F.lit(3).alias("o_cust"),
+            F.lit(9.9).alias("o_amt"),
+        )
+    )
+    # right side: value update, delete, insert that REVIVES dangling keys
+    c.bulk_update(
+        spark.range(5).select(F.col("id").alias("c_id"), F.lit(42).alias("c_seg"))
+    )
+    c.bulk_delete(spark.range(90, 100).select(F.col("id").alias("c_id")))
+    c.ingest_dataframe(
+        spark.createDataFrame([(110, 8), (111, 8)], "c_id long, c_seg long")
+    )
+    assert db.refresh_join_mv("jmv") == "incremental"
+    assert stored() == full()
+
+    # a second refresh with no new deltas is a no-op
+    assert db.refresh_join_mv("jmv") == "fresh"
+
+    # vacuumed tail: join maintenance needs no history -> still incremental
+    o.compact()
+    o.vacuum_tail()
+    o.bulk_update(
+        spark.range(40, 45).select(F.col("id").alias("o_id"), F.lit(0.5).alias("o_amt"))
+    )
+    assert db.refresh_join_mv("jmv") == "incremental"
+    assert stored() == full()
