@@ -294,6 +294,11 @@ class Database:
                 )
                 return True
             return self.refresh_aggregate_mv(name) != "fresh"
+        if meta.get("kind") == "join":
+            if force:
+                self._join_mv_write(name, meta)
+                return True
+            return self.refresh_join_mv(name) != "fresh"
         if not force and self.mv_is_fresh(name):
             return False
         self._mv_build(name, meta["sql"], meta["deps"])
