@@ -1727,3 +1727,17 @@ def test_incremental_join_mv(spark, tmp_path):
     )
     assert db.refresh_join_mv("jmv") == "incremental"
     assert stored() == full()
+
+    # folding the MV's accumulated tombstone/insert deltas into a
+    # snapshot never changes its answer
+    db.compact_join_mv("jmv")
+    assert stored() == full()
+
+    # the generic dispatch (maintain()'s path) routes join MVs to the
+    # incremental refresher
+    o.bulk_update(
+        spark.range(45, 50).select(F.col("id").alias("o_id"), F.lit(1.5).alias("o_amt"))
+    )
+    assert db.refresh_materialized_view("jmv") is True
+    assert stored() == full()
+    assert db.mv_is_fresh("jmv")
