@@ -96,6 +96,9 @@ AUDIT = [
     # payload near-dup: pigeonhole equi-join (never a cartesian);
     # only the shared bit-vote kernel is (Arrow) Python
     ("mm_payload_neardup", ["ArrowEvalPython"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # join MV read = lineage current view of the MV table (fold join
+    # broadcast when the delta side is small); no Python, no cartesian
+    ("pq_incremental_join_mv", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
     # The salted broadcast join must really broadcast (its whole
     # point is no shuffle of the hot left side); the bucketized
     # interval join is explode + equi-join, never a nested-loop
