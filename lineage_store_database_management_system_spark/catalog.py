@@ -761,10 +761,17 @@ class Database:
                 r["snapshots_reclaimed"] = t.vacuum_snapshots(snapshot_retain)
             report[name] = r
         if refresh_mvs:
-            report["_materialized_views"] = {
-                mv: ("refreshed" if self.refresh_materialized_view(mv) else "fresh")
-                for mv in self.list_materialized_views()
-            }
+            mv_report = {}
+            for mv in self.list_materialized_views():
+                mv_report[mv] = (
+                    "refreshed" if self.refresh_materialized_view(mv) else "fresh"
+                )
+                # join MVs accumulate tombstone/insert deltas in their
+                # backing lineage table — fold them on the same
+                # threshold policy as catalog tables
+                if compact and self._mv_meta(mv).get("kind") == "join":
+                    self._join_mv_table(mv).maybe_compact()
+            report["_materialized_views"] = mv_report
         return report
 
     def snapshot_all_as_of(self, ts) -> dict:
