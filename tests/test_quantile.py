@@ -222,3 +222,34 @@ def test_stream_maintained_quantiles(spark, sf_dir, events, tmp_path):
     # micro-batch partial sketches merge to EXACTLY the whole-data
     # sketch — histogram counts are associative
     assert got == want
+
+
+def test_randomized_guarantee_sweep(spark):
+    """Seeded randomized sweep across magnitudes, signs, zeros, and
+    duplicates: the alpha relative-error bound must hold for every
+    (distribution, q) pair — the sketch's whole contract."""
+    import random
+
+    qs = [0.0, 0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99, 1.0]
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        vals = []
+        for _ in range(800):
+            mag = 10 ** rng.uniform(-6, 8)
+            vals.append(rng.choice([1, -1]) * mag)
+        vals += [0.0] * rng.randint(1, 20)
+        vals += [vals[0]] * rng.randint(1, 30)  # heavy duplicate
+        df = spark.createDataFrame([(v,) for v in vals], "v double").withColumn(
+            "g", F.lit("x")
+        )
+        sk = quantile.quantile_sketch(df, ["g"], "v", ALPHA)
+        got = {
+            r.q: r.quantile_est
+            for r in quantile.sketch_quantiles(sk, ["g"], qs, ALPHA).collect()
+        }
+        assert len(got) == len(qs)
+        for q in qs:
+            exact = _exact_discrete(vals, q)
+            assert abs(got[q] - exact) <= ALPHA * abs(exact) + 1e-12, (
+                seed, q, got[q], exact,
+            )
