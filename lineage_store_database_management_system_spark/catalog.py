@@ -727,8 +727,10 @@ class Database:
         ``optimize_target_bytes`` is set (optimize_files), catch up
         secondary indexes past the staleness policy, reclaim snapshot
         versions beyond the retention window; then refresh every
-        stale materialized view (SQL MVs recompute, aggregate MVs
-        maintain incrementally from the deltas). Every step is the
+        stale materialized view (SQL MVs recompute, aggregate and
+        join MVs maintain incrementally from the deltas; join MVs'
+        backing lineage tables fold their accumulated tombstone/insert
+        deltas on the same compaction threshold). Every step is the
         existing bounded-work primitive; this only sequences them.
         Returns a per-table report."""
         self._require_open()
