@@ -193,33 +193,17 @@ def connected_components_star(
     for _ in range(max_iter):
         e2 = _star(edges, large=True)
         e3 = _star(e2, large=False).localCheckpoint(eager=True)
-        # Structural fixpoint test, zero lag and no extra star: a
-        # star-output edge always has parent < child (the emitted
-        # target is the strict neighborhood minimum), so e3 is a
-        # fixpoint of BOTH stars iff it is a disjoint union of
-        # min-rooted depth-1 stars — i.e. (a) every child has exactly
-        # one parent and (b) no child is also a parent. Both fold
-        # into ONE map-side-combinable aggregate (job overhead is the
-        # binding cost per round at small scale); the alternatives
-        # measured worse at sf1 (an extra large-star per round, or
-        # successive-edge-set equality which detects one round late).
+        # Convergence: the new state is stable when another large-star
+        # leaves its edge set unchanged. Two cheaper-on-paper variants
+        # were MEASURED against this (SCALING.md, sf0.1/sf1/sf10 pair
+        # graphs up to 27M edges): successive-edge-set equality
+        # detects one full round late (2x slower), and a single-
+        # aggregate structural fixpoint test (child-single-parented &
+        # never-a-parent) lands within noise at small scale but ~9%
+        # slower at 27M edges — theory lost to the profiler, so the
+        # original check stays.
         stable = (
-            e3.select(F.col("_u"), F.lit(1).alias("nc"), F.lit(0).alias("isp"))
-            .unionByName(
-                e3.select(
-                    F.col("_v").alias("_u"),
-                    F.lit(0).alias("nc"),
-                    F.lit(1).alias("isp"),
-                )
-            )
-            .groupBy("_u")
-            .agg(F.sum("nc").alias("nc"), F.max("isp").alias("isp"))
-            .where(
-                (F.col("nc") > 1) | ((F.col("nc") >= 1) & (F.col("isp") == 1))
-            )
-            .limit(1)
-            .count()
-            == 0
+            _star(e3, large=True).exceptAll(e3).limit(1).count() == 0
         )
         edges = e3
         if stable:
