@@ -1741,3 +1741,66 @@ def test_incremental_join_mv(spark, tmp_path):
     assert db.refresh_materialized_view("jmv") is True
     assert stored() == full()
     assert db.mv_is_fresh("jmv")
+
+
+def test_join_mv_refresh_crash_idempotent(spark, tmp_path):
+    """A refresh that crashes AFTER publishing its tombstones+inserts
+    but BEFORE the watermark update must be repaired by simply
+    running refresh again: the re-run's removal set covers the
+    half-published pairs (they carry the same touched rids), so no
+    duplicates and no losses."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import (
+        Database,
+        _atomic_write_json,
+    )
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    cust = spark.range(50).select(
+        F.col("id").alias("c_id"), (F.col("id") % 3).alias("c_seg")
+    )
+    orders = spark.range(300).select(
+        F.col("id").alias("o_id"),
+        (F.col("id") % 50).alias("o_cust"),
+        (F.col("id") * 1.0).alias("o_amt"),
+    )
+    c = db.create_table_typed("cust", cust.schema, "c_id")
+    c.ingest_dataframe(cust)
+    o = db.create_table_typed("orders", orders.schema, "o_id")
+    o.ingest_dataframe(orders)
+    db.create_join_mv(
+        "jmv", "orders", "cust", "o_cust", "c_id",
+        left_cols=["o_id", "o_amt"], right_cols=["c_seg"],
+    )
+    meta_path = os.path.join(db._mv_dir("jmv"), "_mv_meta.json")
+    with open(meta_path) as f:
+        import json as _json
+
+        pre_meta = _json.load(f)
+
+    o.bulk_update(
+        spark.range(30).select(F.col("id").alias("o_id"), F.lit(5.0).alias("o_amt"))
+    )
+    # full refresh (publishes deltas AND the new watermarks)...
+    assert db.refresh_join_mv("jmv") == "incremental"
+    # ...then simulate the crash: roll the watermarks back as if the
+    # meta write never happened — the deltas are already in the MV
+    _atomic_write_json(meta_path, pre_meta)
+
+    # the repair run re-removes and re-adds the same pairs
+    assert db.refresh_join_mv("jmv") == "incremental"
+    got = {
+        (r["o_id"], round(r["o_amt"], 6), r["c_seg"])
+        for r in db.materialized_view("jmv").collect()
+    }
+    want = {
+        (r["o_id"], round(r["o_amt"], 6), r["c_seg"])
+        for r in o.current_view()
+        .join(c.current_view(), F.col("o_cust") == F.col("c_id"))
+        .select("o_id", "o_amt", "c_seg")
+        .collect()
+    }
+    assert got == want and len(got) == 300  # no duplicates, no losses
