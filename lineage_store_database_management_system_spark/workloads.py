@@ -3516,6 +3516,55 @@ def ext_intersect(spark, sf_dir):
 
 
 @workload(
+    "ext_aqp_sample_sum",
+    # Sampling-based approximate query processing (the BlinkDB
+    # shape): per-nation revenue estimated from a ~10% DETERMINISTIC
+    # modulus sample (portable to any engine, unlike rand() or
+    # engine-specific hashes), scaled by the inverse sampling rate,
+    # reported next to the exact answer with the realized relative
+    # error. At 100 TB the sample is a pushed-down filter on the fact
+    # scan — a 10x cheaper query whose error the consumer can see.
+    """WITH s AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 3
+)
+SELECT c_nationkey,
+       ROUND(SUM(o_totalprice), 2) AS exact_rev,
+       ROUND((SELECT SUM(s.o_totalprice) * 10.0 FROM s
+              JOIN customer c2 ON s.o_custkey = c2.c_custkey
+              WHERE c2.c_nationkey = customer.c_nationkey), 2) AS est_rev,
+       ROUND(ABS((SELECT SUM(s.o_totalprice) * 10.0 FROM s
+              JOIN customer c2 ON s.o_custkey = c2.c_custkey
+              WHERE c2.c_nationkey = customer.c_nationkey)
+             / SUM(o_totalprice) - 1.0), 4) AS rel_err
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey""",
+)
+def ext_aqp_sample(spark, sf_dir):
+    """Approximate aggregation from a deterministic 10% sample with
+    the exact twin and realized error side by side — one sampled scan
+    (filter pushed to Parquet) + inverse-rate scaling; the gate
+    hash-matches BOTH answers and the error column across engines."""
+    d = load_star(spark, sf_dir)
+    joined = d["orders"].join(
+        d["customer"], F.col("o_custkey") == F.col("c_custkey")
+    )
+    exact = joined.groupBy("c_nationkey").agg(
+        F.sum("o_totalprice").alias("_ex")
+    )
+    est = (
+        joined.where(F.col("o_orderkey") % 10 == 3)
+        .groupBy("c_nationkey")
+        .agg((F.sum("o_totalprice") * 10.0).alias("_est"))
+    )
+    return exact.join(est, on="c_nationkey", how="left").select(
+        "c_nationkey",
+        F.round("_ex", 2).alias("exact_rev"),
+        F.round("_est", 2).alias("est_rev"),
+        F.round(F.abs(F.col("_est") / F.col("_ex") - 1.0), 4).alias("rel_err"),
+    )
+
+
+@workload(
     "ext_scalar_subquery_acctbal",
     """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
 FROM customer
