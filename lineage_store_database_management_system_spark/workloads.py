@@ -3516,6 +3516,42 @@ def ext_intersect(spark, sf_dir):
 
 
 @workload(
+    "ext_window_rank_family",
+    # The full ranking-function family over one window; the ORDER BY
+    # carries a key tiebreak so every function is deterministic
+    # cross-engine (rank/percent_rank/cume_dist are tie-sensitive,
+    # ntile is position-sensitive).
+    """SELECT c_custkey,
+       RANK() OVER w AS rk,
+       DENSE_RANK() OVER w AS drk,
+       ROUND(PERCENT_RANK() OVER w, 4) AS prk,
+       NTILE(4) OVER w AS nt,
+       ROUND(CUME_DIST() OVER w, 4) AS cd
+FROM customer WHERE c_nationkey < 3
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""",
+)
+def ext_window_ranks(spark, sf_dir):
+    """Ranking-function window family (rank / dense_rank /
+    percent_rank / ntile / cume_dist) in one window pass — one sort
+    per partition serves all five functions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        load_star(spark, sf_dir)["customer"]
+        .where(F.col("c_nationkey") < 3)
+        .select(
+            "c_custkey",
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.round(F.percent_rank().over(w), 4).alias("prk"),
+            F.ntile(4).over(w).alias("nt"),
+            F.round(F.cume_dist().over(w), 4).alias("cd"),
+        )
+    )
+
+
+@workload(
     "ext_aqp_sample_sum",
     # Sampling-based approximate query processing (the BlinkDB
     # shape): per-nation revenue estimated from a ~10% DETERMINISTIC
