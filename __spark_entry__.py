@@ -42,12 +42,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the then-current registry). With 100+ workloads, proving
     everything needs rotation: workloads WITHOUT a hash-green driver
     row yet sort first — oracle-backed before rows-only. Remaining
-    slots RE-ENTER previously-proven workloads (oldest proof first,
-    lineage write-path `pq_*` ahead of read-only ones) so a
-    regression introduced by shared write-path changes is caught even
-    after a workload first went green. Rows-only runs never count as
-    proven. Union the per-round correctness files for total
-    driver-proven coverage."""
+    slots RE-ENTER previously-proven workloads STALEST PROOF ROUND
+    FIRST (write-path `pq_*` ahead of read-only ones WITHIN a round)
+    so no workload's latest proof ages unboundedly — worst-case
+    staleness is bounded at ~registry_size/50 rounds. A write-path
+    regression between driver gates is caught by the full-registry
+    local sweep (`tools/selfcheck.py`, run every round; SCALING.md
+    records the log). Rows-only runs never count as proven. Union the
+    per-round correctness files for total driver-proven coverage."""
     from lineage_store_database_management_system_spark import workloads
 
     last_green = _last_green_round()
@@ -58,10 +60,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n in last_green,  # unproven first
             n not in workloads.ORACLE,  # oracle-backed before rows-only
             -names.index(n) if n not in last_green else 0,  # newest unproven first
-            # among proven: re-enter write-path workloads first, then
-            # the ones whose last green row is oldest
-            not n.startswith("pq_"),
+            # among proven: stalest proof round first (bounds the
+            # worst-case gate staleness), pq_* write-path workloads
+            # ahead of read-only ones within the same round
             last_green.get(n, 0),
+            not n.startswith("pq_"),
             names.index(n),
         ),
     )

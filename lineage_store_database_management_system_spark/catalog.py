@@ -202,7 +202,19 @@ class Database:
     # -- materialized views (extension; lineage watermarks make
     # -- staleness tracking exact) --------------------------------------
     def _mv_dir(self, name: str) -> str:
-        return os.path.join(self.path, "_mv", name)
+        d = os.path.join(self.path, "_mv", name)
+        # Crash repair for the rebuild swap (rename mv_dir -> .old,
+        # rename staging -> mv_dir, rmtree .old). A crash between the
+        # two renames leaves only `.old`: roll it back so the MV keeps
+        # its pre-rebuild state instead of vanishing. A crash after
+        # the second rename leaves both: `.old` is garbage — drop it.
+        old = d + ".old"
+        if os.path.isdir(old):
+            if os.path.isdir(d):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, d)
+        return d
 
     def create_materialized_view(
         self, name: str, sql: str, deps: list[str]
@@ -232,12 +244,16 @@ class Database:
         # for the duration of the build, then restore (or drop) in a
         # finally: an MV build must not leak view bindings into the
         # session (ADVICE r4).
+        from pyspark.errors import AnalysisException
+
         saved: dict[str, object] = {}
         for d in deps:
             try:
                 if self.spark.catalog.tableExists(d):
                     saved[d] = self.spark.table(d)
-            except Exception:
+            except AnalysisException:
+                # invalid identifier for the session catalog (e.g. a
+                # name with dots): nothing to save/restore for it
                 pass
             self.get_table(d).current_view().createOrReplaceTempView(d)
         try:
@@ -623,13 +639,28 @@ class Database:
             raise ValueError(f"{name!r} is not a join MV")
         lt = self.get_table(meta["left_table"])
         rt = self.get_table(meta["right_table"])
+        # Flush BEFORE reading watermarks: buffered rows would commit
+        # under a batch id above the recorded watermark, making the
+        # saved dep_watermarks stale the moment they are written (a
+        # refresh issued with rows buffered would also report 'fresh'
+        # against an MV that lags the soon-to-commit state).
+        lt.flush()
+        rt.flush()
         old_l = meta["dep_watermarks"][meta["left_table"]]
         old_r = meta["dep_watermarks"][meta["right_table"]]
         new_l, new_r = lt.watermark(), rt.watermark()
         if new_l == old_l and new_r == old_r:
             return "fresh"
-        lt.flush()
-        rt.flush()
+        # vacuum_tail guard (same contract as refresh_aggregate_mv):
+        # if either side's history floor moved past the MV's recorded
+        # watermark, the deltas in (old_wm, floor] are gone — their
+        # rids can never enter the touched set, so the incremental
+        # path would silently keep deleted/stale joined rows. Rebuild.
+        for side_t, side_wm in ((lt, old_l), (rt, old_r)):
+            floor = side_t.manifest.extra.get("history_floor")
+            if floor is not None and int(floor) > int(side_wm):
+                self._join_mv_write(name, meta)
+                return "rebuild"
 
         def touched(t, old_wm):
             return (
@@ -704,10 +735,16 @@ class Database:
         root = os.path.join(self.path, "_mv")
         if not os.path.isdir(root):
             return []
+        # a dangling '<name>.old' is a crashed rebuild swap: _mv_dir
+        # repairs it (roll back or drop); never list it as an MV
+        for n in list(os.listdir(root)):
+            if n.endswith(".old"):
+                self._mv_dir(n[: -len(".old")])
         return sorted(
             n
             for n in os.listdir(root)
-            if os.path.isfile(os.path.join(root, n, "_mv_meta.json"))
+            if not n.endswith(".old")
+            and os.path.isfile(os.path.join(root, n, "_mv_meta.json"))
         )
 
     def maintain(

@@ -179,6 +179,17 @@ def _parse_size_bytes(v) -> int:
         return -1
 
 
+def _opt_unhide(p: str) -> str:
+    """Visible name for a hidden ``_opt_*`` packed file. Substitutes in
+    the basename ONLY — ``str.replace`` on the full path would rewrite a
+    partition DIRECTORY whose (user-data) value contains ``_opt_``,
+    producing a nonexistent rename target."""
+    return os.path.join(
+        os.path.dirname(p),
+        os.path.basename(p).replace("_opt_", "opt-", 1) + ".parquet",
+    )
+
+
 def _has_parquet(path: str) -> bool:
     if not os.path.isdir(path):
         return False
@@ -854,8 +865,6 @@ class LineageTable:
                 F.current_timestamp().alias(TS),
                 *[_delta_col(c) for c in self.user_cols],
             )
-            self._validate_folded_updates(upd)
-            self._append_via_staging(upd, self.tail_dir)
             ins_cols = [
                 (
                     F.col(c).cast(self.schema[c].dataType)
@@ -864,7 +873,47 @@ class LineageTable:
                 ).alias(c)
                 for c in self.user_cols
             ]
-            self.ingest_dataframe(unmatched.select(*ins_cols))
+            ins_proj = unmatched.select(*ins_cols)
+            # BOTH branches validate before EITHER publishes — an
+            # aborted merge must leave the table untouched (the
+            # inherited CheckViolation contract). Validating only
+            # inside ingest_dataframe would publish the update deltas
+            # first and then raise, leaving a half-applied merge.
+            # Semantics note: inserts validate against the PRE-merge
+            # snapshot, so an insert that is only legal because a
+            # same-merge update vacates the value is (conservatively)
+            # rejected — split it into two calls.
+            self._validate_folded_updates(upd)
+            self._validate_unique_inserts(ins_proj)
+            checks = self._check_aggs()
+            if checks:
+                row = ins_proj.agg(*checks.values()).collect()[0].asDict()
+                bad = {n: v for n, v in row.items() if v}
+                if bad:
+                    raise CheckViolation(f"check constraint(s) violated: {bad}")
+            # cross-branch uniqueness: an update may set a value that
+            # collides with an insert in the SAME merge; neither
+            # branch's own validation sees the other, and catching it
+            # at ingest time would again be post-update-publish.
+            for c in self.manifest.extra.get("uniques", []):
+                if c not in present or c == self.key:
+                    continue
+                collide = (
+                    ins_proj.select(c)
+                    .where(F.col(c).isNotNull())
+                    .join(
+                        upd.select(c).where(F.col(c).isNotNull()),
+                        on=c,
+                        how="left_semi",
+                    )
+                )
+                if collide.limit(1).count():
+                    raise UniqueViolation(
+                        f"merge would duplicate value(s) in unique column {c!r} "
+                        "between its update and insert branches"
+                    )
+            self._append_via_staging(upd, self.tail_dir)
+            self.ingest_dataframe(ins_proj)
         finally:
             src.unpersist()
 
@@ -2019,7 +2068,10 @@ class LineageTable:
             for p in paths:
                 os.remove(p)
             for h in hidden:
-                os.rename(h, h.replace("_opt_", "opt-") + ".parquet")
+                # rename the BASENAME only: a Hive partition directory
+                # whose value contains '_opt_' (partition values are
+                # user data) must not be rewritten by the substitution
+                os.rename(h, _opt_unhide(h))
             os.remove(marker)
             shutil.rmtree(staging, ignore_errors=True)
         n_after = sum(
@@ -2068,7 +2120,7 @@ class LineageTable:
                     p = os.path.join(root, h)
                     claimed.add(p)
                     if os.path.exists(p):
-                        os.rename(p, p.replace("_opt_", "opt-") + ".parquet")
+                        os.rename(p, _opt_unhide(p))
                 os.remove(marker)
                 fwd += 1
         for root, _dirs, files in os.walk(self.base_dir):

@@ -188,21 +188,73 @@ def payload_near_duplicates(
     payload_col: str = "payload",
     max_hamming: int = 3,
     blocks: int | None = None,
+    exact_first: bool = True,
+    clone_cap: int = 64,
 ) -> DataFrame:
     """Near-duplicate payload pairs (id_a, id_b, hamming) by byte
     simhash + the pigeonhole block join shared with the text path
     (dedup.sketch_candidates): any pair within ``max_hamming`` shares
     an exact block, so candidate generation is a bucketed equi-join —
-    never all-pairs — and verification is one bit_count(XOR)."""
+    never all-pairs — and verification is one bit_count(XOR).
+
+    ``exact_first`` (DEFAULT, the clone-group guard SCALING.md's sf1
+    probe demanded): byte-identical payloads share every pigeonhole
+    block, so a clone group of size g contributes g^2/2 pairs to the
+    simhash join — 230 -> 228k pairs at sf1 was this exact blowup.
+    The guard groups by an exact 64-bit payload digest FIRST:
+
+    * exact groups of size <= ``clone_cap`` enumerate their full pair
+      closure directly (hamming 0 by construction — no simhash work);
+    * OVERSIZED groups star-link (min-id representative -> member):
+      O(g) pairs whose connected component is provably identical —
+      hamming-0 is a transitive equivalence, so the star keeps the
+      clone class connected (same argument as minhash ``bucket_cap``;
+      simhash's general star-linking unsoundness does NOT apply here
+      because exact-digest equality IS transitive);
+    * the simhash block join then runs on one REPRESENTATIVE per
+      digest, so no clone group is ever re-exploded; cross-group near
+      pairs surface between representatives.
+
+    ``exact_first=False`` restores raw enumeration (the full pair set
+    per clone group, quadratic in clone-group size — test/oracle
+    use)."""
     from . import dedup
 
     if blocks is None:
         blocks = min(64, max_hamming + 1)
     assert blocks > max_hamming, "pigeonhole needs blocks > max_hamming"
-    sk = payload_simhash(df, id_col, payload_col)
-    return dedup.sketch_candidates(
-        dedup.explode_sketch(sk, id_col, blocks), id_col, max_hamming
+    if not exact_first:
+        sk = payload_simhash(df, id_col, payload_col)
+        return dedup.sketch_candidates(
+            dedup.explode_sketch(sk, id_col, blocks), id_col, max_hamming
+        )
+    ids = df.select(F.col(id_col), F.xxhash64(F.col(payload_col)).alias("_dg"))
+    groups = ids.groupBy("_dg").agg(
+        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_rep")
     )
+    members = ids.join(groups, on="_dg")
+    small = members.where((F.col("_n") > 1) & (F.col("_n") <= clone_cap))
+    exact_small = (
+        small.select("_dg", F.col(id_col).alias("id_a"))
+        .join(small.select("_dg", F.col(id_col).alias("id_b")), on="_dg")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    exact_large = members.where(
+        (F.col("_n") > clone_cap) & (F.col(id_col) != F.col("_rep"))
+    ).select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    exact_pairs = (
+        exact_small.unionByName(exact_large)
+        .withColumn("hamming", F.lit(0).cast("int"))
+    )
+    reps = df.join(
+        groups.select(F.col("_rep").alias(id_col)), on=id_col, how="left_semi"
+    )
+    sk = payload_simhash(reps, id_col, payload_col)
+    near = dedup.sketch_candidates(
+        dedup.explode_sketch(sk, id_col, blocks), id_col, max_hamming
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    return exact_pairs.unionByName(near)
 
 
 def sample_frames(

@@ -172,6 +172,92 @@ def _hyperplanes_for(df: DataFrame, vec_col: str, n_planes: int, seed: int):
     return _hyperplanes(dim, n_planes, seed)
 
 
+def _codebook_sample(
+    df: DataFrame, id_col: str, vec_col: str, sample_n: int, sample: str
+):
+    """Deterministic training sample, collected to the driver.
+
+    ``"head"`` (legacy): lowest ``sample_n`` ids — reproducible but
+    BIASED to whatever id order correlates with (insert time, source).
+    ``"hash"``: lowest ``sample_n`` values of ``xxhash64(id)`` — a
+    uniform pseudo-random slice of the WHOLE corpus computed
+    executor-side (TakeOrdered keeps only k rows per partition; no
+    full shuffle, no rand() nondeterminism), so corpus diversity
+    reaches the codebook no matter how ids cluster."""
+    import numpy as np
+
+    if sample == "hash":
+        src = df.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+    elif sample == "head":
+        src = df.orderBy(id_col)
+    else:
+        raise ValueError(f"unknown sample mode {sample!r}")
+    rows = src.limit(sample_n).select(vec_col).collect()
+    return np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+
+
+def _lloyd_refine_distributed(
+    df: DataFrame, cents, vec_col: str, iters: int
+):
+    """Distributed Lloyd refinement of a (tiny) centroid array over
+    the FULL frame: per iteration, one Arrow-batched mapInPandas pass
+    emits per-partition partial state — (cluster, count, vector sum),
+    at most n_lists rows per partition — and the driver folds the
+    partials into new means. Exactly the Bloom/CMS build shape
+    (driver memory ∝ n_lists x dim x partitions, never ∝ rows): this
+    is the piece that lets the codebook see 100 TB instead of a
+    512-row sample."""
+    import numpy as np
+    import pandas as pd
+
+    k, dim = cents.shape
+    out_schema = f"c int, n long, s array<double>"
+    for _ in range(iters):
+        c_b = cents.copy()
+
+        def _partials(batches):
+            cnt = np.zeros(k, dtype=np.int64)
+            ssum = np.zeros((k, dim), dtype=np.float64)
+            for pdf in batches:
+                x = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[pdf.columns[0]]]
+                )
+                if len(x) == 0:
+                    continue
+                d2 = (
+                    (x * x).sum(1)[:, None]
+                    - 2.0 * (x @ c_b.T)
+                    + (c_b * c_b).sum(1)[None, :]
+                )
+                a = d2.argmin(axis=1)
+                np.add.at(cnt, a, 1)
+                np.add.at(ssum, a, x)
+            live = np.nonzero(cnt)[0]
+            # "s" must be an OBJECT series of python lists: with zero
+            # live clusters pandas infers float64 for an empty column
+            # and Arrow's NumPyConverter refuses ndarray->list<double>
+            yield pd.DataFrame(
+                {
+                    "c": pd.Series(live, dtype="int32"),
+                    "n": pd.Series(cnt[live], dtype="int64"),
+                    "s": pd.Series(
+                        [ssum[i].tolist() for i in live], dtype="object"
+                    ),
+                }
+            )
+
+        parts = df.select(vec_col).mapInPandas(_partials, out_schema).collect()
+        cnt = np.zeros(k, dtype=np.int64)
+        ssum = np.zeros((k, dim), dtype=np.float64)
+        for r in parts:
+            cnt[r["c"]] += r["n"]
+            ssum[r["c"]] += np.asarray(r["s"], dtype=np.float64)
+        nz = cnt > 0
+        cents = cents.copy()
+        cents[nz] = ssum[nz] / cnt[nz][:, None]
+    return cents
+
+
 def ivf_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -180,15 +266,23 @@ def ivf_centroids(
     sample_n: int = 512,
     iters: int = 8,
     seed: int = 42,
+    sample: str = "head",
+    refine_iters: int = 0,
 ) -> list[list[float]]:
     """Train an IVF coarse quantizer: mini k-means on a deterministic
-    sample (lowest ids — reproducible without rand()). The centroid
-    table is tiny (n_lists x dim) and lives on the driver / broadcast;
-    at 100 TB you train once on a sample and reuse across queries."""
-    import numpy as np
+    sample. The centroid table is tiny (n_lists x dim) and lives on
+    the driver / broadcast; at 100 TB you train once and reuse.
 
-    rows = df.orderBy(id_col).limit(sample_n).select(vec_col).collect()
-    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    Scale path (VERDICT r5 item 6): ``sample="hash"`` draws the seed
+    sample uniformly from the whole corpus executor-side instead of
+    the id-ordered head, and ``refine_iters>0`` runs that many
+    distributed Lloyd passes over the FULL frame afterwards
+    (:func:`_lloyd_refine_distributed` — per-partition partial sums,
+    driver folds n_lists rows), so the fixed-size driver sample stops
+    capping recall at real corpus diversity. Defaults preserve the
+    legacy head-sample behavior (existing indexes/oracles are
+    byte-stable)."""
+    x = _codebook_sample(df, id_col, vec_col, sample_n, sample)
     rng = __import__("random").Random(seed)
     idx = sorted(rng.sample(range(len(x)), min(n_lists, len(x))))
     cents = x[idx].copy()
@@ -199,6 +293,8 @@ def ivf_centroids(
             members = x[assign == j]
             if len(members):
                 cents[j] = members.mean(axis=0)
+    if refine_iters:
+        cents = _lloyd_refine_distributed(df, cents, vec_col, refine_iters)
     return [[float(v) for v in c] for c in cents]
 
 
@@ -356,6 +452,8 @@ def pq_train(
     sample_n: int = 512,
     iters: int = 8,
     seed: int = 42,
+    sample: str = "head",
+    refine_iters: int = 0,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: split each vector into
     ``m`` contiguous sub-blocks and run the same deterministic
@@ -363,11 +461,16 @@ def pq_train(
     centroids each). Codebooks are tiny (m x 2^nbits x dim/m) and
     broadcast; at 100 TB you train once on a sample. A d-dim float32
     vector compresses to m codes — with m=4, nbits=4 that is 2 bytes
-    per vector, a 128x reduction at d=64."""
+    per vector, a 128x reduction at d=64.
+
+    ``sample``/``refine_iters``: same scale path as
+    :func:`ivf_centroids` — uniform executor-side hash sample plus
+    distributed Lloyd refinement per sub-block (the refinement frame
+    is the sliced sub-vector, so each block's pass moves only dim/m
+    doubles per row). Defaults preserve legacy behavior."""
     import numpy as np
 
-    rows = df.orderBy(id_col).limit(sample_n).select(vec_col).collect()
-    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    x = _codebook_sample(df, id_col, vec_col, sample_n, sample)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -386,6 +489,13 @@ def pq_train(
                 members = xb[assign == j]
                 if len(members):
                     cents[j] = members.mean(axis=0)
+        if refine_iters:
+            sub_frame = df.select(
+                F.slice(F.col(vec_col), b * sub + 1, sub).alias("_sub")
+            )
+            cents = _lloyd_refine_distributed(
+                sub_frame, cents, "_sub", refine_iters
+            )
         books.append([[float(v) for v in c] for c in cents])
     return books
 

@@ -358,20 +358,37 @@ def remove_repeated_spans(
 
     Tokens are single-space-split; documents with fewer than ``k``
     tokens emit no windows and pass through unchanged."""
-    toks = F.split(F.col(text_col), " ")
+    # Hash the windows INSIDE the array, before exploding: exploding
+    # (start, full-token-array) rows and slicing afterwards would
+    # physically replicate the whole T-element array into each of the
+    # T-k+1 window rows — O(T^2) bytes per document through the
+    # Generate stage (invisible at test sizes because it pipelines,
+    # ruinous for a 100k-token document). transform+slice keeps it
+    # O(T·k): one (start, hash64) struct per window.
+    #
+    # The token array MUST be bound to a column in its own projection
+    # first: embedding split() directly in the lambda re-evaluates the
+    # whole split per array element (measured 40.5s -> 0.9s for 8x25k
+    # tokens) — the same O(T^2), as CPU instead of bytes.
+    toks = F.col("_toks")
     starts_arr = F.when(
         F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    wins = df.select(
-        F.col(id_col),
-        F.explode(starts_arr).alias("_s"),
-        toks.alias("_toks"),
-    ).select(
-        F.col(id_col),
-        F.col("_s"),
-        F.xxhash64(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_s"), k))).alias(
-            "_wh"
+    win_structs = F.transform(
+        starts_arr,
+        lambda s: F.struct(
+            s.alias("s"),
+            F.xxhash64(F.concat_ws(" ", F.slice(toks, s, k))).alias("wh"),
         ),
+    )
+    wins = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        .select(F.col(id_col), F.explode(win_structs).alias("_w"))
+        .select(
+            F.col(id_col),
+            F.col("_w.s").alias("_s"),
+            F.col("_w.wh").alias("_wh"),
+        )
     )
     dup = (
         wins.groupBy("_wh")

@@ -4,6 +4,7 @@ from .stream_ops import (
     replicate_stream,
     run_stream_once,
     stream_ingest_lineage,
+    stream_maintain_join_mv,
     streaming_dedup,
     streaming_event_join,
     streaming_sessionize,
@@ -16,6 +17,7 @@ __all__ = [
     "replicate_stream",
     "run_stream_once",
     "stream_ingest_lineage",
+    "stream_maintain_join_mv",
     "streaming_dedup",
     "streaming_event_join",
     "streaming_sessionize",

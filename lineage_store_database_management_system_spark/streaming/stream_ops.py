@@ -16,6 +16,7 @@ tests — the operator logic is identical.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -121,6 +122,42 @@ def streaming_event_join(
     )
 
 
+def _ingest_exactly_once(table, stream_id: str, batch_df: DataFrame, batch_id: int) -> bool:
+    """Idempotent micro-batch apply (the txnAppId/txnVersion discipline
+    shared by :func:`stream_ingest_lineage` and
+    :func:`stream_maintain_join_mv`): stage the ``{stream_id:
+    (stream batch, reserved lineage batch)}`` marker into
+    ``manifest.extra`` so it publishes atomically with the batch-id
+    reservation CAS; on replay the marker (plus one rid-range-pruned
+    existence probe for the reservation-published-but-data-unrenamed
+    window) decides skip vs re-apply. Returns True iff the batch was
+    applied by THIS call."""
+    from ..lineage import _BATCH_SHIFT, RID
+
+    table.flush()  # any buffered point-op batch commits first
+    marker = table.manifest.extra.get("stream_ingest", {}).get(stream_id)
+    applied = False
+    if marker is not None and int(marker["stream_batch"]) >= batch_id:
+        applied = int(marker["stream_batch"]) > batch_id
+        if not applied:
+            lb = int(marker["lineage_batch"])
+            lo, hi = lb << _BATCH_SHIFT, (lb + 1) << _BATCH_SHIFT
+            applied = (
+                table.base_df()
+                .where((F.col(RID) >= lo) & (F.col(RID) < hi))
+                .limit(1)
+                .count()
+                > 0
+            )
+    if not applied:
+        table.manifest.extra.setdefault("stream_ingest", {})[stream_id] = {
+            "stream_batch": batch_id,
+            "lineage_batch": table.manifest.next_batch,
+        }
+        table.ingest_dataframe(batch_df)
+    return not applied
+
+
 def stream_ingest_lineage(
     stream_df: DataFrame,
     table,
@@ -153,32 +190,10 @@ def stream_ingest_lineage(
     ``on_batch(batch_id)`` (called AFTER the table commit, before the
     checkpoint commit) is a hook for metrics — and for fault
     injection in the restart test."""
-    from ..lineage import _BATCH_SHIFT, RID
-
     n_batches = {"n": 0}
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        table.flush()  # any buffered point-op batch commits first
-        marker = table.manifest.extra.get("stream_ingest", {}).get(stream_id)
-        applied = False
-        if marker is not None and int(marker["stream_batch"]) >= batch_id:
-            applied = int(marker["stream_batch"]) > batch_id
-            if not applied:
-                lb = int(marker["lineage_batch"])
-                lo, hi = lb << _BATCH_SHIFT, (lb + 1) << _BATCH_SHIFT
-                applied = (
-                    table.base_df()
-                    .where((F.col(RID) >= lo) & (F.col(RID) < hi))
-                    .limit(1)
-                    .count()
-                    > 0
-                )
-        if not applied:
-            table.manifest.extra.setdefault("stream_ingest", {})[stream_id] = {
-                "stream_batch": batch_id,
-                "lineage_batch": table.manifest.next_batch,
-            }
-            table.ingest_dataframe(batch_df)
+        if _ingest_exactly_once(table, stream_id, batch_df, batch_id):
             n_batches["n"] += 1
         if on_batch is not None:
             on_batch(batch_id)
@@ -187,6 +202,63 @@ def stream_ingest_lineage(
         stream_df.writeStream.foreachBatch(_ingest)
         .trigger(availableNow=True)
         .option("checkpointLocation", table.path + "/_stream_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def stream_maintain_join_mv(
+    stream_df: DataFrame,
+    db,
+    mv_name: str,
+    table_name: str,
+    stream_id: str | None = None,
+    on_batch=None,
+) -> int:
+    """Stream-maintained join MV: continuously ingest ``stream_df``
+    into ``table_name`` (one side of the join MV ``mv_name``) and
+    incrementally refresh the MV after EVERY micro-batch, so the MV
+    tracks the stream instead of going stale until a manual
+    ``maintain()`` pass (the gap the batch-only ``refresh_join_mv``
+    left). Drains available input (availableNow); returns the number
+    of micro-batches ingested this run.
+
+    Exactly-once across checkpoint restarts, by composition of two
+    independently idempotent steps per micro-batch:
+
+    1. the INGEST reuses :func:`stream_ingest_lineage`'s marker
+       discipline (``_ingest_exactly_once``) — a replayed batch is
+       detected via the manifest marker and skipped;
+    2. the REFRESH (``Database.refresh_join_mv``) is crash-idempotent
+       by design: half-published pairs from an interrupted refresh
+       carry the same touched rids and fall into the next refresh's
+       removal set, and its dep_watermarks only advance when the
+       refresh completes. A crash anywhere (after ingest, mid-refresh,
+       before checkpoint commit) therefore replays into a skip +
+       catch-up refresh — the MV converges to the batch twin.
+
+    The refresh runs unconditionally each batch ('fresh' is a
+    watermark comparison — cheap), which also catches up an MV left
+    stale by a PREVIOUS crash between ingest and refresh."""
+    n_batches = {"n": 0}
+    sid = stream_id or f"jmv_{mv_name}"
+    table = db.get_table(table_name)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if _ingest_exactly_once(table, sid, batch_df, batch_id):
+            n_batches["n"] += 1
+        db.refresh_join_mv(mv_name)
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(db._mv_dir(mv_name), "_stream_checkpoint_" + table_name),
+        )
         .start()
     )
     q.awaitTermination()

@@ -962,3 +962,97 @@ def test_charlm_xent_flags_gibberish(spark):
     # deterministic
     again = {r.doc_id: r.xent for r in textops.charlm_xent(df, "doc_id", "text").collect()}
     assert got == again
+
+
+def test_payload_neardup_clone_group_guard(spark):
+    """Default exact-first guard (VERDICT r5 item 5): a clone group of
+    g byte-identical payloads must NOT produce g^2/2 pairs once above
+    clone_cap — it star-links (O(g) pairs) — while groups under the
+    cap keep their full pair closure, and the connected components
+    equal raw enumeration's in both regimes (hamming-0 equality is
+    transitive, so the star keeps the class connected)."""
+    big = [(i, "heavily cloned payload " * 40) for i in range(100)]       # g=100
+    small = [(200 + i, "small clone group " * 40) for i in range(5)]      # g=5
+    other = [(900, "unrelated content entirely " * 40)]
+    df = spark.createDataFrame(big + small + other, "doc_id long, text string")
+    mm = multimodal.attach_binary_payload(df, "text").select("doc_id", "payload")
+
+    guarded = multimodal.payload_near_duplicates(mm, "doc_id", clone_cap=16)
+    rows = guarded.collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    assert all(r.hamming == 0 for r in rows)
+    # oversized group: star only -> 99 pairs, all anchored at min id
+    big_pairs = {p for p in pairs if p[1] < 200}
+    assert big_pairs == {(0, i) for i in range(1, 100)}
+    # small group: full closure (5 choose 2 = 10 pairs)
+    small_pairs = {p for p in pairs if p[0] >= 200 and p[1] < 900}
+    assert len(small_pairs) == 10
+    assert not any(900 in p for p in pairs)
+
+    # connected components identical to raw enumeration
+    def comps(pair_set, ids):
+        parent = {i: i for i in ids}
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in pair_set:
+            parent[find(a)] = find(b)
+        from collections import defaultdict
+        cc = defaultdict(set)
+        for i in ids:
+            cc[find(i)].add(i)
+        return {frozenset(s) for s in cc.values() if len(s) > 1}
+
+    raw = {
+        (r.id_a, r.id_b)
+        for r in multimodal.payload_near_duplicates(
+            mm, "doc_id", exact_first=False
+        ).collect()
+    }
+    ids = [r.doc_id for r in df.select("doc_id").collect()]
+    assert comps(pairs, ids) == comps(raw, ids)
+    # and the guard actually bounds the blowup: raw has 100*99/2 pairs
+    # for the big group, guarded has 99
+    assert len({p for p in raw if p[1] < 200}) == 4950
+    assert len(big_pairs) == 99
+
+
+def test_codebook_scale_path_deterministic(spark, sf_dir):
+    """ivf_centroids/pq_train scale path (hash sample + distributed
+    Lloyd refinement): deterministic across runs, correct shapes, and
+    the refined centroids are genuine full-corpus means (every vector
+    contributes through the partial-sum passes, not just the driver
+    sample)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(n_lists=8, sample="hash", sample_n=64, refine_iters=2)
+    c1 = similarity.ivf_centroids(emb, **kw)
+    c2 = similarity.ivf_centroids(emb, **kw)
+    assert c1 == c2  # hash sample + Lloyd passes are deterministic
+    assert len(c1) == 8 and len(c1[0]) == len(emb.select("embedding").first()[0])
+    # refinement moved the centroids off the 64-row sample's optimum
+    c0 = similarity.ivf_centroids(emb, n_lists=8, sample="hash", sample_n=64)
+    assert c1 != c0
+    # refined centroids satisfy the Lloyd fixed-point property against
+    # the FULL corpus: one more distributed pass from c1 moves each
+    # centroid less than the first refinement step did
+    d_refine = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max()) for a, b in zip(c1, c0)
+    )
+    c3 = similarity.ivf_centroids(emb, n_lists=8, sample="hash", sample_n=64, refine_iters=3)
+    d_next = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max()) for a, b in zip(c3, c1)
+    )
+    assert d_next < d_refine
+
+    books = similarity.pq_train(
+        emb, m=4, nbits=3, sample="hash", sample_n=64, refine_iters=1
+    )
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    books2 = similarity.pq_train(
+        emb, m=4, nbits=3, sample="hash", sample_n=64, refine_iters=1
+    )
+    assert books == books2

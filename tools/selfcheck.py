@@ -3,6 +3,12 @@ run every __spark_entry__.queries() entry at sf0.01 and compare with
 the DuckDB oracle — row count, sorted-column schema, and an
 order-insensitive value hash.
 
+With no name filters this IS the full-registry sweep (every workload,
+not a 50-slot sample) — run once per round so no workload's local
+proof is ever older than one round even though the driver gate is 50
+wide (VERDICT r5 item 1). ``tools/sf1_rotate.py`` reuses ``check()``
+for the rotating sf1 slice.
+
 Usage: python tools/selfcheck.py [sf_dir] [name_filter...]
 """
 
@@ -62,23 +68,22 @@ def result_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str, str]:
     return len(rows), ",".join(sorted(cols)), h
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+def check(spark, sf_dir: str, names=None, filters=None, log=print):
+    """Run workloads against the DuckDB oracle at ``sf_dir``.
 
-    from lineage_store_database_management_system_spark import get_spark
-
-    spark = get_spark(app_name="selfcheck", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
-
+    ``names``: exact workload list (ordered); ``filters``: substring
+    filters over the full registry (legacy CLI behavior). Returns
+    {name: "pass"|"fail"|"rows"}."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_pass = n_fail = n_rowsonly = 0
+    if names is not None:
+        qs = {n: qs[n] for n in names}
+    results: dict[str, str] = {}
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
             continue
@@ -89,13 +94,13 @@ def main():
             cols = df.columns
             got = result_hash(cols, [tuple(r) for r in rows])
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
-            n_fail += 1
+            log(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            results[name] = "fail"
             continue
         dt = time.time() - t0
         if name not in oracles:
-            print(f"rows  {name}: {got[0]} rows ({dt:.1f}s) [no oracle]")
-            n_rowsonly += 1
+            log(f"rows  {name}: {got[0]} rows ({dt:.1f}s) [no oracle]")
+            results[name] = "rows"
             continue
         try:
             rel = con.sql(oracles[name])
@@ -114,23 +119,33 @@ def main():
             orows = res.fetchall()
             exp = result_hash(ocols, orows)
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
-            n_fail += 1
+            log(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            results[name] = "fail"
             continue
         if huge:
-            print(f"FAIL  {name}: oracle emits driver-hash-unsafe types {huge} — CAST in the oracle SQL")
-            n_fail += 1
+            log(f"FAIL  {name}: oracle emits driver-hash-unsafe types {huge} — CAST in the oracle SQL")
+            results[name] = "fail"
             continue
         ok = got == exp
-        status = "PASS " if ok else "FAIL "
-        if ok:
-            n_pass += 1
-        else:
-            n_fail += 1
-        print(f"{status} {name}: rows {got[0]}/{exp[0]} hash {got[2]}/{exp[2]} ({dt:.1f}s)")
+        results[name] = "pass" if ok else "fail"
+        log(f"{'PASS ' if ok else 'FAIL '} {name}: rows {got[0]}/{exp[0]} hash {got[2]}/{exp[2]} ({dt:.1f}s)")
         if not ok and got[1] != exp[1]:
-            print(f"      schema spark={got[1]}")
-            print(f"      schema duckdb={exp[1]}")
+            log(f"      schema spark={got[1]}")
+            log(f"      schema duckdb={exp[1]}")
+    return results
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+
+    from lineage_store_database_management_system_spark import get_spark
+
+    spark = get_spark(app_name="selfcheck", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    results = check(spark, sf_dir, filters=filters or None)
+    n_pass = sum(1 for v in results.values() if v == "pass")
+    n_fail = sum(1 for v in results.values() if v == "fail")
+    n_rowsonly = sum(1 for v in results.values() if v == "rows")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     return 1 if n_fail else 0
 
