@@ -528,10 +528,14 @@ class Database:
           touched-right KEY set, so refresh cost tracks churn x join
           fan-out, never table size.
 
-        Unlike the aggregate diff, no historical state is read at all,
-        so a vacuumed tail never forces a rebuild. Handles inserts,
-        value updates, JOIN-KEY updates (old pairing removed by rid,
-        new pairing re-derived), and tombstones."""
+        Unlike the aggregate diff, no historical state is read — a
+        vacuumed tail forces a rebuild ONLY when the vacuum consumed
+        deltas the MV had not refreshed over yet (history floor above
+        the recorded watermark: those touched rids are unrecoverable,
+        see refresh_join_mv's floor guard); already-consumed history
+        can vacuum freely. Handles inserts, value updates, JOIN-KEY
+        updates (old pairing removed by rid, new pairing re-derived),
+        and tombstones."""
         self._require_open()
         if os.path.isdir(self._mv_dir(name)):
             raise ValueError(f"materialized view {name!r} already exists")
