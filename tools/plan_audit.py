@@ -129,6 +129,14 @@ AUDIT = [
     ("ext_q20_excess_inventory", ["BroadcastHashJoin", "HashAggregate"], ["SortMergeJoin", "BatchEvalPython"]),
     ("ds_pretrain_pipeline", ["ArrowEvalPython", "HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
     ("ds_dup_clusters_star", ["HashAggregate"], ["BatchEvalPython"]),
+    # Round-6 additions. The refined-codebook IVF keeps the exact side
+    # a top-k and its only Python is the Arrow-batched list assignment
+    # (codebook training ran BEFORE the audited plan — its Lloyd
+    # passes are separate bounded mapInPandas jobs); the substring
+    # window stage must hash inside the array (one Generate, no
+    # per-window array replication shows as plan-identical but is
+    # pinned by the SCALING.md probe instead).
+    ("ds_embedding_ivf_refined_topk", ["TakeOrderedAndProject", "ArrowEvalPython"], ["BatchEvalPython"]),
 ]
 
 
