@@ -354,6 +354,82 @@ def ivf_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col, round_to)
 
 
+def ivf_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "_list",
+    qid_col: str = "q_id",
+    qvec_col: str = "q_embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """BATCH ANN: IVF top-k for a whole DataFrame of query vectors in
+    ONE job — the production retrieval shape (dedup sweeps, eval sets,
+    recommendation batches arrive as millions of queries, and a
+    driver-side loop over :func:`ivf_topk` would launch one job per
+    query). Output: (q_id, vec_id, cosine), top-k per query, ties by
+    id.
+
+    Scale shape:
+
+    1. each QUERY is assigned its ``nprobe`` nearest lists by one
+       vectorized Arrow kernel over the broadcast centroid table
+       (same matmul as :func:`ivf_assign`, argpartition per batch);
+    2. queries explode to (list, query) and equi-join the data on the
+       list id — with the data stored PARTITIONED BY list
+       (ivf_pq_write_index) this is partition pruning, and each data
+       row meets only the queries probing its list (corpus x
+       nprobe/n_lists pairs, never corpus x queries);
+    3. cosine is JVM-side (``zip_with`` dot product on the joined
+       row); per-query top-k is a ranked window -> WindowGroupLimit
+       pushes the limit into the shuffle (no global sort).
+
+    ``round_to`` ranks by the rounded cosine with id tiebreak, the
+    deterministic-gate convention shared with the single-query ops."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    npb = min(nprobe, len(cents))
+
+    def _probes_fn(vecs):
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(x) == 0:
+            return pd.Series([], dtype="object")
+        d2 = (
+            (x * x).sum(1)[:, None]
+            - 2.0 * (x @ cents.T)
+            + (cents * cents).sum(1)[None, :]
+        )
+        idx = np.argpartition(d2, npb - 1, axis=1)[:, :npb]
+        return pd.Series([row.astype("int32").tolist() for row in idx], dtype="object")
+
+    _probes = F.pandas_udf(_probes_fn, "array<int>")
+
+    q_lists = queries.select(
+        F.col(qid_col),
+        F.col(qvec_col),
+        F.explode(_probes(F.col(qvec_col))).alias(list_col),
+    )
+    joined = df.join(q_lists, on=list_col)
+    sim = cosine_similarity(F.col(vec_col), F.col(qvec_col))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.select(F.col(qid_col), F.col(id_col), sim.alias("cosine"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def scalar_quantize(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -3635,24 +3635,40 @@ def ext_scalar_subquery(spark, sf_dir):
 
 @workload(
     "ext_minby_maxby",
-    """SELECT o_orderstatus,
-       min_by(o_orderkey, o_totalprice) AS cheapest_order,
-       max_by(o_orderkey, o_totalprice) AS priciest_order,
-       ROUND(MIN(o_totalprice), 2) AS min_price,
-       ROUND(MAX(o_totalprice), 2) AS max_price
-FROM orders GROUP BY o_orderstatus""",
+    # Tie-deterministic gate (sf1 rotation catch #2): the original
+    # min_by(o_orderkey, o_totalprice) assumed prices distinct per
+    # status group — true at sf0.01, FALSE at sf1 (key-offset
+    # replication duplicates every price 10x), and min_by's
+    # tie-break is engine-/partition-dependent. Both sides now order
+    # by (price, key): ties resolve to min key at the minimum and max
+    # key at the maximum, deterministically in any engine.
+    """WITH r AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rk_min,
+    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk_max
+  FROM orders)
+SELECT o_orderstatus,
+  MIN(CASE WHEN rk_min = 1 THEN o_orderkey END) AS cheapest_order,
+  MIN(CASE WHEN rk_max = 1 THEN o_orderkey END) AS priciest_order,
+  ROUND(MIN(o_totalprice), 2) AS min_price,
+  ROUND(MAX(o_totalprice), 2) AS max_price
+FROM r GROUP BY o_orderstatus""",
 )
 def ext_minby(spark, sf_dir):
     """Positional aggregates min_by/max_by — one hash aggregate, no
-    window/self-join for 'row with the extreme value'. (o_totalprice
-    values are distinct per status group in this data, so the chosen
-    key is deterministic.)"""
+    window/self-join for 'row with the extreme value'. The ordering
+    key is a (price, key) STRUCT so ties pick a deterministic row
+    (Spark struct ordering is lexicographic), keeping the single-pass
+    plan while matching the oracle's ranked tiebreak."""
+    ordk = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
     return (
         load_star(spark, sf_dir)["orders"]
         .groupBy("o_orderstatus")
         .agg(
-            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min_by("o_orderkey", ordk).alias("cheapest_order"),
+            F.max_by("o_orderkey", ordk).alias("priciest_order"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
@@ -5627,4 +5643,88 @@ def ds_embed_ivf_refined(spark, sf_dir):
     )
     return exact.crossJoin(F.broadcast(flags)).select(
         "vec_id", "cosine", "self_in_ivf", "overlap_ok"
+    )
+
+
+@workload(
+    "ds_embedding_ivf_batch_topk",
+    # Batch-ANN gate: exact per-query top-20 (ranked window, rounded
+    # cosine + id tiebreak) for a 3-query batch; the one-job IVF batch
+    # result enters as per-query booleans. Self-recall is guaranteed
+    # per query (its own list is probe #1); overlap >= 4 of 20 probing
+    # 4 of 16 lists (observed minimum 9 across sf0.001/sf0.01/sf1).
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(e.embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(q.qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT q_id, vec_id, ROUND(c, 3) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(c, 3) DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, TRUE AS self_in_ivf, TRUE AS overlap_ok
+FROM ranked WHERE rk <= 20""",
+)
+def ds_embed_ivf_batch(spark, sf_dir):
+    """Batch ANN (similarity.ivf_topk_batch): a whole DataFrame of
+    query vectors resolved in ONE job — per-query probe lists from a
+    vectorized Arrow kernel, probe-list equi-join (partition pruning
+    against a list-partitioned index), JVM-side cosine, per-query
+    ranked-window top-k (WindowGroupLimit). The production retrieval
+    shape: a driver loop over single-query ivf_topk would launch one
+    Spark job per query."""
+    from pyspark.sql import Window
+
+    from .functions.vectors import cosine_similarity
+
+    emb = load_star(spark, sf_dir)["embeddings"]
+    queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    cents = similarity.ivf_centroids(emb, n_lists=16)
+    assigned = similarity.ivf_assign(emb, cents)
+    approx = similarity.ivf_topk_batch(
+        assigned, queries, cents, k=20, nprobe=4, round_to=3
+    )
+    ex = emb.crossJoin(F.broadcast(queries)).select(
+        "q_id",
+        "vec_id",
+        F.round(
+            cosine_similarity(F.col("embedding"), F.col("q_embedding")), 3
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exact = ex.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= 20
+    ).drop("_rk")
+    a = approx.select("q_id", F.col("vec_id").alias("_aid"))
+    flags = (
+        exact.select("q_id", "vec_id")
+        .join(a, (F.col("vec_id") == F.col("_aid")) & (exact["q_id"] == a["q_id"]))
+        .groupBy(exact["q_id"].alias("q_id"))
+        .agg(F.count(F.lit(1)).alias("_ov"))
+        .join(
+            a.where(F.col("q_id") == F.col("_aid"))
+            .select(F.col("q_id").alias("_sq"))
+            .distinct(),
+            F.col("q_id") == F.col("_sq"),
+            "left",
+        )
+        .select(
+            "q_id",
+            F.col("_sq").isNotNull().alias("self_in_ivf"),
+            (F.col("_ov") >= 4).alias("overlap_ok"),
+        )
+    )
+    return exact.join(flags, on="q_id").select(
+        "q_id", "vec_id", "cosine", "self_in_ivf", "overlap_ok"
     )

@@ -1056,3 +1056,35 @@ def test_codebook_scale_path_deterministic(spark, sf_dir):
         emb, m=4, nbits=3, sample="hash", sample_n=64, refine_iters=1
     )
     assert books == books2
+
+
+def test_ivf_topk_batch_equals_single_query(spark, sf_dir):
+    """Batch ANN must return EXACTLY the single-query ivf_topk result
+    for every query in the batch (same probes, same rounding, same
+    tiebreak) — one job instead of one per query."""
+    from lineage_store_database_management_system_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, n_lists=8)
+    assigned = similarity.ivf_assign(emb, cents).persist()
+    qids = [0, 3, 7]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    batch = {
+        (r["q_id"], r["vec_id"]): r["cosine"]
+        for r in similarity.ivf_topk_batch(
+            assigned, queries, cents, k=10, nprobe=3, round_to=3
+        ).collect()
+    }
+    for qid in qids:
+        qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        single = {
+            (qid, r["vec_id"]): r["cosine"]
+            for r in similarity.ivf_topk(
+                assigned, qv, cents, k=10, nprobe=3, round_to=3
+            ).collect()
+        }
+        got = {kv: c for kv, c in batch.items() if kv[0] == qid}
+        assert got == single, f"q={qid}: batch != single"
+    assigned.unpersist()

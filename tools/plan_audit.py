@@ -137,6 +137,12 @@ AUDIT = [
     # per-window array replication shows as plan-identical but is
     # pinned by the SCALING.md probe instead).
     ("ds_embedding_ivf_refined_topk", ["TakeOrderedAndProject", "ArrowEvalPython"], ["BatchEvalPython"]),
+    # Batch ANN: per-query top-k must be a grouped window limit (not a
+    # global sort), probes assigned by the Arrow kernel, and the
+    # data-x-queries pairing an equi-join on the list id — never a
+    # cartesian product (the exact gate side's broadcast cross join is
+    # BroadcastNestedLoop, which stays allowed as gate apparatus).
+    ("ds_embedding_ivf_batch_topk", ["WindowGroupLimit", "ArrowEvalPython"], ["CartesianProduct", "BatchEvalPython"]),
 ]
 
 
