@@ -679,6 +679,60 @@ def bpe_train(
     return merges, vocab
 
 
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """APPLY a learned BPE merge list to a corpus — the distributed
+    other half of :func:`bpe_train` (a tokenizer you can train but not
+    run is half a tokenizer). Output: (id, n_tokens) — the statistic a
+    pretraining pipeline budgets by.
+
+    One Arrow-batched map-only pass, no shuffle: the merge list (tiny)
+    ships in the closure; each batch folds its words to a per-batch
+    memo dict first (the same vocab-folding trick that makes training
+    ∝ |vocab| — a natural-language batch re-uses words heavily), then
+    applies the merges in LEARNED ORDER with the greedy left-to-right
+    non-overlapping scan that IS BPE apply semantics (equivalently:
+    one string replace() per merge in placeholder space — how the
+    DuckDB oracle twin states it). Word normalization matches
+    training: lower/trim, whitespace split, empties dropped."""
+    import re as _re
+
+    ms = [(str(l), str(r)) for l, r in merges]
+
+    def _word_ntok(w: str, cache: dict) -> int:
+        n = cache.get(w)
+        if n is not None:
+            return n
+        s = list(w)
+        for left, right in ms:
+            res, i, ln = [], 0, len(s)
+            while i < ln:
+                if i + 1 < ln and s[i] == left and s[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            s = res
+        cache[w] = len(s)
+        return cache[w]
+
+    @F.pandas_udf("long")
+    def _ntok(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for t in texts:
+            ws = [w for w in _re.split(r"\s+", (t or "").lower().strip()) if w]
+            out.append(sum(_word_ntok(w, cache) for w in ws))
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col), _ntok(F.col(text_col)).alias("n_tokens"))
+
+
 def charlm_xent(
     df: DataFrame,
     id_col: str,

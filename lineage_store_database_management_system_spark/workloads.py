@@ -5728,3 +5728,67 @@ def ds_embed_ivf_batch(spark, sf_dir):
     return exact.join(flags, on="q_id").select(
         "q_id", "vec_id", "cosine", "self_in_ivf", "overlap_ok"
     )
+
+
+@workload(
+    "ds_bpe_encode_tokens",
+    # Full tokenizer round-trip: the oracle RE-LEARNS the same 4
+    # merges in SQL (iterated placeholder construction — each merge
+    # result becomes one placeholder char, so adjacent symbol pairs
+    # stay 2-char substrings and replace() stays BPE's greedy
+    # left-to-right apply), then encodes every document with the same
+    # 4 nested replaces. Tie risk checked explicitly: top-pair counts
+    # are strictly separated for rounds 1-4 at sf0.01 AND sf1
+    # (4568>2760, ..., margins >= 49), so both engines learn the
+    # identical merge list. Docs LEFT-JOIN back so an empty document
+    # gates as 0 tokens on both sides.
+    """WITH m0 AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents) t
+  WHERE length(w) >= 1 GROUP BY w
+),
+p1 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, SUM(freq) AS c
+       FROM m0, unnest(generate_series(1, length(w) - 1)) AS t(i)
+       WHERE length(w) >= 2 GROUP BY pair),
+t1 AS (SELECT pair FROM p1 ORDER BY c DESC, pair LIMIT 1),
+m1 AS (SELECT replace(w, (SELECT pair FROM t1), chr(1)) AS w, freq FROM m0),
+p2 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, SUM(freq) AS c
+       FROM m1, unnest(generate_series(1, length(w) - 1)) AS t(i)
+       WHERE length(w) >= 2 GROUP BY pair),
+t2 AS (SELECT pair FROM p2 ORDER BY c DESC, pair LIMIT 1),
+m2 AS (SELECT replace(w, (SELECT pair FROM t2), chr(2)) AS w, freq FROM m1),
+p3 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, SUM(freq) AS c
+       FROM m2, unnest(generate_series(1, length(w) - 1)) AS t(i)
+       WHERE length(w) >= 2 GROUP BY pair),
+t3 AS (SELECT pair FROM p3 ORDER BY c DESC, pair LIMIT 1),
+m3 AS (SELECT replace(w, (SELECT pair FROM t3), chr(3)) AS w, freq FROM m2),
+p4 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, SUM(freq) AS c
+       FROM m3, unnest(generate_series(1, length(w) - 1)) AS t(i)
+       WHERE length(w) >= 2 GROUP BY pair),
+t4 AS (SELECT pair FROM p4 ORDER BY c DESC, pair LIMIT 1),
+enc AS (
+  SELECT doc_id, SUM(length(
+    replace(replace(replace(replace(w,
+      (SELECT pair FROM t1), chr(1)),
+      (SELECT pair FROM t2), chr(2)),
+      (SELECT pair FROM t3), chr(3)),
+      (SELECT pair FROM t4), chr(4)))) AS n
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents) dw
+  WHERE length(w) >= 1 GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(e.n, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id""",
+)
+def ds_bpe_encode(spark, sf_dir):
+    """Tokenizer round-trip at corpus scale: train 4 BPE merges
+    (textops.bpe_train — corpus folds to vocab, pair work ∝ vocab)
+    then ENCODE every document with the learned list
+    (textops.bpe_encode — one Arrow map-only pass, per-batch word
+    memoization, zero shuffle) and gate exact per-document token
+    counts against the SQL re-derivation."""
+    docs = load_star(spark, sf_dir)["documents"]
+    merges, _vocab = textops.bpe_train(docs, "text", n_merges=4)
+    return textops.bpe_encode(docs, "doc_id", "text", merges)

@@ -1088,3 +1088,46 @@ def test_ivf_topk_batch_equals_single_query(spark, sf_dir):
         got = {kv: c for kv, c in batch.items() if kv[0] == qid}
         assert got == single, f"q={qid}: batch != single"
     assigned.unpersist()
+
+
+def test_bpe_encode_matches_reference(spark):
+    """bpe_encode applies the learned merge list exactly like the
+    pure-Python reference apply (greedy left-to-right, learned
+    order), including nested merges ('lo'+'w' -> 'low') and docs with
+    unseen/empty text."""
+    corpus = [
+        (1, "low low low low low lower lower newest newest newest "
+            "newest newest newest widest widest widest"),
+        (2, "low lower newest widest newest"),
+        (3, "unseen zebra tokens"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges, _ = textops.bpe_train(df.where("doc_id <= 2"), "text", n_merges=6)
+    got = {
+        r.doc_id: r.n_tokens
+        for r in textops.bpe_encode(df, "doc_id", "text", merges).collect()
+    }
+
+    def ref_ntok(text):
+        total = 0
+        for w in text.lower().strip().split():
+            s = list(w)
+            for l, r in merges:
+                res, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                s = res
+            total += len(s)
+        return total
+
+    exp = {d: ref_ntok(t) for d, t in corpus}
+    assert got == exp
+    assert got[4] == 0  # whitespace-only doc -> zero tokens
+    # merged symbols actually compress: fewer tokens than characters
+    assert got[1] < sum(len(w) for w in corpus[0][1].split())

@@ -143,6 +143,10 @@ AUDIT = [
     # cartesian product (the exact gate side's broadcast cross join is
     # BroadcastNestedLoop, which stays allowed as gate apparatus).
     ("ds_embedding_ivf_batch_topk", ["WindowGroupLimit", "ArrowEvalPython"], ["CartesianProduct", "BatchEvalPython"]),
+    # BPE encode: training jobs run before the audited plan; the
+    # encode itself must be ONE Arrow map-only pass over the corpus
+    # scan — zero shuffle, zero row-at-a-time Python.
+    ("ds_bpe_encode_tokens", ["ArrowEvalPython"], ["Exchange", "BatchEvalPython"]),
 ]
 
 
