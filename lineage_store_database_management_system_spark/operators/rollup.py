@@ -55,8 +55,13 @@ def _state_agg(value_col: str, distinct_col: str | None = None):
         # HyperLogLog state, not a finished count: per-bucket distinct
         # counts cannot be re-aggregated (sum overcounts), but HLL
         # sketches UNION losslessly — any bucket range or regrouping
-        # re-merges the sealed sketches without touching raw data
-        aggs.append(F.hll_sketch_agg(distinct_col).alias("hll_state"))
+        # re-merges the sealed sketches without touching raw data.
+        # lgConfigK=14 (16 KiB/bucket): stderr 1.04/sqrt(2^14) = 0.81%
+        # — the default 12 (1.6%) left the registry's 2% accuracy gate
+        # at ~1.2 sigma, which duly broke at sf1 cardinalities (first
+        # post-sparse-mode day missed by >2%). State is still constant
+        # in data volume; only the constant grew 4x.
+        aggs.append(F.hll_sketch_agg(distinct_col, 14).alias("hll_state"))
     return aggs
 
 

@@ -366,6 +366,7 @@ def ivf_topk_batch(
     qid_col: str = "q_id",
     qvec_col: str = "q_embedding",
     round_to: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """BATCH ANN: IVF top-k for a whole DataFrame of query vectors in
     ONE job — the production retrieval shape (dedup sweeps, eval sets,
@@ -389,7 +390,16 @@ def ivf_topk_batch(
        pushes the limit into the shuffle (no global sort).
 
     ``round_to`` ranks by the rounded cosine with id tiebreak, the
-    deterministic-gate convention shared with the single-query ops."""
+    deterministic-gate convention shared with the single-query ops.
+
+    ``broadcast_queries`` (default True): the list id has only
+    n_lists distinct values, so letting the planner shuffle BOTH
+    sides on it would be a pathological 16-partition exchange; the
+    canonical retrieval batch (queries << corpus) broadcasts the
+    exploded query side instead — the data side never moves. Set
+    False only when the query set is itself corpus-scale (then
+    pre-partition both sides by list id, or go through
+    semantic-dedup-style clustering instead)."""
     import numpy as np
     import pandas as pd
 
@@ -417,6 +427,8 @@ def ivf_topk_batch(
         F.col(qvec_col),
         F.explode(_probes(F.col(qvec_col))).alias(list_col),
     )
+    if broadcast_queries:
+        q_lists = F.broadcast(q_lists)
     joined = df.join(q_lists, on=list_col)
     sim = cosine_similarity(F.col(vec_col), F.col(qvec_col))
     if round_to is not None:
@@ -749,6 +761,43 @@ def ivf_pq_write_index(
             f,
         )
     _os.replace(tmp, _os.path.join(index_dir, "_ann_meta.json"))
+
+
+def ivf_pq_append_index(
+    df: DataFrame,
+    index_dir: str,
+) -> int:
+    """Grow a persisted ANN index INCREMENTALLY: assign + PQ-encode
+    only the NEW vectors under the index's FROZEN centroids/codebooks
+    and append them into the same list-partitioned layout — work is
+    O(new rows), never a corpus re-encode (at 100 TB the corpus grows
+    daily; rebuilding the index per batch is the naive path this
+    replaces). Returns the number of appended vectors.
+
+    The append is exactly as query-able as a rebuild: probes
+    partition-prune identically (appended files land in their list's
+    partition dir) and ADC/exact-refine read the same schema. Frozen
+    codebooks mean quantization quality for new data drifts with the
+    data distribution — re-train + rebuild on a schedule (the FAISS
+    operational recipe); the recall gates in the registry hold because
+    assignment/encoding are deterministic functions of the sidecar.
+
+    New ids are NOT checked against existing ids (same as any Parquet
+    append); dedup upstream if re-ingest is possible."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_dir, "_ann_meta.json")) as f:
+        meta = _json.load(f)
+    vec_col = meta["vec_col"]
+    prepared = pq_encode(
+        ivf_assign(df, meta["centroids"], vec_col=vec_col),
+        meta["codebooks"],
+        vec_col=vec_col,
+    )
+    n = prepared.count()
+    prepared.write.mode("append").partitionBy("_list").parquet(index_dir)
+    return n
 
 
 def ivf_pq_topk_from_index(

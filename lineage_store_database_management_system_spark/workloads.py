@@ -2153,9 +2153,11 @@ def ds_bloom_decontaminate(spark, sf_dir):
     # — the query a finished-count rollup cannot answer (sums of
     # per-bucket distincts overcount shared users). The exact count
     # comes from raw on both engines; `est_ok` asserts the merged
-    # estimate lands within 2% of it (deterministic: the Datasketches
-    # HLL state for given data is a pure function, and at this
-    # cardinality sparse mode is exact).
+    # estimate lands within 4% of it — a 5-sigma bound at lgK=14
+    # (stderr 0.81%), so the gate is a PROBABILISTIC GUARANTEE, not a
+    # tuned constant (sf1 rotation catch #4: the old 2% at lgK=12 was
+    # ~1.2 sigma and duly broke past sparse mode). Deterministic: the
+    # Datasketches HLL state for given data is a pure function.
     """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        COUNT(*) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -2191,7 +2193,7 @@ def ext_rollup_distinct(spark, sf_dir):
         F.col("n_users").cast("long").alias("n_users"),
         (
             F.abs(F.col("n_distinct_est") - F.col("n_users")) / F.col("n_users")
-            <= 0.02
+            <= 0.04
         ).alias("est_ok"),
     )
 
@@ -4592,10 +4594,17 @@ def ext_q22(spark, sf_dir):
 
 @workload(
     "ext_q2_min_cost_supplier",
+    # best_cost reported in exact ten-thousandths (floor(x*1e4 + 0.5)
+    # over the identical IEEE double): ROUND(,4) is comparator-hostile
+    # when the quotient lands exactly on .xxxx5 — sf1 rotation catch
+    # #3: 17823.25/200 = 89.11625, Spark HALF_UP .1163 vs DuckDB
+    # binary .1162. Selection (unit_cost = MIN) is pre-round and
+    # unaffected.
     """WITH costs AS (
   SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
   FROM lineitem GROUP BY l_partkey, l_suppkey)
-SELECT p_partkey, p_name, s_name, ROUND(unit_cost, 4) AS best_cost
+SELECT p_partkey, p_name, s_name,
+       CAST(FLOOR(unit_cost * 10000 + 0.5) AS BIGINT) AS best_cost_x10k
 FROM part JOIN costs ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
 WHERE p_size = 10
@@ -4629,7 +4638,12 @@ def ext_q2(spark, sf_dir):
         )
         .join(d["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
-            "p_partkey", "p_name", "s_name", F.round("unit_cost", 4).alias("best_cost")
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.floor(F.col("unit_cost") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("best_cost_x10k"),
         )
         .orderBy("p_partkey", "s_name")
         .limit(50)
@@ -5792,3 +5806,61 @@ def ds_bpe_encode(spark, sf_dir):
     docs = load_star(spark, sf_dir)["documents"]
     merges, _vocab = textops.bpe_train(docs, "text", n_merges=4)
     return textops.bpe_encode(docs, "doc_id", "text", merges)
+
+
+@workload(
+    "ds_embedding_index_append_topk",
+    # Incremental index growth under the standard ANN gate: build the
+    # durable IVF+PQ index on HALF the corpus (even vec_ids), APPEND
+    # the other half under the frozen codebooks
+    # (similarity.ivf_pq_append_index — O(new rows), no re-encode),
+    # query the grown index. Gated rows = exact top-20; booleans:
+    # self-recall (own list is probe #1 under any codebook) + overlap
+    # >= 4 of 20 (observed 10/11/10 at sf0.001/sf0.01/sf1).
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM embeddings, q
+)
+SELECT vec_id, ROUND(c, 3) AS cosine, TRUE AS self_in_index, TRUE AS overlap_ok
+FROM scored ORDER BY ROUND(c, 3) DESC, vec_id LIMIT 20""",
+)
+def ds_embed_index_append(spark, sf_dir):
+    """Growing-corpus ANN: a persisted index must absorb new vectors
+    WITHOUT re-encoding the corpus — assign+encode only the new batch
+    under the sidecar's frozen centroids/codebooks, append into the
+    same list-partitioned layout, stay exactly as query-able
+    (pytest pins append == full re-encode under the same codebooks)."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    root = tempfile.mkdtemp(prefix="lss_wl_annappend_")
+    idx = os.path.join(root, "idx")
+    similarity.ivf_pq_write_index(
+        emb.where("vec_id % 2 = 0"), idx, n_lists=16, m=8, nbits=4
+    )
+    similarity.ivf_pq_append_index(emb.where("vec_id % 2 = 1"), idx)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = similarity.brute_force_topk(emb, q, k=20, round_to=3)
+    approx = similarity.ivf_pq_topk_from_index(
+        spark, idx, q, k=20, nprobe=4, n_candidates=200, round_to=3
+    ).select(F.col("vec_id").alias("_aid"))
+    overlap = (
+        exact.select("vec_id")
+        .join(approx, F.col("vec_id") == F.col("_aid"))
+        .agg(F.count(F.lit(1)).alias("_ov"))
+    )
+    self_hit = approx.agg(
+        F.max(F.when(F.col("_aid") == 0, F.lit(True))).alias("_self")
+    )
+    flags = overlap.crossJoin(self_hit).select(
+        F.coalesce(F.col("_self"), F.lit(False)).alias("self_in_index"),
+        (F.col("_ov") >= 4).alias("overlap_ok"),
+    )
+    return exact.crossJoin(F.broadcast(flags)).select(
+        "vec_id", "cosine", "self_in_index", "overlap_ok"
+    )

@@ -1131,3 +1131,52 @@ def test_bpe_encode_matches_reference(spark):
     assert got[4] == 0  # whitespace-only doc -> zero tokens
     # merged symbols actually compress: fewer tokens than characters
     assert got[1] < sum(len(w) for w in corpus[0][1].split())
+
+
+def test_ivf_pq_append_index_equals_rebuild(spark, sf_dir, tmp_path):
+    """Appending new vectors to a persisted ANN index (frozen
+    codebooks) must be indistinguishable at query time from encoding
+    the full corpus under those same codebooks: identical top-k,
+    identical partition layout."""
+    import json
+    import os
+
+    from lineage_store_database_management_system_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half1 = emb.where("vec_id % 2 = 0")
+    half2 = emb.where("vec_id % 2 = 1")
+    idx = str(tmp_path / "ann_idx")
+    similarity.ivf_pq_write_index(half1, idx, n_lists=8, m=4, nbits=4)
+    n = similarity.ivf_pq_append_index(half2, idx)
+    assert n == half2.count()
+    # the appended index covers the full corpus
+    assert spark.read.parquet(idx).count() == emb.count()
+
+    with open(os.path.join(idx, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    q = [float(x) for x in emb.where("vec_id = 1").first()["embedding"]]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_pq_topk_from_index(
+            spark, idx, q, k=10, nprobe=3, n_candidates=50, round_to=3
+        ).collect()
+    ]
+    # twin: encode EVERYTHING under the same frozen codebooks in one go
+    prepared = similarity.pq_encode(
+        similarity.ivf_assign(emb, meta["centroids"]), meta["codebooks"]
+    )
+    exp = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_pq_topk(
+            prepared, q, meta["centroids"], meta["codebooks"],
+            k=10, nprobe=3, n_candidates=50, round_to=3,
+        ).collect()
+    ]
+    assert got == exp
+    # appended files landed inside list partitions (layout preserved)
+    stray = [
+        f for f in os.listdir(idx)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    assert stray == []

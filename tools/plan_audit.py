@@ -147,6 +147,9 @@ AUDIT = [
     # encode itself must be ONE Arrow map-only pass over the corpus
     # scan — zero shuffle, zero row-at-a-time Python.
     ("ds_bpe_encode_tokens", ["ArrowEvalPython"], ["Exchange", "BatchEvalPython"]),
+    # Grown (build+append) ANN index: the gated plan's exact side is
+    # a top-k; index build/append jobs run before the audited plan.
+    ("ds_embedding_index_append_topk", ["TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
