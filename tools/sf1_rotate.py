@@ -73,9 +73,13 @@ def main() -> int:
     )
     results = selfcheck.check(spark, sf1_dir, names=picked)
     today = int(time.time() // 86400)
-    for m, status in results.items():
-        if status == "pass":
-            state[m] = today
+    # RE-LOAD before writing: a slice runs for many minutes and
+    # manual entries (targeted re-gates of fixed workloads) may have
+    # landed meanwhile — merge, never overwrite from the start-of-run
+    # snapshot.
+    state = {**_load_state(), **{
+        m: today for m, status in results.items() if status == "pass"
+    }}
     with open(STATE + ".tmp", "w") as f:
         json.dump(state, f, indent=0, sort_keys=True)
     os.replace(STATE + ".tmp", STATE)
