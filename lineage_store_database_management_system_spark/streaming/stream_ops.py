@@ -252,13 +252,18 @@ def stream_maintain_join_mv(
         if on_batch is not None:
             on_batch(batch_id)
 
+    # checkpoint OUTSIDE the MV dir: a refresh that falls back to
+    # rebuild (churn cap / vacuum-floor guard) swaps mv_dir away and
+    # would take an in-MV checkpoint with it — losing source progress
+    # (ingest markers keep that correct, but every file re-reads) and
+    # yanking an ACTIVE checkpoint from under the running query.
+    ckpt = os.path.join(
+        db.path, "_mv", "_checkpoints", f"{mv_name}_{table_name}"
+    )
     q = (
         stream_df.writeStream.foreachBatch(_apply)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            os.path.join(db._mv_dir(mv_name), "_stream_checkpoint_" + table_name),
-        )
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
