@@ -92,6 +92,46 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score: Column,
+) -> DataFrame:
+    """Quality-aware exact dedup: within each group of byte-identical
+    (normalized) documents keep the row MAXIMIZING ``score`` (id
+    ascending as the tiebreak) — the production selection rule when
+    duplicates differ in their metadata (source reliability, recency,
+    quality gates): "keep A copy, not THE FIRST copy".
+    :func:`dedup_exact` is the min-id special case.
+
+    One shuffle on the 64-bit content digest carrying only
+    (digest, score, id); the winner is a ``max_by`` over a
+    (score, -id) struct — no window sort, partial-aggregated map-side
+    like any other agg. The semi-join back to full rows broadcasts the
+    (small) winner set when the optimizer sizes it so.
+
+    Returns the deduplicated corpus with an ``n_copies`` column
+    (group size) attached to each keeper."""
+    h = F.xxhash64(normalized_text(F.col(text_col)))
+    ranked = df.select(
+        F.col(id_col).alias("_id"), h.alias("_h"), score.alias("_score")
+    )
+    # max_by with a deterministic total order: (score asc, id desc)
+    # struct-max picks the highest score, lowest id on ties.
+    winners = (
+        ranked.groupBy("_h")
+        .agg(
+            F.max(
+                F.struct(F.col("_score"), (-F.col("_id")).alias("_negid"))
+            ).alias("_w"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select((-F.col("_w._negid")).alias(id_col), "n_copies")
+    )
+    return df.join(winners, on=id_col, how="inner")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

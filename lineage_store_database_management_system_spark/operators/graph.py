@@ -116,6 +116,97 @@ def dedup_by_clusters(
     return df.join(heads, on=id_col, how="left_semi")
 
 
+def hierarchy_resolve(
+    edges: DataFrame,
+    child_col: str,
+    parent_col: str,
+    nodes: DataFrame | None = None,
+    max_iter: int = 40,
+) -> DataFrame:
+    """Resolve a parent-pointer FOREST to (id, root, depth) — the
+    Spark answer to ``WITH RECURSIVE`` ancestor walks (org charts,
+    BOM explosions, category trees), which Catalyst has no native
+    operator for. ``edges`` holds one (child, parent) row per
+    non-root node; ``nodes`` optionally supplies the full vertex set
+    (ids absent from ``edges``' child side are roots: depth 0,
+    root = self).
+
+    Scale shape: POINTER JUMPING (path doubling) — each round joins
+    the state with itself (``ptr -> ptr[ptr]``) and ADDS the jump
+    distances, so after r rounds every pointer has traversed 2^r
+    original edges: O(log depth) rounds of |V|-sized hash joins,
+    versus the |depth| sequential passes a naive loop (or a
+    recursive CTE's semi-naive evaluation) needs. A 1M-deep chain
+    resolves in 20 rounds. Each round localCheckpoints (lineage
+    truncation, same discipline as connected components).
+
+    Deterministic; raises on cycles (they never converge) and on
+    children with multiple parents (not a forest) rather than
+    returning wrong depths."""
+    e = edges.select(
+        F.col(child_col).alias("_id"), F.col(parent_col).alias("_ptr")
+    ).where(F.col("_ptr").isNotNull())
+    dup = e.groupBy("_id").count().where("count > 1").limit(1)
+    if dup.count() > 0:
+        raise ValueError(
+            "hierarchy_resolve: some child has multiple parents; input is "
+            "not a forest"
+        )
+    vertex_ids = (
+        e.select("_id")
+        .unionByName(e.select(F.col("_ptr").alias("_id")))
+        .distinct()
+    )
+    if nodes is not None:
+        vertex_ids = (
+            nodes.select(F.col(nodes.columns[0]).alias("_id"))
+            .distinct()
+            .unionByName(vertex_ids)
+            .distinct()
+        )
+    # state: ptr = furthest-known ancestor, dist = edges traversed to it;
+    # roots are their own ptr at dist 0 and are absorbing.
+    state = (
+        vertex_ids.join(e, on="_id", how="left")
+        .select(
+            "_id",
+            F.coalesce("_ptr", F.col("_id")).alias("_ptr"),
+            F.when(F.col("_ptr").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("_dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        hop = state.select(
+            F.col("_id").alias("_pid"),
+            F.col("_ptr").alias("_pptr"),
+            F.col("_dist").alias("_pdist"),
+        )
+        new_state = (
+            state.join(hop, state["_ptr"] == hop["_pid"], "inner")
+            .select(
+                "_id",
+                F.col("_pptr").alias("_ptr"),
+                (F.col("_dist") + F.col("_pdist")).alias("_dist"),
+                (F.col("_pdist") > 0).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        moved = new_state.where("_chg").limit(1).count()
+        state = new_state.drop("_chg")
+        if moved == 0:
+            return state.select(
+                F.col("_id").alias("id"),
+                F.col("_ptr").alias("root"),
+                F.col("_dist").alias("depth"),
+            )
+    raise RuntimeError(
+        f"hierarchy_resolve did not converge in {max_iter} rounds — the "
+        "edge set contains a cycle, or depth exceeds 2^max_iter"
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",

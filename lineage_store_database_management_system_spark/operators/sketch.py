@@ -129,6 +129,143 @@ def cms_estimate(df: DataFrame, col: str | Column, sk: CountMinSketch) -> Column
     return _est(cms_positions(c, sk.width, sk.depth))
 
 
+def kmv_sketches(
+    df: DataFrame,
+    group_col: str,
+    value_col: str | Column,
+    k: int = 256,
+    prune_safety: int = 16,
+) -> DataFrame:
+    """Per-group KMV (bottom-k / k-minimum-values) sketch: the ``k``
+    smallest DISTINCT ``xxhash64(value)`` per group (Bar-Yossef et al.
+    2002; Beyer et al. SIGMOD'07 for the multi-set estimators). The
+    set-theoretic sketch HLL cannot be: because it keeps actual hash
+    values, two groups' sketches support INTERSECTION estimates
+    (cross-source overlap, contamination rates) — union-only HLL
+    (operators/rollup.py) cannot answer those without the exact
+    distinct join this sketch exists to avoid.
+
+    100 TB shape — the naive build ("sort each group's distinct
+    hashes, take k") shuffles every distinct value. Instead:
+
+    1. one pass estimates each group's distinct count
+       (``approx_count_distinct``, partial-aggregated map-side);
+    2. the k smallest of n uniform 64-bit hashes all fall below
+       ``min + 2^64 * k/n`` with overwhelming probability, so a
+       MAP-SIDE filter at ``k * prune_safety / n`` of the hash range
+       drops ~all rows before the shuffle (expected survivors
+       ~k*safety per group, P[true kth value pruned] < e^{-k(s-1)^2/2s}
+       by Chernoff — ~1e-26 at k=256, s=16);
+    3. the exact bottom-k runs on survivors only:
+       ``slice(array_sort(collect_set), 1, k)`` over a bounded set.
+
+    A per-group guard re-runs UNPRUNED any group whose survivor count
+    came in under ``min(k, distinct)`` (possible only if the cardinality
+    estimate was grossly high), so the result is always the TRUE bottom-k.
+
+    Returns (group_col, sketch array<long> ascending, n_distinct_est
+    double) where n_distinct_est is the KMV estimator
+    ``(k-1) / F(kth)`` (exact size when the group has < k distinct
+    values), with F the unsigned fraction of the hash range."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    hashed = df.select(F.col(group_col), F.xxhash64(c).alias("_h"))
+
+    # Stage 1: per-group cardinality estimate -> per-group threshold.
+    est = hashed.groupBy(group_col).agg(
+        F.approx_count_distinct("_h", rsd=0.05).alias("_nd")
+    )
+    # Signed threshold: -2^63 + 2^64 * min(1, k*safety/nd). Computed in
+    # float (2^64 loses 11 bits of precision) — irrelevant: the margin
+    # is a factor of `prune_safety`, not ulps.
+    thr = (
+        F.lit(-(2.0**63))
+        + F.lit(2.0**64)
+        * F.least(F.lit(1.0), F.lit(float(k * prune_safety)) / F.col("_nd"))
+    ).cast("long")
+    est = est.select(group_col, thr.alias("_thr"), "_nd")
+
+    pruned = hashed.join(F.broadcast(est), on=group_col).where(
+        (F.col("_h") <= F.col("_thr")) | (F.col("_nd") <= k * prune_safety)
+    )
+    sk = pruned.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("sketch"),
+        F.count_distinct("_h").alias("_nsurv"),
+    )
+    # Guard: a group is complete iff it yielded k survivors or was
+    # passed through whole (nd small / threshold spanning the range).
+    short = (
+        sk.where(F.col("_nsurv") < k)
+        .join(F.broadcast(est), on=group_col)
+        .where(F.col("_nd") > k * prune_safety)
+        .select(group_col)
+    )
+    redo = (
+        hashed.join(F.broadcast(short), on=group_col)
+        .groupBy(group_col)
+        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("sketch"))
+    )
+    done = sk.join(F.broadcast(short), on=group_col, how="left_anti").select(
+        group_col, "sketch"
+    )
+    out = done.unionByName(redo)
+    # KMV estimator: full sketch -> (k-1)/F(kth); short sketch -> exact.
+    kth_u = (F.element_at("sketch", k).cast("double") + F.lit(2.0**63)) / F.lit(
+        2.0**64
+    )
+    return out.select(
+        F.col(group_col),
+        F.col("sketch"),
+        F.when(F.size("sketch") < k, F.size("sketch").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / kth_u)
+        .alias("n_distinct_est"),
+    )
+
+
+def kmv_overlap_pairs(sketches: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Pairwise set-overlap estimates from per-group KMV sketches
+    (Beyer et al.: the k smallest of the UNION of two bottom-k
+    sketches is the union's bottom-k; the fraction of those present
+    in both sketches is an unbiased Jaccard estimate).
+
+    Input is the (tiny) sketch frame — one row per group — so the
+    pair join is a broadcast self-join over n_groups^2 rows with all
+    set arithmetic in Catalyst array functions; nothing here ever
+    touches the base data again. Returns
+    (group_a, group_b, jaccard_est, inter_est) with group_a < group_b;
+    inter_est = jaccard_est * (union KMV estimate)."""
+    a = sketches.select(
+        F.col(group_col).alias("group_a"),
+        F.col("sketch").alias("_ska"),
+        F.col("n_distinct_est").alias("_na"),
+    )
+    b = sketches.select(
+        F.col(group_col).alias("group_b"),
+        F.col("sketch").alias("_skb"),
+        F.col("n_distinct_est").alias("_nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    merged = F.slice(F.array_sort(F.array_union("_ska", "_skb")), 1, k)
+    both = F.size(
+        F.filter(
+            merged,
+            lambda h: F.array_contains(F.col("_ska"), h)
+            & F.array_contains(F.col("_skb"), h),
+        )
+    )
+    m = F.size(merged)
+    kth_u = (F.element_at(merged, m).cast("double") + F.lit(2.0**63)) / F.lit(2.0**64)
+    union_est = F.when(m < k, m.cast("double")).otherwise(
+        (m.cast("double") - 1) / kth_u
+    )
+    j = both.cast("double") / m.cast("double")
+    return pairs.select(
+        "group_a",
+        "group_b",
+        j.alias("jaccard_est"),
+        (j * union_est).alias("inter_est"),
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from .catalog import Database
 from .lineage import LineageTable
+from .functions.text import normalized_text
 from .operators import (
     contamination,
     dedup,
@@ -56,6 +57,7 @@ from .operators import (
     multimodal,
     packing,
     similarity,
+    sketch,
     textops,
     windows,
 )
@@ -5863,4 +5865,244 @@ def ds_embed_index_append(spark, sf_dir):
     )
     return exact.crossJoin(F.broadcast(flags)).select(
         "vec_id", "cosine", "self_in_index", "overlap_ok"
+    )
+
+
+@workload(
+    "ds_dedup_keep_best",
+    # Quality-aware dedup: plant two clone generations of the corpus
+    # (identical text, new ids), then keep the copy per exact-dup
+    # group that MAXIMIZES a per-row metadata score (doc_id % 7 here,
+    # standing in for a source-trust / recency signal — any text-
+    # derived score is constant within a group by definition), id
+    # ascending as tiebreak. dedup.dedup_keep_best: one digest-keyed
+    # max_by shuffle, no window sort.
+    """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 8 = 0
+), scored AS (
+  SELECT doc_id, doc_id % 7 AS trust,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM corpus
+)
+SELECT doc_id, CAST(trust AS BIGINT) AS trust,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM (
+  SELECT doc_id, trust,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY trust DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY fp) AS n_copies
+  FROM scored) t
+WHERE rn = 1""",
+)
+def ds_dedup_keep_best(spark, sf_dir):
+    """Keep-best exact dedup (dedup.dedup_keep_best): the keeper of
+    each byte-identical group is the max-score row, not the min id —
+    the production rule when duplicates differ in metadata."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where("doc_id % 4 = 0").select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        docs.where("doc_id % 8 = 0").select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    kept = dedup.dedup_keep_best(
+        corpus, "doc_id", "text", score=F.col("doc_id") % 7
+    )
+    return kept.select(
+        "doc_id", (F.col("doc_id") % 7).alias("trust"), "n_copies"
+    )
+
+
+@workload(
+    "ext_recursive_hierarchy",
+    # Recursive-query surface: resolve every part to its root and
+    # depth in the parent-pointer forest parent(p) = floor(p / 7)
+    # (roots are partkeys 1..6). The oracle is a genuine WITH
+    # RECURSIVE ancestor walk; the Spark side is pointer jumping
+    # (graph.hierarchy_resolve) — O(log depth) self-join rounds vs
+    # the CTE's O(depth) semi-naive passes.
+    """WITH RECURSIVE walk AS (
+  SELECT CAST(p_partkey AS BIGINT) AS id,
+         CAST(p_partkey AS BIGINT) AS cur, 0 AS depth
+  FROM part
+  UNION ALL
+  SELECT id, CAST(FLOOR(cur / 7.0) AS BIGINT), depth + 1
+  FROM walk WHERE CAST(FLOOR(cur / 7.0) AS BIGINT) >= 1
+)
+SELECT w.id, w.cur AS root, CAST(w.depth AS BIGINT) AS depth
+FROM walk w
+JOIN (SELECT id, MAX(depth) AS d FROM walk GROUP BY id) m
+  ON m.id = w.id AND m.d = w.depth""",
+)
+def ext_recursive_hierarchy(spark, sf_dir):
+    """WITH RECURSIVE equivalence: parent-pointer resolution by path
+    doubling — each round squares the reach, so depth-D forests need
+    log2(D) |V|-sized joins (a 1M-deep chain: 20 rounds)."""
+    parts = load_star(spark, sf_dir)["part"].select(
+        F.col("p_partkey").cast("long").alias("p_partkey")
+    )
+    edges = parts.select(
+        F.col("p_partkey").alias("child"),
+        F.floor(F.col("p_partkey") / 7).cast("long").alias("parent"),
+    ).where("parent >= 1")
+    return graph.hierarchy_resolve(edges, "child", "parent", nodes=parts)
+
+
+@workload(
+    "ds_kmv_overlap",
+    # Cross-source distinct-overlap estimation with KMV bottom-k
+    # sketches (the intersection-capable sketch HLL is not): plant
+    # overlap by rotating every 3rd document into the NEXT source
+    # (lexicographic rotation, SQL-replicable), gate the EXACT
+    # per-pair overlap arithmetic, and assert in-query that the
+    # sketch estimates land inside deterministic-in-practice bounds
+    # (k=256: jaccard within 0.12 ~ 5 sigma, cardinality within 25%
+    # ~ 4 sigma — the ds_approx_sketches gate pattern).
+    """WITH srcs AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS i
+  FROM (SELECT DISTINCT source FROM documents) t
+), rot AS (
+  SELECT a.source AS src, b.source AS nxt
+  FROM srcs a JOIN srcs b
+    ON b.i = (a.i + 1) % (SELECT COUNT(*) FROM srcs)
+), corpus AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT rot.nxt AS source, d.text
+  FROM documents d JOIN rot ON rot.src = d.source
+  WHERE d.doc_id % 3 = 0
+), fps AS (
+  SELECT DISTINCT source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM corpus
+), sizes AS (
+  SELECT source, COUNT(*) AS n FROM fps GROUP BY source
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT pa.source AS group_a, pb.source AS group_b,
+       CAST(pa.n AS BIGINT) AS n_a, CAST(pb.n AS BIGINT) AS n_b,
+       CAST(COALESCE(i.i, 0) AS BIGINT) AS inter_exact,
+       ROUND(COALESCE(i.i, 0) * 1.0 / (pa.n + pb.n - COALESCE(i.i, 0)), 4)
+         AS jaccard_exact,
+       TRUE AS jac_ok, TRUE AS card_ok
+FROM sizes pa
+JOIN sizes pb ON pa.source < pb.source
+LEFT JOIN inter i ON i.sa = pa.source AND i.sb = pb.source""",
+)
+def ds_kmv_overlap(spark, sf_dir):
+    """KMV cross-source overlap (sketch.kmv_sketches /
+    kmv_overlap_pairs): bottom-k sketches built with a map-side
+    hash-range prune (survivors ~k*safety per group), pairwise
+    Jaccard/intersection estimated from the merged bottom-k — no
+    exact distinct join at estimation time; the exact twin runs
+    alongside at gate scale to bound the error in-query."""
+    from pyspark.sql import Window
+
+    docs = load_star(spark, sf_dir)["documents"].select(
+        "doc_id", "source", "text"
+    )
+    srcs = docs.select("source").distinct()
+    n_src = srcs.count()  # bounded metadata scalar (20 sources)
+    srcs = srcs.withColumn(
+        "i", F.row_number().over(Window.orderBy("source")) - 1
+    )
+    rot = (
+        srcs.alias("a")
+        .join(
+            F.broadcast(srcs.alias("b")),
+            F.col("b.i") == (F.col("a.i") + 1) % n_src,
+        )
+        .select(F.col("a.source").alias("src"), F.col("b.source").alias("nxt"))
+    )
+    planted = (
+        docs.where("doc_id % 3 = 0")
+        .join(F.broadcast(rot), F.col("source") == F.col("src"))
+        .select(F.col("nxt").alias("source"), "text")
+    )
+    corpus = docs.select("source", "text").unionByName(planted)
+
+    fps = corpus.select(
+        "source", F.xxhash64(normalized_text(F.col("text"))).alias("_fp")
+    ).distinct()
+    sizes = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        fps.alias("x")
+        .join(
+            fps.alias("y"),
+            (F.col("x._fp") == F.col("y._fp"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("sa"), F.col("y.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    k = 256
+    sk = sketch.kmv_sketches(
+        corpus, "source", normalized_text(F.col("text")), k=k
+    )
+    est_pairs = sketch.kmv_overlap_pairs(sk, "source", k=k)
+    card = sk.select("source", "n_distinct_est")
+
+    pairs = (
+        sizes.alias("pa")
+        .join(sizes.alias("pb"), F.col("pa.source") < F.col("pb.source"))
+        .select(
+            F.col("pa.source").alias("group_a"),
+            F.col("pb.source").alias("group_b"),
+            F.col("pa.n").alias("n_a"),
+            F.col("pb.n").alias("n_b"),
+        )
+        .join(
+            inter,
+            (F.col("sa") == F.col("group_a")) & (F.col("sb") == F.col("group_b")),
+            "left",
+        )
+        .drop("sa", "sb")
+        .withColumn("inter_exact", F.coalesce("i", F.lit(0)))
+        .drop("i")
+    )
+    jaccard_exact = F.col("inter_exact") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter_exact")
+    )
+    out = (
+        pairs.join(F.broadcast(est_pairs), on=["group_a", "group_b"])
+        .join(
+            F.broadcast(
+                card.select(
+                    F.col("source").alias("group_a"),
+                    F.col("n_distinct_est").alias("_ea"),
+                )
+            ),
+            on="group_a",
+        )
+        .join(
+            F.broadcast(
+                card.select(
+                    F.col("source").alias("group_b"),
+                    F.col("n_distinct_est").alias("_eb"),
+                )
+            ),
+            on="group_b",
+        )
+    )
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "inter_exact",
+        F.round(jaccard_exact, 4).alias("jaccard_exact"),
+        (F.abs(F.col("jaccard_est") - jaccard_exact) <= 0.12).alias("jac_ok"),
+        (
+            (F.abs(F.col("_ea") - F.col("n_a")) <= F.col("n_a") * 0.25)
+            & (F.abs(F.col("_eb") - F.col("n_b")) <= F.col("n_b") * 0.25)
+        ).alias("card_ok"),
     )
