@@ -106,10 +106,15 @@ def dedup_keep_best(
     :func:`dedup_exact` is the min-id special case.
 
     One shuffle on the 64-bit content digest carrying only
-    (digest, score, id); the winner is a ``max_by`` over a
-    (score, -id) struct — no window sort, partial-aggregated map-side
-    like any other agg. The semi-join back to full rows broadcasts the
-    (small) winner set when the optimizer sizes it so.
+    (digest, score, id); the winner is a struct-max over (score, -id)
+    — never a row_number window over the corpus. Struct-ordered max
+    has no mutable-buffer hash implementation, so this compiles to a
+    SortAggregate: still PARTIAL map-side (the shuffle carries one
+    candidate per digest per partition, same reduction as a hash
+    agg), with a per-partition sort on the digest key instead of a
+    hash table — strictly cheaper than the window formulation, which
+    shuffles every row and sorts whole groups. The join back to full
+    rows broadcasts the winner set when the optimizer sizes it so.
 
     Returns the deduplicated corpus with an ``n_copies`` column
     (group size) attached to each keeper."""

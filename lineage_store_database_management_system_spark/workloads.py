@@ -6053,7 +6053,9 @@ def ds_kmv_overlap(spark, sf_dir):
 
     pairs = (
         sizes.alias("pa")
-        .join(sizes.alias("pb"), F.col("pa.source") < F.col("pb.source"))
+        # non-equi pair condition: hint the (one-row-per-source) right
+        # side so the planner picks BroadcastNestedLoop, not cartesian
+        .join(F.broadcast(sizes.alias("pb")), F.col("pa.source") < F.col("pb.source"))
         .select(
             F.col("pa.source").alias("group_a"),
             F.col("pb.source").alias("group_b"),

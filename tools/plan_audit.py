@@ -150,6 +150,19 @@ AUDIT = [
     # Grown (build+append) ANN index: the gated plan's exact side is
     # a top-k; index build/append jobs run before the audited plan.
     ("ds_embedding_index_append_topk", ["TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
+    # Keep-best dedup: one digest-keyed aggregate (struct max -> no
+    # mutable-buffer hash impl -> SortAggregate, still partial
+    # map-side), never a window sort over the corpus; all Catalyst.
+    ("ds_dedup_keep_best", ["SortAggregate", "xxhash64"], ["Window", "BatchEvalPython"]),
+    # Recursive hierarchy: the audited plan is the CONVERGED state
+    # read (pointer-jump rounds ran before it, each localCheckpointed)
+    # — a checkpointed-RDD scan with zero residual join/Python work.
+    ("ext_recursive_hierarchy", ["Scan ExistingRDD"], ["BatchEvalPython"]),
+    # KMV overlap: sketch arithmetic is Catalyst array functions over
+    # broadcast one-row-per-group frames; the exact twin's pair join
+    # is a hash equi-join on the digest; no Python anywhere, and the
+    # pair stage must never degrade to a cartesian product.
+    ("ds_kmv_overlap", ["xxhash64", "HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
