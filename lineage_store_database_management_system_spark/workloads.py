@@ -6108,3 +6108,86 @@ def ds_kmv_overlap(spark, sf_dir):
             & (F.abs(F.col("_eb") - F.col("n_b")) <= F.col("n_b") * 0.25)
         ).alias("card_ok"),
     )
+
+
+@workload(
+    "st_stream_decontaminate",
+    # Streaming ingest decontamination: the held-out test set (every
+    # 11th doc) builds a Bloom filter ONCE (an index-build batch job);
+    # the train corpus then arrives AS A STREAM and every micro-batch
+    # is probed map-side, with only Bloom candidates reaching the
+    # exact stream-static verify join. Gated output = the exact set
+    # of leaked train doc ids (planted 15 + natural 8-gram overlap) —
+    # the same set arithmetic as ds_bloom_decontaminate's batch twin,
+    # arrived at through the streaming path.
+    rf"""WITH te AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE doc_id % 11 = 0
+), planted AS (
+  SELECT doc_id + 4000000 AS doc_id,
+         'prefix filler words then ' || text AS text
+  FROM documents WHERE doc_id % 11 = 0 ORDER BY doc_id LIMIT 15
+), trn AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL SELECT doc_id, text FROM planted
+), trw AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM trn
+), tg AS (
+  SELECT DISTINCT unnest({_NGRAMS8_SQL}) AS g FROM te
+), trg AS (
+  SELECT doc_id, unnest({_NGRAMS8_SQL}) AS g FROM trw
+)
+SELECT DISTINCT trg.doc_id, TRUE AS leaked
+FROM trg JOIN tg ON trg.g = tg.g""",
+)
+def st_stream_decontaminate(spark, sf_dir):
+    """Streaming Bloom decontamination (operators/bloom.py x
+    Structured Streaming): probe each arriving micro-batch against a
+    pre-built test-set filter map-side (Arrow-batched UDF inside the
+    streaming plan), verify candidates exactly against the static
+    shingle-hash table (stream-static equi-join), and emit each
+    leaked doc id once (streaming dropDuplicates — state bounded by
+    the LEAKED id set, which is the small output by construction,
+    never the corpus)."""
+    from .functions.text import word_shingles
+    from .operators import bloom as _bloom
+
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    test = docs.where(F.col("doc_id") % 11 == 0)
+    planted = (
+        test.orderBy("doc_id")
+        .limit(15)
+        .select(
+            (F.col("doc_id") + 4000000).alias("doc_id"),
+            F.concat(F.lit("prefix filler words then "), F.col("text")).alias(
+                "text"
+            ),
+        )
+    )
+    train = docs.where(F.col("doc_id") % 11 != 0).unionByName(planted)
+
+    # Index-build phase (batch, before the stream starts): test-side
+    # Bloom filter + exact shingle-hash table.
+    sh8 = word_shingles(F.col("text"), 8)
+    test_grams = test.select(F.explode(sh8).alias("_g")).distinct()
+    bf = _bloom.build_bloom(test_grams, "_g")
+    tg_h = test_grams.select(F.xxhash64("_g").alias("_h")).distinct()
+
+    # Arrival: the train corpus lands as parquet files and is read
+    # back as a file-source stream (the ingest-directory shape).
+    root = tempfile.mkdtemp(prefix="lss_wl_stdecon_")
+    train_dir = os.path.join(root, "train")
+    train.write.parquet(train_dir)
+    strm = read_events_stream(spark, train_dir)
+
+    grams = strm.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 8)).alias("_g")
+    )
+    cand = grams.where(_bloom.might_contain(grams, "_g", bf))
+    leaked = (
+        cand.join(tg_h, F.xxhash64(cand["_g"]) == F.col("_h"))
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+        .withColumn("leaked", F.lit(True))
+    )
+    return run_stream_once(leaked, output_mode="append")
