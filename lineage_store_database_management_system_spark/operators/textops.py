@@ -279,6 +279,70 @@ def chunk_fixed(
     )
 
 
+def chunk_content_defined(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    boundary_prefix: str = "0",
+) -> DataFrame:
+    """Content-defined chunking (the CDC/Rabin idea at word
+    granularity): a chunk boundary opens at token position s whenever
+    the md5 of the k-token window starting at s begins with
+    ``boundary_prefix`` (expected chunk length 16^len(prefix)
+    tokens). Because boundaries depend only on LOCAL content, an
+    insertion early in a document shifts at most one chunk — every
+    later chunk re-aligns and deduplicates against the unedited copy,
+    which fixed-width chunking (:func:`chunk_fixed`) structurally
+    cannot do. This is the chunk-granularity dedup primitive for
+    partially-overlapping documents (backup dedup's FastCDC, applied
+    to corpus text).
+
+    Scale shape: map-only — boundaries, chunk assembly, and
+    fingerprints all happen inside per-row array expressions (hash
+    computed INSIDE the transform over the bound token array, the
+    O(T·k) discipline from :func:`remove_repeated_spans`); one
+    posexplode streams chunks out of the scan. No shuffle, no UDF.
+    md5 (not xxhash64) so the boundary decision is engine-portable.
+
+    Returns (id, chunk_id 1-based, chunk_md5, n_tokens)."""
+    toks = F.col("_toks")
+    t_len = F.size(toks)
+    bounds = F.filter(
+        F.when(t_len >= k + 1, F.sequence(F.lit(2), t_len - (k - 1)))
+        .otherwise(F.array().cast("array<int>")),
+        lambda s: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(toks, s, k))),
+            1,
+            len(boundary_prefix),
+        )
+        == boundary_prefix,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.col("_bounds"))
+    ends = F.concat(F.col("_bounds"), F.array(t_len + 1))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            F.concat_ws(" ", F.slice(toks, s, e - s)).alias("c"),
+            (e - s).cast("long").alias("n"),
+        ),
+    )
+    return (
+        df.select(
+            F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("_toks")
+        )
+        .select(F.col(id_col), toks.alias("_toks"), bounds.alias("_bounds"))
+        .select(F.col(id_col), F.posexplode(chunks).alias("_i", "_ch"))
+        .select(
+            F.col(id_col),
+            (F.col("_i") + 1).cast("long").alias("chunk_id"),
+            F.md5(F.col("_ch.c")).alias("chunk_md5"),
+            F.col("_ch.n").alias("n_tokens"),
+        )
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame, id_col: str, text_col: str, min_docs: int = 3
 ) -> DataFrame:

@@ -6191,3 +6191,41 @@ def st_stream_decontaminate(spark, sf_dir):
         .withColumn("leaked", F.lit(True))
     )
     return run_stream_once(leaked, output_mode="append")
+
+
+@workload(
+    "ds_chunk_cdc",
+    # Content-defined chunking: boundary at token s iff
+    # md5(4-token window at s) starts with '0' (~16-token chunks).
+    # Boundaries are local content, so edits re-align — the chunk-
+    # granularity dedup primitive. md5 makes the boundary decision
+    # engine-portable; the oracle recomputes the identical spans.
+    """WITH w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         [s FOR s IN range(2, len(toks) - 2)
+            IF substr(md5(array_to_string(toks[s:s+3], ' ')), 1, 1) = '0']
+           AS bounds
+  FROM w
+), c AS (
+  SELECT doc_id,
+         list_transform(range(1, len(bounds) + 2), j ->
+           array_to_string(toks[
+             (CASE WHEN j = 1 THEN 1 ELSE bounds[j-1] END):
+             (CASE WHEN j = len(bounds) + 1 THEN len(toks)
+                   ELSE bounds[j] - 1 END)], ' ')) AS chunks
+  FROM b
+)
+SELECT doc_id, CAST(t.j AS BIGINT) AS chunk_id,
+       md5(chunks[t.j]) AS chunk_md5,
+       CAST(len(string_split(chunks[t.j], ' ')) AS BIGINT) AS n_tokens
+FROM c, UNNEST(range(1, len(chunks) + 1)) AS t(j)""",
+)
+def ds_chunk_cdc(spark, sf_dir):
+    """Content-defined chunking (textops.chunk_content_defined):
+    map-only boundary detection + chunk assembly + fingerprinting in
+    per-row array expressions — no shuffle, no UDF; the posexplode
+    streams (doc, chunk_id, chunk_md5, n_tokens) out of the scan."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return textops.chunk_content_defined(docs, "doc_id", "text", k=4)

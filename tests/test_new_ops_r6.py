@@ -147,3 +147,49 @@ def test_kmv_estimates_within_bounds_when_sketching(spark):
     p = sketch.kmv_overlap_pairs(sk, "g", k=k).collect()[0]
     true_j = 8000 / 9000
     assert abs(p["jaccard_est"] - true_j) < 0.12
+
+
+# ---------------------------------------------------------------------------
+# textops.chunk_content_defined
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_realign_after_prefix_edit(spark, sf_dir):
+    """The CDC property fixed-width chunking lacks: prepending tokens
+    to a document shifts at most the leading chunk(s); the tail
+    chunks re-align byte-identically (same md5 set)."""
+    from lineage_store_database_management_system_spark.operators import textops
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("n_chars > 200")
+        .limit(10)
+        .select("doc_id", "text")
+    )
+    edited = docs.select(
+        "doc_id",
+        F.concat(F.lit("inserted prefix tokens here "), F.col("text")).alias(
+            "text"
+        ),
+    )
+    a = textops.chunk_content_defined(docs, "doc_id", "text", k=4)
+    b = textops.chunk_content_defined(edited, "doc_id", "text", k=4)
+    for doc in [r["doc_id"] for r in docs.select("doc_id").collect()]:
+        ha = {r["chunk_md5"] for r in a.where(F.col("doc_id") == doc).collect()}
+        hb = {r["chunk_md5"] for r in b.where(F.col("doc_id") == doc).collect()}
+        shared = len(ha & hb)
+        # every chunk except the (shifted) leading one must survive
+        assert shared >= len(ha) - 2, (doc, len(ha), len(hb), shared)
+
+
+def test_cdc_chunks_cover_document_exactly(spark):
+    from lineage_store_database_management_system_spark.operators import textops
+
+    rows = [(1, "a b c d e f g h i j k l m n o p q r s t u v w x y z"), (2, "x"), (3, "one two three")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.chunk_content_defined(df, "doc_id", "text", k=4)
+    per = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id").agg(F.sum("n_tokens").alias("n")).collect()
+    }
+    assert per == {1: 26, 2: 1, 3: 3}
