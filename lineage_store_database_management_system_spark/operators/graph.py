@@ -207,6 +207,72 @@ def hierarchy_resolve(
     )
 
 
+def pagerank_integer(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    n_iter: int = 5,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """PageRank in INTEGER mass units — the iterative-analytics
+    workhorse, made bit-deterministic across engines and partition
+    orders: each node starts with ``scale`` units; per iteration every
+    node keeps ``scale*(100-damping)/100`` (floor) and receives
+    ``floor(m_src * damping / (100 * outdeg(src)))`` along each
+    in-edge. Integer sums are associative-commutative EXACTLY (no
+    float reduction-order drift), so the result is a pure function of
+    the graph — SQL-oracle-able and partitioning-independent, unlike
+    float PageRank whose last-ulp depends on aggregation order.
+    Dangling-node mass is dropped (the standard sink-loss variant);
+    ranks are comparable, not normalized probabilities.
+
+    Scale shape: per iteration one |E| hash join (mass onto edges,
+    degree pre-joined once) + one |E| groupBy-sum + one |V| merge —
+    the same shuffle skeleton as connected components; each round
+    localCheckpoints so the plan stays flat. Fixed ``n_iter``, no
+    convergence scan.
+
+    Returns (id, rank_mass bigint)."""
+    e = (
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .distinct()
+    )
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_d"))
+    ed = e.join(deg, on="_src").localCheckpoint(eager=True)
+    verts = (
+        e.select(F.col("_src").alias("_k"))
+        .unionByName(e.select(F.col("_dst").alias("_k")))
+        .distinct()
+    )
+    if nodes is not None:
+        verts = (
+            nodes.select(F.col(nodes.columns[0]).alias("_k"))
+            .distinct()
+            .unionByName(verts)
+            .distinct()
+        )
+    verts = verts.localCheckpoint(eager=True)
+    base = scale * (100 - damping_pct) // 100
+    m = verts.select("_k", F.lit(scale).cast("long").alias("_m"))
+    for _ in range(n_iter):
+        contrib = ed.join(m, ed["_src"] == m["_k"]).select(
+            F.col("_dst"),
+            F.expr(f"(_m * {damping_pct}) DIV (100 * _d)").alias("_c"),
+        )
+        inflow = contrib.groupBy("_dst").agg(F.sum("_c").alias("_in"))
+        m = (
+            verts.join(inflow, verts["_k"] == inflow["_dst"], "left")
+            .select(
+                "_k",
+                (F.lit(base) + F.coalesce("_in", F.lit(0))).cast("long").alias("_m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return m.select(F.col("_k").alias("id"), F.col("_m").alias("rank_mass"))
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",

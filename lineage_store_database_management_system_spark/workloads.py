@@ -6229,3 +6229,57 @@ def ds_chunk_cdc(spark, sf_dir):
     streams (doc, chunk_id, chunk_md5, n_tokens) out of the scan."""
     docs = load_star(spark, sf_dir)["documents"]
     return textops.chunk_content_defined(docs, "doc_id", "text", k=4)
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS MATERIALIZED (
+  SELECT n.k,
+         CAST(150000 + COALESCE(SUM((m.m * 85) // (100 * d.d)), 0) AS BIGINT)
+           AS m
+  FROM n
+  LEFT JOIN e ON e.dst = n.k
+  LEFT JOIN {prev} m ON m.k = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.k)"""
+
+
+_PAGERANK_SQL = (
+    """WITH e AS MATERIALIZED (
+  SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+), deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+n AS MATERIALIZED (SELECT src AS k FROM e UNION SELECT dst AS k FROM e),
+m0 AS MATERIALIZED (SELECT k, CAST(1000000 AS BIGINT) AS m FROM n),
+"""
+    + ",\n".join(_pr_iter_sql(f"m{i}", f"m{i + 1}") for i in range(5))
+    + "\nSELECT CAST(k AS BIGINT) AS id, m AS rank_mass FROM m5"
+)
+
+
+@workload("ext_pagerank_nations", _PAGERANK_SQL)
+def ext_pagerank_nations(spark, sf_dir):
+    """Iterative analytics surface: 5 PageRank iterations over the
+    nation-level trade graph (supplier nation -> customer nation
+    edges derived from the q7 join shape), in INTEGER mass units
+    (graph.pagerank_integer) so every engine and every partition
+    order produces bit-identical ranks — the float formulation's
+    reduction-order drift is the reason iterative numeric operators
+    usually can't be hash-gated; integer mass removes it."""
+    d = load_star(spark, sf_dir)
+    e = (
+        d["lineitem"]
+        .join(d["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(d["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(d["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.pagerank_integer(e, "src", "dst", n_iter=5)

@@ -193,3 +193,31 @@ def test_cdc_chunks_cover_document_exactly(spark):
         for r in out.groupBy("doc_id").agg(F.sum("n_tokens").alias("n")).collect()
     }
     assert per == {1: 26, 2: 1, 3: 3}
+
+
+# ---------------------------------------------------------------------------
+# graph.pagerank_integer
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_integer_hand_computed(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1)], "src long, dst long"
+    )
+    out = graph.pagerank_integer(e, "src", "dst", n_iter=2)
+    got = {r["id"]: r["rank_mass"] for r in out.collect()}
+    # iter1: m1=1850000, m2=1000000, m3=150000
+    # iter2: m1=150000+850000+127500, m2=150000+floor(1850000*.85), m3=150000
+    assert got == {1: 1127500, 2: 1722500, 3: 150000}
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    import random
+
+    random.seed(7)
+    edges = [(random.randrange(100), random.randrange(100)) for _ in range(500)]
+    e1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    e2 = spark.createDataFrame(edges, "src long, dst long").repartition(17)
+    r1 = {r["id"]: r["rank_mass"] for r in graph.pagerank_integer(e1, "src", "dst").collect()}
+    r2 = {r["id"]: r["rank_mass"] for r in graph.pagerank_integer(e2, "src", "dst").collect()}
+    assert r1 == r2

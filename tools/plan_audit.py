@@ -163,6 +163,12 @@ AUDIT = [
     # is a hash equi-join on the digest; no Python anywhere, and the
     # pair stage must never degrade to a cartesian product.
     ("ds_kmv_overlap", ["xxhash64", "HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
+    # CDC chunking must stay map-only: one Generate streaming chunks
+    # out of the scan, no shuffle, no Python.
+    ("ds_chunk_cdc", ["Generate"], ["Exchange", "BatchEvalPython"]),
+    # PageRank: audited plan is the converged integer-mass state
+    # (iterations localCheckpointed before it) — zero residual work.
+    ("ext_pagerank_nations", ["Scan ExistingRDD"], ["BatchEvalPython"]),
 ]
 
 
