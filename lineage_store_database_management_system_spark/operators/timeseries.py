@@ -140,3 +140,92 @@ def time_weighted_avg(
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average, final value per
+    key: e_1 = v_1, e_i = alpha*v_i + (1-alpha)*e_{i-1} over events
+    ordered by (ts, tiebreak). The recursion is inherently sequential
+    per key — not a windowed aggregate — so it runs as a Catalyst
+    higher-order fold over the key's sorted value array: one shuffle
+    to group, then array arithmetic; no UDF, no iteration driver-side.
+
+    DETERMINISM: the fold order is total (ts, tiebreak), so the IEEE
+    double sequence is identical on any engine that folds in order —
+    unlike associative float SUMs, whose reduction tree varies. The
+    result is scaled to integer ten-thousandths (floor(x*1e4 + 0.5))
+    rather than ROUND'ed, the boundary-proof comparator from
+    SCALING.md's rotation catches.
+
+    Per-key state is the key's full event array — fine for per-entity
+    series (bounded churn per key); for million-event keys use the
+    rollup path instead. Returns (key, n_events, ewma_e4 bigint)."""
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(order_tiebreak).alias("k"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    grouped = df.groupBy(F.col(key_col)).agg(seq.alias("_seq"))
+    vals = F.transform(F.col("_seq"), lambda s: s["v"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: x * F.lit(alpha) + acc * F.lit(1.0 - alpha),
+    )
+    return grouped.select(
+        F.col(key_col),
+        F.size("_seq").cast("long").alias("n_events"),
+        F.floor(folded * 10000 + F.lit(0.5)).cast("long").alias("ewma_e4"),
+    )
+
+
+def funnel_stages(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    order_tiebreak: str,
+) -> DataFrame:
+    """Ordered-funnel analysis: the furthest step each key reached,
+    where step i+1 counts only STRICTLY AFTER the event that
+    completed step i (the standard product-analytics funnel, not
+    set-membership). One shuffle groups each key's (ts, type) events;
+    a Catalyst fold walks the sorted sequence as a state machine —
+    equivalent to the chained min-timestamp formulation but one pass,
+    no self-joins, and the state is a single int per key.
+
+    Returns (key, funnel_stage) with stage in [0, len(steps)]."""
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(order_tiebreak).alias("k"),
+                F.col(type_col).alias("y"),
+            )
+        )
+    )
+    grouped = df.groupBy(F.col(key_col)).agg(seq.alias("_seq"))
+    n = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    stage = F.aggregate(
+        F.col("_seq"),
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < n) & (e["y"] == F.element_at(step_arr, acc + 1)), acc + 1
+        ).otherwise(acc),
+    )
+    return grouped.select(
+        F.col(key_col), stage.cast("long").alias("funnel_stage")
+    )

@@ -6283,3 +6283,83 @@ def ext_pagerank_nations(spark, sf_dir):
         .distinct()
     )
     return graph.pagerank_integer(e, "src", "dst", n_iter=5)
+
+
+@workload(
+    "ext_ewma_per_user",
+    # Sequential-recursion analytics: per-user EWMA folded over the
+    # (ts, event_id)-ordered value sequence in BOTH engines
+    # (Catalyst aggregate() / DuckDB list_reduce) — the identical
+    # IEEE double sequence, compared as integer ten-thousandths
+    # (floor(x*1e4+0.5), the boundary-proof comparator), so an
+    # order-dependent float recursion becomes hash-gateable.
+    """WITH seq AS (
+  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+       CAST(FLOOR(list_reduce(vals, (a, b) -> b * 0.25 + a * 0.75)
+                  * 10000 + 0.5) AS BIGINT) AS ewma_e4
+FROM seq""",
+)
+def ext_ewma_per_user(spark, sf_dir):
+    """Per-key EWMA (timeseries.ewma): the e_i = a*v_i + (1-a)*e_{i-1}
+    recursion is sequential per key, so it runs as a higher-order
+    array fold after ONE grouping shuffle — no UDF, no driver loop,
+    no window recursion hack."""
+    from .operators import timeseries
+
+    ev = load_star(spark, sf_dir)["events"]
+    return timeseries.ewma(
+        ev, "user_id", "ts", "value", order_tiebreak="event_id", alpha=0.25
+    )
+
+
+@workload(
+    "ext_funnel_conversion",
+    # Ordered funnel view -> click -> purchase: step i+1 counts only
+    # strictly after (in (ts, event_id) total order) the event that
+    # completed step i. The oracle is the chained min-rank
+    # formulation; the Spark side is a one-pass state-machine fold —
+    # provably the same function of the ordered sequence.
+    """WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+  FROM events
+), s1 AS (
+  SELECT user_id, MIN(r) AS r1 FROM ranked
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT ranked.user_id, MIN(r) AS r2 FROM ranked JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND r > r1 GROUP BY ranked.user_id
+), s3 AS (
+  SELECT ranked.user_id, MIN(r) AS r3 FROM ranked JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND r > r2 GROUP BY ranked.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN r3 IS NOT NULL THEN 3
+                 WHEN r2 IS NOT NULL THEN 2
+                 WHEN r1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)""",
+)
+def ext_funnel_conversion(spark, sf_dir):
+    """Product-analytics funnel (timeseries.funnel_stages): furthest
+    ordered step per user in ONE pass — the state machine folds the
+    sorted event sequence in Catalyst; the oracle's three chained
+    min-rank CTEs (three self-joins) compute the same function, which
+    is exactly the trade the one-pass form wins at scale."""
+    from .operators import timeseries
+
+    ev = load_star(spark, sf_dir)["events"]
+    return timeseries.funnel_stages(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        steps=["view", "click", "purchase"],
+        order_tiebreak="event_id",
+    )

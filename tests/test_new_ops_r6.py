@@ -221,3 +221,63 @@ def test_pagerank_deterministic_across_partitionings(spark):
     r1 = {r["id"]: r["rank_mass"] for r in graph.pagerank_integer(e1, "src", "dst").collect()}
     r2 = {r["id"]: r["rank_mass"] for r in graph.pagerank_integer(e2, "src", "dst").collect()}
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# timeseries.ewma / funnel_stages
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_hand_computed(spark):
+    import datetime as dt
+
+    from lineage_store_database_management_system_spark.operators import timeseries
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, 8.0),
+        (1, t0 + dt.timedelta(hours=1), 2, 4.0),
+        (1, t0 + dt.timedelta(hours=2), 3, 0.0),
+        (2, t0, 4, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {
+        r["user_id"]: (r["n_events"], r["ewma_e4"])
+        for r in timeseries.ewma(
+            df, "user_id", "ts", "value", order_tiebreak="event_id"
+        ).collect()
+    }
+    # user 1: e1=8, e2=4*.25+8*.75=7, e3=0*.25+7*.75=5.25 -> 52500
+    assert out == {1: (3, 52500), 2: (1, 50000)}
+
+
+def test_funnel_tie_and_order_semantics(spark):
+    import datetime as dt
+
+    from lineage_store_database_management_system_spark.operators import timeseries
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t0, 1, "view"), (1, t0 + h, 2, "click"), (1, t0 + 2 * h, 3, "purchase"),
+        # user 2: purchase BEFORE view/click -> stage stops at 2
+        (2, t0, 4, "purchase"), (2, t0 + h, 5, "view"), (2, t0 + 2 * h, 6, "click"),
+        # user 3: same-ts view/click; event_id order advances the funnel
+        (3, t0, 7, "view"), (3, t0, 8, "click"),
+        # user 4: no funnel events
+        (4, t0, 9, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        r["user_id"]: r["funnel_stage"]
+        for r in timeseries.funnel_stages(
+            df, "user_id", "ts", "event_type",
+            steps=["view", "click", "purchase"], order_tiebreak="event_id",
+        ).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 2, 4: 0}

@@ -169,6 +169,11 @@ AUDIT = [
     # PageRank: audited plan is the converged integer-mass state
     # (iterations localCheckpointed before it) — zero residual work.
     ("ext_pagerank_nations", ["Scan ExistingRDD"], ["BatchEvalPython"]),
+    # EWMA / funnel: one grouping aggregate (collect_list ->
+    # ObjectHashAggregate) + array fold; no UDF, no window, no
+    # second shuffle.
+    ("ext_ewma_per_user", ["ObjectHashAggregate"], ["BatchEvalPython", "Window"]),
+    ("ext_funnel_conversion", ["ObjectHashAggregate"], ["BatchEvalPython", "Window"]),
 ]
 
 
