@@ -859,3 +859,79 @@ def charlm_xent(
             F.round(-F.avg(logp), round_to).alias("xent"),
         )
     )
+
+
+def source_drift_tv(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Pairwise total-variation distance between the unigram
+    distributions of each group (source/shard/snapshot) — the corpus
+    drift monitor: TV = 0.5 * sum_t |p_a(t) - p_b(t)| in [0, 1],
+    0 = identical mix, 1 = disjoint vocabularies. Chosen over
+    KL/Jensen-Shannon deliberately: TV needs no logarithms, so with
+    integer counts the numerator sum_t |c_a(t)*N_b - c_b(t)*N_a| is
+    EXACT int64 arithmetic — order-independent, engine-independent,
+    no libm ulp drift, no smoothing constant.
+
+    One |tokens| shuffle builds (group, term, count); the pair stage
+    needs only the INNER join on term (terms private to one side
+    contribute their whole count, recovered as N - sum(shared) in
+    closed form), so the heavy full-outer-per-pair is never built.
+    Per-pair work is O(shared vocabulary); skewed common terms skew
+    the join like any hot key — salt via operators/skew at extreme
+    group counts.
+
+    Returns (group_a, group_b, tv_e6 bigint) — integer millionths
+    via the boundary-proof floor(x*1e6 + 0.5) comparator."""
+    tok = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("_t"),
+    )
+    tc = tok.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    tot = tc.groupBy("_g").agg(F.sum("_c").alias("_n"))
+    a = tc.select(
+        F.col("_g").alias("_ga"), F.col("_t").alias("_t"), F.col("_c").alias("_ca")
+    )
+    b = tc.select(
+        F.col("_g").alias("_gb"), F.col("_t").alias("_t"), F.col("_c").alias("_cb")
+    )
+    ta = tot.select(F.col("_g").alias("_ga"), F.col("_n").alias("_na"))
+    tb = tot.select(F.col("_g").alias("_gb"), F.col("_n").alias("_nb"))
+    joined = (
+        a.join(b, on="_t")
+        .where(F.col("_ga") < F.col("_gb"))
+        .join(F.broadcast(ta), on="_ga")
+        .join(F.broadcast(tb), on="_gb")
+        .groupBy("_ga", "_gb")
+        .agg(
+            F.sum(
+                F.abs(F.col("_ca") * F.col("_nb") - F.col("_cb") * F.col("_na"))
+            ).alias("_i1"),
+            F.sum("_ca").alias("_sa"),
+            F.sum("_cb").alias("_sb"),
+        )
+    )
+    pairs = (
+        ta.join(F.broadcast(tb), F.col("_ga") < F.col("_gb"))
+        .join(joined, on=["_ga", "_gb"], how="left")
+        .select(
+            "_ga",
+            "_gb",
+            "_na",
+            "_nb",
+            F.coalesce("_i1", F.lit(0)).alias("_i1"),
+            F.coalesce("_sa", F.lit(0)).alias("_sa"),
+            F.coalesce("_sb", F.lit(0)).alias("_sb"),
+        )
+    )
+    s = (
+        F.col("_i1")
+        + (F.col("_na") - F.col("_sa")) * F.col("_nb")
+        + (F.col("_nb") - F.col("_sb")) * F.col("_na")
+    )
+    tv = s / (F.lit(2.0) * F.col("_na") * F.col("_nb"))
+    return pairs.select(
+        F.col("_ga").alias("group_a"),
+        F.col("_gb").alias("group_b"),
+        F.floor(tv * 1000000 + F.lit(0.5)).cast("long").alias("tv_e6"),
+    )

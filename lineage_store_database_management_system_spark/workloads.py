@@ -6363,3 +6363,47 @@ def ext_funnel_conversion(spark, sf_dir):
         steps=["view", "click", "purchase"],
         order_tiebreak="event_id",
     )
+
+
+@workload(
+    "ds_source_drift_tv",
+    # Corpus drift monitor: pairwise total-variation distance between
+    # per-source unigram distributions. TV (not KL/JS) because it
+    # needs NO logarithms: the numerator is exact int64 set
+    # arithmetic (sum |c_a*N_b - c_b*N_a|), order- and engine-
+    # independent, with one final IEEE division — no libm ulp drift,
+    # no smoothing constant; compared as integer millionths.
+    """WITH tok AS (
+  SELECT source AS g, unnest(string_split(trim(text), ' ')) AS t
+  FROM documents
+), tc AS (
+  SELECT g, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), tot AS (
+  SELECT g, SUM(c) AS n FROM tc GROUP BY 1
+), joined AS (
+  SELECT a.g AS ga, b.g AS gb,
+         SUM(ABS(a.c * tb.n - b.c * ta.n)) AS i1,
+         SUM(a.c) AS sa, SUM(b.c) AS sb
+  FROM tc a
+  JOIN tc b ON a.t = b.t AND a.g < b.g
+  JOIN tot ta ON ta.g = a.g
+  JOIN tot tb ON tb.g = b.g
+  GROUP BY 1, 2
+)
+SELECT ta.g AS group_a, tb.g AS group_b,
+       CAST(FLOOR(
+         (COALESCE(i1, 0) + (ta.n - COALESCE(sa, 0)) * tb.n
+                          + (tb.n - COALESCE(sb, 0)) * ta.n)
+         / (2.0 * ta.n * tb.n) * 1000000 + 0.5) AS BIGINT) AS tv_e6
+FROM tot ta
+JOIN tot tb ON ta.g < tb.g
+LEFT JOIN joined ON joined.ga = ta.g AND joined.gb = tb.g""",
+)
+def ds_source_drift_tv(spark, sf_dir):
+    """Distribution-shift monitoring (textops.source_drift_tv):
+    pairwise TV distance over source unigram mixes — one token
+    shuffle + one term-keyed inner join; private-vocabulary mass
+    recovered in closed form (N - shared), so no full-outer join per
+    pair ever materializes."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return textops.source_drift_tv(docs, "source", "text")

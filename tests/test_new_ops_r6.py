@@ -281,3 +281,30 @@ def test_funnel_tie_and_order_semantics(spark):
         ).collect()
     }
     assert out == {1: 3, 2: 2, 3: 2, 4: 0}
+
+
+# ---------------------------------------------------------------------------
+# textops.source_drift_tv
+# ---------------------------------------------------------------------------
+
+
+def test_tv_distance_identical_and_disjoint(spark):
+    from lineage_store_database_management_system_spark.operators import textops
+
+    rows = [
+        (1, "a", "x y z"),
+        (2, "b", "x y z"),      # identical mix to a -> TV 0
+        (3, "c", "p q r"),      # disjoint from a/b -> TV 1
+        (4, "d", "x y p q"),    # half-overlap: TV vs a = 0.5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r["group_a"], r["group_b"]): r["tv_e6"]
+        for r in textops.source_drift_tv(df, "source", "text").collect()
+    }
+    assert out[("a", "b")] == 0
+    assert out[("a", "c")] == 1000000
+    assert out[("b", "c")] == 1000000
+    # a = {x,y,z}@1/3; d = {x,y,p,q}@1/4: shared |1/3-1/4|*2 = 1/6,
+    # private 1/3 + 2/4 = 5/6 -> TV = (1/6 + 5/6)/2 = 0.5
+    assert out[("a", "d")] == 500000

@@ -174,6 +174,9 @@ AUDIT = [
     # second shuffle.
     ("ext_ewma_per_user", ["ObjectHashAggregate"], ["BatchEvalPython", "Window"]),
     ("ext_funnel_conversion", ["ObjectHashAggregate"], ["BatchEvalPython", "Window"]),
+    # TV drift: token shuffle + term-keyed equi-join; broadcast totals;
+    # never a cartesian or full-outer per pair.
+    ("ds_source_drift_tv", ["HashAggregate", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
