@@ -151,3 +151,71 @@ def domain_mixture(
         )
     )
     return kept.drop("target_frac"), plan
+
+
+def proportional_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    total_k: int,
+) -> DataFrame:
+    """Draw EXACTLY ``total_k`` rows allocated across groups
+    proportionally to group size by the largest-remainder (Hamilton)
+    method — the eval-set construction rule when "10% per source"
+    must land on an exact global budget: floor quotas first, then the
+    leftover seats go to the largest fractional remainders (group key
+    ascending on ties). All-integer arithmetic (quota numerators and
+    remainders, never float shares), so the allocation is a pure
+    function of the counts.
+
+    Within each group the selected rows are the ``k_g`` smallest by
+    ``(md5(id), id)`` — a deterministic, engine-portable stand-in for
+    a uniform draw (md5 scrambles id locality; ties impossible but
+    id-broken anyway).
+
+    Scale shape: counts are one partial-aggregated pass; the
+    allocation frame is |groups| rows (window over a broadcast-sized
+    frame); selection is one row_number window per group partition —
+    the same shuffle the grouped top-k (cap_per_group) pays. Returns
+    the selected rows (id, group)."""
+    from pyspark.sql import Window
+
+    cnt = df.groupBy(F.col(group_col)).agg(F.count(F.lit(1)).alias("_ng"))
+    tot = cnt.agg(
+        F.sum("_ng").alias("_n"), F.count(F.lit(1)).alias("_g")
+    )
+    alloc = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(group_col),
+            F.col("_ng"),
+            F.col("_n"),
+            F.expr(f"({total_k} * _ng) DIV _n").alias("_fl"),
+            ((F.lit(total_k) * F.col("_ng")) % F.col("_n")).alias("_rem"),
+        )
+        .withColumn(
+            "_rr",
+            F.row_number().over(
+                Window.orderBy(F.desc("_rem"), F.asc(group_col))
+            ),
+        )
+    )
+    extra = alloc.agg((F.lit(total_k) - F.sum("_fl")).alias("_e"))
+    quotas = alloc.crossJoin(F.broadcast(extra)).select(
+        F.col(group_col),
+        (
+            F.col("_fl")
+            + F.when(F.col("_rr") <= F.col("_e"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("_kg"),
+    )
+    w = Window.partitionBy(F.col(group_col)).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(F.col(id_col), F.col(group_col)).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    return (
+        ranked.join(F.broadcast(quotas), on=group_col)
+        .where(F.col("_rn") <= F.col("_kg"))
+        .select(F.col(id_col), F.col(group_col))
+    )

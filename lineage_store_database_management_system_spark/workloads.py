@@ -6407,3 +6407,48 @@ def ds_source_drift_tv(spark, sf_dir):
     pair ever materializes."""
     docs = load_star(spark, sf_dir)["documents"]
     return textops.source_drift_tv(docs, "source", "text")
+
+
+@workload(
+    "ds_eval_allocation",
+    # Exact-budget eval-set construction: 200 docs allocated across
+    # sources by the largest-remainder method (all-integer quota
+    # arithmetic, remainder-desc/source-asc seat order), each group
+    # contributing its k_g smallest-by-(md5(id), id) rows — a
+    # deterministic uniform-draw stand-in both engines compute
+    # identically.
+    """WITH cnt AS (
+  SELECT source, COUNT(*) AS ng FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(ng) AS n FROM cnt
+), alloc AS (
+  SELECT source, ng,
+         (200 * ng) // n AS fl,
+         (200 * ng) % n AS rem,
+         ROW_NUMBER() OVER (ORDER BY (200 * ng) % n DESC, source) AS rr
+  FROM cnt, tot
+), extra AS (
+  SELECT 200 - SUM(fl) AS e FROM alloc
+), k AS (
+  SELECT source, fl + CASE WHEN rr <= e THEN 1 ELSE 0 END AS kg
+  FROM alloc, extra
+), ranked AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+  FROM documents d
+)
+SELECT r.doc_id, r.source
+FROM ranked r JOIN k ON k.source = r.source
+WHERE r.rn <= k.kg""",
+)
+def ds_eval_allocation(spark, sf_dir):
+    """Largest-remainder proportional sampling
+    (sampling.proportional_sample): exactly 200 eval docs, group
+    quotas from integer remainder arithmetic, per-group selection by
+    portable md5 order — one counts pass + one grouped window."""
+    from .operators import sampling
+
+    docs = load_star(spark, sf_dir)["documents"]
+    return sampling.proportional_sample(docs, "source", "doc_id", total_k=200)

@@ -308,3 +308,38 @@ def test_tv_distance_identical_and_disjoint(spark):
     # a = {x,y,z}@1/3; d = {x,y,p,q}@1/4: shared |1/3-1/4|*2 = 1/6,
     # private 1/3 + 2/4 = 5/6 -> TV = (1/6 + 5/6)/2 = 0.5
     assert out[("a", "d")] == 500000
+
+
+# ---------------------------------------------------------------------------
+# sampling.proportional_sample
+# ---------------------------------------------------------------------------
+
+
+def test_proportional_sample_exact_budget_and_quotas(spark):
+    from lineage_store_database_management_system_spark.operators import sampling
+
+    rows = (
+        [(i, "a") for i in range(60)]
+        + [(i + 100, "b") for i in range(30)]
+        + [(i + 200, "c") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.proportional_sample(df, "source", "doc_id", total_k=7).collect()
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    # quotas: a 7*60/100=4.2, b 2.1, c 0.7 -> floors 4,2,0 (sum 6);
+    # remainders .7(c) > .2(a) > .1(b): the 1 leftover seat -> c
+    assert sum(per.values()) == 7
+    assert per == {"a": 4, "b": 2, "c": 1}
+
+
+def test_proportional_sample_is_deterministic(spark):
+    from lineage_store_database_management_system_spark.operators import sampling
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("string").alias("source")
+    )
+    a = {r["doc_id"] for r in sampling.proportional_sample(df, "source", "doc_id", 50).collect()}
+    b = {r["doc_id"] for r in sampling.proportional_sample(df.repartition(13), "source", "doc_id", 50).collect()}
+    assert a == b and len(a) == 50
