@@ -176,7 +176,11 @@ def kmv_sketches(
     )
     # Signed threshold: -2^63 + 2^64 * min(1, k*safety/nd). Computed in
     # float (2^64 loses 11 bits of precision) — irrelevant: the margin
-    # is a factor of `prune_safety`, not ulps.
+    # is a factor of `prune_safety`, not ulps. When nd <= k*safety the
+    # min() clamps to the top of the range (the long cast saturates at
+    # Long.MaxValue — verified under ANSI mode) AND the filter below
+    # independently passes such groups whole, so the clamp is belt-
+    # and-suspenders, never load-bearing.
     thr = (
         F.lit(-(2.0**63))
         + F.lit(2.0**64)
