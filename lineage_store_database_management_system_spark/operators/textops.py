@@ -285,6 +285,7 @@ def chunk_content_defined(
     text_col: str,
     k: int = 4,
     boundary_prefix: str = "0",
+    include_text: bool = False,
 ) -> DataFrame:
     """Content-defined chunking (the CDC/Rabin idea at word
     granularity): a chunk boundary opens at token position s whenever
@@ -305,7 +306,10 @@ def chunk_content_defined(
     posexplode streams chunks out of the scan. No shuffle, no UDF.
     md5 (not xxhash64) so the boundary decision is engine-portable.
 
-    Returns (id, chunk_id 1-based, chunk_md5, n_tokens)."""
+    Returns (id, chunk_id 1-based, chunk_md5, n_tokens); with
+    ``include_text`` also the ``chunk`` text itself (for the dedup
+    transform — off by default so the fingerprint table never
+    carries corpus bytes)."""
     toks = F.col("_toks")
     t_len = F.size(toks)
     bounds = F.filter(
@@ -339,6 +343,68 @@ def chunk_content_defined(
             (F.col("_i") + 1).cast("long").alias("chunk_id"),
             F.md5(F.col("_ch.c")).alias("chunk_md5"),
             F.col("_ch.n").alias("n_tokens"),
+            *([F.col("_ch.c").alias("chunk")] if include_text else []),
+        )
+    )
+
+
+def chunk_dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    boundary_prefix: str = "0",
+) -> DataFrame:
+    """Chunk-granularity corpus dedup (Lee et al.'s "deduplicating
+    training data", at CDC-aligned chunks): every chunk whose exact
+    text already occurred earlier in the corpus — FIRST occurrence in
+    (doc, chunk position) order wins — is removed, and each document
+    is reassembled from its surviving chunks. Because the chunks are
+    content-defined (:func:`chunk_content_defined`), a license block
+    pasted mid-document deduplicates even when every copy has
+    different surroundings — boundaries re-align on content, so the
+    copies chunk identically.
+
+    Scale shape: chunking is map-only; the winner election is one
+    digest-keyed aggregate (min (doc, pos) struct — partial map-side,
+    the dedup_keep_best shape); survivors join back on the digest and
+    reassembly is a per-doc sorted fold. The digest shuffle carries
+    (md5, doc, pos), never chunk text; only the survivor join moves
+    text, once.
+
+    Returns (id, n_kept, text) — text '' when every chunk was a
+    repeat."""
+    ch = chunk_content_defined(
+        df, id_col, text_col, k=k, boundary_prefix=boundary_prefix,
+        include_text=True,
+    )
+    winners = ch.groupBy("chunk_md5").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("chunk_id").alias("p"))).alias(
+            "_w"
+        )
+    )
+    kept = ch.join(winners, on="chunk_md5").where(
+        (F.col(id_col) == F.col("_w.i")) & (F.col("chunk_id") == F.col("_w.p"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("chunk_id"), F.col("chunk")))
+                ),
+                lambda s: s["chunk"],
+            ),
+        ).alias("_text"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("_text", F.lit("")).alias(text_col),
         )
     )
 

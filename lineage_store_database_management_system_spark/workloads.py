@@ -6452,3 +6452,70 @@ def ds_eval_allocation(spark, sf_dir):
 
     docs = load_star(spark, sf_dir)["documents"]
     return sampling.proportional_sample(docs, "source", "doc_id", total_k=200)
+
+
+@workload(
+    "ds_chunk_dedup_corpus",
+    # Chunk-level corpus dedup over CDC-aligned chunks: plant clones
+    # with a SHIFTED prefix (every 5th doc re-emitted with 4 junk
+    # tokens prepended) — fixed-width chunks would misalign and keep
+    # every copy; CDC boundaries re-align, so the clones' tail chunks
+    # dedup against the originals (first (doc, pos) occurrence wins)
+    # and each doc is reassembled from survivors.
+    """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'inserted prefix tokens here ' || text
+  FROM documents WHERE doc_id % 5 = 0
+), w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM corpus
+), b AS (
+  SELECT doc_id, toks,
+         [s FOR s IN range(2, len(toks) - 2)
+            IF substr(md5(array_to_string(toks[s:s+3], ' ')), 1, 1) = '0']
+           AS bounds
+  FROM w
+), c AS (
+  SELECT doc_id,
+         list_transform(range(1, len(bounds) + 2), j ->
+           array_to_string(toks[
+             (CASE WHEN j = 1 THEN 1 ELSE bounds[j-1] END):
+             (CASE WHEN j = len(bounds) + 1 THEN len(toks)
+                   ELSE bounds[j] - 1 END)], ' ')) AS chunks
+  FROM b
+), ch AS (
+  SELECT doc_id, CAST(t.j AS BIGINT) AS cid, chunks[t.j] AS chunk,
+         md5(chunks[t.j]) AS h
+  FROM c, UNNEST(range(1, len(chunks) + 1)) AS t(j)
+), keep AS (
+  SELECT doc_id, cid, chunk FROM (
+    SELECT doc_id, cid, chunk,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, cid) AS rn
+    FROM ch) t WHERE rn = 1
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(chunk, ' ' ORDER BY cid)) AS text_md5
+  FROM keep GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(r.text_md5, md5('')) AS text_md5
+FROM corpus d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""",
+)
+def ds_chunk_dedup_corpus(spark, sf_dir):
+    """CDC chunk-level corpus dedup (textops.chunk_dedup_corpus):
+    first-occurrence chunk election on the digest (min (doc, pos)
+    struct, partial map-side), survivors joined back and documents
+    reassembled order-preserving — the digest shuffle never carries
+    text. Planted shifted-prefix clones prove the re-alignment
+    property end-to-end."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where("doc_id % 5 = 0").select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("inserted prefix tokens here "), F.col("text")).alias(
+                "text"
+            ),
+        )
+    )
+    out = textops.chunk_dedup_corpus(corpus, "doc_id", "text", k=4)
+    return out.select("doc_id", "n_kept", F.md5("text").alias("text_md5"))

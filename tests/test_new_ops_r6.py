@@ -343,3 +343,26 @@ def test_proportional_sample_is_deterministic(spark):
     a = {r["doc_id"] for r in sampling.proportional_sample(df, "source", "doc_id", 50).collect()}
     b = {r["doc_id"] for r in sampling.proportional_sample(df.repartition(13), "source", "doc_id", 50).collect()}
     assert a == b and len(a) == 50
+
+
+def test_chunk_dedup_corpus_removes_shifted_clone_tail(spark):
+    from lineage_store_database_management_system_spark.operators import textops
+
+    # diverse tokens (a periodic text has ~4 distinct windows and may
+    # produce no boundary at all — then each doc is one big chunk)
+    base = " ".join(f"tok{i}" for i in range(160))
+    rows = [
+        (1, base),
+        (2, "shift pad junk " + base),  # shifted clone
+        (3, "totally different words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_kept"], r["text"])
+        for r in textops.chunk_dedup_corpus(df, "doc_id", "text", k=4).collect()
+    }
+    # doc 1 keeps everything (first occurrence); doc 2's re-aligned
+    # tail chunks dedup away, keeping at most its leading chunk(s)
+    assert out[1][1] == base
+    assert out[2][0] <= 2 and len(out[2][1]) < len(rows[1][1])
+    assert out[3][1] == rows[2][1]

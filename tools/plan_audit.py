@@ -177,6 +177,10 @@ AUDIT = [
     # TV drift: token shuffle + term-keyed equi-join; broadcast totals;
     # never a cartesian or full-outer per pair.
     ("ds_source_drift_tv", ["HashAggregate", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
+    # Chunk-level corpus dedup: digest-keyed winner election
+    # (struct-min SortAggregate, partial map-side) + equi-join back;
+    # never a cartesian, no Python.
+    ("ds_chunk_dedup_corpus", ["Generate", "SortAggregate"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
