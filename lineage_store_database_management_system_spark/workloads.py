@@ -6519,3 +6519,92 @@ def ds_chunk_dedup_corpus(spark, sf_dir):
     )
     out = textops.chunk_dedup_corpus(corpus, "doc_id", "text", k=4)
     return out.select("doc_id", "n_kept", F.md5("text").alias("text_md5"))
+
+
+@workload(
+    "ds_knn_label_vote",
+    # kNN classification eval: each query's top-15 NON-SELF neighbors
+    # (identical sequential double cosine in both engines, id
+    # tiebreak) vote on the label; majority wins, smallest label on
+    # vote ties. The standard embedding-quality probe run over a
+    # labeled held-out slice.
+    """WITH lv AS (
+  SELECT vec_id AS l_id, embedding AS le, label AS true_label
+  FROM embeddings WHERE vec_id < 20
+), scored AS (
+  SELECT l_id, e.vec_id AS nn, e.label AS nl,
+    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(le[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(e.embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(le,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM embeddings e, lv
+  WHERE e.vec_id <> lv.l_id
+), ranked AS (
+  SELECT l_id, nn, nl,
+         row_number() OVER (PARTITION BY l_id ORDER BY c DESC, nn) AS r
+  FROM scored
+), votes AS (
+  SELECT l_id, nl AS label, COUNT(*) AS n_votes
+  FROM ranked WHERE r <= 15 GROUP BY 1, 2
+), winner AS (
+  SELECT l_id, label, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY l_id
+                            ORDER BY n_votes DESC, label) AS w
+  FROM votes
+)
+SELECT lv.l_id AS vec_id,
+       CAST(lv.true_label AS BIGINT) AS true_label,
+       CAST(w.label AS BIGINT) AS predicted_label,
+       CAST(w.n_votes AS BIGINT) AS n_votes
+FROM lv JOIN winner w ON w.l_id = lv.l_id AND w.w = 1""",
+)
+def ds_knn_label_vote(spark, sf_dir):
+    """kNN label vote (composition of similarity.knn_join): top-16
+    with the query present collapses to the true top-15 non-self set
+    after the self filter (self is either inside the 16 — removed —
+    or already displaced by >= 16 better neighbors), then a
+    (count desc, label asc) arg-max picks the prediction — the
+    struct-max shape, no second corpus pass."""
+    from pyspark.sql import Window
+
+    emb = load_star(spark, sf_dir)["embeddings"]
+    left = emb.where(F.col("vec_id") < 20)
+    nn = (
+        similarity.knn_join(left.select("vec_id", "embedding"), emb, k=16)
+        .where(F.col("nn_vec_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("nn_vec_id")
+    )
+    top15 = nn.withColumn("_r", F.row_number().over(w)).where("_r <= 15")
+    labels = emb.select(
+        F.col("vec_id").alias("nn_vec_id"), F.col("label").alias("_nl")
+    )
+    votes = (
+        top15.join(F.broadcast(labels), on="nn_vec_id")
+        .groupBy("vec_id", "_nl")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    winner = (
+        votes.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_votes"), (-F.col("_nl")).cast("long").alias("_negl")
+                )
+            ).alias("_w")
+        )
+        .select(
+            "vec_id",
+            (-F.col("_w._negl")).cast("long").alias("predicted_label"),
+            F.col("_w.n_votes").cast("long").alias("n_votes"),
+        )
+    )
+    truth = left.select(
+        "vec_id", F.col("label").cast("long").alias("true_label")
+    )
+    return truth.join(winner, on="vec_id").select(
+        "vec_id", "true_label", "predicted_label", "n_votes"
+    )
