@@ -948,7 +948,12 @@ def source_drift_tv(
     group counts.
 
     Returns (group_a, group_b, tv_e6 bigint) — integer millionths
-    via the boundary-proof floor(x*1e6 + 0.5) comparator."""
+    via the boundary-proof floor(x*1e6 + 0.5) comparator.
+
+    Bounds: each |c_a*N_b| term needs c_max * N < 2^63 — holds to
+    ~1e9 occurrences of one term against ~1e9-token groups; beyond
+    that ANSI mode fails loudly (overflow error, never silent
+    wraparound). Shard by month/source first at that scale."""
     tok = df.select(
         F.col(group_col).alias("_g"),
         F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("_t"),
