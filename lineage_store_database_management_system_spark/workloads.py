@@ -124,8 +124,18 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
         matched = src.where("o_orderkey % 6 = 0").select(
             "o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice")
         )
+        # Planted-insert offset = max live key, derived from the data:
+        # a FIXED literal (the original 10M) collided with live keys
+        # at sf10 (max key 15M), so the engine correctly classified
+        # the colliding rows as updates while the oracle's UNION ALL
+        # blindly appended them — caught by the sf10 write-path gate.
+        # max+1+key is fresh at EVERY scale (keys are 0-based, so a
+        # bare max offset still collides via key 0); both engines
+        # derive it identically (scalar subquery in the oracle).
+        max_key = src.agg(F.max("o_orderkey")).first()[0]
         fresh = src.where("o_orderkey % 9 = 0").select(
-            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"), "o_totalprice"
+            (F.col("o_orderkey") + F.lit(max_key + 1)).alias("o_orderkey"),
+            "o_totalprice",
         )
         t.merge_into(matched.unionByName(fresh))
     elif name == "customer_imv":
@@ -4092,7 +4102,8 @@ def ds_levenshtein(spark, sf_dir):
                   ELSE o_totalprice END, 2) AS o_totalprice
 FROM orders
 UNION ALL
-SELECT o_orderkey + 10000000 AS o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders) AS o_orderkey,
+       ROUND(o_totalprice, 2) AS o_totalprice
 FROM orders WHERE o_orderkey % 9 = 0""",
 )
 def pq_merge_upsert(spark, sf_dir):
