@@ -186,6 +186,37 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
         mode = db.refresh_join_mv("mv_orders_cust")
         assert mode == "incremental", mode
         t.jmv_db = db  # the workload reads the MV through this handle
+    elif name == "customer_evo":
+        # schema-evolution scenario: ALTER TABLE on the lineage format.
+        # add_column is metadata-only (old files read NULL through the
+        # schema-directed scan); updates set the new column through the
+        # tail; drop_column is logical; compact() proves evolution
+        # survives the physical rewrite; the post-evolution ingest
+        # carries the new shape. Planted keys derive from max(key)
+        # (scale-safe at every sf — the fixed-literal trap caught by
+        # the sf10 write-path gate).
+        from pyspark.sql import types as T
+
+        src = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        t = db.create_table_typed(name, src.schema, "c_custkey")
+        t.ingest_dataframe(src)
+        t.add_column("c_score", T.DoubleType())
+        t.bulk_update(
+            src.where("c_custkey % 3 = 0").select(
+                "c_custkey", (F.col("c_acctbal") + 100).alias("c_score")
+            )
+        )
+        t.drop_column("c_mktsegment")
+        t.compact()
+        max_key = src.agg(F.max("c_custkey")).first()[0]
+        fresh = src.where("c_custkey % 97 = 0").select(
+            (F.col("c_custkey") + F.lit(max_key + 1)).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            (F.col("c_acctbal") - 50).alias("c_score"),
+        )
+        t.ingest_dataframe(fresh)
     else:  # pragma: no cover
         raise KeyError(name)
     _SCENARIOS[key] = t
@@ -6618,4 +6649,35 @@ def ds_knn_label_vote(spark, sf_dir):
     )
     return truth.join(winner, on="vec_id").select(
         "vec_id", "true_label", "predicted_label", "n_votes"
+    )
+
+
+@workload(
+    "pq_schema_evolution",
+    """WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+       CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 ELSE NULL END AS c_score
+FROM customer
+UNION ALL
+SELECT c.c_custkey + mx.m + 1 AS c_custkey, c_name, c_nationkey, c_acctbal,
+       c_acctbal - 50 AS c_score
+FROM customer c CROSS JOIN mx WHERE c.c_custkey % 97 = 0""",
+)
+def pq_schema_evolution(spark, sf_dir):
+    """Schema evolution on the lineage format, end to end: ALTER TABLE
+    ADD COLUMN (metadata-only — no file rewrite; pre-evolution base
+    and tail parquet lack the column and the schema-directed read
+    yields NULL, exactly the lineage encoding's never-updated state),
+    a bulk update that sets the new column for a key slice THROUGH
+    THE TAIL, ALTER TABLE DROP COLUMN (logical; bytes fall away at
+    the next rewrite), a compact() — evolution must survive the
+    physical base rewrite — and a post-evolution ingest whose rows
+    carry the new shape natively. The reference's schema is fixed at
+    create_table (table.py:26-32, num_columns frozen); this is the
+    lakehouse feature its integer-only columnar layout cannot
+    express. Gate: full current view (old rows with tail-set /
+    NULL c_score + fresh rows) vs the closed-form oracle."""
+    t = _table(spark, sf_dir, "customer_evo")
+    return t.current_view().select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_score"
     )
