@@ -381,3 +381,78 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds"
     )
+
+
+def triangle_counts(
+    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Per-vertex triangle participation counts over an undirected
+    edge list: ``(vertex, n_triangles)`` for every vertex in at least
+    one triangle. The missing third of the graph-analytics family
+    here (components = reachability, PageRank = centrality, triangles
+    = local clustering / community density — the standard signal for
+    spam-farm and botnet-cluster detection over link or interaction
+    graphs).
+
+    Scale shape (100 TB): the naive three-way self-join enumerates
+    every WEDGE (2-path) once per center vertex — sum(deg^2), which a
+    single celebrity vertex turns quadratic. This is the
+    degree-ORIENTED algorithm (Cohen, "Graph Twiddling in a MapReduce
+    World", 2009): orient every edge from the (degree, id)-smaller
+    endpoint to the larger, so each triangle is generated exactly
+    once from its lowest-ranked corner and every vertex's
+    out-neighborhood is bounded by O(sqrt(m)) — total wedge work
+    O(m^1.5) REGARDLESS of skew, the proven optimal bound for
+    join-based enumeration. Three shuffles (degree agg, wedge
+    self-join on the low corner, closing-edge join), all on key
+    columns; the (deg, id) rank rides the edge rows as a struct so
+    orientation is decided edge-locally, no per-vertex lookup.
+
+    Deterministic: output depends only on the edge SET (orientation
+    and multiplicity are normalized away)."""
+    e0 = (
+        edges.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("a").alias("x"))
+        .unionAll(e0.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withd = (
+        e0.join(deg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
+    )
+    ra = F.struct(F.col("da").alias("d"), F.col("a").alias("i"))
+    rb = F.struct(F.col("db").alias("d"), F.col("b").alias("i"))
+    lo_first = ra < rb
+    oriented = withd.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lo_first, rb).otherwise(ra).alias("rdst"),
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2"),
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.rdst") < F.col("e2.rdst")),
+        )
+        .select(
+            F.col("e1.src").alias("x"),
+            F.col("e1.dst").alias("y"),
+            F.col("e2.dst").alias("z"),
+        )
+    )
+    closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tris = wedges.join(closing, ["y", "z"])
+    return (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

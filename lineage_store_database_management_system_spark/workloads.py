@@ -6681,3 +6681,57 @@ def pq_schema_evolution(spark, sf_dir):
     return t.current_view().select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_score"
     )
+
+
+@workload(
+    "ext_triangle_count",
+    # edges is referenced three times in the triangle join — pin one
+    # evaluation with AS MATERIALIZED (DuckDB inlines CTEs by default
+    # and would re-expand the co-order self-join per reference).
+    """WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 100 = 0
+), edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), tris AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([x, y, z]) AS vertex FROM tris)
+GROUP BY vertex""",
+)
+def ext_triangle_count(spark, sf_dir):
+    """Distributed triangle counting over the supplier co-order graph
+    (suppliers are adjacent when they ship lineitems of the same
+    order; a deterministic 1%-of-orders slice keeps the graph size
+    sf-proportional). Completes the graph-analytics family next to
+    connected components and PageRank with the local-clustering
+    primitive. The engine runs the degree-ORIENTED O(m^1.5)
+    enumeration (each triangle generated once from its lowest-(deg,id)
+    corner, out-degrees bounded by sqrt(m) regardless of celebrity
+    skew — graph.triangle_counts); the oracle enumerates x<y<z
+    triangles directly by id order. Identical triangle sets, per-vertex
+    participation counts hash-gated."""
+    li = load_star(spark, sf_dir)["lineitem"]
+    items = (
+        li.where("l_orderkey % 100 = 0")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("id_a"),
+            F.col("b.l_suppkey").alias("id_b"),
+        )
+    )
+    return graph.triangle_counts(pairs)
