@@ -181,6 +181,16 @@ AUDIT = [
     # (struct-min SortAggregate, partial map-side) + equi-join back;
     # never a cartesian, no Python.
     ("ds_chunk_dedup_corpus", ["Generate", "SortAggregate"], ["BatchEvalPython", "CartesianProduct"]),
+    # Schema evolution: the gated read is a plain current-view fold —
+    # schema-directed scans (old files NULL-fill the added column),
+    # no Python, no cartesian.
+    ("pq_schema_evolution", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
+    # Triangle counting: degree-oriented wedge enumeration — the
+    # wedge stage is an equi-join on the low corner (hash or SMJ on
+    # src with the rank inequality as a post-filter), the closing
+    # edge an equi-join on (y,z); a cartesian anywhere means the
+    # orientation was lost. All Catalyst.
+    ("ext_triangle_count", ["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
