@@ -6735,3 +6735,38 @@ def ext_triangle_count(spark, sf_dir):
         )
     )
     return graph.triangle_counts(pairs)
+
+
+@workload(
+    "ext_null_safe_join",
+    """WITH a AS (SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS k FROM customer),
+b AS (SELECT NULLIF(n_nationkey % 5, 0) AS k, n_nationkey FROM nation)
+SELECT a.k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT b.n_nationkey) AS BIGINT) AS n_nations
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k""",
+)
+def ext_null_safe_join(spark, sf_dir):
+    """NULL-semantics corner gate: NULLIF-derived nullable keys,
+    null-safe equality join (Spark ``<=>`` vs ANSI
+    ``IS NOT DISTINCT FROM`` — NULL keys MATCH each other, unlike
+    plain ``=``), NULL as a first-class GROUP BY group, and
+    COUNT(DISTINCT) under it. Cross-engine three-valued-logic
+    agreement is exactly the class a hash gate catches and unit
+    tests forget. Plan: null-safe equality still compiles to a hash
+    join key (coalesce-wrapped), dimension broadcast."""
+    star = load_star(spark, sf_dir)
+    cust = star["customer"].select(
+        "c_custkey", F.expr("nullif(c_nationkey % 5, 0)").alias("k")
+    )
+    nat = star["nation"].select(
+        F.expr("nullif(n_nationkey % 5, 0)").alias("k2"), "n_nationkey"
+    )
+    return (
+        cust.join(F.broadcast(nat), F.col("k").eqNullSafe(F.col("k2")))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("n_nationkey").alias("n_nations"),
+        )
+    )
