@@ -106,34 +106,61 @@ def dedup_keep_best(
     :func:`dedup_exact` is the min-id special case.
 
     One shuffle on the 64-bit content digest carrying only
-    (digest, score, id); the winner is a struct-max over (score, -id)
-    — never a row_number window over the corpus. Struct-ordered max
-    has no mutable-buffer hash implementation, so this compiles to a
-    SortAggregate: still PARTIAL map-side (the shuffle carries one
-    candidate per digest per partition, same reduction as a hash
-    agg), with a per-partition sort on the digest key instead of a
-    hash table — strictly cheaper than the window formulation, which
-    shuffles every row and sorts whole groups. The join back to full
-    rows broadcasts the winner set when the optimizer sizes it so.
+    (digest, score, id); the winner is a single struct-ordered
+    aggregate — never a row_number window over the corpus.
+    Struct-ordered max/min has no mutable-buffer hash implementation,
+    so this compiles to a SortAggregate: still PARTIAL map-side (the
+    shuffle carries one candidate per digest per partition, same
+    reduction as a hash agg), with a per-partition sort on the digest
+    key instead of a hash table — strictly cheaper than the window
+    formulation, which shuffles every row and sorts whole groups. The
+    join back to full rows broadcasts the winner set when the
+    optimizer sizes it so.
+
+    Ids of any orderable type (string/UUID/numeric) are supported:
+    numeric ids take an exact max-over-(score, -id) path; other id
+    types take a min-over-(-score, id) path that negates the SCORE
+    instead (cast to double — exact for integer scores up to 2^53 and
+    all float scores; the id is carried untouched).
 
     Returns the deduplicated corpus with an ``n_copies`` column
     (group size) attached to each keeper."""
+    from pyspark.sql.types import NumericType
+
     h = F.xxhash64(normalized_text(F.col(text_col)))
     ranked = df.select(
         F.col(id_col).alias("_id"), h.alias("_h"), score.alias("_score")
     )
-    # max_by with a deterministic total order: (score asc, id desc)
-    # struct-max picks the highest score, lowest id on ties.
-    winners = (
-        ranked.groupBy("_h")
-        .agg(
-            F.max(
-                F.struct(F.col("_score"), (-F.col("_id")).alias("_negid"))
-            ).alias("_w"),
-            F.count(F.lit(1)).alias("n_copies"),
+    if isinstance(ranked.schema["_id"].dataType, NumericType):
+        # exact path: max over (score asc, id desc) picks the highest
+        # score, lowest id on ties — no casts anywhere.
+        winners = (
+            ranked.groupBy("_h")
+            .agg(
+                F.max(
+                    F.struct(F.col("_score"), (-F.col("_id")).alias("_negid"))
+                ).alias("_w"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+            .select((-F.col("_w._negid")).alias(id_col), "n_copies")
         )
-        .select((-F.col("_w._negid")).alias(id_col), "n_copies")
-    )
+    else:
+        # orderable-but-not-negatable ids (string, UUID, date): flip
+        # the SCORE instead — min over (-score, id) is (score desc,
+        # id asc) with the id compared natively.
+        winners = (
+            ranked.groupBy("_h")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_score").cast("double")).alias("_ns"),
+                        F.col("_id"),
+                    )
+                ).alias("_w"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+            .select(F.col("_w._id").alias(id_col), "n_copies")
+        )
     return df.join(winners, on=id_col, how="inner")
 
 

@@ -143,14 +143,22 @@ def hierarchy_resolve(
     Deterministic; raises on cycles (they never converge) and on
     children with multiple parents (not a forest) rather than
     returning wrong depths."""
-    e = edges.select(
-        F.col(child_col).alias("_id"), F.col(parent_col).alias("_ptr")
-    ).where(F.col("_ptr").isNotNull())
+    e = (
+        edges.select(
+            F.col(child_col).alias("_id"), F.col(parent_col).alias("_ptr")
+        )
+        .where(F.col("_ptr").isNotNull())
+        # multiset edge lists are valid forests: collapse repeated
+        # identical (child, parent) rows BEFORE the multi-parent check
+        # (so they don't trip it) and before the pointer-jumping joins
+        # (so they don't multiply rows).
+        .distinct()
+    )
     dup = e.groupBy("_id").count().where("count > 1").limit(1)
     if dup.count() > 0:
         raise ValueError(
-            "hierarchy_resolve: some child has multiple parents; input is "
-            "not a forest"
+            "hierarchy_resolve: some child has multiple DISTINCT parents; "
+            "input is not a forest"
         )
     vertex_ids = (
         e.select("_id")

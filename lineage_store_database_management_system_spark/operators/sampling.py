@@ -159,54 +159,70 @@ def proportional_sample(
     id_col: str,
     total_k: int,
 ) -> DataFrame:
-    """Draw EXACTLY ``total_k`` rows allocated across groups
-    proportionally to group size by the largest-remainder (Hamilton)
-    method — the eval-set construction rule when "10% per source"
-    must land on an exact global budget: floor quotas first, then the
-    leftover seats go to the largest fractional remainders (group key
-    ascending on ties). All-integer arithmetic (quota numerators and
-    remainders, never float shares), so the allocation is a pure
-    function of the counts.
+    """Draw EXACTLY ``min(total_k, count(df))`` rows allocated across
+    groups proportionally to group size by the CAPPED largest-remainder
+    (Hamilton) method: floor quotas first, leftover seats to the
+    largest fractional remainders (group key ascending on ties), and
+    any group whose quota exceeds its row count is capped at its size
+    with the freed seats redistributed among the uncapped groups —
+    iterated until every quota fits, so the global budget is met
+    exactly whenever the corpus is large enough. All-integer
+    arithmetic (quota numerators and remainders, never float shares),
+    so the allocation is a pure function of the counts. When no group
+    is undersized this reduces to plain Hamilton.
 
     Within each group the selected rows are the ``k_g`` smallest by
     ``(md5(id), id)`` — a deterministic, engine-portable stand-in for
     a uniform draw (md5 scrambles id locality; ties impossible but
     id-broken anyway).
 
-    Scale shape: counts are one partial-aggregated pass; the
-    allocation frame is |groups| rows (window over a broadcast-sized
-    frame); selection is one row_number window per group partition —
-    the same shuffle the grouped top-k (cap_per_group) pays. Returns
-    the selected rows (id, group)."""
+    Scale shape: counts are one partial-aggregated pass collected to
+    the driver — the allocation frame is |groups| rows, the same
+    broadcast-sized frame every variant of this operator materializes
+    (the capped redistribution is a data-dependent fixpoint, ≤|groups|
+    cheap integer rounds, driver-side by design); selection is one
+    row_number window per group partition — the same shuffle the
+    grouped top-k (cap_per_group) pays. Returns the selected rows
+    (id, group)."""
     from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    cnt = df.groupBy(F.col(group_col)).agg(F.count(F.lit(1)).alias("_ng"))
-    tot = cnt.agg(
-        F.sum("_ng").alias("_n"), F.count(F.lit(1)).alias("_g")
-    )
-    alloc = (
-        cnt.crossJoin(F.broadcast(tot))
-        .select(
-            F.col(group_col),
-            F.col("_ng"),
-            F.col("_n"),
-            F.expr(f"({total_k} * _ng) DIV _n").alias("_fl"),
-            ((F.lit(total_k) * F.col("_ng")) % F.col("_n")).alias("_rem"),
-        )
-        .withColumn(
-            "_rr",
-            F.row_number().over(
-                Window.orderBy(F.desc("_rem"), F.asc(group_col))
-            ),
-        )
-    )
-    extra = alloc.agg((F.lit(total_k) - F.sum("_fl")).alias("_e"))
-    quotas = alloc.crossJoin(F.broadcast(extra)).select(
-        F.col(group_col),
-        (
-            F.col("_fl")
-            + F.when(F.col("_rr") <= F.col("_e"), F.lit(1)).otherwise(F.lit(0))
-        ).alias("_kg"),
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("_ng"))
+        .collect()
+    }
+    if not counts:
+        empty = df.select(F.col(id_col), F.col(group_col))
+        return empty.where(F.lit(False))
+    # capped Hamilton fixpoint: allocate k over the still-uncapped
+    # groups proportionally to their sizes; cap overflowing groups at
+    # size and repeat with the freed seats. Each round caps >=1 group,
+    # so it terminates in <=|groups| rounds of pure integer math.
+    active = dict(counts)
+    quota: dict = {}
+    k = min(int(total_k), sum(counts.values()))
+    while active and k > 0:
+        tot = sum(active.values())
+        fl = {g: (k * n) // tot for g, n in active.items()}
+        rem = {g: (k * active[g]) % tot for g in active}
+        extra = k - sum(fl.values())
+        order = sorted(active, key=lambda g: (-rem[g], g))
+        prop = {
+            g: fl[g] + (1 if i < extra else 0) for i, g in enumerate(order)
+        }
+        over = [g for g in active if prop[g] > active[g]]
+        if not over:
+            quota.update(prop)
+            break
+        for g in over:
+            quota[g] = active[g]
+            k -= active[g]
+            del active[g]
+    quotas = df.sparkSession.createDataFrame(
+        [(g, int(kg)) for g, kg in quota.items() if kg > 0],
+        StructType([df.schema[group_col], StructField("_kg", LongType())]),
     )
     w = Window.partitionBy(F.col(group_col)).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)

@@ -33,6 +33,19 @@ def test_registry_shape(spark):
     assert len(oracles) / len(qs) >= 0.8
 
 
+def test_readme_workload_count_matches_registry():
+    """README's headline workload count must track the live registry
+    (ADVICE r6: the hardcoded figure drifted; now it fails the suite
+    instead of drifting silently)."""
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "README.md")) as f:
+        m = re.search(r"`workloads\.py` \| (\d+) named workloads", f.read())
+    assert m, "README workloads.py row missing"
+    assert int(m.group(1)) == len(entrymod.queries())
+
+
 def test_filter_pushdown_through_lineage_view(tmp_db, spark, sf_dir):
     """A key filter on the current view must reach the base Parquet
     scan as a pushed filter, and the scan must prune to the projected
