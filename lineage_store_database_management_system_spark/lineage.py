@@ -304,6 +304,44 @@ class LineageTable:
         )
 
     # ------------------------------------------------------------------
+    # logical <-> physical column names (rename_column support)
+    #
+    # On-disk parquet ALWAYS carries a column's PHYSICAL name — the
+    # name it had when first added. rename_column is metadata-only: it
+    # changes the LOGICAL name in the manifest schema and records
+    # {logical: physical} in extra["physical_names"]. The two seams
+    # below translate: every raw file read maps physical -> logical,
+    # every file write maps logical -> physical. Everything between
+    # the seams (views, folds, validation, queries) sees logical names
+    # only. This is the field-mapping idea from Iceberg/Delta column
+    # mapping, keyed by stable name instead of field id.
+    # ------------------------------------------------------------------
+    @property
+    def _phys_map(self) -> dict:
+        """logical -> physical, entries only for renamed columns."""
+        return self.manifest.extra.get("physical_names", {})
+
+    def _physical_schema(self, schema: T.StructType) -> T.StructType:
+        m = self._phys_map
+        if not m:
+            return schema
+        return T.StructType(
+            [
+                T.StructField(m.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+
+    def _df_to_physical(self, df: DataFrame) -> DataFrame:
+        """Rename logical -> physical for a frame about to be written.
+        One simultaneous select (not chained withColumnRenamed, which
+        would mis-fire on swap-shaped mappings)."""
+        m = self._phys_map
+        if not m:
+            return df
+        return df.select(*[F.col(c).alias(m.get(c, c)) for c in df.columns])
+
+    # ------------------------------------------------------------------
     # id allocation
     # ------------------------------------------------------------------
     def _ensure_batch(self) -> int:
@@ -659,6 +697,7 @@ class LineageTable:
 
             obs = Observation()
             df = df.observe(obs, *aggs.values())
+        df = self._df_to_physical(df)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -1138,7 +1177,9 @@ class LineageTable:
                 except CheckViolation:
                     self._pending_tail = []
                     raise
-            df.coalesce(1).write.mode("append").parquet(self.tail_dir)
+            self._df_to_physical(df).coalesce(1).write.mode("append").parquet(
+                self.tail_dir
+            )
             self._pending_tail = []
         # No manifest save here: the open batch was reserved (and the
         # manifest CAS'd) in _ensure_batch, so the on-disk manifest is
@@ -1151,7 +1192,16 @@ class LineageTable:
     # ------------------------------------------------------------------
     def _read_or_empty(self, path: str, schema: T.StructType) -> DataFrame:
         if _has_parquet(path):
-            return self.spark.read.schema(schema).parquet(path)
+            m = self._phys_map
+            if not m:
+                return self.spark.read.schema(schema).parquet(path)
+            # files carry physical names; present logical names upward
+            phys = self._physical_schema(schema)
+            df = self.spark.read.schema(phys).parquet(path)
+            inv = {ph: lg for lg, ph in m.items()}
+            return df.select(
+                *[F.col(f.name).alias(inv.get(f.name, f.name)) for f in phys.fields]
+            )
         # Known-empty relation, NOT createDataFrame([], schema): the
         # latter is a LogicalRDD whose emptiness Catalyst cannot see,
         # so every join against it plans as a real shuffle (measured
@@ -1384,6 +1434,13 @@ class LineageTable:
             # existing files still hold bytes for the old column; a
             # re-add with a different type would mis-read them
             raise ValueError(f"column name {name!r} was dropped and cannot be reused")
+        if name in {self._phys_map.get(c, c) for c in self.user_cols}:
+            # a renamed column's files still carry this physical name —
+            # a new logical column under it would read THEIR bytes
+            raise ValueError(
+                f"column name {name!r} is the physical name of a renamed "
+                "column and cannot be reused"
+            )
         self.flush()
         self.schema = T.StructType(
             list(self.schema.fields) + [T.StructField(name, data_type, True)]
@@ -1407,8 +1464,117 @@ class LineageTable:
         self.user_cols.remove(name)
         self.manifest.schema_json = _schema_to_json(self.schema)
         dropped = self.manifest.extra.setdefault("dropped_columns", [])
-        if name not in dropped:
-            dropped.append(name)
+        # retire the PHYSICAL name — that's what the surviving files
+        # hold bytes under (== logical unless the column was renamed)
+        phys = self._phys_map.get(name, name)
+        for n in {name, phys}:
+            if n not in dropped:
+                dropped.append(n)
+        self.manifest.extra.get("physical_names", {}).pop(name, None)
+        self._save_manifest()
+
+    _WIDEN_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+
+    def widen_column(self, name: str, new_type: T.DataType) -> None:
+        """ALTER TABLE ALTER COLUMN TYPE — widening only, metadata-only.
+        Allowed transitions (the lossless set real lakehouse formats
+        ship as 'type widening'): byte -> short -> int -> long along
+        the integral chain, float -> double, and byte/short/int ->
+        double. No file is rewritten: Spark 4's vectorized Parquet
+        reader promotes the narrower on-disk physical type to the
+        requested read type natively, so old base/tail/snapshot files
+        keep their bytes and the schema-directed scan widens on read;
+        post-widen writes (tail deltas, ingests, the next compaction)
+        carry the wide type. long -> double is rejected — longs above
+        2^53 would silently lose precision, same rule as
+        Iceberg/Delta. The reference cannot express this at all: its
+        layout is integer-only with the schema frozen at create_table
+        (table.py:26-32)."""
+        if name not in self.user_cols:
+            raise ValueError(f"no such column: {name!r}")
+        old = self.schema[name].dataType
+        ok = False
+        o, n = old.typeName(), new_type.typeName()
+        if o in self._WIDEN_RANK and n in self._WIDEN_RANK:
+            ok = self._WIDEN_RANK[n] > self._WIDEN_RANK[o]
+        elif n == "double":
+            ok = o in ("float", "byte", "short", "integer")
+        if not ok:
+            raise ValueError(
+                f"cannot widen {name!r} from {old.simpleString()} to "
+                f"{new_type.simpleString()}: only byte->short->int->long, "
+                "float->double and byte/short/int->double are lossless"
+            )
+        self.flush()
+        self.schema = T.StructType(
+            [
+                T.StructField(name, new_type, f.nullable)
+                if f.name == name
+                else f
+                for f in self.schema.fields
+            ]
+        )
+        self.manifest.schema_json = _schema_to_json(self.schema)
+        self._save_manifest()
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN — metadata-only via a logical ->
+        physical name mapping (the stable-name analogue of
+        Iceberg/Delta column mapping). Files on disk keep the column's
+        PHYSICAL (creation-time) name forever; reads alias physical ->
+        logical at the scan seam and writes alias back, so no file is
+        ever rewritten and every snapshot/version-travel read stays
+        valid. Restrictions (same as pre-column-mapping Delta): the
+        primary key and partition columns cannot be renamed (their
+        names are baked into directory layout / manifest identity),
+        and a column referenced by a CHECK constraint must have the
+        check dropped first (the stored SQL expression would no longer
+        resolve)."""
+        if old not in self.user_cols:
+            raise ValueError(f"no such column: {old!r}")
+        if old == self.key:
+            raise ValueError("cannot rename the primary key column")
+        if old in self.partition_by:
+            raise ValueError("cannot rename a partition column")
+        if new in self.user_cols or new in META_TAIL:
+            raise ValueError(f"column {new!r} already exists")
+        if new in self.manifest.extra.get("dropped_columns", []):
+            raise ValueError(f"column name {new!r} was dropped and cannot be reused")
+        if new in {self._phys_map.get(c, c) for c in self.user_cols}:
+            raise ValueError(
+                f"column name {new!r} is the physical name of another "
+                "column and cannot be reused"
+            )
+        import re as _re
+
+        pat = _re.compile(rf"\b{_re.escape(old)}\b")
+        for cname, expr in self.manifest.extra.get("checks", {}).items():
+            if pat.search(expr):
+                raise ValueError(
+                    f"column {old!r} is referenced by CHECK constraint "
+                    f"{cname!r} — drop the constraint before renaming"
+                )
+        if old in self.manifest.extra.get("uniques", []):
+            raise ValueError(
+                f"column {old!r} has a UNIQUE constraint — drop the "
+                "constraint before renaming"
+            )
+        self.flush()
+        phys = self._phys_map.get(old, old)
+        mapping = self.manifest.extra.setdefault("physical_names", {})
+        mapping.pop(old, None)
+        if new != phys:
+            mapping[new] = phys
+        self.schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in self.schema.fields
+            ]
+        )
+        self.user_cols = [f.name for f in self.schema.fields]
+        self.manifest.schema_json = _schema_to_json(self.schema)
         self._save_manifest()
 
     def watermark(self) -> int:
@@ -1928,7 +2094,7 @@ class LineageTable:
                     .sortWithinPartitions("_z")
                     .drop("_z")
                 )
-            writer = snap.write.mode("overwrite")
+            writer = self._df_to_physical(snap).write.mode("overwrite")
             if max_records_per_file:
                 writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
             if self.partition_by:
@@ -2037,13 +2203,16 @@ class LineageTable:
             # partition columns live in the directory name, not the
             # files — read and rewrite exactly the columns the files
             # hold so the packed files match their siblings
-            file_schema = T.StructType(
-                [
-                    f
-                    for f in self.base_schema.fields
-                    if f.name not in self.partition_by
-                ]
+            file_schema = self._physical_schema(
+                T.StructType(
+                    [
+                        f
+                        for f in self.base_schema.fields
+                        if f.name not in self.partition_by
+                    ]
+                )
             )
+            # physical in, physical out — pure file packing, no rename
             df = self.spark.read.schema(file_schema).parquet(*paths)
             staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:8]}")
             df.coalesce(n_out).write.mode("overwrite").parquet(staging)
@@ -2180,7 +2349,9 @@ class LineageTable:
         if touched_vals:
             part_base = _pred(snap_old).unionByName(_pred(fresh))
             folded = self._fold_tail(part_base, tail_new)
-            folded.write.mode("overwrite").partitionBy(*pcols).parquet(out_dir)
+            self._df_to_physical(folded).write.mode("overwrite").partitionBy(
+                *pcols
+            ).parquet(out_dir)
         os.makedirs(out_dir, exist_ok=True)
         # Determine the touched partitions' DIRECTORY names through
         # Spark's own partition-path encoder (writing a marker dataset
@@ -2252,7 +2423,7 @@ class LineageTable:
                 self.manifest.extra["history_floor_ts"] = new_floor
         keep = tail.where(F.col(SEQ) > self.manifest.tps)
         new_dir = os.path.join(self.path, f"_tail_vacuum_{uuid.uuid4().hex[:8]}")
-        keep.write.mode("overwrite").parquet(new_dir)
+        self._df_to_physical(keep).write.mode("overwrite").parquet(new_dir)
         # CAS the floor into the manifest BEFORE the destructive swap:
         # on a concurrent-writer conflict nothing has been deleted yet,
         # and a floor recorded ahead of the swap is read-safe either

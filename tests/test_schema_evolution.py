@@ -58,3 +58,116 @@ def test_drop_column_logical(table, spark):
         t.add_column("o_custkey", T.LongType())  # already exists
     # version travel still works on the narrowed schema
     assert t.version_view(-1).count() == 300
+
+
+def test_widen_column_metadata_only(tmp_db, spark):
+    src = spark.createDataFrame(
+        [(i, i * 10, float(i)) for i in range(50)],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("qty", T.IntegerType()),
+                T.StructField("ratio", T.FloatType()),
+            ]
+        ),
+    )
+    t = tmp_db.create_table_typed("widen_t", src.schema, "k")
+    t.ingest_dataframe(src)
+    t.flush()
+    # int -> long and float -> double: metadata-only, old files promote
+    t.widen_column("qty", T.LongType())
+    t.widen_column("ratio", T.DoubleType())
+    view = t.current_view()
+    assert dict(view.dtypes)["qty"] == "bigint"
+    assert dict(view.dtypes)["ratio"] == "double"
+    assert view.agg(F.sum("qty")).first()[0] == sum(i * 10 for i in range(50))
+    # post-widen writes carry the wide type through the tail
+    t.bulk_update(
+        spark.createDataFrame(
+            [(3, 2**40)],
+            T.StructType(
+                [T.StructField("k", T.LongType()), T.StructField("qty", T.LongType())]
+            ),
+        )
+    )
+    assert (
+        t.current_view().where("k = 3").select("qty").first()[0] == 2**40
+    )
+    # compaction rewrites in the wide type; answers invariant
+    t.compact()
+    assert t.current_view().where("k = 3").select("qty").first()[0] == 2**40
+    # version travel across the widen reads old files promoted
+    assert t.version_view(-1).where("k = 3").select("qty").first()[0] == 30
+    # guard rails: narrowing / lossy rejected
+    with pytest.raises(ValueError):
+        t.widen_column("qty", T.IntegerType())
+    with pytest.raises(ValueError):
+        t.widen_column("qty", T.DoubleType())  # long -> double is lossy
+    with pytest.raises(ValueError):
+        t.widen_column("nope", T.LongType())
+    # survives reopen
+    from lineage_store_database_management_system_spark.lineage import LineageTable
+
+    t.close()
+    t2 = LineageTable.load(spark, t.path)
+    assert dict(t2.current_view().dtypes)["qty"] == "bigint"
+
+
+def test_rename_column_metadata_only(table, spark):
+    t, src = table
+    total0 = t.current_view().agg(F.sum("o_totalprice")).first()[0]
+    t.rename_column("o_totalprice", "o_price")
+    view = t.current_view()
+    assert "o_price" in view.columns and "o_totalprice" not in view.columns
+    assert view.agg(F.sum("o_price")).first()[0] == total0
+    # writes under the NEW name land in old-named (physical) files
+    upd = src.limit(10).select("o_orderkey", (F.lit(0.0)).alias("o_price"))
+    t.bulk_update(upd)
+    assert t.current_view().where("o_price = 0.0").count() == 10
+    # compaction + version travel survive the rename
+    t.compact()
+    assert t.current_view().where("o_price = 0.0").count() == 10
+    assert t.version_view(-1).agg(F.sum("o_price")).first()[0] == total0
+    # chained rename keeps the original physical name
+    t.rename_column("o_price", "o_amount")
+    assert t.current_view().where("o_amount = 0.0").count() == 10
+    assert t._phys_map == {"o_amount": "o_totalprice"}
+    # guard rails
+    with pytest.raises(ValueError):
+        t.rename_column("o_orderkey", "ok2")  # primary key
+    with pytest.raises(ValueError):
+        t.rename_column("o_custkey", "o_amount")  # target exists
+    with pytest.raises(ValueError):
+        t.rename_column("o_custkey", "o_totalprice")  # physical in use
+    with pytest.raises(ValueError):
+        t.add_column("o_totalprice", T.DoubleType())  # physical in use
+    # rename + widen compose
+    t.rename_column("o_custkey", "o_cust")
+    # drop of a renamed column retires the PHYSICAL name too
+    t.drop_column("o_cust")
+    with pytest.raises(ValueError):
+        t.add_column("o_custkey", T.LongType())
+    # survives reopen
+    from lineage_store_database_management_system_spark.lineage import LineageTable
+
+    t.close()
+    t2 = LineageTable.load(spark, t.path)
+    assert "o_amount" in t2.user_cols
+    assert t2.current_view().where("o_amount = 0.0").count() == 10
+
+
+def test_rename_blocked_by_check_constraint(tmp_db, spark):
+    src = spark.createDataFrame(
+        [(1, 5), (2, 7)],
+        T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+        ),
+    )
+    t = tmp_db.create_table_typed("ck_t", src.schema, "k")
+    t.ingest_dataframe(src)
+    t.add_check_constraint("v_pos", "v > 0")
+    with pytest.raises(ValueError):
+        t.rename_column("v", "val")
+    t.drop_check_constraint("v_pos")
+    t.rename_column("v", "val")
+    assert t.current_view().agg(F.sum("val")).first()[0] == 12
