@@ -55,20 +55,253 @@ def attach_binary_payload(
     return df.withColumn("payload", payload).withColumn("asset_meta", meta)
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """REAL-CODEC STUB: decoding requires an image library that is not
-    in this container. The Spark plumbing (signature, schema, batch
-    iteration) is the deliverable; swap `_decode` for PIL/cv2 when
-    available."""
+def _decode_ppm(b: bytes) -> tuple[int, int, int, bytes]:
+    """Netpbm PPM decoder (P6 binary / P3 ascii), pure Python. Header
+    per spec: magic, then width/height/maxval as whitespace-separated
+    tokens with '#' comments allowed; P6 raw samples follow the single
+    whitespace after maxval. Only maxval=255 (1 byte/sample) is
+    supported — the universal case."""
+    pos = 2
+    vals: list[int] = []
+    n = len(b)
+    while len(vals) < 3:
+        while pos < n and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            nl = b.find(b"\n", pos)
+            if nl < 0:
+                raise NotImplementedError("truncated PPM header")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < n and not b[pos : pos + 1].isspace():
+            pos += 1
+        try:
+            vals.append(int(b[start:pos]))
+        except ValueError:
+            raise NotImplementedError("malformed PPM header") from None
+    w, h, maxv = vals
+    if maxv != 255 or w <= 0 or h <= 0:
+        raise NotImplementedError("only maxval=255 PPM is supported")
+    need = w * h * 3
+    if b[:2] == b"P6":
+        pos += 1  # exactly one whitespace byte after maxval, per spec
+        raw = b[pos : pos + need]
+        if len(raw) < need:
+            raise NotImplementedError("truncated PPM payload")
+        return w, h, 3, raw
+    toks = b[pos:].split()
+    if len(toks) < need:
+        raise NotImplementedError("truncated PPM payload")
+    return w, h, 3, bytes(int(t) for t in toks[:need])
+
+
+def _decode_bmp(b: bytes) -> tuple[int, int, int, bytes]:
+    """BMP decoder (BITMAPINFOHEADER+, uncompressed 24/32bpp), pure
+    Python + numpy. Undoes everything the container does to pixels:
+    BGR(A) channel order -> RGB, bottom-up row order -> top-down, and
+    4-byte row-stride padding stripped."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_sz = struct.unpack_from("<I", b, 14)[0]
+    if hdr_sz < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_signed = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h_signed == 0:
+        raise NotImplementedError("only uncompressed 24/32bpp BMP is supported")
+    bottom_up = h_signed > 0
+    h = abs(h_signed)
+    nch = bpp // 8
+    stride = (w * nch + 3) // 4 * 4
+    if len(b) < data_off + stride * h:
+        raise NotImplementedError("truncated BMP payload")
+    grid = np.frombuffer(b, np.uint8, count=stride * h, offset=data_off)
+    grid = grid.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if bottom_up:
+        grid = grid[::-1]
+    rgb = grid[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+    return w, h, 3, np.ascontiguousarray(rgb).tobytes()
+
+
+_CODEC_STUB_MSG = (
+    "image decode requires PIL/cv2 for this format (not installed; "
+    "native decoders cover PPM P6/P3 and uncompressed 24/32bpp BMP); "
+    "use extract_byte_features for the deterministic fake path"
+)
+
+
+def _decode_payload(b: bytes) -> tuple[int, int, int, bytes]:
+    """Dispatch on magic bytes: (width, height, channels, rgb bytes).
+    Formats beyond the two pure-Python-decodable containers keep the
+    explicit stub contract (NotImplementedError naming the installed
+    alternative) — the seam a PIL/cv2 drop-in replaces."""
+    if b[:2] in (b"P6", b"P3"):
+        return _decode_ppm(b)
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    raise NotImplementedError(_CODEC_STUB_MSG)
+
+
+def encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
+    """Minimal P6 encoder — the deterministic twin generator for
+    decode tests/oracles (and a real writer for the formats we read)."""
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb
+
+
+def encode_bmp(w: int, h: int, rgb: bytes) -> bytes:
+    """Minimal 24bpp bottom-up BMP encoder (RGB in, container's
+    BGR + stride padding + bottom-up order out)."""
+    import struct
+
+    import numpy as np
+
+    stride = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (stride - w * 3)
+    arr = np.frombuffer(rgb, np.uint8, count=w * h * 3).reshape(h, w, 3)
+    bgr = arr[::-1, :, [2, 1, 0]]  # bottom-up + BGR
+    data = b"".join(
+        np.ascontiguousarray(bgr[r]).tobytes() + pad for r in range(h)
+    )
+    off = 14 + 40
+    fh = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    ih = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return fh + ih + data
+
+
+def plant_test_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic planted-image corpus for decode gates: per id,
+    a (4 + id % 13) x (3 + id % 7) RGB image whose row-major byte k
+    is (id*31 + k) % 256, encoded as PPM P6 for even ids and 24bpp
+    bottom-up BMP for odd ids. Every value is closed-form in the id,
+    so a SQL oracle can compute expected dimensions / means /
+    position-weighted checksums without any image code — while the
+    Spark side must genuinely parse two containers (including BMP's
+    BGR order, stride padding, and bottom-up rows) to agree."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                w, h = 4 + rid % 13, 3 + rid % 7
+                k = np.arange(w * h * 3, dtype=np.int64)
+                rgb = ((rid * 31 + k) % 256).astype(np.uint8).tobytes()
+                payloads.append(
+                    encode_ppm(w, h, rgb) if rid % 2 == 0 else encode_bmp(w, h, rgb)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+    from ._util import spread
+
+    return spread(df.select(id_col)).mapInPandas(_gen, schema=schema)
+
+
+def decode_image(
+    df: DataFrame, payload_col: str = "payload", on_error: str = "raise"
+) -> DataFrame:
+    """Image decode through the Arrow-batched ``mapInPandas`` seam.
+    REAL for the pure-Python-decodable containers — PPM (P6/P3) and
+    uncompressed 24/32bpp BMP decode to row-major RGB bytes in the
+    appended ``pixels`` column — and an explicit, contract-pinned
+    stub (NotImplementedError) for every codec that needs PIL/cv2,
+    exactly as the task brief prescribes. ``on_error='skip'`` yields
+    NULL pixels for undecodable payloads instead of failing the job
+    (the production posture for a corpus with corrupt/foreign files);
+    the default ``'raise'`` keeps the stub contract observable."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode requires PIL/cv2 (not installed); "
-            "use extract_byte_features for the deterministic fake path"
-        )
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                try:
+                    if payload is None:
+                        raise NotImplementedError(_CODEC_STUB_MSG)
+                    out.append(_decode_payload(bytes(payload))[3])
+                except NotImplementedError:
+                    if on_error == "skip":
+                        out.append(None)
+                    else:
+                        raise
+            res = pdf.copy()
+            res["pixels"] = out
+            yield res
 
     schema = T.StructType(df.schema.fields + [T.StructField("pixels", T.BinaryType())])
     return df.mapInPandas(_decode, schema=schema)
+
+
+def decode_image_stats(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
+    """Decode + per-image pixel statistics in ONE kernel pass —
+    (id, width, height, channels, n_pixel_bytes, mean_byte, wsum) —
+    never materializing decoded pixels into the shuffle. ``wsum`` is
+    the position-weighted checksum sum((k+1) * byte_k) over the
+    row-major RGB stream: order- and channel-sensitive, so a decoder
+    that forgot BMP's bottom-up rows, BGR order, or stride padding
+    fails the oracle even when the plain mean survives. Map-only
+    (spread + mapInPandas), no shuffle — at 100 TB this is a linear
+    scan of the payload column chunks."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                id_col: [], "width": [], "height": [], "channels": [],
+                "n_pixel_bytes": [], "mean_byte": [], "wsum": [],
+            }
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    if payload is None:
+                        raise NotImplementedError(_CODEC_STUB_MSG)
+                    w, h, c, rgb = _decode_payload(bytes(payload))
+                except NotImplementedError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                arr = np.frombuffer(rgb, np.uint8).astype(np.int64)
+                n = arr.size
+                rows[id_col].append(rid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["n_pixel_bytes"].append(n)
+                rows["mean_byte"].append(arr.sum() / n)
+                rows["wsum"].append(int(((np.arange(n) + 1) * arr).sum()))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_pixel_bytes", T.LongType()),
+            T.StructField("mean_byte", T.DoubleType()),
+            T.StructField("wsum", T.LongType()),
+        ]
+    )
+    from ._util import spread
+
+    return spread(df.select(id_col, payload_col)).mapInPandas(_stats, schema=schema)
 
 
 def resize_image(

@@ -3261,6 +3261,39 @@ def mm_frames(spark, sf_dir):
 
 
 @workload(
+    "mm_decode_image_stats",
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+              FROM documents),
+px AS (
+  SELECT doc_id, w, h, r.k AS k, (doc_id*31 + r.k) % 256 AS v
+  FROM d, LATERAL (SELECT unnest(range(w*h*3)) AS k) r
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels, CAST(w*h*3 AS BIGINT) AS n_pixel_bytes,
+       CAST(SUM(v) AS DOUBLE) / (w*h*3) AS mean_byte,
+       CAST(SUM((k+1)*v) AS BIGINT) AS wsum
+FROM px GROUP BY doc_id, w, h""",
+)
+def mm_decode_image_stats(spark, sf_dir):
+    """REAL image decode through the codec seam (VERDICT r6 item 5):
+    the two pure-Python-decodable containers — PPM P6 and
+    uncompressed 24bpp BMP — decode natively in the Arrow-batched
+    mapInPandas kernel (multimodal.decode_image_stats), with every
+    other format still behind the contract-pinned PIL/cv2 stub. The
+    corpus is planted per doc_id (even ids PPM, odd ids BMP) with
+    closed-form pixel values, so the oracle computes expected
+    dimensions, byte means, and a position-weighted checksum in pure
+    SQL; the checksum is order- AND channel-sensitive, so forgetting
+    BMP's BGR order, bottom-up rows, or stride padding fails the
+    hash. Map-only plan — generate and decode fuse into one Python
+    stage, no shuffle; at 100 TB this is a linear scan of payload
+    column chunks."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id")
+    imgs = multimodal.plant_test_images(docs, "doc_id")
+    return multimodal.decode_image_stats(imgs, "doc_id")
+
+
+@workload(
     "st_session_windows",
     # Drained session_window state == batch gap-sessionization with
     # session_end = last event + gap (verified byte-equal vs the

@@ -1180,3 +1180,50 @@ def test_ivf_pq_append_index_equals_rebuild(spark, sf_dir, tmp_path):
         if f.endswith(".parquet") and not f.startswith("_")
     ]
     assert stray == []
+
+
+def test_ppm_bmp_decode_roundtrip(spark):
+    """Real-codec path (r7): PPM P6 and 24bpp BMP round-trip through
+    encode -> decode_image, including odd widths that exercise BMP's
+    4-byte stride padding, BGR order, and bottom-up rows."""
+    import numpy as np
+
+    rows = []
+    for i, (w, h) in enumerate([(5, 3), (4, 2), (7, 1), (3, 3)]):
+        rgb = bytes((i * 37 + k) % 256 for k in range(w * h * 3))
+        payload = (
+            multimodal.encode_ppm(w, h, rgb)
+            if i % 2 == 0
+            else multimodal.encode_bmp(w, h, rgb)
+        )
+        rows.append((i, payload, rgb, w, h))
+    df = spark.createDataFrame(
+        [(r[0], bytearray(r[1])) for r in rows], "id long, payload binary"
+    )
+    got = {r["id"]: bytes(r["pixels"]) for r in multimodal.decode_image(df).collect()}
+    for i, _p, rgb, _w, _h in rows:
+        assert got[i] == rgb, f"row {i} pixels mismatch"
+    # stats kernel agrees with a direct numpy computation
+    stats = {r["id"]: r for r in multimodal.decode_image_stats(df, "id").collect()}
+    for i, _p, rgb, w, h in rows:
+        arr = np.frombuffer(rgb, np.uint8).astype(np.int64)
+        assert stats[i]["width"] == w and stats[i]["height"] == h
+        assert stats[i]["n_pixel_bytes"] == w * h * 3
+        assert stats[i]["mean_byte"] == arr.sum() / arr.size
+        assert stats[i]["wsum"] == int(((np.arange(arr.size) + 1) * arr).sum())
+    # P3 ascii variant decodes to the same pixels as P6
+    w, h = 4, 2
+    rgb = bytes(range(w * h * 3))
+    p3 = b"P3\n# comment\n4 2\n255\n" + " ".join(str(b) for b in rgb).encode()
+    df3 = spark.createDataFrame([(0, bytearray(p3))], "id long, payload binary")
+    assert bytes(multimodal.decode_image(df3).collect()[0]["pixels"]) == rgb
+    # undecodable payloads: raise by default, NULL under on_error=skip
+    bad = spark.createDataFrame(
+        [(0, bytearray(b"\x89PNG....")), (1, bytearray(multimodal.encode_ppm(1, 1, b"abc")))],
+        "id long, payload binary",
+    )
+    with pytest.raises(Exception):
+        multimodal.decode_image(bad).collect()
+    out = {r["id"]: r["pixels"] for r in multimodal.decode_image(bad, on_error="skip").collect()}
+    assert out[0] is None and bytes(out[1]) == b"abc"
+    assert multimodal.decode_image_stats(bad, "id", on_error="skip").count() == 1
