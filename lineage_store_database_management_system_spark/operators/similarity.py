@@ -47,6 +47,33 @@ def brute_force_topk(
     )
 
 
+def unit_normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Replace ``vec_col`` with its unit-norm version (zero vectors
+    pass through unchanged). The metric-correctness prerequisite for
+    running an L2-ranked index stage (IVF coarse quantizer, PQ ADC)
+    under a cosine metric: on unit vectors ||a-b||^2 = 2 - 2*cos(a,b),
+    so L2 order IS cosine order; unnormalized, the two orders diverge
+    with the corpus's norm spread. Note the r7 clustered-probe recall
+    cliff was NOT this mismatch — measured, normalization alone left
+    recall at 0.28-0.72; the cliff was quantization error on raw
+    vectors, fixed by :func:`ivf_residuals` encoding (SCALING.md r7).
+    Pure Catalyst (aggregate + transform), map-only."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return df.withColumn(
+        vec_col,
+        F.when(
+            norm > 0.0,
+            F.transform(F.col(vec_col), lambda x: (x / norm).cast("float")),
+        ).otherwise(F.col(vec_col)),
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (driver-side,
     tiny: n_planes x dim floats, broadcast into the plan as literals)."""
@@ -325,6 +352,33 @@ def ivf_assign(
     _nearest = F.pandas_udf(_nearest_fn, "int")
 
     return df.withColumn(out_col, _nearest(F.col(vec_col)))
+
+
+def ivf_residuals(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    list_col: str = "_list",
+    out_col: str = "_res",
+) -> DataFrame:
+    """Append the per-vector IVF residual (vector - its list's
+    centroid) — the encoding target of the full IVFADC recipe (Jégou
+    et al. 2011 §IV): PQ codes trained on residuals spend their bits
+    on the WITHIN-list displacement that actually distinguishes near
+    neighbors, instead of re-describing the coarse centroid every
+    code repeats. On clustered corpora this is the difference between
+    a recall cliff and working ADC (SCALING.md r7 probe: 0.33 -> see
+    table). Pure Catalyst: the tiny centroid table becomes a literal
+    array-of-arrays indexed by list id, and the subtraction is one
+    zip_with — no Python, map-only."""
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    cent = F.element_at(cents_lit, F.col(list_col) + 1)
+    return df.withColumn(
+        out_col,
+        F.zip_with(F.col(vec_col), cent, lambda x, c: (x - c).cast("float")),
+    )
 
 
 def ivf_topk(
@@ -703,6 +757,7 @@ def ivf_pq_topk(
     list_col: str = "_list",
     code_col: str = "_pq",
     round_to: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """The composed billion-scale recipe (IVF+PQ, Jégou et al. 2011):
     the coarse quantizer prunes to the ``nprobe`` nearest inverted
@@ -712,7 +767,18 @@ def ivf_pq_topk(
     cosine re-ranks only the recalled candidates. Input is a table
     prepared once with :func:`ivf_assign` + :func:`pq_encode` —
     at scale, written partitioned by ``list_col`` with raw vectors
-    alongside codes so the refine stage stays partition-local."""
+    alongside codes so the refine stage stays partition-local.
+
+    ``residual=True`` is the full IVFADC variant: codes were trained
+    and encoded over :func:`ivf_residuals` displacements, and the ADC
+    lookup table is rebuilt per probed list from the query's OWN
+    residual against that list's centroid (still nprobe tiny
+    driver-side tables; the nprobe per-list scans fuse into one lazy
+    union job). Distances stay comparable across lists — each
+    approximates the same ||q - x||^2 — so one global
+    ``n_candidates`` cut applies. Use for clustered corpora, where
+    raw-vector PQ burns its bits re-describing the coarse centroid
+    (the r7 mixture-of-Gaussians recall cliff, SCALING.md)."""
     import numpy as np
 
     cents = np.asarray(centroids, dtype=np.float64)
@@ -720,9 +786,30 @@ def ivf_pq_topk(
     order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()[:nprobe]
     probes = [int(i) for i in order]
     lists = df.where(F.col(list_col).isin(probes))
-    cands = pq_adc_candidates(
-        lists, query_vec, codebooks, n_candidates, id_col, code_col
-    ).select(id_col)
+    if residual:
+        from functools import reduce
+
+        per = [
+            pq_adc_candidates(
+                df.where(F.col(list_col) == l),
+                (q - cents[l]).tolist(),
+                codebooks,
+                n_candidates,
+                id_col,
+                code_col,
+            ).select(id_col, "_adc")
+            for l in probes
+        ]
+        cands = (
+            reduce(lambda a, b: a.unionByName(b), per)
+            .orderBy(F.asc("_adc"), F.asc(id_col))
+            .limit(n_candidates)
+            .select(id_col)
+        )
+    else:
+        cands = pq_adc_candidates(
+            lists, query_vec, codebooks, n_candidates, id_col, code_col
+        ).select(id_col)
     subset = lists.join(F.broadcast(cands), on=id_col, how="left_semi")
     return brute_force_topk(subset, query_vec, k, id_col, vec_col, round_to)
 

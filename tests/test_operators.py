@@ -1227,3 +1227,49 @@ def test_ppm_bmp_decode_roundtrip(spark):
     out = {r["id"]: r["pixels"] for r in multimodal.decode_image(bad, on_error="skip").collect()}
     assert out[0] is None and bytes(out[1]) == b"abc"
     assert multimodal.decode_image_stats(bad, "id", on_error="skip").count() == 1
+
+
+def test_ivf_residual_encoding_recipe(spark, sf_dir):
+    """Full IVFADC (r7): residual-trained codes + per-list query-residual
+    ADC. Correctness: residuals reconstruct (centroid + residual ==
+    vector); the composed residual top-k finds the query's own vector
+    first; and with nprobe = n_lists + generous candidates it matches
+    the exact brute-force top-k."""
+    import os
+
+    from lineage_store_database_management_system_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    cents = similarity.ivf_centroids(emb, n_lists=8)
+    assigned = similarity.ivf_assign(emb, cents)
+    res = similarity.ivf_residuals(assigned, cents)
+
+    # residual + its list's centroid reconstructs the vector exactly
+    # (float32 arithmetic both sides)
+    row = res.where(F.col("vec_id") == 0).first()
+    rebuilt = [c + r for c, r in zip(cents[row["_list"]], row["_res"])]
+    import numpy as np
+
+    orig32 = np.asarray(row["embedding"], dtype=np.float32)
+    assert np.allclose(rebuilt, orig32, atol=1e-5)
+
+    books = similarity.pq_train(res, vec_col="_res", m=8, nbits=4)
+    prepared = similarity.pq_encode(res, books, vec_col="_res")
+    got = similarity.ivf_pq_topk(
+        prepared, q, cents, books, k=5, nprobe=8, n_candidates=200,
+        round_to=3, residual=True,
+    )
+    ids = [r.vec_id for r in got.collect()]
+    assert ids[0] == 0
+    exact = [
+        r.vec_id
+        for r in similarity.brute_force_topk(emb, q, 5, round_to=3).collect()
+    ]
+    assert ids == exact
+    # partial probe still returns k rows
+    part = similarity.ivf_pq_topk(
+        prepared, q, cents, books, k=5, nprobe=2, n_candidates=50,
+        round_to=3, residual=True,
+    )
+    assert len(part.collect()) == 5
