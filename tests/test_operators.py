@@ -1273,3 +1273,31 @@ def test_ivf_residual_encoding_recipe(spark, sf_dir):
         round_to=3, residual=True,
     )
     assert len(part.collect()) == 5
+
+
+def test_semantic_dedup_blocking_invariant(spark, sf_dir):
+    """r7 skew fix: the within-cluster pair stage salted into bounded
+    block pairs must enumerate the IDENTICAL pair set as the
+    single-block plan — same drops, same n_close_prior — regardless
+    of block_target."""
+    import os
+
+    from lineage_store_database_management_system_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    clones = emb.where("vec_id % 5 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    allv = emb.unionByName(clones)
+    one_block = similarity.semantic_dedup(
+        allv, threshold=0.99, n_lists=8, block_target=10**9
+    )
+    blocked = similarity.semantic_dedup(
+        allv, threshold=0.99, n_lists=8, block_target=7
+    )
+    ra = sorted(map(tuple, one_block.collect()))
+    rb = sorted(map(tuple, blocked.collect()))
+    assert ra == rb
+    assert sum(1 for r in ra if not r[3]) == clones.count()  # every clone dropped
