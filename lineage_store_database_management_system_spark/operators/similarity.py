@@ -822,6 +822,7 @@ def ivf_pq_write_index(
     nbits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """Persist a durable ANN index: train the coarse quantizer and PQ
     codebooks (once, on the deterministic sample), assign + encode
@@ -830,21 +831,30 @@ def ivf_pq_write_index(
     files, the same storage trick as the secondary index. Raw vectors
     ride along inside each partition so the exact-refine stage stays
     partition-local. Codebooks/centroids land in a JSON sidecar
-    (underscore-prefixed: invisible to the Parquet reader)."""
+    (underscore-prefixed: invisible to the Parquet reader).
+
+    ``residual=True`` trains/encodes PQ over :func:`ivf_residuals`
+    displacements (full IVFADC) — the clustered-corpus default per
+    the r7 recall study (SCALING.md); the flag is recorded in the
+    sidecar so probes and appends transparently do the right thing."""
     import json as _json
     import os as _os
 
     cents = ivf_centroids(df, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
-    books = pq_train(df, vec_col=vec_col, id_col=id_col, m=m, nbits=nbits)
-    prepared = pq_encode(
-        ivf_assign(df, cents, vec_col=vec_col), books, vec_col=vec_col
-    )
+    assigned = ivf_assign(df, cents, vec_col=vec_col)
+    if residual:
+        src = ivf_residuals(assigned, cents, vec_col=vec_col)
+        books = pq_train(src, vec_col="_res", id_col=id_col, m=m, nbits=nbits)
+        prepared = pq_encode(src, books, vec_col="_res").drop("_res")
+    else:
+        books = pq_train(df, vec_col=vec_col, id_col=id_col, m=m, nbits=nbits)
+        prepared = pq_encode(assigned, books, vec_col=vec_col)
     prepared.write.mode("overwrite").partitionBy("_list").parquet(index_dir)
     tmp = _os.path.join(index_dir, "_ann_meta.json.tmp")
     with open(tmp, "w") as f:
         _json.dump(
             {"centroids": cents, "codebooks": books, "id_col": id_col,
-             "vec_col": vec_col},
+             "vec_col": vec_col, "residual": residual},
             f,
         )
     _os.replace(tmp, _os.path.join(index_dir, "_ann_meta.json"))
@@ -877,11 +887,12 @@ def ivf_pq_append_index(
     with open(_os.path.join(index_dir, "_ann_meta.json")) as f:
         meta = _json.load(f)
     vec_col = meta["vec_col"]
-    prepared = pq_encode(
-        ivf_assign(df, meta["centroids"], vec_col=vec_col),
-        meta["codebooks"],
-        vec_col=vec_col,
-    )
+    assigned = ivf_assign(df, meta["centroids"], vec_col=vec_col)
+    if meta.get("residual"):
+        src = ivf_residuals(assigned, meta["centroids"], vec_col=vec_col)
+        prepared = pq_encode(src, meta["codebooks"], vec_col="_res").drop("_res")
+    else:
+        prepared = pq_encode(assigned, meta["codebooks"], vec_col=vec_col)
     n = prepared.count()
     prepared.write.mode("append").partitionBy("_list").parquet(index_dir)
     return n
@@ -911,10 +922,33 @@ def ivf_pq_topk_from_index(
     q = np.asarray(query_vec, dtype=np.float64)
     order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()[:nprobe]
     probes = [int(i) for i in order]
-    lists = spark.read.parquet(index_dir).where(F.col("_list").isin(probes))
-    cands = pq_adc_candidates(
-        lists, query_vec, meta["codebooks"], n_candidates, meta["id_col"]
-    ).select(meta["id_col"])
+    idx = spark.read.parquet(index_dir)
+    lists = idx.where(F.col("_list").isin(probes))
+    if meta.get("residual"):
+        # per-list query-residual ADC tables; each single-list filter
+        # still partition-prunes, and the union is one lazy job
+        from functools import reduce
+
+        per = [
+            pq_adc_candidates(
+                idx.where(F.col("_list") == l),
+                (q - cents[l]).tolist(),
+                meta["codebooks"],
+                n_candidates,
+                meta["id_col"],
+            ).select(meta["id_col"], "_adc")
+            for l in probes
+        ]
+        cands = (
+            reduce(lambda x, y: x.unionByName(y), per)
+            .orderBy(F.asc("_adc"), F.asc(meta["id_col"]))
+            .limit(n_candidates)
+            .select(meta["id_col"])
+        )
+    else:
+        cands = pq_adc_candidates(
+            lists, query_vec, meta["codebooks"], n_candidates, meta["id_col"]
+        ).select(meta["id_col"])
     subset = lists.join(F.broadcast(cands), on=meta["id_col"], how="left_semi")
     return brute_force_topk(
         subset, query_vec, k, meta["id_col"], meta["vec_col"], round_to

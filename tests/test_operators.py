@@ -1301,3 +1301,37 @@ def test_semantic_dedup_blocking_invariant(spark, sf_dir):
     rb = sorted(map(tuple, blocked.collect()))
     assert ra == rb
     assert sum(1 for r in ra if not r[3]) == clones.count()  # every clone dropped
+
+
+def test_durable_index_residual_mode(spark, sf_dir, tmp_path):
+    """Durable ANN index with residual=True: sidecar records the flag,
+    appends encode under the frozen residual codebooks, and probes
+    find the query's own vector first."""
+    import json
+    import os
+
+    from lineage_store_database_management_system_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "ann_res")
+    similarity.ivf_pq_write_index(
+        emb.where("vec_id < 400"), idx, n_lists=8, m=8, nbits=4, residual=True
+    )
+    with open(os.path.join(idx, "_ann_meta.json")) as f:
+        assert json.load(f)["residual"] is True
+    n = similarity.ivf_pq_append_index(emb.where("vec_id >= 400"), idx)
+    assert n == emb.where("vec_id >= 400").count()
+    q = [float(x) for x in emb.where(F.col("vec_id") == 450).first()["embedding"]]
+    # full probe + full candidate set: ADC excludes nothing, so the
+    # exact refine must reproduce brute force deterministically
+    got = similarity.ivf_pq_topk_from_index(
+        spark, idx, q, k=5, nprobe=8, n_candidates=600, round_to=3
+    )
+    ids = [r.vec_id for r in got.collect()]
+    assert ids[0] == 450
+    exact = [
+        r.vec_id for r in similarity.brute_force_topk(emb, q, 5, round_to=3).collect()
+    ]
+    assert ids == exact
