@@ -541,7 +541,7 @@ def pq_sql_surface(spark, sf_dir):
     """SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
        ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
        ROUND(AVG(l_quantity), 4) AS avg_qty,
        ROUND(AVG(l_discount), 4) AS avg_disc,
        COUNT(*) AS count_order
@@ -558,7 +558,7 @@ def ext_q1(spark, sf_dir):
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias(
                 "sum_disc_price"
             ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
@@ -571,7 +571,7 @@ def ext_q1(spark, sf_dir):
 @workload(
     "ext_q3_shipping_priority",
     """SELECT l_orderkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -596,7 +596,7 @@ def ext_q3(spark, sf_dir):
         .join(cust, ords.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -607,7 +607,7 @@ def ext_q3(spark, sf_dir):
 
 @workload(
     "ext_q5_region_revenue",
-    """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    """SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -638,7 +638,7 @@ def ext_q5(spark, sf_dir):
         .where(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -3472,7 +3472,7 @@ def ext_q4(spark, sf_dir):
 
 @workload(
     "ext_q6_forecast_revenue",
-    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
@@ -3490,14 +3490,14 @@ def ext_q6(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
     )
 
 
 @workload(
     "ext_q10_returned_items",
     """SELECT c_custkey, c_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        c_acctbal, n_name
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -3517,7 +3517,7 @@ def ext_q10(spark, sf_dir):
         .join(F.broadcast(d["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -3559,7 +3559,7 @@ def ext_q14(spark, sf_dir):
 
 @workload(
     "ext_q19_disjunctive_join",
-    """SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size >= 1 AND p_size <= 15
        AND l_quantity >= 1 AND l_quantity <= 21)
@@ -3585,7 +3585,7 @@ def ext_q19(spark, sf_dir):
         .join(d["part"], F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -4328,10 +4328,10 @@ def mm_resize(spark, sf_dir):
 @workload(
     "ext_q7_nation_volume",
     """SELECT supp_nation, cust_nation, l_year,
-       ROUND(SUM(volume), 2) AS revenue
+       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
 FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS BIGINT) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 6)) AS volume
       FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders ON o_orderkey = l_orderkey
       JOIN customer ON c_custkey = o_custkey
@@ -4371,8 +4371,15 @@ def ext_q7(spark, sf_dir):
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -4532,7 +4539,7 @@ def ext_q13(spark, sf_dir):
     "ext_q15_top_supplier",
     """WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -4557,8 +4564,15 @@ def ext_q15(spark, sf_dir):
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
         )
     )
     top = rev.withColumn(
