@@ -963,6 +963,7 @@ def semantic_dedup(
     n_lists: int = 16,
     round_to: int | None = None,
     block_target: int = 4096,
+    kernel: str = "numpy",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space with
     the IVF coarse quantizer, then drop every vector that has a
@@ -1021,20 +1022,69 @@ def semantic_dedup(
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),
     )
+    # b-side key columns carry distinct names: the two sides share a
+    # lineage (same `blocked` frame), and both join and cogroup trip
+    # Spark's ambiguous-self-join analysis on same-named keys
     b = blocked.select(
-        F.col("_list"),
-        partners.alias("_bx"),
-        F.col("_blk").alias("_by"),
+        F.col("_list").alias("_listb"),
+        partners.alias("_bxb"),
+        F.col("_blk").alias("_byb"),
         F.col(id_col).alias("_idb"),
         F.col(vec_col).alias("_vb"),
     )
-    close_prior = (
-        a.join(b, on=["_list", "_bx", "_by"])
-        .where(F.col("_ida") < F.col("_idb"))
-        .where(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
-        .groupBy(F.col("_idb").alias(id_col))
-        .agg(F.count(F.lit(1)).alias("n_close_prior"))
-    )
+    if kernel == "expr":
+        close_prior = (
+            a.join(
+                b,
+                (F.col("_list") == F.col("_listb"))
+                & (F.col("_bx") == F.col("_bxb"))
+                & (F.col("_by") == F.col("_byb")),
+            )
+            .where(F.col("_ida") < F.col("_idb"))
+            .where(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+            .groupBy(F.col("_idb").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_close_prior"))
+        )
+    else:
+        # numpy block kernel: cogroup the two replicated sides on the
+        # block key and run each block's pair test as ONE float64
+        # matmul — no 10^9-row joined relation ever materializes, and
+        # the per-pair cost is a BLAS multiply-add instead of an
+        # interpreted array-aggregate expression (sf10 gate measured
+        # the expr path at 31 min for 1.25G pairs; this kernel does
+        # the identical enumeration in well under a minute). Same
+        # float64 math as the expression cosine (dot / (|a| |b|));
+        # the only divergence is summation order at the 1e-16 bit
+        # level, meaningful solely for pairs EXACTLY at threshold —
+        # measure-zero for continuous scores.
+        import numpy as np
+        import pandas as pd
+
+        def _block_counts(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame({"_idb": [], "_n": []})
+            A = np.asarray([np.asarray(v, dtype=np.float64) for v in left["_va"]])
+            B = np.asarray([np.asarray(v, dtype=np.float64) for v in right["_vb"]])
+            na = np.sqrt((A * A).sum(axis=1))
+            nb = np.sqrt((B * B).sum(axis=1))
+            sims = (A @ B.T) / (na[:, None] * nb[None, :])
+            ids_a = left["_ida"].to_numpy()
+            ids_b = right["_idb"].to_numpy()
+            mask = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+            counts = mask.sum(axis=0)
+            keep = counts > 0
+            return pd.DataFrame({"_idb": ids_b[keep], "_n": counts[keep]})
+
+        close_prior = (
+            a.groupBy("_list", "_bx", "_by")
+            .cogroup(b.groupBy("_listb", "_bxb", "_byb"))
+            .applyInPandas(
+                lambda left, right: _block_counts(left, right),
+                schema="_idb long, _n long",
+            )
+            .groupBy(F.col("_idb").alias(id_col))
+            .agg(F.sum("_n").alias("n_close_prior"))
+        )
     return assigned.join(close_prior, on=id_col, how="left").select(
         F.col(id_col),
         F.col("_list").alias("cluster"),

@@ -5434,25 +5434,31 @@ def ext_time_weighted_avg(spark, sf_dir):
     # precedent): every planted exact clone lands in its original's
     # cluster (deterministic assignment) at cosine 1.0 >= 0.99, and
     # the clone id is always the larger — so clone_dropped is TRUE by
-    # construction and the exact twin is closed-form.
-    """SELECT CAST(vec_id + 100000 AS BIGINT) AS clone_id,
+    # construction and the exact twin is closed-form. Clone ids derive
+    # from max(vec_id)+1 (r7: the fixed +100000 literal collided with
+    # live vec_ids at sf10's 200k rows — the same scale-unsafe
+    # planted-key class the sf10 tier caught in pq_merge_into_upsert).
+    """WITH mx AS (SELECT MAX(vec_id) AS m FROM embeddings)
+SELECT CAST(vec_id + mx.m + 1 AS BIGINT) AS clone_id,
        vec_id AS orig_id, TRUE AS clone_dropped
-FROM embeddings WHERE vec_id % 25 = 0""",
+FROM embeddings CROSS JOIN mx WHERE vec_id % 25 = 0""",
 )
 def ds_semantic_dedup(spark, sf_dir):
     """SemDeDup (similarity.semantic_dedup, Abbas et al. 2023):
     k-means-cluster the embedding space, drop vectors with a lower-id
     near-neighbor (cosine >= 0.99) inside their cluster — the
     quadratic stage confined within clusters, keyed on the cluster
-    id. Gated over planted exact clones (vec_id + 100000)."""
+    id. Gated over planted exact clones (vec_id + max(vec_id) + 1,
+    scale-safe at every sf)."""
     emb = load_star(spark, sf_dir)["embeddings"]
+    off = emb.agg(F.max("vec_id")).first()[0] + 1
     clones = emb.where(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding", "label"
     )
     allv = emb.select("vec_id", "embedding", "label").unionByName(clones)
     res = similarity.semantic_dedup(allv, threshold=0.99, n_lists=16)
     planted = emb.where(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 100000).alias("clone_id"),
+        (F.col("vec_id") + F.lit(off)).alias("clone_id"),
         F.col("vec_id").alias("orig_id"),
     )
     return planted.join(

@@ -1292,14 +1292,19 @@ def test_semantic_dedup_blocking_invariant(spark, sf_dir):
     )
     allv = emb.unionByName(clones)
     one_block = similarity.semantic_dedup(
-        allv, threshold=0.99, n_lists=8, block_target=10**9
+        allv, threshold=0.99, n_lists=8, block_target=10**9, kernel="expr"
     )
     blocked = similarity.semantic_dedup(
-        allv, threshold=0.99, n_lists=8, block_target=7
+        allv, threshold=0.99, n_lists=8, block_target=7, kernel="expr"
+    )
+    vectorized = similarity.semantic_dedup(
+        allv, threshold=0.99, n_lists=8, block_target=7, kernel="numpy"
     )
     ra = sorted(map(tuple, one_block.collect()))
     rb = sorted(map(tuple, blocked.collect()))
-    assert ra == rb
+    rc = sorted(map(tuple, vectorized.collect()))
+    assert ra == rb  # blocking enumerates the identical pair set
+    assert ra == rc  # numpy block kernel == Catalyst expression path
     assert sum(1 for r in ra if not r[3]) == clones.count()  # every clone dropped
 
 
