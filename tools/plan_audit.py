@@ -185,6 +185,11 @@ AUDIT = [
     # schema-directed scans (old files NULL-fill the added column),
     # no Python, no cartesian.
     ("pq_schema_evolution", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
+    # r7: widen+rename evolution must stay a pure schema-directed scan
+    # (physical->logical aliasing adds Project nodes, never Python or
+    # a join); decode is one fused Arrow stage, no shuffle in sight
+    ("pq_schema_evolution_widen_rename", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
+    ("mm_decode_image_stats", ["MapInPandas"], ["BatchEvalPython", "Exchange hashpartitioning"]),
     # Triangle counting: degree-oriented wedge enumeration — the
     # wedge stage is an equi-join on the low corner (hash or SMJ on
     # src with the rank inequality as a post-filter), the closing
