@@ -43,6 +43,23 @@ EXCLUDE: dict[str, str] = {
     "sum(freq^2) in shingle frequency — infeasible unguarded at 500k "
     "docs by design; production path (LSH candidates + freq cap) is "
     "sf10-proven",
+    # Same class, r7: these two deliberately unbound max_shingle_freq
+    # so the Spark pair stage equals the exact recursive-CTE oracle.
+    # The sf10 corpus is 100-way replica families (make_scale_data's
+    # suffix-perturbed replication), so EVERY shingle has freq ~100
+    # and the exact co-shingle join is Σfreq² ~ quadratic in replica
+    # count (measured: filled the 76 GB free disk with shuffle spill);
+    # the oracle's recursive closure over the resulting ~25M-edge
+    # clique family is equally infeasible in DuckDB. Data-induced by
+    # corpus construction, not a plan defect: the production path is
+    # LSH candidates (ds_minhash_lsh_candidates, sf10-proven) +
+    # star-linked components (ds_dup_clusters_star's operator, sf1-
+    # proven); both cluster workloads hold their sf1 proof.
+    "ds_dup_clusters": "exact unbounded-freq pair stage is Σfreq² — "
+    "~quadratic in the sf10 corpus's 100-way replica families; "
+    "sf1-proven, production path (LSH + star components) sf10-proven",
+    "ds_dup_clusters_star": "same exact pair stage as ds_dup_clusters "
+    "(shared oracle); sf1-proven",
 }
 
 
