@@ -10,6 +10,12 @@ wide (VERDICT r5 item 1). ``tools/sf1_rotate.py`` reuses ``check()``
 for the rotating sf1 slice.
 
 Usage: python tools/selfcheck.py [sf_dir] [name_filter...]
+
+PROCESS RULE (VERDICT r6 item 3): the committed full-registry log
+(selfcheck_r{N}_full.log) must be the round's LAST substantive act —
+run it after the final workload lands, and assert its N/N count
+equals the registry count at HEAD (r6 committed a 179/179 log while
+the registry closed at 182).
 """
 
 from __future__ import annotations
