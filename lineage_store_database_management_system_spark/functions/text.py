@@ -85,3 +85,29 @@ def char_ngrams(c: Column, n: int = 5) -> Column:
         return F.array_distinct(F.transform(starts, lambda i: F.substring(t, i, n)))
 
     return bind_once(c, _grams)
+
+
+def unicode_normalized_text(c: Column) -> Column:
+    """NFC-normalize, lowercase, collapse whitespace runs, strip.
+
+    The Unicode-aware sibling of :func:`normalized_text` for corpora
+    where the same document arrives in NFC and NFD encodings (common
+    when mixing crawl sources / OCR output). Spark SQL has no built-in
+    Unicode normalization, so this is an Arrow-batched pandas UDF over
+    ``Series.str.normalize`` — map-only, no shuffle, the documented
+    slow-path exception (everything downstream stays Catalyst).
+
+    Oracle equivalence (DuckDB):
+    ``trim(regexp_replace(lower(nfc_normalize(x)), '\\s+', ' ', 'g'))``.
+    """
+
+    @F.pandas_udf("string")
+    def _norm(s):  # pandas Series[str] -> Series[str]
+        return (
+            s.str.normalize("NFC")
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+
+    return _norm(c)

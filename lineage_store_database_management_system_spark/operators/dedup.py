@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized_text, word_shingles
+from ..functions.text import normalized_text, unicode_normalized_text, word_shingles
 from ._util import spread
 
 
@@ -500,4 +500,28 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def exact_duplicates_unicode(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-dedup groups over UNICODE-normalized text: NFC + lower +
+    whitespace collapse. Catches the encoding-level dup class plain
+    :func:`exact_duplicates` misses — the same document in NFC vs NFD
+    form (mixed crawl sources, OCR output, copy-paste artifacts).
+
+    Plan shape is identical to the exact path and scales the same way:
+    one Arrow-batched map-only normalization pass (no Spark built-in
+    for Unicode normalization — see functions.text), then a groupBy on
+    the 64-bit digest of the normalized key. Shuffles digests + ids
+    only, never the raw text. Reference has no dedup at all (extension
+    layer, SURVEY §2.6)."""
+    h = F.xxhash64(unicode_normalized_text(F.col(text_col))).alias("_h")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("_h")
     )

@@ -6899,3 +6899,81 @@ def ext_null_safe_join(spark, sf_dir):
             F.countDistinct("n_nationkey").alias("n_nations"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7 additions: Unicode-normalized dedup + ORC round-trip
+# ---------------------------------------------------------------------------
+
+# The same logical document in NFC vs NFD encoding (plus case /
+# whitespace noise) — the dup class byte-exact dedup misses. Planted
+# on BOTH engines from these shared constants; ́ = combining
+# acute, ̊ = combining ring.
+_UNI_PLANT: list[tuple[int, str]] = [
+    (900000001, "Caf\u00e9 Society"),  # NFC e-acute
+    (900000002, "Cafe\u0301  Society "),  # NFD + ws noise -> dup of 1
+    (900000003, "CAF\u00c9 SOCIETY"),  # NFC upper -> dup of 1
+    (900000004, "Stra\u00dfe in \u00c5ngstr\u00f6m"),  # NFC
+    (900000005, "STRASSE in \u00c5ngstr\u00f6m"),  # NOT a dup (lower keeps Eszett)
+    (900000006, "Stra\u00dfe in A\u030angstr\u00f6m"),  # NFD ring -> dup of 4
+]
+_UNI_VALUES = ",\n  ".join(
+    "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _UNI_PLANT
+)
+
+
+@workload(
+    "ds_dedup_unicode",
+    f"""WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {_UNI_VALUES}) t(doc_id, text)
+)
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM corpus
+GROUP BY md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')))""",
+)
+def ds_dedup_unicode(spark, sf_dir):
+    """Exact-dedup groups over UNICODE-normalized text (NFC + lower +
+    whitespace collapse): catches NFC-vs-NFD re-encodings of the same
+    document that byte-exact dedup misses. Arrow-batched map-only
+    normalization (no Spark built-in for NFC), then the standard
+    digest groupBy — shuffles 64-bit digests + ids only. Planted
+    NFC/NFD/case/whitespace variants verify the merge on both engines;
+    the Eszett control row proves lower() (not casefold) semantics."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    planted = spark.createDataFrame(_UNI_PLANT, "doc_id long, text string")
+    corpus = docs.unionAll(planted)
+    return dedup.exact_duplicates_unicode(corpus, "doc_id", "text").select(
+        "keep_id", "n_copies"
+    )
+
+
+@workload(
+    "ext_orc_roundtrip",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def ext_orc_roundtrip(spark, sf_dir):
+    """Source-format proof: write a lineitem projection to ORC, read
+    it back, aggregate — the gated answer must equal the oracle's
+    straight-from-Parquet aggregate, so any loss/corruption in the
+    ORC writer/reader path (sources/writers.py, sources/readers.py)
+    flips the hash. ORC is Spark-native (no extra jars); the write
+    sizes files via target_partitions as at scale."""
+    from .sources.readers import read_table
+    from .sources.writers import write_table
+
+    li = load_star(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="lss_orc_"), "li_orc")
+    write_table(li, out, fmt="orc", target_partitions=4)
+    back = read_table(spark, out, fmt="orc")
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -1,0 +1,56 @@
+"""Round-7 additions: Unicode-normalized exact dedup and the ORC
+round-trip path. The workload gates prove oracle equality end-to-end;
+these tests pin the operator semantics on adversarial micro-inputs the
+synthetic corpus cannot contain (NFD forms, Eszett, NULL text)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lineage_store_database_management_system_spark.operators import dedup
+from lineage_store_database_management_system_spark.sources.readers import read_table
+from lineage_store_database_management_system_spark.sources.writers import write_table
+
+
+def test_unicode_dedup_merges_nfc_nfd_case_ws(spark):
+    rows = [
+        (1, "Café Society"),  # NFC
+        (2, "Café  Society "),  # NFD + whitespace noise
+        (3, "CAFÉ SOCIETY"),  # upper
+        (4, "Straße"),  # Eszett
+        (5, "STRASSE"),  # NOT a dup: lower() keeps Eszett
+        (6, None),  # NULL text gets its own group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["keep_id"]: r["n_copies"]
+        for r in dedup.exact_duplicates_unicode(df, "doc_id", "text").collect()
+    }
+    assert got == {1: 3, 4: 1, 5: 1, 6: 1}
+
+
+def test_unicode_dedup_plan_is_map_then_hashagg(spark):
+    """The normalization must stay a map-only Arrow stage feeding one
+    hash aggregate — no join, no second shuffle, no raw-text shuffle
+    (only the 64-bit digest and id reach the exchange)."""
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = dedup.exact_duplicates_unicode(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_orc_roundtrip_preserves_values(spark):
+    rows = [(i, f"s{i % 3}", float(i) * 1.5) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, grp string, v double")
+    out = os.path.join(tempfile.mkdtemp(prefix="lss_orc_test_"), "t")
+    write_table(df, out, fmt="orc", target_partitions=2)
+    back = read_table(spark, out, fmt="orc")
+    assert back.count() == 100
+    a = sorted(df.collect())
+    b = sorted(back.collect())
+    assert a == b
+    # schema fidelity, not just values
+    assert dict(back.dtypes) == dict(df.dtypes)

@@ -196,6 +196,14 @@ AUDIT = [
     # edge an equi-join on (y,z); a cartesian anywhere means the
     # orientation was lost. All Catalyst.
     ("ext_triangle_count", ["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
+    # r7: Unicode dedup is one Arrow map stage (NFC has no Catalyst
+    # expression — ArrowEvalPython is the DESIGNED shape here, the
+    # forbidden form is row-at-a-time Python) feeding a digest
+    # hash-aggregate; only (digest, id) reach the exchange, never text.
+    ("ds_dedup_unicode", ["ArrowEvalPython", "xxhash64", "HashAggregate"], ["BatchEvalPython", "Join"]),
+    # r7: ORC round-trip must read back through a native columnar ORC
+    # scan (no Python anywhere) into a two-phase hash aggregate.
+    ("ext_orc_roundtrip", ["Scan orc", "HashAggregate"], ["BatchEvalPython", "Join"]),
 ]
 
 
