@@ -168,13 +168,27 @@ def minhash_candidates_against_store(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_words: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(batch_id, store_id, n_shared_bands) candidate near-dup pairs
     between the new batch and everything previously stored. Work is
     proportional to band-bucket collisions (the join key is
     (band, bh)), exactly like the corpus-level LSH self-join — but
     the batch side is the increment, so each run touches the store
-    once instead of re-pairing the whole corpus with itself."""
+    once instead of re-pairing the whole corpus with itself.
+
+    ``bucket_cap``: the bipartite analogue of the corpus-level star
+    link (dedup.minhash_lsh_candidates) — an sf10 run on a 100-way
+    clone-family corpus showed the uncapped bucket join emitting
+    store_rows x batch_rows pairs per hot bucket. With a cap, any
+    (band, bh) bucket holding more than ``bucket_cap`` STORE rows
+    links each colliding batch doc to the bucket's minimum store id
+    only (its hub) instead of to every member. A batch doc still
+    surfaces as "has a near-dup in the store" with a concrete
+    representative — the property incremental ingest dedup consumes —
+    and hub-linked rows count oversized-bucket bands in
+    n_shared_bands just like exhaustive ones. Default None preserves
+    exhaustive pairs."""
     spark = batch.sparkSession
     banded = _banded(
         batch, id_col, text_col, num_hashes, bands, shingle_words
@@ -186,22 +200,54 @@ def minhash_candidates_against_store(
             [], "batch_id long, store_id long, n_shared_bands long"
         )
     else:
+        a = banded.alias("a")
+        if bucket_cap is not None:
+            # One aggregate over the store keyed on the SAME (band, bh)
+            # as the pair join — co-partitioned, no extra shuffle shape.
+            stats = stored.groupBy("band", "bh").agg(
+                F.count(F.lit(1)).alias("_ssz"), F.min(id_col).alias("_hub")
+            )
+            small = stored.join(
+                stats.where(F.col("_ssz") <= bucket_cap), on=["band", "bh"]
+            ).drop("_ssz", "_hub")
+            exhaustive = a.join(
+                small.alias("b"),
+                (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+            ).select(
+                F.col(f"a.{id_col}").alias("batch_id"),
+                F.col(f"b.{id_col}").alias("store_id"),
+            )
+            # Oversized buckets: hub only — batch_rows pairs per bucket
+            # instead of batch_rows x store_rows. Join against the
+            # (band, bh, _hub) stats rows themselves, never the members.
+            star = a.join(
+                stats.where(F.col("_ssz") > bucket_cap).alias("s"),
+                (F.col("a.band") == F.col("s.band")) & (F.col("a.bh") == F.col("s.bh")),
+            ).select(
+                F.col(f"a.{id_col}").alias("batch_id"),
+                F.col("s._hub").alias("store_id"),
+            )
+            pairs = exhaustive.unionByName(star)
+        else:
+            pairs = (
+                a.join(
+                    stored.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh")),
+                ).select(
+                    F.col(f"a.{id_col}").alias("batch_id"),
+                    F.col(f"b.{id_col}").alias("store_id"),
+                )
+            )
         # localCheckpoint, not persist: the store append below fires
         # refreshByPath, which would recompute a persisted plan
         # against the post-append store (pairing the batch with its
         # own freshly-added bands)
         out = (
-            banded.alias("a")
-            .join(
-                stored.alias("b"),
-                (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
-            )
-            .groupBy(
-                F.col(f"a.{id_col}").alias("batch_id"),
-                F.col(f"b.{id_col}").alias("store_id"),
-            )
+            pairs.groupBy("batch_id", "store_id")
             .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-        ).localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)
+        )
     if update_store:
         banded.write.mode("append").parquet(store_dir)
     banded.unpersist()

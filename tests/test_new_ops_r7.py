@@ -54,3 +54,34 @@ def test_orc_roundtrip_preserves_values(spark):
     assert a == b
     # schema fidelity, not just values
     assert dict(back.dtypes) == dict(df.dtypes)
+
+
+def test_minhash_store_bucket_cap_star_links(spark, tmp_path):
+    """With a tiny cap, hot store buckets must link batch docs to the
+    bucket hub (min store id) only; recall ('batch doc has a stored
+    near-dup, with a representative') is preserved while pair count
+    drops from A x B to A per hot bucket."""
+    from lineage_store_database_management_system_spark.operators import incremental
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    store_docs = [(i, base + f" s{i % 2}") for i in range(2, 12, 2)]  # 5 even ids
+    batch_docs = [(i, base + f" b{i % 2}") for i in range(1, 11, 2)]  # 5 odd ids
+    sdf = spark.createDataFrame(store_docs, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch_docs, "doc_id long, text string")
+    store = str(tmp_path / "bands")
+    incremental.update_minhash_store(sdf, "doc_id", "text", store)
+
+    exhaustive = incremental.minhash_candidates_against_store(
+        bdf, "doc_id", "text", store, update_store=False
+    ).collect()
+    capped = incremental.minhash_candidates_against_store(
+        bdf, "doc_id", "text", store, update_store=False, bucket_cap=1
+    ).collect()
+
+    ex_batch = {r["batch_id"] for r in exhaustive}
+    cap_batch = {r["batch_id"] for r in capped}
+    assert ex_batch == cap_batch  # same recall: every colliding batch doc surfaces
+    assert len(capped) <= len(exhaustive)
+    # every capped pair points at a real stored id
+    stored_ids = {i for i, _ in store_docs}
+    assert {r["store_id"] for r in capped} <= stored_ids
