@@ -70,6 +70,16 @@ EXCLUDE: dict[str, str] = {
     "ds_minhash_lsh_candidates": "oracle-exact all-pairs J twin is "
     "Σfreq² over 100-way replica families; LSH operator path "
     "sf10-measured separately; sf1-proven",
+    # r7 slice 12: same exact-twin class — the gate's `recalled` label
+    # computes unbounded-freq all-pairs Jaccard over the FULL corpus
+    # on both engines (filled the disk with shuffle spill at sf10).
+    # The OPERATOR path is sf10-measured healthy after the r7 bipartite
+    # bucket_cap: store build 21.1 s over 250k docs, candidate join
+    # 18.5 s, 80,724 pairs / 11,601 batch docs surfaced (bucket_cap=64,
+    # tools notes in SCALING.md). sf1 proof stands.
+    "ds_incremental_minhash": "oracle-exact all-pairs J twin is "
+    "Σfreq² over 100-way replica families; capped store-join operator "
+    "path sf10-measured separately (21.1 s + 18.5 s); sf1-proven",
 }
 
 
