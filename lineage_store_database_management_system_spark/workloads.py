@@ -6977,3 +6977,40 @@ def ext_orc_roundtrip(spark, sf_dir):
         .cast("double")
         .alias("revenue"),
     )
+
+
+@workload(
+    "ext_csv_json_roundtrip",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def ext_csv_json_roundtrip(spark, sf_dir):
+    """Source-format proof for the text formats: the same lineitem
+    projection written to CSV (header + explicit read schema — the
+    production contract; inference is for small files only) AND to
+    JSON lines, read back, unioned, aggregated. The oracle reads the
+    Parquet view once and doubles the counts — any value lost or
+    mangled by either text codec (quoting, null encoding, double
+    round-trip) flips the hash."""
+    from .sources.readers import read_table
+    from .sources.writers import write_table
+
+    li = load_star(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    root = tempfile.mkdtemp(prefix="lss_txt_")
+    csv_dir, json_dir = os.path.join(root, "csv"), os.path.join(root, "json")
+    write_table(li, csv_dir, fmt="csv", target_partitions=4)
+    write_table(li, json_dir, fmt="json", target_partitions=4)
+    back = read_table(spark, csv_dir, fmt="csv", schema=li.schema).unionByName(
+        read_table(spark, json_dir, fmt="json", schema=li.schema)
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_rows"),
+        (
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2) / 2
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

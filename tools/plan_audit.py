@@ -204,6 +204,9 @@ AUDIT = [
     # r7: ORC round-trip must read back through a native columnar ORC
     # scan (no Python anywhere) into a two-phase hash aggregate.
     ("ext_orc_roundtrip", ["Scan orc", "HashAggregate"], ["BatchEvalPython", "Join"]),
+    # r7: text-format round-trip reads back through native csv/json
+    # scans with the EXPLICIT schema (no inference job in the plan).
+    ("ext_csv_json_roundtrip", ["Scan csv", "Scan json", "HashAggregate"], ["BatchEvalPython"]),
 ]
 
 
