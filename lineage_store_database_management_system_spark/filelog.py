@@ -1,0 +1,312 @@
+"""File-level manifest log — Delta-style scan planning without
+directory listing.
+
+The table ``Manifest`` (lineage.py) holds O(1) watermarks; this module
+adds the missing piece for 100 TB object storage: a per-commit
+**add/remove file log** under ``<table>/_filelog/`` so that
+``base_df``/``tail_df`` plan their Parquet scans from a handful of
+small JSON reads instead of a recursive directory listing (the known
+weak operation on S3/GCS — O(files) LIST calls with high tail
+latency). Each logged file carries per-file statistics (row count,
+byte size, min/max of the rid/seq/primary-key columns) so point and
+range reads can **skip whole files** driver-side before Spark ever
+opens a footer — the same pruning a lakehouse format gets from its
+checkpoint stats.
+
+Layout (all paths relative to the table root):
+
+- ``_filelog/{idx:012d}.json`` — one commit's actions::
+
+      {"actions": [
+        {"op": "add",    "dir": "base", "files": [ENTRY, ...]},
+        {"op": "remove", "dir": "base", "paths": ["k=3/f.parquet"]},
+        {"op": "reset",  "dir": "tail", "files": [ENTRY, ...]},
+        {"op": "drop",   "dir": "compacted/v1"}
+      ]}
+
+  ENTRY = ``{"path": rel-to-dir, "rows": n, "bytes": n,
+  "stats": {"physical_col": [min, max], ...}}``. Stats are keyed by
+  PHYSICAL column name (rename_column is metadata-only; files keep
+  their birth names) and recorded only for losslessly JSON-comparable
+  types (int/float/str).
+
+- ``_filelog/ckpt-{idx:012d}.json`` — full live-file state after
+  applying entries ``<= idx``; written every CHECKPOINT_EVERY commits,
+  after which the covered per-commit files are deleted. A reader
+  loads the newest checkpoint and replays the few entries past it —
+  bounded metadata I/O regardless of table age.
+
+Crash discipline: data files move into place FIRST, then the log
+entry publishes them (files-then-log, the standard lakehouse commit
+order). A writer crash between the two leaves orphan data files that
+log-planned scans never see; ``LineageTable.repair_staging`` re-syncs
+the log from a listing. Log appends serialize under the same
+``_ManifestLock`` as manifest CAS, so concurrent writers cannot
+interleave log indices.
+
+Reference parity note: the reference engine keeps no file-level
+metadata at all (its ``table_info.txt``, db.py:163-166, stores only
+counters; pages are addressed positionally). This module is the
+scale-out replacement for that positional addressing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+CHECKPOINT_EVERY = 64
+
+_LOG_W = 12  # zero-pad width for log indices
+
+
+def _atomic_json(path: str, obj) -> None:
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, separators=(",", ":"))
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _jsonable_stat(v):
+    """Stat value if losslessly JSON-comparable, else None (dropped).
+    bool is excluded: it json-roundtrips but min/max pruning on a
+    bool column is worthless and pyarrow stats for it are unreliable
+    across writers."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def file_entry(abs_path: str, rel_path: str, stat_cols: list[str]) -> dict:
+    """Build one log ENTRY for a parquet file: a footer-only metadata
+    read (pyarrow), never data pages. On a real cluster these stats
+    come back from the write tasks themselves (Spark's commit
+    protocol); the footer read is the driver-side equivalent and is
+    O(KB) per file."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    entry: dict = {
+        "path": rel_path,
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(abs_path),
+        "stats": {},
+    }
+    if not stat_cols or md.num_row_groups == 0:
+        return entry
+    name_to_idx = {}
+    for i in range(md.num_columns):
+        # column(i).path_in_schema is dotted for nested cols; our stat
+        # columns are top-level scalars so exact match is correct
+        name_to_idx[md.row_group(0).column(i).path_in_schema] = i
+    for c in stat_cols:
+        i = name_to_idx.get(c)
+        if i is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn = _jsonable_stat(st.min)
+            mx = _jsonable_stat(st.max)
+            if mn is None or mx is None:
+                ok = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok and lo is not None:
+            entry["stats"][c] = [lo, hi]
+    return entry
+
+
+def prune_entries(entries: list[dict], bounds: dict[str, tuple]) -> list[dict]:
+    """Keep entries whose per-file [min,max] could intersect every
+    ``col -> (lo, hi)`` bound (None = unbounded on that side). Files
+    with no stats for a column are always kept (pruning is an
+    optimization, never a filter); mismatched types (e.g. str stats
+    vs int bound) also keep — correctness first."""
+    out = []
+    for e in entries:
+        keep = True
+        for col, (lo, hi) in bounds.items():
+            st = e.get("stats", {}).get(col)
+            if not st:
+                continue
+            mn, mx = st
+            try:
+                if lo is not None and mx < lo:
+                    keep = False
+                    break
+                if hi is not None and mn > hi:
+                    keep = False
+                    break
+            except TypeError:
+                continue  # incomparable types: keep the file
+        if keep:
+            out.append(e)
+    return out
+
+
+class FileLog:
+    """Live-file tracking for one lineage table. Cheap to construct;
+    all state lives on disk + a per-instance replay cache."""
+
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+        self.root = os.path.join(table_path, "_filelog")
+        self._cache_idx = -1
+        self._cache: dict[str, dict[str, dict]] = {}
+
+    # -- presence -----------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.isdir(self.root)
+
+    def init(self) -> None:
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- write side ---------------------------------------------------
+    def append(self, actions: list[dict]) -> int:
+        """Publish one commit's actions. Caller must have already made
+        the data files visible (files-then-log). Serialized by the
+        table's manifest lock. Returns the log index written."""
+        from .lineage import _ManifestLock
+
+        if not actions:
+            return -1
+        with _ManifestLock(self.table_path):
+            ck, idxs = self._scan_log_dir()
+            last = max([ck if ck is not None else -1] + idxs)
+            idx = last + 1
+            _atomic_json(
+                os.path.join(self.root, f"{idx:0{_LOG_W}d}.json"),
+                {"actions": actions},
+            )
+            # Checkpoint: bound replay length AND metadata-file count.
+            if len(idxs) + 1 >= CHECKPOINT_EVERY:
+                self._refresh_locked()
+                _atomic_json(
+                    os.path.join(self.root, f"ckpt-{idx:0{_LOG_W}d}.json"),
+                    {"state": self._cache},
+                )
+                for i in idxs + [idx]:
+                    try:
+                        os.unlink(
+                            os.path.join(self.root, f"{i:0{_LOG_W}d}.json")
+                        )
+                    except OSError:
+                        pass
+                if ck is not None:
+                    try:
+                        os.unlink(
+                            os.path.join(self.root, f"ckpt-{ck:0{_LOG_W}d}.json")
+                        )
+                    except OSError:
+                        pass
+        return idx
+
+    # -- read side ----------------------------------------------------
+    def _scan_log_dir(self) -> tuple[int | None, list[int]]:
+        """(newest checkpoint idx or None, sorted per-commit idxs)."""
+        try:
+            names = os.listdir(self.root)
+        except FileNotFoundError:
+            return None, []
+        ck = None
+        idxs = []
+        for n in names:
+            if not n.endswith(".json"):
+                continue
+            if n.startswith("ckpt-"):
+                try:
+                    v = int(n[5:-5])
+                except ValueError:
+                    continue
+                ck = v if ck is None or v > ck else ck
+            else:
+                try:
+                    idxs.append(int(n[:-5]))
+                except ValueError:
+                    continue
+        return ck, sorted(idxs)
+
+    def _apply(self, actions: list[dict]) -> None:
+        for a in actions:
+            op, tag = a["op"], a["dir"]
+            if op == "add":
+                d = self._cache.setdefault(tag, {})
+                for e in a["files"]:
+                    d[e["path"]] = e
+            elif op == "remove":
+                d = self._cache.get(tag, {})
+                for p in a["paths"]:
+                    d.pop(p, None)
+            elif op == "reset":
+                self._cache[tag] = {e["path"]: e for e in a["files"]}
+            elif op == "drop":
+                self._cache.pop(tag, None)
+
+    def _refresh_locked(self) -> None:
+        ck, idxs = self._scan_log_dir()
+        if ck is not None and ck > self._cache_idx:
+            with open(os.path.join(self.root, f"ckpt-{ck:0{_LOG_W}d}.json")) as f:
+                self._cache = json.load(f)["state"]
+            self._cache_idx = ck
+        for i in idxs:
+            if i <= self._cache_idx:
+                continue
+            try:
+                with open(os.path.join(self.root, f"{i:0{_LOG_W}d}.json")) as f:
+                    self._apply(json.load(f)["actions"])
+                self._cache_idx = i
+            except FileNotFoundError:
+                # raced a concurrent checkpointer's cleanup; the next
+                # refresh sees the checkpoint that superseded this file
+                continue
+
+    def live(self, tag: str) -> list[dict] | None:
+        """Live entries for a directory tag, or None when the log was
+        never initialized (caller falls back to directory listing)."""
+        if not self.exists():
+            return None
+        self._refresh_locked()
+        return list(self._cache.get(tag, {}).values())
+
+    # -- import / resync ----------------------------------------------
+    def import_dir(
+        self, tag: str, abs_dir: str, stat_cols: list[str]
+    ) -> list[dict]:
+        """Full listing + footer stats of ``abs_dir`` -> entry list
+        (the one place directory listing is still used: bootstrap of a
+        pre-filelog table and post-crash resync)."""
+        entries = []
+        if os.path.isdir(abs_dir):
+            for root, _dirs, files in os.walk(abs_dir):
+                for name in files:
+                    if not name.endswith(".parquet") or name.startswith("_"):
+                        continue
+                    p = os.path.join(root, name)
+                    entries.append(
+                        file_entry(p, os.path.relpath(p, abs_dir), stat_cols)
+                    )
+        return entries

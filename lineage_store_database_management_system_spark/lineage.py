@@ -58,6 +58,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .filelog import FileLog, file_entry, prune_entries
+
 # Metadata columns. Base rows carry (_rid, _ts); tail rows carry
 # (_rid, _seq, _op, _ts). The reference's 4 hidden base columns /
 # 5 hidden tail columns (table.py:116, table.py:142) map onto these:
@@ -265,6 +267,20 @@ class LineageTable:
         self._pending_tail: list[tuple] = []
         self._open_batch: int | None = None
         self._batch_counter = 0
+        # file-level manifest log (filelog.py): live-file sets + per-
+        # file stats so scans plan without directory listing
+        self.filelog = FileLog(path)
+
+    @property
+    def _stat_cols(self) -> list[str]:
+        """PHYSICAL column names whose per-file min/max go into the
+        file log: rid (prunes the fresh-base read above the compaction
+        watermark), seq (prunes the tail read above TPS / CDC ranges),
+        and the primary key (prunes point/range lookups)."""
+        return [RID, SEQ, self._phys_map.get(self.key, self.key)]
+
+    def _log_tag(self, abs_dir: str) -> str:
+        return os.path.relpath(abs_dir, self.path)
 
     # ------------------------------------------------------------------
     # paths / schemas
@@ -709,6 +725,7 @@ class LineageTable:
                 # the write never happened
                 shutil.rmtree(staging, ignore_errors=True)
                 raise CheckViolation(f"check constraint(s) violated: {viol}")
+        moved: list[str] = []
         for root, _dirs, files in os.walk(staging):
             rel = os.path.relpath(root, staging)
             for name in files:
@@ -716,11 +733,29 @@ class LineageTable:
                     continue
                 dest_dir = target_dir if rel == "." else os.path.join(target_dir, rel)
                 os.makedirs(dest_dir, exist_ok=True)
-                os.rename(
-                    os.path.join(root, name),
-                    os.path.join(dest_dir, f"{uuid.uuid4().hex[:8]}-{name}"),
-                )
+                dest = os.path.join(dest_dir, f"{uuid.uuid4().hex[:8]}-{name}")
+                os.rename(os.path.join(root, name), dest)
+                moved.append(dest)
         shutil.rmtree(staging, ignore_errors=True)
+        # files-then-log: the commit becomes visible to log-planned
+        # scans here (one footer read per new file for stats)
+        if moved and self.filelog.exists():
+            self.filelog.append(
+                [
+                    {
+                        "op": "add",
+                        "dir": self._log_tag(target_dir),
+                        "files": [
+                            file_entry(
+                                p,
+                                os.path.relpath(p, target_dir),
+                                self._stat_cols,
+                            )
+                            for p in moved
+                        ],
+                    }
+                ]
+            )
 
     # ------------------------------------------------------------------
     # write path (Q1 insert / Q4 update / Q5 delete — bulk + row-at-a-time)
@@ -1177,9 +1212,10 @@ class LineageTable:
                 except CheckViolation:
                     self._pending_tail = []
                     raise
-            self._df_to_physical(df).coalesce(1).write.mode("append").parquet(
-                self.tail_dir
-            )
+            # staged like every other commit (was a direct
+            # mode("append") before the file log existed: staging is
+            # what lets the new files be enumerated for the log entry)
+            self._append_via_staging(df.coalesce(1), self.tail_dir)
             self._pending_tail = []
         # No manifest save here: the open batch was reserved (and the
         # manifest CAS'd) in _ensure_batch, so the on-disk manifest is
@@ -1190,8 +1226,50 @@ class LineageTable:
     # ------------------------------------------------------------------
     # read path: raw frames
     # ------------------------------------------------------------------
-    def _read_or_empty(self, path: str, schema: T.StructType) -> DataFrame:
-        if _has_parquet(path):
+    def _read_or_empty(
+        self,
+        path: str,
+        schema: T.StructType,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """Planned scan of one table directory.
+
+        With the file log present, the scan is planned from the log's
+        live-file set — no directory listing (the expensive operation
+        on object storage) — and ``prune`` (``physical col -> (lo,
+        hi)`` bounds) skips whole files by their logged min/max before
+        Spark opens a single footer. Without the log (pre-filelog
+        table), falls back to the directory-listing read. Pruning is
+        a pure optimization: files without stats are always kept.
+        """
+        entries = self.filelog.live(self._log_tag(path))
+        if entries is not None:
+            # zero-row part files (Spark writes one per empty output
+            # task) can never contribute rows — never open them
+            entries = [e for e in entries if e.get("rows", 1) != 0]
+            if prune:
+                entries = prune_entries(entries, prune)
+            if entries:
+                files = [os.path.join(path, e["path"]) for e in entries]
+                phys = self._physical_schema(schema)
+                # basePath keeps Hive partition-column derivation
+                # identical to the directory read
+                df = (
+                    self.spark.read.option("basePath", path)
+                    .schema(phys)
+                    .parquet(*files)
+                )
+                m = self._phys_map
+                if m:
+                    inv = {ph: lg for lg, ph in m.items()}
+                    df = df.select(
+                        *[
+                            F.col(f.name).alias(inv.get(f.name, f.name))
+                            for f in phys.fields
+                        ]
+                    )
+                return df
+        elif _has_parquet(path):
             m = self._phys_map
             if not m:
                 return self.spark.read.schema(schema).parquet(path)
@@ -1212,15 +1290,26 @@ class LineageTable:
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
 
-    def base_df(self, include_pending: bool = True) -> DataFrame:
-        """All original inserted records (full history side)."""
-        df = self._read_or_empty(self.base_dir, self.base_schema)
+    def base_df(
+        self,
+        include_pending: bool = True,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """All original inserted records (full history side). ``prune``
+        passes physical-column (lo, hi) bounds for file skipping — the
+        caller must ALSO apply the equivalent row filter (skipping is
+        an optimization, never a row-level guarantee)."""
+        df = self._read_or_empty(self.base_dir, self.base_schema, prune=prune)
         if include_pending and self._pending_base:
             df = df.unionByName(self.spark.createDataFrame(self._pending_base, self.base_schema))
         return df
 
-    def tail_df(self, include_pending: bool = True) -> DataFrame:
-        df = self._read_or_empty(self.tail_dir, self.tail_schema)
+    def tail_df(
+        self,
+        include_pending: bool = True,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        df = self._read_or_empty(self.tail_dir, self.tail_schema, prune=prune)
         if include_pending and self._pending_tail:
             df = df.unionByName(self.spark.createDataFrame(self._pending_tail, self.tail_schema))
         return df
@@ -1316,24 +1405,59 @@ class LineageTable:
             ],
         )
 
-    def current_view(self, include_meta: bool = False) -> DataFrame:
+    def current_view(
+        self,
+        include_meta: bool = False,
+        key_range: tuple | None = None,
+    ) -> DataFrame:
         """Latest version of every live record.
 
         If a compacted snapshot exists (TPS watermark), only tail rows
         with _seq > TPS are folded, against (snapshot ∪ base rows newer
         than the snapshot) — the reference's merge fast-path intent
-        (table.py:186-225) without its addressing bugs."""
+        (table.py:186-225) without its addressing bugs.
+
+        ``key_range=(lo, hi)`` (either side None = unbounded) both
+        file-skips via the manifest log's per-file key min/max AND
+        applies the row filter, so a point/range lookup on the primary
+        key opens only the files that can contain it. The watermark
+        predicates (``_rid > compact_rid_hi``, ``_seq > tps``) are
+        likewise pushed into file skipping — a compacted table's
+        current view never opens pre-snapshot base or pre-TPS tail
+        files, regardless of row-group pruning."""
+        kb: dict[str, tuple] = {}
+        if key_range is not None:
+            kp = self._phys_map.get(self.key, self.key)
+            kb = {kp: (key_range[0], key_range[1])}
+        # Tail key-skipping is only sound when deltas carry the key
+        # (tail_keyed): un-keyed deltas hold NULL there, and parquet
+        # min/max ignores nulls — a file's stats could then exclude a
+        # key whose delta it holds.
+        tail_kb = kb if self.tail_keyed else {}
         m = self.manifest
         if m.compact_version >= 0:
-            snap = self._read_or_empty(self.compacted_dir(), self.base_schema)
-            fresh = self.base_df().where(F.col(RID) > m.compact_rid_hi)
+            snap = self._read_or_empty(
+                self.compacted_dir(), self.base_schema, prune=kb or None
+            )
+            fresh = self.base_df(
+                prune={RID: (m.compact_rid_hi + 1, None), **kb}
+            ).where(F.col(RID) > m.compact_rid_hi)
             base = snap.unionByName(fresh)
-            tail = self.tail_df().where(F.col(SEQ) > m.tps)
+            tail = self.tail_df(
+                prune={SEQ: (m.tps + 1, None), **tail_kb}
+            ).where(F.col(SEQ) > m.tps)
             known_empty = False
         else:
-            base = self.base_df()
-            tail = self.tail_df()
+            base = self.base_df(prune=kb or None)
+            tail = self.tail_df(prune=tail_kb or None)
             known_empty = not self._pending_tail and not _has_parquet(self.tail_dir)
+        if key_range is not None:
+            lo, hi = key_range
+            kc = F.col(self.key)
+            if lo is not None:
+                base = base.where(kc >= F.lit(lo))
+            if hi is not None:
+                base = base.where(kc <= F.lit(hi))
         # ANALYZE-driven planning: stats collected at the CURRENT
         # commit watermark (any write invalidates them) know exactly
         # how many tail rows the fold would process. Zero rows -> skip
@@ -1365,7 +1489,12 @@ class LineageTable:
             out = out.select(*self.user_cols)
         return out
 
-    def version_view(self, relative_version: int = 0, include_meta: bool = False) -> DataFrame:
+    def version_view(
+        self,
+        relative_version: int = 0,
+        include_meta: bool = False,
+        key_range: tuple | None = None,
+    ) -> DataFrame:
         """Record state as of ``relative_version`` updates ago, PER
         RECORD (0 = latest, -1 = previous ...). Contract from the
         reference's select_version docstring (query.py:115-124; the
@@ -1391,16 +1520,34 @@ class LineageTable:
         """
         k = abs(int(relative_version))
         if k == 0 and not include_meta:
-            return self.current_view()
+            return self.current_view(key_range=key_range)
+        kb: dict[str, tuple] = {}
+        if key_range is not None:
+            kp = self._phys_map.get(self.key, self.key)
+            kb = {kp: (key_range[0], key_range[1])}
+        tail_kb = kb if self.tail_keyed else {}
         vacuumed = self.manifest.extra.get("history_floor") is not None
         if vacuumed and self.manifest.compact_version >= 0:
-            snap = self._read_or_empty(self.compacted_dir(), self.base_schema)
-            fresh = self.base_df().where(F.col(RID) > self.manifest.compact_rid_hi)
+            snap = self._read_or_empty(
+                self.compacted_dir(), self.base_schema, prune=kb or None
+            )
+            fresh = self.base_df(
+                prune={RID: (self.manifest.compact_rid_hi + 1, None), **kb}
+            ).where(F.col(RID) > self.manifest.compact_rid_hi)
             base = snap.unionByName(fresh)
-            tail = self.tail_df().where(F.col(SEQ) > self.manifest.tps)
+            tail = self.tail_df(
+                prune={SEQ: (self.manifest.tps + 1, None), **tail_kb}
+            ).where(F.col(SEQ) > self.manifest.tps)
         else:
-            base = self.base_df()
-            tail = self.tail_df()
+            base = self.base_df(prune=kb or None)
+            tail = self.tail_df(prune=tail_kb or None)
+        if key_range is not None:
+            lo, hi = key_range
+            kc = F.col(self.key)
+            if lo is not None:
+                base = base.where(kc >= F.lit(lo))
+            if hi is not None:
+                base = base.where(kc <= F.lit(hi))
         if k > 0:
             w = Window.partitionBy(RID).orderBy(F.desc(SEQ))
             upd = (
@@ -2100,6 +2247,21 @@ class LineageTable:
             if self.partition_by:
                 writer = writer.partitionBy(*self.partition_by)
             writer.parquet(out_dir)
+        # log the new snapshot dir BEFORE the manifest swap points
+        # readers at it (a vN's file set is immutable once written, so
+        # a one-shot reset entry fully describes it)
+        if self.filelog.exists():
+            self.filelog.append(
+                [
+                    {
+                        "op": "reset",
+                        "dir": self._log_tag(out_dir),
+                        "files": self.filelog.import_dir(
+                            self._log_tag(out_dir), out_dir, self._stat_cols
+                        ),
+                    }
+                ]
+            )
         self.manifest.compact_version = new_version
         self.manifest.tps = new_tps if new_tps is not None else -1
         self.manifest.compact_rid_hi = rid_hi
@@ -2131,10 +2293,16 @@ class LineageTable:
 
     def _reclaim_snapshots(self, keep_above: int) -> int:
         removed = 0
+        dropped: list[dict] = []
         for v in self._snapshot_versions():
             if v <= keep_above and v != self.manifest.compact_version:
                 shutil.rmtree(self.compacted_dir(v), ignore_errors=True)
+                dropped.append(
+                    {"op": "drop", "dir": self._log_tag(self.compacted_dir(v))}
+                )
                 removed += 1
+        if dropped and self.filelog.exists():
+            self.filelog.append(dropped)
         return removed
 
     def vacuum_snapshots(self, retain: int = 0) -> int:
@@ -2236,13 +2404,39 @@ class LineageTable:
             os.replace(tmp_marker, marker)  # <- the commit point
             for p in paths:
                 os.remove(p)
+            visible: list[str] = []
             for h in hidden:
                 # rename the BASENAME only: a Hive partition directory
                 # whose value contains '_opt_' (partition values are
                 # user data) must not be rewritten by the substitution
                 os.rename(h, _opt_unhide(h))
+                visible.append(_opt_unhide(h))
             os.remove(marker)
             shutil.rmtree(staging, ignore_errors=True)
+            if self.filelog.exists():
+                self.filelog.append(
+                    [
+                        {
+                            "op": "remove",
+                            "dir": "base",
+                            "paths": [
+                                os.path.relpath(p, self.base_dir) for p in paths
+                            ],
+                        },
+                        {
+                            "op": "add",
+                            "dir": "base",
+                            "files": [
+                                file_entry(
+                                    v,
+                                    os.path.relpath(v, self.base_dir),
+                                    self._stat_cols,
+                                )
+                                for v in visible
+                            ],
+                        },
+                    ]
+                )
         n_after = sum(
             1
             for root, _d, files in os.walk(self.base_dir)
@@ -2309,6 +2503,39 @@ class LineageTable:
                         stag += 1
                 except OSError:  # pragma: no cover - raced removal
                     pass
+        if self.filelog.exists():
+            # Repair is the designated log-resync point: a crash
+            # between file publish and log append leaves orphans the
+            # log never saw (invisible, by the files-then-log commit
+            # order), and an interrupted optimize pack may have been
+            # rolled forward/back above. One listing per table dir
+            # rebuilds ground truth.
+            actions = []
+            for tag, d in (
+                ("base", self.base_dir),
+                ("tail", self.tail_dir),
+            ):
+                actions.append(
+                    {
+                        "op": "reset",
+                        "dir": tag,
+                        "files": self.filelog.import_dir(
+                            tag, d, self._stat_cols
+                        ),
+                    }
+                )
+            if self.manifest.compact_version >= 0:
+                cd = self.compacted_dir()
+                actions.append(
+                    {
+                        "op": "reset",
+                        "dir": self._log_tag(cd),
+                        "files": self.filelog.import_dir(
+                            self._log_tag(cd), cd, self._stat_cols
+                        ),
+                    }
+                )
+            self.filelog.append(actions)
         return {"rolled_forward": fwd, "discarded": disc, "staging": stag}
 
     def _compact_incremental(self, out_dir: str) -> None:
@@ -2437,6 +2664,19 @@ class LineageTable:
             os.rename(old, swap)
         os.rename(new_dir, old)
         shutil.rmtree(swap, ignore_errors=True)
+        if self.filelog.exists():
+            # whole-directory swap -> reset entry from the new files
+            self.filelog.append(
+                [
+                    {
+                        "op": "reset",
+                        "dir": self._log_tag(old),
+                        "files": self.filelog.import_dir(
+                            self._log_tag(old), old, self._stat_cols
+                        ),
+                    }
+                ]
+            )
         return n_before - self.tail_df(include_pending=False).count()
 
     def tail_row_count(self) -> int:
@@ -2474,13 +2714,40 @@ class LineageTable:
             manifest.extra["partition_by"] = list(partition_by)
         table = cls(spark, path, manifest)
         table._save_manifest()
+        table.filelog.init()  # file-log-planned scans from birth
         return table
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LineageTable":
         with open(os.path.join(path, "_manifest.json")) as f:
             manifest = Manifest.from_dict(json.load(f))
-        return cls(spark, path, manifest)
+        table = cls(spark, path, manifest)
+        if not table.filelog.exists():
+            # one-time migration of a pre-filelog table: a single
+            # listing + footer sweep seeds the log; every subsequent
+            # scan plans from it
+            actions = [
+                {
+                    "op": "reset",
+                    "dir": tag,
+                    "files": table.filelog.import_dir(tag, d, table._stat_cols),
+                }
+                for tag, d in (("base", table.base_dir), ("tail", table.tail_dir))
+            ]
+            if manifest.compact_version >= 0:
+                cd = table.compacted_dir()
+                actions.append(
+                    {
+                        "op": "reset",
+                        "dir": table._log_tag(cd),
+                        "files": table.filelog.import_dir(
+                            table._log_tag(cd), cd, table._stat_cols
+                        ),
+                    }
+                )
+            table.filelog.init()
+            table.filelog.append(actions)
+        return table
 
     def close(self) -> None:
         self.flush()

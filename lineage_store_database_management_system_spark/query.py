@@ -441,10 +441,13 @@ class Query:
     # pushed down (vs the reference's key-at-a-time loop, query.py:200)
     # ------------------------------------------------------------------
     def _range_agg(self, start, end, agg_col_idx: int, fn, relative_version: int = 0):
+        # key_range both file-skips (manifest-log per-file key min/max,
+        # lineage.py current_view) and applies the row filter — the
+        # range scan opens only files that can contain [start, end]
         view = (
-            self.table.current_view()
+            self.table.current_view(key_range=(start, end))
             if relative_version == 0
-            else self.table.version_view(relative_version)
+            else self.table.version_view(relative_version, key_range=(start, end))
         )
         col = self.cols[agg_col_idx]
         row = (
@@ -508,7 +511,7 @@ class Query:
     def count(self, start_range, end_range, aggregate_column_index):
         # reference counts records; the column arg is unused (query.py:332-343)
         try:
-            view = self.table.current_view()
+            view = self.table.current_view(key_range=(start_range, end_range))
             n = view.where(F.col(self.table.key).between(start_range, end_range)).count()
             return False if n == 0 else n
         except Exception:

@@ -259,6 +259,30 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
             F.lit(7).cast("long").alias("c_visits"),
         )
         t.ingest_dataframe(fresh)
+    elif name == "orders_mc":
+        # multi-commit scenario for the file-level manifest log: 8
+        # ingest commits with DISJOINT key ranges (each commit's files
+        # carry tight key min/max in the log), then keyed mutations.
+        # A key-range read over this table must open only the files
+        # whose logged stats intersect the range — the manifest-log
+        # file-skipping proof (lineage.py filelog integration).
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(name, src.schema, "o_orderkey")
+        mx = src.agg(F.max("o_orderkey")).first()[0]
+        step = mx // 8 + 1
+        for i in range(8):
+            t.ingest_dataframe(
+                src.where(
+                    (F.col("o_orderkey") >= i * step)
+                    & (F.col("o_orderkey") < (i + 1) * step)
+                )
+            )
+        t.bulk_update(
+            src.where("o_orderkey % 6 = 0").select(
+                "o_orderkey", (F.col("o_totalprice") + 50).alias("o_totalprice")
+            )
+        )
+        t.bulk_delete(src.where("o_orderkey % 10 = 1").select("o_orderkey"))
     else:  # pragma: no cover
         raise KeyError(name)
     _SCENARIOS[key] = t
@@ -7013,4 +7037,40 @@ def ext_csv_json_roundtrip(spark, sf_dir):
         )
         .cast("double")
         .alias("revenue"),
+    )
+
+
+@workload(
+    "pq_manifest_skip_range",
+    """SELECT CAST(ROUND(SUM(CAST(CASE WHEN o_orderkey % 6 = 0
+                THEN o_totalprice + 50 ELSE o_totalprice END
+            AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_total,
+       COUNT(*) AS n_rows
+FROM orders
+WHERE o_orderkey % 10 <> 1 AND o_orderkey BETWEEN 1000 AND 2000""",
+)
+def pq_manifest_skip_range(spark, sf_dir):
+    """File-level manifest scan planning (filelog.py): the orders_mc
+    scenario lands 8 ingest commits with disjoint key ranges, so the
+    file log holds per-file key min/max spanning 1/8th of the key
+    space each. ``current_view(key_range=...)`` plans the base scan
+    from the log and SKIPS every file whose [min,max] cannot
+    intersect [1000, 2000] — driver-side, before Spark opens a single
+    footer (the Delta/Iceberg data-skipping shape; the reference has
+    no file metadata at all, its pages are addressed positionally —
+    /root/reference/lstore/db.py:163-166). The workload asserts the
+    skip actually happened (opened files < total live base files),
+    then returns the range aggregate for the oracle compare."""
+    t = _table(spark, sf_dir, "orders_mc")
+    view = t.current_view(key_range=(1000, 2000))
+    opened = len(view.inputFiles())
+    total = len(t.current_view().inputFiles())
+    assert opened < total, (
+        f"manifest file-skipping did not engage: opened {opened} of {total}"
+    )
+    return view.agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_total"),
+        F.count(F.lit(1)).alias("n_rows"),
     )

@@ -1,0 +1,225 @@
+"""File-level manifest log (filelog.py): scan planning without
+directory listing, per-file stats, file skipping, crash resync."""
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lineage_store_database_management_system_spark.filelog import (
+    FileLog,
+    prune_entries,
+)
+from lineage_store_database_management_system_spark.lineage import (
+    RID,
+    SEQ,
+    LineageTable,
+)
+
+
+def _mk(tmp_db, name="t", partition_by=None):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("p", T.LongType()),
+        ]
+    )
+    return tmp_db.create_table_typed(name, schema, "k", partition_by=partition_by)
+
+
+def _ingest_range(spark, t, lo, hi):
+    t.ingest_dataframe(
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            (F.col("id") % 4).alias("p"),
+        )
+    )
+
+
+def test_log_written_per_commit_with_stats(spark, tmp_db):
+    t = _mk(tmp_db)
+    _ingest_range(spark, t, 0, 100)
+    _ingest_range(spark, t, 100, 200)
+    entries = t.filelog.live("base")
+    assert entries, "base commits must be logged"
+    # every entry carries rows/bytes and rid + key min/max
+    total_rows = sum(e["rows"] for e in entries)
+    assert total_rows == 200
+    ks = [e["stats"].get("k") for e in entries]
+    assert all(s is not None for s in ks)
+    lo = min(s[0] for s in ks)
+    hi = max(s[1] for s in ks)
+    assert (lo, hi) == (0, 199)
+    assert all(e["stats"].get(RID) for e in entries)
+
+
+def test_scan_plans_from_log_not_listing(spark, tmp_db):
+    """An on-disk parquet file NOT in the log (simulated crash between
+    file publish and log append) must be invisible to planned scans,
+    and repair_staging must resync it back in."""
+    t = _mk(tmp_db)
+    _ingest_range(spark, t, 0, 50)
+    n0 = t.current_view().count()
+    # drop an orphan parquet file into base/ behind the log's back
+    some = glob.glob(os.path.join(t.base_dir, "**", "*.parquet"), recursive=True)
+    orphan = os.path.join(t.base_dir, "zz-orphan.parquet")
+    shutil.copy(some[0], orphan)
+    assert t.current_view().count() == n0, "orphan must be invisible"
+    t.repair_staging(max_age_s=0.0)
+    assert t.current_view().count() > n0, "repair resyncs the log from disk"
+
+
+def test_point_lookup_skips_files(spark, tmp_db):
+    """The real 100 TB win: a key-range read opens only files whose
+    [min,max] can contain the range."""
+    t = _mk(tmp_db)
+    for i in range(8):  # 8 commits -> >= 8 files with disjoint key ranges
+        _ingest_range(spark, t, i * 1000, i * 1000 + 100)
+    all_files = len(t.current_view().inputFiles())
+    narrow = t.current_view(key_range=(3000, 3010))
+    opened = len(narrow.inputFiles())
+    assert opened < all_files, (opened, all_files)
+    assert opened <= 2  # one commit's worth of files (floor-repartition)
+    # and the answer is right
+    assert narrow.count() == 11
+
+
+def test_key_range_after_updates_and_compact(spark, tmp_db):
+    """File skipping must never lose deltas: mutate keys, compact,
+    mutate again, then range-read — answers match the unpruned view."""
+    t = _mk(tmp_db)
+    for i in range(4):
+        _ingest_range(spark, t, i * 100, (i + 1) * 100)
+    t.bulk_update(spark.range(150, 250).select(F.col("id").alias("k"), F.lit(7).alias("v")))
+    t.compact()
+    t.bulk_update(spark.range(180, 220).select(F.col("id").alias("k"), F.lit(9).alias("v")))
+    t.bulk_delete(spark.range(200, 205).select(F.col("id").alias("k")))
+    want = sorted(
+        t.current_view().where(F.col("k").between(140, 260)).select("k", "v").collect()
+    )
+    got = sorted(
+        t.current_view(key_range=(140, 260)).select("k", "v").collect()
+    )
+    assert got == want
+    # version travel with key_range agrees too
+    want_v = sorted(
+        t.version_view(-1).where(F.col("k").between(140, 260)).select("k", "v").collect()
+    )
+    got_v = sorted(
+        t.version_view(-1, key_range=(140, 260)).select("k", "v").collect()
+    )
+    assert got_v == want_v
+
+
+def test_compact_and_vacuum_keep_log_consistent(spark, tmp_db):
+    t = _mk(tmp_db)
+    _ingest_range(spark, t, 0, 300)
+    t.bulk_update(spark.range(0, 50).select(F.col("id").alias("k"), F.lit(1).alias("v")))
+    v = t.compact()
+    tag = f"compacted{os.sep}v{v}"
+    assert t.filelog.live(tag), "snapshot dir must be logged"
+    before = t.current_view().count()
+    t.vacuum_tail()
+    assert t.current_view().count() == before
+    # post-vacuum tail log matches disk exactly
+    disk = sorted(
+        os.path.relpath(p, t.tail_dir)
+        for p in glob.glob(os.path.join(t.tail_dir, "**", "*.parquet"), recursive=True)
+    )
+    logged = sorted(e["path"] for e in t.filelog.live("tail"))
+    assert logged == disk
+
+
+def test_compacted_current_view_skips_pre_watermark_files(spark, tmp_db):
+    """After compact, the current view must not open pre-snapshot base
+    files or pre-TPS tail files — watermark file skipping."""
+    t = _mk(tmp_db)
+    _ingest_range(spark, t, 0, 500)
+    t.bulk_update(spark.range(0, 100).select(F.col("id").alias("k"), F.lit(3).alias("v")))
+    t.compact()
+    snap_dir = t.compacted_dir()
+    opened = t.current_view().inputFiles()
+    for f in opened:
+        assert snap_dir in f, f"pre-watermark file opened: {f}"
+
+
+def test_optimize_files_updates_log(spark, tmp_db):
+    t = _mk(tmp_db)
+    for i in range(6):
+        _ingest_range(spark, t, i * 10, (i + 1) * 10)
+    before = t.current_view().count()
+    res = t.optimize_files(target_bytes=1 << 20)
+    assert res["files_after"] < res["files_before"]
+    assert t.current_view().count() == before
+    disk = sorted(
+        os.path.relpath(p, t.base_dir)
+        for p in glob.glob(os.path.join(t.base_dir, "**", "*.parquet"), recursive=True)
+    )
+    logged = sorted(e["path"] for e in t.filelog.live("base"))
+    assert logged == disk
+
+
+def test_legacy_table_bootstraps_on_load(spark, tmp_db):
+    t = _mk(tmp_db)
+    _ingest_range(spark, t, 0, 80)
+    t.flush()
+    # simulate a pre-filelog table: remove the log entirely
+    shutil.rmtree(t.filelog.root)
+    t2 = LineageTable.load(spark, t.path)
+    assert t2.filelog.exists()
+    assert t2.current_view().count() == 80
+    ent = t2.filelog.live("base")
+    assert sum(e["rows"] for e in ent) == 80
+
+
+def test_checkpoint_bounds_log_files(spark, tmp_db):
+    from lineage_store_database_management_system_spark import filelog as fl
+
+    t = _mk(tmp_db)
+    old = fl.CHECKPOINT_EVERY
+    fl.CHECKPOINT_EVERY = 5
+    try:
+        for i in range(12):
+            _ingest_range(spark, t, i * 10, i * 10 + 5)
+        names = os.listdir(t.filelog.root)
+        ckpts = [n for n in names if n.startswith("ckpt-")]
+        logs = [n for n in names if not n.startswith("ckpt-")]
+        assert len(ckpts) == 1
+        assert len(logs) < 12, "checkpoint must truncate per-commit files"
+        # fresh FileLog instance reads through the checkpoint
+        fresh = FileLog(t.path)
+        assert sum(e["rows"] for e in fresh.live("base")) == 60
+    finally:
+        fl.CHECKPOINT_EVERY = old
+
+
+def test_prune_entries_semantics():
+    es = [
+        {"path": "a", "stats": {"k": [0, 10]}},
+        {"path": "b", "stats": {"k": [11, 20]}},
+        {"path": "c", "stats": {}},  # no stats -> always kept
+        {"path": "d", "stats": {"k": ["x", "y"]}},  # type mismatch -> kept
+    ]
+    got = {e["path"] for e in prune_entries(es, {"k": (12, 15)})}
+    assert got == {"b", "c", "d"}
+    got = {e["path"] for e in prune_entries(es, {"k": (None, 5)})}
+    assert got == {"a", "c", "d"}
+    got = {e["path"] for e in prune_entries(es, {"k": (21, None)})}
+    assert got == {"c", "d"}
+
+
+def test_partitioned_table_log_roundtrip(spark, tmp_db):
+    """Hive-partitioned base: explicit-file reads must still derive
+    partition columns (basePath) and answers must match."""
+    t = _mk(tmp_db, name="tp", partition_by=["p"])
+    _ingest_range(spark, t, 0, 200)
+    t.bulk_update(spark.range(0, 40).select(F.col("id").alias("k"), F.lit(5).alias("v")))
+    df = t.current_view()
+    assert df.where(F.col("p") == 2).count() == 50
+    assert df.where((F.col("k") < 40) & (F.col("v") == 5)).count() == 40
+    t.compact()
+    assert t.current_view().where(F.col("p") == 2).count() == 50

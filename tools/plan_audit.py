@@ -207,6 +207,13 @@ AUDIT = [
     # r7: text-format round-trip reads back through native csv/json
     # scans with the EXPLICIT schema (no inference job in the plan).
     ("ext_csv_json_roundtrip", ["Scan csv", "Scan json", "HashAggregate"], ["BatchEvalPython"]),
+    # r9: manifest-log file skipping — the range read plans its base
+    # scan from the file log's per-file key min/max (no directory
+    # listing); the scan stays native parquet, no Python. The actual
+    # skip ratio is asserted by the FILE-SKIPPING PROBE section that
+    # main() appends after the fragment checks (a plan string does
+    # not expose file counts).
+    ("pq_manifest_skip_range", ["Scan parquet"], ["BatchEvalPython"]),
 ]
 
 
@@ -240,10 +247,29 @@ def main() -> int:
             print(f"- FORBIDDEN PRESENT: {present}")
         print("\n```\n" + plan.strip()[:4000] + "\n```\n")
 
+    # Manifest-log FILE-SKIPPING PROBE: plan strings don't expose file
+    # counts, so measure them directly — a key-range current view over
+    # the 8-commit orders_mc scenario must open a strict subset of the
+    # live base files (lineage.py _read_or_empty prune path).
+    from lineage_store_database_management_system_spark.workloads import _table
+
+    t = _table(spark, sf_dir, "orders_mc")
+    opened = len(t.current_view(key_range=(1000, 2000)).inputFiles())
+    total = len(t.current_view().inputFiles())
+    skip_ok = opened < total
+    print("## manifest file-skipping probe — " + ("OK" if skip_ok else "FAIL"))
+    print(
+        f"\ncurrent_view(key_range=(1000, 2000)) opened {opened} of "
+        f"{total} live files (8 disjoint-key-range commits; the log's "
+        "per-file key min/max prunes the rest driver-side).\n"
+    )
+    if not skip_ok:
+        failures.append(("manifest_skip_probe", ["opened < total"], []))
+
     if failures:
         print(f"\n**{len(failures)} plan-shape failures**: {[f[0] for f in failures]}")
         return 1
-    print(f"\nAll {len(AUDIT)} plan shapes OK.")
+    print(f"\nAll {len(AUDIT)} plan shapes + file-skipping probe OK.")
     return 0
 
 
