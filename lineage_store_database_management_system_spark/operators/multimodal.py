@@ -130,22 +130,141 @@ def _decode_bmp(b: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, np.ascontiguousarray(rgb).tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter_row(
+    f: int, row, prev, nch: int
+):  # row/prev: int32 ndarrays, returns reconstructed int32 row
+    """Undo one PNG scanline filter (spec §6: None/Sub/Up/Average/
+    Paeth). Sub/Average/Paeth are inherently sequential in x (each
+    byte depends on the reconstructed byte bpp to the left), so those
+    run a per-byte loop; None and Up vectorize."""
+    import numpy as np
+
+    stride = row.shape[0]
+    if f == 0:
+        return row.copy()
+    if f == 2:
+        return (row + prev) & 0xFF
+    rec = row.copy()
+    if f == 1:
+        for x in range(nch, stride):
+            rec[x] = (rec[x] + rec[x - nch]) & 0xFF
+        return rec
+    if f == 3:
+        for x in range(stride):
+            a = rec[x - nch] if x >= nch else 0
+            rec[x] = (rec[x] + ((a + prev[x]) >> 1)) & 0xFF
+        return rec
+    if f == 4:
+        for x in range(stride):
+            a = int(rec[x - nch]) if x >= nch else 0
+            c = int(prev[x - nch]) if x >= nch else 0
+            up = int(prev[x])
+            p = a + up - c
+            pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+            if pa <= pb and pa <= pc:
+                pred = a
+            elif pb <= pc:
+                pred = up
+            else:
+                pred = c
+            rec[x] = (rec[x] + pred) & 0xFF
+        return rec
+    raise NotImplementedError(f"PNG filter type {f} is not in the spec")
+
+
+def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
+    """PNG decoder, pure stdlib (struct + zlib) + numpy: chunk walk
+    (IHDR/IDAT*/IEND), one zlib inflate over the concatenated IDAT
+    stream, then per-scanline unfiltering (all five spec filter
+    types). Supports non-interlaced 8-bit greyscale (0), RGB (2),
+    grey+alpha (4) and RGBA (6); palette (3), 16-bit, and Adam7
+    interlacing keep the stub contract. Output is row-major RGB with
+    alpha dropped — same contract as the PPM/BMP decoders."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload")
+    pos = 8
+    w = h = bit = ct = interlace = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            if len(data) != 13:
+                raise NotImplementedError("malformed PNG IHDR")
+            w, h, bit, ct, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise NotImplementedError("truncated PNG payload")
+    if bit != 8:
+        raise NotImplementedError("only 8-bit PNG is supported")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG is not supported")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ct)
+    if nch is None:
+        raise NotImplementedError("palette PNG is not supported")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise NotImplementedError(f"corrupt PNG IDAT stream: {e}") from None
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise NotImplementedError("truncated PNG payload")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        row = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+        p += stride + 1
+        rec = _png_unfilter_row(f, row, prev, nch)
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    arr = out.reshape(h, w, nch)
+    if ct == 0:
+        rgb = np.repeat(arr, 3, axis=2)
+    elif ct == 4:
+        rgb = np.repeat(arr[:, :, :1], 3, axis=2)
+    elif ct == 6:
+        rgb = arr[:, :, :3]
+    else:
+        rgb = arr
+    return w, h, 3, np.ascontiguousarray(rgb).tobytes()
+
+
 _CODEC_STUB_MSG = (
     "image decode requires PIL/cv2 for this format (not installed; "
-    "native decoders cover PPM P6/P3 and uncompressed 24/32bpp BMP); "
+    "native decoders cover PPM P6/P3, uncompressed 24/32bpp BMP, and "
+    "non-interlaced 8-bit greyscale/RGB/RGBA PNG); "
     "use extract_byte_features for the deterministic fake path"
 )
 
 
 def _decode_payload(b: bytes) -> tuple[int, int, int, bytes]:
     """Dispatch on magic bytes: (width, height, channels, rgb bytes).
-    Formats beyond the two pure-Python-decodable containers keep the
+    Formats beyond the pure-Python-decodable containers keep the
     explicit stub contract (NotImplementedError naming the installed
     alternative) — the seam a PIL/cv2 drop-in replaces."""
     if b[:2] in (b"P6", b"P3"):
         return _decode_ppm(b)
     if b[:2] == b"BM":
         return _decode_bmp(b)
+    if b[:8] == _PNG_SIG:
+        return _decode_png(b)
     raise NotImplementedError(_CODEC_STUB_MSG)
 
 
@@ -175,6 +294,103 @@ def encode_bmp(w: int, h: int, rgb: bytes) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
     )
     return fh + ih + data
+
+
+def encode_png(
+    w: int, h: int, pixels: bytes, color_type: int = 2, filter_seed: int = 0
+) -> bytes:
+    """Minimal PNG encoder (stdlib struct/zlib + numpy) — the
+    deterministic twin generator for the PNG decode gates. ``pixels``
+    is the row-major byte stream for ``color_type`` (2=RGB 3ch,
+    6=RGBA 4ch, 0=grey 1ch). Each scanline y is filtered with type
+    ``(filter_seed + y) % 5``, so a round-trip through a corpus of
+    these exercises every spec filter (None/Sub/Up/Average/Paeth)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = w * nch
+    arr = np.frombuffer(pixels, np.uint8, count=h * stride).reshape(h, stride)
+    arr32 = arr.astype(np.int32)
+    lines = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = arr32[y]
+        f = (filter_seed + y) % 5
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row.copy()
+            filt[nch:] = (row[nch:] - row[:-nch]) & 0xFF
+        elif f == 2:
+            filt = (row - prev) & 0xFF
+        elif f == 3:
+            filt = row.copy()
+            for x in range(stride):
+                a = row[x - nch] if x >= nch else 0
+                filt[x] = (row[x] - ((a + prev[x]) >> 1)) & 0xFF
+        else:  # Paeth
+            filt = row.copy()
+            for x in range(stride):
+                a = int(row[x - nch]) if x >= nch else 0
+                c = int(prev[x - nch]) if x >= nch else 0
+                up = int(prev[x])
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                filt[x] = (row[x] - pred) & 0xFF
+        lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def plant_test_images_png(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic planted-PNG corpus for the PNG decode gate: per
+    id, a (4 + id % 13) x (3 + id % 7) image whose SOURCE byte k is
+    (id*31 + k) % 256 — RGB (color type 2) for even ids, RGBA (type
+    6, alpha bytes dropped on decode) for odd ids — with the scanline
+    filter cycling (id + y) % 5 so the corpus covers all five filter
+    types. Closed-form in the id, so a SQL oracle can compute the
+    decoded dimensions / means / position-weighted checksums while
+    the Spark side must genuinely inflate + unfilter the container."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                w, h = 4 + rid % 13, 3 + rid % 7
+                ct = 2 if rid % 2 == 0 else 6
+                nch = 3 if ct == 2 else 4
+                k = np.arange(w * h * nch, dtype=np.int64)
+                src = ((rid * 31 + k) % 256).astype(np.uint8).tobytes()
+                payloads.append(
+                    encode_png(w, h, src, color_type=ct, filter_seed=rid)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+    from ._util import spread
+
+    return spread(df.select(id_col)).mapInPandas(_gen, schema=schema)
 
 
 def plant_test_images(df: DataFrame, id_col: str) -> DataFrame:

@@ -1,0 +1,102 @@
+"""Round-9 additions: PNG codec through the multimodal seam."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from lineage_store_database_management_system_spark.operators import multimodal as mm
+
+
+@pytest.mark.parametrize("color_type,nch", [(2, 3), (6, 4), (0, 1)])
+@pytest.mark.parametrize("filter_seed", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filters(color_type, nch, filter_seed):
+    rng = np.random.RandomState(color_type * 10 + filter_seed)
+    w, h = 11, 9
+    src = rng.randint(0, 256, size=w * h * nch, dtype=np.uint8).tobytes()
+    png = mm.encode_png(w, h, src, color_type=color_type, filter_seed=filter_seed)
+    W, H, C, rgb = mm._decode_png(png)
+    assert (W, H, C) == (w, h, 3)
+    a = np.frombuffer(src, np.uint8).reshape(h, w, nch)
+    if color_type == 2:
+        want = a
+    elif color_type == 6:
+        want = a[:, :, :3]
+    else:
+        want = np.repeat(a, 3, axis=2)
+    got = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    assert (got == want).all()
+
+
+def test_png_dispatch_and_stub_contract():
+    # JPEG magic still raises the contract-pinned stub
+    with pytest.raises(NotImplementedError, match="PIL/cv2"):
+        mm._decode_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 40)
+    # PNG magic dispatches to the native decoder
+    src = bytes(range(2 * 2 * 3)) * 2  # 2x4 RGB
+    png = mm.encode_png(2, 4, src, color_type=2)
+    assert mm._decode_payload(png)[:3] == (2, 4, 3)
+
+
+def _chunk(t, d):
+    crc = zlib.crc32(t + d) & 0xFFFFFFFF
+    return struct.pack(">I", len(d)) + t + d + struct.pack(">I", crc)
+
+
+def test_png_unsupported_shapes_keep_stub():
+    # interlaced
+    bad = (
+        mm._PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        mm._decode_png(bad)
+    # 16-bit
+    bad16 = (
+        mm._PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        mm._decode_png(bad16)
+    # palette
+    badp = (
+        mm._PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="palette"):
+        mm._decode_png(badp)
+    # truncated IDAT
+    with pytest.raises(NotImplementedError):
+        mm._decode_png(
+            mm._PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+            + _chunk(b"IEND", b"")
+        )
+
+
+def test_planted_png_corpus_decodes(spark):
+    docs = spark.range(0, 40).selectExpr("id AS doc_id")
+    imgs = mm.plant_test_images_png(docs, "doc_id")
+    stats = mm.decode_image_stats(imgs, "doc_id").collect()
+    assert len(stats) == 40
+    for r in stats:
+        rid = r["doc_id"]
+        w, h = 4 + rid % 13, 3 + rid % 7
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        nch = 3 if rid % 2 == 0 else 4
+        k = np.arange(w * h * nch, dtype=np.int64)
+        v = (rid * 31 + k) % 256
+        if nch == 4:
+            keep = k % 4 != 3
+            v = v[keep]
+        assert r["n_pixel_bytes"] == w * h * 3
+        assert abs(r["mean_byte"] - v.mean()) < 1e-9
+        assert r["wsum"] == int(((np.arange(len(v)) + 1) * v).sum())
