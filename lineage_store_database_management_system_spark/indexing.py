@@ -407,3 +407,40 @@ def maybe_refresh_secondary_index(
     if st["stale_deltas"] <= max_stale_deltas:
         return "fresh"
     return refresh_secondary_index(table, col)
+
+
+def point_lookup(
+    table: LineageTable, col: str, value, max_stale_commits: int = 64
+) -> DataFrame:
+    """Index-aware dispatch for point predicates — the scale-path
+    router that ``current_view().filter(col == v)`` by itself cannot
+    be (a returned DataFrame's plan is already fixed):
+
+    * ``col`` is the PRIMARY KEY -> ``current_view(key_range=(v, v))``
+      — manifest-log file skipping + pushed row predicate; no index
+      needed (the base layout IS the key index).
+    * a secondary index exists on ``col`` and lags the table by at
+      most ``max_stale_commits`` commits -> :func:`indexed_lookup`
+      (one index bucket + watermark-pruned delta catch-up +
+      verify-at-read; exact at any staleness).
+    * otherwise (no index, or one so stale its delta catch-up would
+      approach a full scan) -> the plain predicate-pushdown filter on
+      the current view. Staleness is measured in COMMITS from the two
+      manifest counters — no Spark job, no file I/O.
+
+    Always exact; the dispatch only chooses the cheapest plan. This
+    is the engine-side analogue of the reference's Query.select always
+    consulting ``Index.locate`` first (reference query.py:86-113)."""
+    lit = F.lit(value).cast(table.schema[col].dataType)
+    if col == table.key:
+        return table.current_view(key_range=(value, value))
+    meta_path = os.path.join(index_dir(table, col), _META_FILE)
+    if os.path.exists(meta_path):
+        meta = _index_meta(table, col)
+        from .lineage import _BATCH_SHIFT
+
+        built_batch = int(meta["built_watermark"]) >> _BATCH_SHIFT
+        stale_commits = table.manifest.next_batch - 1 - built_batch
+        if stale_commits <= max_stale_commits:
+            return indexed_lookup(table, col, value)
+    return table.current_view().where(F.col(col) == lit)

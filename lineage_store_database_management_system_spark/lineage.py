@@ -2679,6 +2679,15 @@ class LineageTable:
             )
         return n_before - self.tail_df(include_pending=False).count()
 
+    def point_lookup(self, col: str, value, max_stale_commits: int = 64) -> DataFrame:
+        """Point predicate ``col == value`` through the cheapest
+        available plan — key-range file skipping for the primary key,
+        a fresh-enough secondary index for non-key columns, else the
+        plain pushdown filter. See :func:`indexing.point_lookup`."""
+        from .indexing import point_lookup as _pl
+
+        return _pl(self, col, value, max_stale_commits=max_stale_commits)
+
     def tail_row_count(self) -> int:
         return self.tail_df().count()
 

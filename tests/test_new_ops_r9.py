@@ -100,3 +100,54 @@ def test_planted_png_corpus_decodes(spark):
         assert r["n_pixel_bytes"] == w * h * 3
         assert abs(r["mean_byte"] - v.mean()) < 1e-9
         assert r["wsum"] == int(((np.arange(len(v)) + 1) * v).sum())
+
+
+def test_point_lookup_dispatch(spark, tmp_db):
+    """Index-aware dispatch: fresh index -> indexed plan (rid-pruned
+    scans); stale index (commit budget 0) -> plain pushdown fallback;
+    key column -> key-range file skipping. All three agree on rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from lineage_store_database_management_system_spark import indexing
+    from lineage_store_database_management_system_spark.plans.explain import explain_str
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("grp", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    t = tmp_db.create_table_typed("disp", schema, "k")
+    for i in range(4):
+        t.ingest_dataframe(
+            spark.range(i * 500, (i + 1) * 500).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 97).alias("grp"),
+                (F.col("id") * 3).alias("v"),
+            )
+        )
+    indexing.build_secondary_index(t, "grp", n_buckets=8)
+    t.bulk_update(
+        spark.range(0, 50).select(F.col("id").alias("k"), F.lit(7).alias("grp"))
+    )
+    want = sorted(
+        (r["k"], r["grp"]) for r in t.current_view().where(F.col("grp") == 7).collect()
+    )
+    # fresh-enough index -> indexed plan: rid predicate visible
+    df = t.point_lookup("grp", 7)
+    plan = explain_str(df)
+    assert "_rid" in plan, "dispatch did not route through the index"
+    got = sorted((r["k"], r["grp"]) for r in df.select("k", "grp").collect())
+    assert got == want
+    # stale budget 0 with post-build commits -> plain fallback
+    df2 = t.point_lookup("grp", 7, max_stale_commits=0)
+    plan2 = explain_str(df2)
+    assert "In(_rid" not in plan2
+    got2 = sorted((r["k"], r["grp"]) for r in df2.select("k", "grp").collect())
+    assert got2 == want
+    # key column -> manifest file skipping (subset of files opened)
+    df3 = t.point_lookup("k", 750)
+    assert len(df3.inputFiles()) < len(t.current_view().inputFiles())
+    assert [r["k"] for r in df3.select("k").collect()] == [750]

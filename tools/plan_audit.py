@@ -214,6 +214,10 @@ AUDIT = [
     # main() appends after the fragment checks (a plan string does
     # not expose file counts).
     ("pq_manifest_skip_range", ["Scan parquet"], ["BatchEvalPython"]),
+    # r9: index-aware dispatch — the non-key point lookup must route
+    # through the secondary index (rid catch-up set visible as a _rid
+    # predicate on the base/tail scans), never a full unpruned fold.
+    ("pq_index_dispatch_lookup", ["_rid"], ["BatchEvalPython"]),
 ]
 
 
