@@ -55,6 +55,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Manifest-log scans (lineage.filelog) pass EXPLICIT file
+        # lists; below this threshold Spark stats them serially on the
+        # driver instead of launching a distributed listing job whose
+        # scheduling overhead dominates (measured: 1.1s job vs 0.19s
+        # serial for 512 paths). Local-fs stats are microseconds; on
+        # object storage a real deployment would instead feed the
+        # log's own (path, size) pairs to a custom FileIndex so NO
+        # per-file stat happens at all — the log already knows sizes.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
