@@ -429,10 +429,44 @@ class Database:
         count_col = meta["count_col"]
         floor = t.manifest.extra.get("history_floor")
         if floor is not None and int(floor) > int(old_wm):
-            # pre-old-watermark deltas were vacuumed: the old state of
-            # touched rids is no longer reconstructable from history
+            # deltas in (old_wm, floor] were vacuumed: the TOUCHED SET
+            # itself is incomplete — nothing to fold from. Rebuild.
             self._agg_mv_build(name, table_name, group_by, sums, count_col)
             return "rebuild"
+
+        def _pick_snapshot(wm: int):
+            """Newest on-disk compacted snapshot usable as the fold
+            base for state-at-``wm``: its tps must not exceed ``wm``
+            (a newer snapshot has already folded deltas past the
+            reconstruction point) and the vacuum floor must not
+            exceed its tps (the deltas between them must exist)."""
+            info = t.manifest.extra.get("snapshots", {})
+            best = None
+            for v in t._snapshot_versions():
+                d = info.get(str(v))
+                if (
+                    d
+                    and int(d["tps"]) <= int(wm)
+                    and (floor is None or int(floor) <= int(d["tps"]))
+                    and (best is None or v > best[0])
+                ):
+                    best = (v, int(d["tps"]), int(d["rid_hi"]))
+            return best
+
+        old_pick = new_pick = None
+        if floor is not None:
+            # History below the floor is gone, so the raw base+tail
+            # fold silently yields BASE values for any touched rid
+            # whose last pre-watermark delta was vacuumed (the wear
+            # bug tools/wear_soak.py caught in round 9: the MV then
+            # decrements the wrong group). Reconstruct both states
+            # snapshot-forward instead; if no retained snapshot can
+            # anchor the old state, fall back to a full rebuild.
+            old_pick = _pick_snapshot(old_wm)
+            new_pick = _pick_snapshot(new_wm)
+            if old_pick is None or new_pick is None:
+                self._agg_mv_build(name, table_name, group_by, sums, count_col)
+                return "rebuild"
         t.flush()
         base = t.base_df()
         tail = t.tail_df()
@@ -449,14 +483,30 @@ class Database:
             return "rebuild"
         touched = F.broadcast(touched)
 
-        def state(rid_hi, seq_hi):
-            b = base.where(F.col(RID) <= rid_hi).join(touched, on=RID, how="left_semi")
-            d = tail.where(F.col(SEQ) <= seq_hi).join(touched, on=RID, how="left_semi")
+        def state(rid_hi, seq_hi, pick):
+            if pick is None:
+                b = base.where(F.col(RID) <= rid_hi)
+                d = tail.where(F.col(SEQ) <= seq_hi)
+            else:
+                v, tps_v, rid_hi_v = pick
+                snap = t._read_or_empty(t.compacted_dir(v), t.base_schema)
+                # the snapshot may postdate ``rid_hi`` on the INSERT
+                # axis (compaction folds base-only commits without
+                # advancing tps) — the rid filter keeps the state at
+                # the watermark exact either way
+                b = snap.where(F.col(RID) <= rid_hi).unionByName(
+                    base.where(
+                        (F.col(RID) > rid_hi_v) & (F.col(RID) <= rid_hi)
+                    )
+                )
+                d = tail.where((F.col(SEQ) > tps_v) & (F.col(SEQ) <= seq_hi))
+            b = b.join(touched, on=RID, how="left_semi")
+            d = d.join(touched, on=RID, how="left_semi")
             return t._fold_tail(b, d)
 
         aggs = self._agg_mv_aggs(sums, count_col)
-        new_agg = state(new_wm, new_wm).groupBy(*group_by).agg(*aggs)
-        old_agg = state(old_wm, old_wm).groupBy(*group_by).agg(*aggs)
+        new_agg = state(new_wm, new_wm, new_pick).groupBy(*group_by).agg(*aggs)
+        old_agg = state(old_wm, old_wm, old_pick).groupBy(*group_by).agg(*aggs)
         neg = old_agg.select(
             *group_by,
             (-F.col(count_col)).alias(count_col),

@@ -2265,6 +2265,17 @@ class LineageTable:
         self.manifest.compact_version = new_version
         self.manifest.tps = new_tps if new_tps is not None else -1
         self.manifest.compact_rid_hi = rid_hi
+        # Per-version snapshot watermarks: retained prior versions are
+        # usable FOLD BASES for consumers that must reconstruct state
+        # at an older watermark after vacuum_tail removed the raw
+        # history (refresh_aggregate_mv picks the newest snapshot
+        # whose tps <= its recorded watermark). Entries for reclaimed
+        # versions are pruned in _reclaim_snapshots; readers re-check
+        # the version is on disk regardless.
+        self.manifest.extra.setdefault("snapshots", {})[str(new_version)] = {
+            "tps": self.manifest.tps,
+            "rid_hi": rid_hi,
+        }
         self._save_manifest()
         # Reader-safe retention: a concurrent reader may hold a
         # DataFrame planned against the OLD snapshot dir (single-WRITER
@@ -2303,6 +2314,14 @@ class LineageTable:
                 removed += 1
         if dropped and self.filelog.exists():
             self.filelog.append(dropped)
+        if removed:
+            # prune watermark entries of reclaimed versions (persisted
+            # at the next manifest save; stale on-disk entries are
+            # harmless — consumers re-check the version dir exists)
+            live = set(self._snapshot_versions())
+            snaps = self.manifest.extra.get("snapshots", {})
+            for k in [k for k in snaps if int(k) not in live]:
+                snaps.pop(k)
         return removed
 
     def vacuum_snapshots(self, retain: int = 0) -> int:

@@ -151,3 +151,72 @@ def test_point_lookup_dispatch(spark, tmp_db):
     df3 = t.point_lookup("k", 750)
     assert len(df3.inputFiles()) < len(t.current_view().inputFiles())
     assert [r["k"] for r in df3.select("k").collect()] == [750]
+
+
+def test_agg_mv_exact_after_vacuum_history(spark, tmp_db):
+    """Regression for the round-9 wear-soak catch: a rid whose last
+    pre-refresh delta (a GROUP flip) was removed by vacuum_tail made
+    the incremental MV refresh reconstruct its old state from BASE
+    values — decrementing the wrong group. The refresh must now fold
+    old/new states snapshot-forward (per-version tps recorded at
+    compact time) and stay both exact AND incremental."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    db = tmp_db
+    t = db.create_table_typed("mvv", schema, "k")
+    t.ingest_dataframe(
+        spark.range(0, 300).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("g"), (F.col("id") % 3)).alias("grp"),
+            (F.col("id") * 2).alias("val"),
+        )
+    )
+    db.create_aggregate_mv("mv_g", "mvv", ["grp"], {"sum_val": "val"})
+
+    def check(tag):
+        got = {
+            r["grp"]: (r["n"], r["sum_val"])
+            for r in db.materialized_view("mv_g").collect()
+        }
+        want = {
+            r["grp"]: (r["n"], r["sum_val"])
+            for r in t.current_view()
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_val"))
+            .collect()
+        }
+        assert got == want, f"{tag}: MV {got} != direct {want}"
+
+    # round 1: group flip on a slice, compact, refresh, vacuum
+    t.bulk_update(
+        spark.range(0, 30).select(F.col("id").alias("k"), F.lit("g9").alias("grp"))
+    )
+    t.compact()
+    assert db.refresh_aggregate_mv("mv_g") == "incremental"
+    check("post-flip")
+    t.vacuum_tail()  # the flip deltas are now gone from raw history
+    # round 2: touch the SAME rids again (value-only update)
+    t.bulk_update(
+        spark.range(0, 30).select(F.col("id").alias("k"), F.lit(7).alias("val"))
+    )
+    t.compact()
+    mode = db.refresh_aggregate_mv("mv_g")
+    assert mode == "incremental", mode  # snapshot-forward, not rebuild
+    check("post-vacuum-retouch")
+    # round 3: another flip + delete cycle after a second vacuum
+    t.vacuum_tail()
+    t.bulk_update(
+        spark.range(10, 40).select(F.col("id").alias("k"), F.lit("g0").alias("grp"))
+    )
+    t.bulk_delete(spark.range(0, 5).select(F.col("id").alias("k")))
+    t.compact()
+    assert db.refresh_aggregate_mv("mv_g") == "incremental"
+    check("post-second-vacuum")
