@@ -2025,10 +2025,18 @@ class LineageTable:
         TPS); at scale this is an incremental scan of the (small) tail
         + rid-pruned base, not a diff of snapshots."""
         hi = F.lit(seq_hi) if seq_hi is not None else None
-        tail = self.tail_df().where(F.col(SEQ) > seq_lo)
+        # manifest-log file skipping on the resume window: a consumer
+        # reading "since my watermark" opens only tail/base files whose
+        # logged _seq/_rid range can intersect (seq_lo, seq_hi] — at
+        # scale the CDC read cost tracks the CHANGES, not table age
+        tail = self.tail_df(prune={SEQ: (seq_lo + 1, seq_hi)}).where(
+            F.col(SEQ) > seq_lo
+        )
         if hi is not None:
             tail = tail.where(F.col(SEQ) <= hi)
-        ins = self.base_df().where(F.col(RID) > seq_lo)
+        ins = self.base_df(prune={RID: (seq_lo + 1, seq_hi)}).where(
+            F.col(RID) > seq_lo
+        )
         if hi is not None:
             ins = ins.where(F.col(RID) <= hi)
         ins = ins.select(

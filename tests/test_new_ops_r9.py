@@ -220,3 +220,41 @@ def test_agg_mv_exact_after_vacuum_history(spark, tmp_db):
     t.compact()
     assert db.refresh_aggregate_mv("mv_g") == "incremental"
     check("post-second-vacuum")
+
+
+def test_changes_between_file_skipping(spark, tmp_db):
+    """CDC resume reads must open only files intersecting the resume
+    window (manifest-log seq/rid skipping), and the feed content is
+    unchanged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    t = tmp_db.create_table_typed("cdc", schema, "k")
+    for i in range(5):
+        t.ingest_dataframe(
+            spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+        )
+        t.bulk_update(
+            spark.range(i * 100, i * 100 + 10).select(
+                F.col("id").alias("k"), F.lit(i).alias("v")
+            )
+        )
+    wm_mid = None
+    # take a watermark between commits: replay history to find one
+    seqs = sorted(r["_seq"] for r in t.tail_df().select("_seq").collect())
+    wm_mid = seqs[len(seqs) // 2]
+    feed = t.changes_between(wm_mid)
+    all_files = len(t.tail_df().inputFiles()) + len(t.base_df().inputFiles())
+    opened = len(feed.inputFiles())
+    assert opened < all_files, (opened, all_files)
+    # content identical to an unpruned computation
+    want = (
+        t.tail_df().where(F.col("_seq") > wm_mid).count()
+        + t.base_df().where(F.col("_rid") > wm_mid).count()
+    )
+    assert feed.count() == want
