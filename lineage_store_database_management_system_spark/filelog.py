@@ -168,6 +168,24 @@ def prune_entries(entries: list[dict], bounds: dict[str, tuple]) -> list[dict]:
     return out
 
 
+def file_entries(
+    pairs: list[tuple[str, str]], stat_cols: list[str], max_workers: int = 8
+) -> list[dict]:
+    """Batch :func:`file_entry` over (abs_path, rel_path) pairs with a
+    small thread pool — footer reads are I/O-bound, and on object
+    storage each is a GET round-trip; 8-way overlap keeps a 32-file
+    commit's stat collection at ~4 RTTs instead of 32. Order of the
+    returned entries follows the input."""
+    if len(pairs) <= 1:
+        return [file_entry(a, r, stat_cols) for a, r in pairs]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(pairs))) as ex:
+        return list(
+            ex.map(lambda p: file_entry(p[0], p[1], stat_cols), pairs)
+        )
+
+
 class FileLog:
     """Live-file tracking for one lineage table. Cheap to construct;
     all state lives on disk + a per-instance replay cache."""
@@ -299,14 +317,12 @@ class FileLog:
         """Full listing + footer stats of ``abs_dir`` -> entry list
         (the one place directory listing is still used: bootstrap of a
         pre-filelog table and post-crash resync)."""
-        entries = []
+        pairs = []
         if os.path.isdir(abs_dir):
             for root, _dirs, files in os.walk(abs_dir):
                 for name in files:
                     if not name.endswith(".parquet") or name.startswith("_"):
                         continue
                     p = os.path.join(root, name)
-                    entries.append(
-                        file_entry(p, os.path.relpath(p, abs_dir), stat_cols)
-                    )
-        return entries
+                    pairs.append((p, os.path.relpath(p, abs_dir)))
+        return file_entries(pairs, stat_cols)

@@ -740,19 +740,20 @@ class LineageTable:
         # files-then-log: the commit becomes visible to log-planned
         # scans here (one footer read per new file for stats)
         if moved and self.filelog.exists():
+            from .filelog import file_entries
+
             self.filelog.append(
                 [
                     {
                         "op": "add",
                         "dir": self._log_tag(target_dir),
-                        "files": [
-                            file_entry(
-                                p,
-                                os.path.relpath(p, target_dir),
-                                self._stat_cols,
-                            )
-                            for p in moved
-                        ],
+                        "files": file_entries(
+                            [
+                                (p, os.path.relpath(p, target_dir))
+                                for p in moved
+                            ],
+                            self._stat_cols,
+                        ),
                     }
                 ]
             )
