@@ -242,6 +242,41 @@ def pii_scrub(
     )
 
 
+# Query parameters stripped by URL canonicalization: click/campaign
+# trackers that never change the fetched content. Extension point for
+# site-specific rules; keep the alternation RE2-safe (no lookaround)
+# so a DuckDB/Trino oracle can replicate it verbatim.
+TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
+_SCHEME_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str, out_col: str = "canonical_url"
+) -> DataFrame:
+    """Crawl-pipeline URL canonicalization: two fetches of the same
+    resource must map to one key before dedup, or every tracking
+    decoration defeats the exact-dup pass. Normalizes in a fixed,
+    documented order: drop fragment, strip tracking params
+    (TRACKING_PARAM_RE), collapse the leftover ``&&``/``?&`` debris,
+    trim dangling ``?``/``&`` and trailing slashes, lowercase ONLY the
+    scheme+authority (paths are case-sensitive per RFC 3986), and drop
+    a leading ``www.``. Pure Catalyst regexp chain — one map-only
+    projection, no shuffle; at 100 TB this fuses into the scan that
+    feeds the digest groupBy (dedup_exact on the canonical key)."""
+    u = F.col(url_col)
+    u = F.regexp_replace(u, "#.*", "")
+    u = F.regexp_replace(u, TRACKING_PARAM_RE, "")
+    u = F.regexp_replace(u, "&{2,}", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, "/+$", "")
+    head = F.regexp_extract(u, _SCHEME_HOST_RE, 0)
+    rest = F.regexp_replace(u, _SCHEME_HOST_RE, "")
+    u = F.concat(F.lower(head), rest)
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://)www\.", "$1")
+    return df.withColumn(out_col, u)
+
+
 def chunk_fixed(
     df: DataFrame,
     id_col: str,

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -283,10 +284,80 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
             )
         )
         t.bulk_delete(src.where("o_orderkey % 10 = 1").select("o_orderkey"))
+    elif name == "orders_tt":
+        # absolute-time-travel scenario: capture the COMMIT timestamp
+        # between mutation rounds from the table's own _ts column (not
+        # wall clock — no clock-skew flake window), then snapshot at
+        # it. compact() afterwards proves time travel survives the
+        # physical rewrite (merge is physical-only).
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(name, src.schema, "o_orderkey")
+        t.ingest_dataframe(src)
+        t.bulk_update(
+            src.where("o_orderkey % 7 = 0").select(
+                "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+            )
+        )
+        t.tt_ts2 = _max_commit_ts(t)
+        time.sleep(0.2)  # belt-and-braces under the _ts capture
+        t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+        t.compact()
+    elif name == "orders_rt":
+        # RESTORE scenario: mutate (update + delete + fresh-key
+        # ingest), then roll back to the post-ingest state with
+        # restore_as_of — all three compensating-write paths fire
+        # (tombstone the fresh keys, re-insert the deleted keys with
+        # their old values, update the changed keys back).
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(name, src.schema, "o_orderkey")
+        t.ingest_dataframe(src)
+        ts1 = _max_commit_ts(t)
+        time.sleep(0.2)
+        t.bulk_update(
+            src.where("o_orderkey % 7 = 0").select(
+                "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+            )
+        )
+        t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+        max_key = src.agg(F.max("o_orderkey")).first()[0]
+        t.ingest_dataframe(
+            src.where("o_orderkey % 9 = 0").select(
+                (F.col("o_orderkey") + F.lit(max_key + 1)).alias("o_orderkey"),
+                *[c for c in ORDER_COLS if c != "o_orderkey"],
+            )
+        )
+        report = t.restore_as_of(ts1)
+        # the compensating-write report is part of the contract: every
+        # fresh key tombstoned, every deleted key re-inserted, every
+        # updated key rolled back
+        n_fresh = src.where("o_orderkey % 9 = 0").count()
+        n_del = src.where("o_orderkey % 10 = 3").count()
+        n_upd = src.where("o_orderkey % 7 = 0 AND o_orderkey % 10 <> 3").count()
+        assert report["deleted"] == n_fresh, report
+        assert report["inserted"] == n_del, report
+        assert report["updated"] == n_upd, report
     else:  # pragma: no cover
         raise KeyError(name)
     _SCENARIOS[key] = t
     return t
+
+
+def _max_commit_ts(t: LineageTable):
+    """Newest ``_ts`` across base + tail — the table-derived 'now'
+    used by the time-travel scenarios (immune to driver/executor
+    clock skew, unlike a wall-clock capture)."""
+    from .lineage import TS
+
+    t.flush()
+    m = (
+        t.base_df()
+        .select(F.col(TS).alias("m"))
+        .unionByName(t.tail_df().select(F.col(TS).alias("m")))
+        .agg(F.max("m"))
+        .first()[0]
+    )
+    assert m is not None
+    return m
 
 
 # oracle SQL fragments for scenario A (see module docstring)
@@ -7194,4 +7265,140 @@ def pq_index_dispatch_lookup(spark, sf_dir):
         indexing.build_secondary_index(t, "o_custkey", n_buckets=16)
     return t.point_lookup("o_custkey", 55).select(
         "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@workload(
+    "pq_snapshot_as_of",
+    # Snapshot taken at the commit timestamp captured between the
+    # update round and the delete round: the %7 update is applied, the
+    # %10==3 tombstones are NOT visible yet (all keys present). The
+    # scenario compacts after the delete, so a merge that leaked the
+    # rewritten snapshot into pre-merge answers would flip the hash.
+    f"""SELECT o_orderkey, o_custkey, ROUND({_R1}, 2) AS o_totalprice
+FROM orders""",
+)
+def pq_snapshot_as_of(spark, sf_dir):
+    """Absolute-time travel (lineage.snapshot_as_of — the timestamp
+    complement of the reference's RELATIVE select_version,
+    /root/reference/lstore/query.py:115-124): the table as it stood
+    at the captured inter-commit timestamp. One _ts filter on each of
+    base and tail, then the standard fold — file-level manifest stats
+    keep the scan bounded; no extra shuffle over current_view."""
+    t = _table(spark, sf_dir, "orders_tt")
+    return t.snapshot_as_of(t.tt_ts2).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@workload(
+    "pq_restore_as_of",
+    # After restore_as_of(post-ingest ts) the CURRENT view must equal
+    # the original orders exactly — updates rolled back, tombstoned
+    # keys re-inserted with their old values, fresh keys gone. The
+    # scenario asserts the compensating-write report row counts; this
+    # gate hash-checks the restored VALUES.
+    """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders""",
+)
+def pq_restore_as_of(spark, sf_dir):
+    """RESTORE by compensating writes (lineage.restore_as_of, the
+    Delta RESTORE analogue): roll the current view back to the
+    captured timestamp WITHOUT rewriting history — the log stays
+    append-only, pre-restore states remain travelable, and the work
+    is proportional to the now-vs-then diff (two key anti-joins + one
+    null-safe comparison join), not to table size."""
+    t = _table(spark, sf_dir, "orders_rt")
+    return t.current_view().select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@workload(
+    "ds_url_canonical_dedup",
+    # Deterministic messy-URL corpus: each base id gets an even
+    # (www + lowercase + utm params [+ a REAL page=2 param that must
+    # survive when base%7==0]) and an odd (uppercase scheme+host,
+    # campaign/click params, fragment) variant. After
+    # canonicalization the pair collides unless the real param keeps
+    # them apart — group sizes 1 and 2 both occur, so an
+    # over-aggressive OR under-aggressive canonicalizer flips the
+    # hash. The oracle replays the exact normalization chain
+    # (RE2-safe patterns, 'g' flag = Spark's replace-all default).
+    """WITH urls AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN
+      'https://www.' || source || '.example.org/item/'
+        || CAST(doc_id // 2 AS VARCHAR)
+        || '/?utm_source=rss&utm_medium=feed'
+        || CASE WHEN (doc_id // 2) % 7 = 0 THEN '&page=2' ELSE '' END
+    ELSE
+      'HTTPS://' || UPPER(source) || '.EXAMPLE.ORG/item/'
+        || CAST(doc_id // 2 AS VARCHAR)
+        || '?utm_campaign=news&gclid=1x2#sec'
+    END AS url
+  FROM documents
+), c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM urls),
+c2 AS (SELECT doc_id,
+  regexp_replace(u, '(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*', '', 'g')
+  AS u FROM c1),
+c3 AS (SELECT doc_id, regexp_replace(u, '&{2,}', '&', 'g') AS u FROM c2),
+c4 AS (SELECT doc_id, regexp_replace(u, '\\?&', '?', 'g') AS u FROM c3),
+c5 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '', 'g') AS u FROM c4),
+c6 AS (SELECT doc_id, regexp_replace(u, '/+$', '', 'g') AS u FROM c5),
+c7 AS (SELECT doc_id,
+  lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*'))
+    || regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS u
+  FROM c6),
+c8 AS (SELECT doc_id,
+  regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\\.', '\\1') AS u FROM c7)
+SELECT u AS canonical_url,
+       MIN(doc_id) AS kept_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM c8 GROUP BY u""",
+)
+def ds_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + exact dedup on the canonical key — the
+    step every crawl pipeline runs BEFORE content dedup (two fetches
+    of one resource differing only in tracking decoration must share
+    a key). textops.canonicalize_urls is a pure Catalyst regexp
+    chain (map-only, fuses into the scan); the only shuffle is the
+    (canonical_url, doc_id) groupBy, identical in shape to
+    dedup_exact. At 100 TB: linear scan + one hash aggregate."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "source")
+    base = F.expr("doc_id DIV 2").cast("string")
+    messy = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("https://www."),
+                F.col("source"),
+                F.lit(".example.org/item/"),
+                base,
+                F.lit("/?utm_source=rss&utm_medium=feed"),
+                F.when(
+                    F.expr("(doc_id DIV 2) % 7 = 0"), F.lit("&page=2")
+                ).otherwise(F.lit("")),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://"),
+                F.upper(F.col("source")),
+                F.lit(".EXAMPLE.ORG/item/"),
+                base,
+                F.lit("?utm_campaign=news&gclid=1x2#sec"),
+            )
+        )
+        .alias("url"),
+    )
+    canon = textops.canonicalize_urls(messy, "url")
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("kept_doc_id"),
+        F.count("*").cast("long").alias("n_dups"),
     )

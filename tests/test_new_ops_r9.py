@@ -258,3 +258,28 @@ def test_changes_between_file_skipping(spark, tmp_db):
         + t.base_df().where(F.col("_rid") > wm_mid).count()
     )
     assert feed.count() == want
+
+
+def test_canonicalize_urls_edge_cases(spark):
+    from lineage_store_database_management_system_spark.operators import textops
+
+    cases = [
+        # (messy, expected canonical)
+        ("https://www.Site.COM/A/b/?utm_source=x&utm_medium=y",
+         "https://site.com/A/b"),                       # path case preserved
+        ("HTTP://HOST.ORG/p?page=2&utm_campaign=z#frag",
+         "http://host.org/p?page=2"),                   # real param survives
+        ("https://host.org/p?utm_a=1&keep=2&gclid=3",
+         "https://host.org/p?keep=2"),                  # mid-list strips
+        ("https://host.org/p/", "https://host.org/p"),  # trailing slash
+        ("https://host.org/", "https://host.org"),
+        ("no-scheme/path/?fbclid=abc", "no-scheme/path"),
+        ("https://www.h.io/p?ref=feed&x=1#a#b", "https://h.io/p?x=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {
+        r["i"]: r["canonical_url"]
+        for r in textops.canonicalize_urls(df, "url").collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
