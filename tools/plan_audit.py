@@ -218,6 +218,18 @@ AUDIT = [
     # through the secondary index (rid catch-up set visible as a _rid
     # predicate on the base/tail scans), never a full unpruned fold.
     ("pq_index_dispatch_lookup", ["_rid"], ["BatchEvalPython"]),
+    # r9: URL canonicalization is a pure Catalyst regexp chain fused
+    # into the scan; the ONLY exchange is the canonical-key hash
+    # aggregate (same shape as dedup_exact) — no Python, no join.
+    ("ds_url_canonical_dedup", ["regexp_replace", "HashAggregate"], ["BatchEvalPython", "Join"]),
+    # r9: absolute-time travel is one _ts filter on each side of the
+    # standard base/tail fold — native parquet scans, no Python, no
+    # cartesian; the _ts predicate must reach the scans.
+    ("pq_snapshot_as_of", ["Scan parquet", "_ts"], ["BatchEvalPython", "CartesianProduct"]),
+    # r9: the restored table reads as a plain current-view fold; the
+    # compensating writes happened at scenario build — zero residual
+    # join/Python work in the gated read.
+    ("pq_restore_as_of", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
