@@ -283,3 +283,32 @@ def test_canonicalize_urls_edge_cases(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_canonicalize_urls_idempotent(spark):
+    """Canonical keys must be FIXED POINTS: running the chain twice
+    must change nothing, or re-canonicalizing an already-deduped
+    corpus would split/merge groups."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.operators import textops
+
+    rng = random.Random(42)
+    schemes = ["http://", "HTTPS://", "https://", ""]
+    hosts = ["www.Site.org", "HOST.com", "a-b.example.NET", "www.x.io"]
+    paths = ["", "/", "/A/b", "/p/", "/item/7//", "/ref=zz"]
+    queries = ["", "?utm_source=1", "?x=1&utm_a=2&y=3", "?utm_a=1&utm_b=2",
+               "?a=1&&b=2", "?ref=h&gclid=9", "?page=2"]
+    frags = ["", "#f", "#a#b/"]
+    urls = [
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+        + rng.choice(queries) + rng.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    once = textops.canonicalize_urls(df, "url", out_col="c1")
+    twice = textops.canonicalize_urls(once, "c1", out_col="c2")
+    bad = twice.where(~F.col("c1").eqNullSafe(F.col("c2"))).collect()
+    assert not bad, [(r["url"], r["c1"], r["c2"]) for r in bad[:5]]
