@@ -1732,6 +1732,91 @@ class LineageTable:
         batch). Pass to :meth:`changes_between` as the resume point."""
         return (self.manifest.next_batch << _BATCH_SHIFT) - 1
 
+    def fast_count(self) -> DataFrame:
+        """Metadata-only COUNT(*) of the current view (the Delta-Lake
+        metadata-count shape; the reference's only count is the
+        key-loop ``Query.count``, /root/reference/lstore/query.py:196
+        area — it scans every key).
+
+        The BASE side of a count never needs scanning: the file-level
+        manifest log records exact per-file row counts at commit time
+        (filelog.file_entry), so live base rows are a driver-side sum
+        over O(files) logged integers. Updates never change the count,
+        so only two corrections exist, and both are bounded by the
+        SMALL side of the table:
+
+        * tombstoned rids — one aggregate over the TAIL only (small by
+          the compaction contract);
+        * base files whose logged ``_rid`` range straddles the
+          compaction watermark — only those files are opened, with the
+          exact ``_rid > compact_rid_hi`` row filter applied.
+          Per-commit writes allocate whole rid batches, so straddlers
+          are normally zero.
+
+        At 100 TB a COUNT(*) therefore reads zero base bytes. Returns
+        a one-row DataFrame (column ``cnt`` BIGINT) so it composes
+        with everything else. Pre-filelog tables fall back to counting
+        the current view. Tombstones are counted by FIRST delete
+        ``_seq`` per rid, so a double tombstone straddling the
+        watermark (impossible under the lock protocol, cheap to
+        defend against) never double-subtracts: rids whose first
+        tombstone is already folded into the snapshot are excluded."""
+        m = self.manifest
+        base_entries = self.filelog.live(self._log_tag(self.base_dir))
+        if base_entries is None:
+            return self.current_view().agg(F.count(F.lit(1)).alias("cnt"))
+        base_entries = [e for e in base_entries if e.get("rows", 1) != 0]
+        meta_rows = 0
+        straddlers: list[str] = []
+        if m.compact_version >= 0:
+            snap_entries = (
+                self.filelog.live(self._log_tag(self.compacted_dir())) or []
+            )
+            meta_rows += sum(e.get("rows", 0) for e in snap_entries)
+            hi = m.compact_rid_hi
+            for e in base_entries:
+                st = e.get("stats", {}).get(RID)
+                if st is None:
+                    straddlers.append(os.path.join(self.base_dir, e["path"]))
+                elif st[0] > hi:
+                    meta_rows += e.get("rows", 0)
+                elif st[1] <= hi:
+                    pass  # fully folded into the snapshot
+                else:
+                    straddlers.append(os.path.join(self.base_dir, e["path"]))
+        else:
+            meta_rows += sum(e.get("rows", 0) for e in base_entries)
+        meta_rows += len(self._pending_base)
+        # Correction 1: live rids killed by a tombstone the snapshot
+        # has not folded yet. Full-tail read (not _seq-skipped): the
+        # first-delete-per-rid exclusion needs pre-TPS tombstones to
+        # classify straddling histories, and the tail is the small
+        # side by contract.
+        tomb = (
+            self.tail_df()
+            .where(F.col(OP) == OP_DELETE)
+            .groupBy(F.col(RID))
+            .agg(F.min(F.col(SEQ)).alias("_first_del"))
+        )
+        if m.compact_version >= 0:
+            tomb = tomb.where(F.col("_first_del") > F.lit(m.tps))
+        corr = tomb.agg((-F.count(F.lit(1))).alias("delta"))
+        if straddlers:
+            phys = self._physical_schema(self.base_schema)
+            extra = (
+                self.spark.read.option("basePath", self.base_dir)
+                .schema(phys)
+                .parquet(*straddlers)
+                .where(F.col(RID) > F.lit(m.compact_rid_hi))
+                .agg(F.count(F.lit(1)).alias("delta"))
+            )
+            corr = corr.unionByName(extra)
+        return corr.agg(
+            (F.lit(int(meta_rows)) + F.coalesce(F.sum("delta"), F.lit(0)))
+            .cast("long")
+            .alias("cnt")
+        )
+
     # ------------------------------------------------------------------
     # statistics (ANALYZE) — extension; the reference keeps no stats
     # ------------------------------------------------------------------

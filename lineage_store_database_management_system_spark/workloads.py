@@ -284,6 +284,28 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
             )
         )
         t.bulk_delete(src.where("o_orderkey % 10 = 1").select("o_orderkey"))
+    elif name == "orders_fc":
+        # metadata-only COUNT scenario (fast_count): mutations +
+        # compact() + a fresh post-watermark ingest + post-compaction
+        # deletes on BOTH the snapshot side and the fresh side, so
+        # the count must combine logged snapshot rows + logged
+        # fresh-base rows with the tail-only tombstone correction.
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(name, src.schema, "o_orderkey")
+        t.ingest_dataframe(src)
+        t.bulk_update(
+            src.where("o_orderkey % 7 = 0").select(
+                "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+            )
+        )
+        t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+        t.compact()
+        shifted = src.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(600_000_000)
+        )
+        t.ingest_dataframe(shifted)
+        t.bulk_delete(shifted.where("o_orderkey % 9 = 1").select("o_orderkey"))
+        t.bulk_delete(src.where("o_orderkey % 10 = 7").select("o_orderkey"))
     elif name == "orders_tt":
         # absolute-time-travel scenario: capture the COMMIT timestamp
         # between mutation rounds from the table's own _ts column (not
@@ -7199,6 +7221,32 @@ def pq_manifest_skip_range(spark, sf_dir):
         .alias("sum_total"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@workload(
+    "pq_count_metadata_only",
+    "SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 NOT IN (3, 7)) "
+    "+ (SELECT COUNT(*) FROM orders WHERE (o_orderkey + 600000000) % 9 <> 1)"
+    " AS cnt",
+)
+def pq_count_metadata_only(spark, sf_dir):
+    """Metadata-only COUNT(*) (lineage.fast_count — the Delta-Lake
+    metadata-count shape; the reference's count is a key-at-a-time
+    loop, /root/reference/lstore/query.py:196 area): live base rows
+    come from the file log's per-file row counts summed driver-side,
+    so ZERO base bytes are read — only the tail tombstone correction
+    runs as a Spark job. The orders_fc scenario has a compacted
+    snapshot, a fresh post-watermark ingest and post-compaction
+    deletes on both sides, so the count must combine logged snapshot
+    rows + logged fresh-base rows − past-TPS tombstones. Asserts the
+    plan opens NO base/snapshot data files."""
+    t = _table(spark, sf_dir, "orders_fc")
+    df = t.fast_count()
+    bad = [
+        p for p in df.inputFiles() if "/base/" in p or "/compacted/" in p
+    ]
+    assert not bad, f"fast_count opened base-side files: {bad[:3]}"
+    return df
 
 
 @workload(

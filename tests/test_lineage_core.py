@@ -1804,3 +1804,49 @@ def test_join_mv_refresh_crash_idempotent(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 300  # no duplicates, no losses
+
+
+def test_fast_count_metadata_only(tmp_db, spark, sf_dir):
+    """fast_count == COUNT(*) of the current view at every lifecycle
+    stage, while never opening base/snapshot data files (the base-side
+    row count comes from the file log's per-file stats)."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    t = tmp_db.create_table_typed("orders_fcnt", orders_schema(), "o_orderkey")
+
+    def check():
+        got = t.fast_count().collect()[0]["cnt"]
+        want = t.current_view().count()
+        assert got == want, f"fast_count {got} != view count {want}"
+        bad = [
+            p
+            for p in t.fast_count().inputFiles()
+            if "/base/" in p or "/compacted/" in p
+        ]
+        assert not bad, f"fast_count scanned base-side files: {bad[:3]}"
+
+    # uncompacted: ingest + update + delete
+    t.ingest_dataframe(src)
+    check()
+    t.bulk_update(
+        src.where("o_orderkey % 7 = 0").select(
+            "o_orderkey", (F.col("o_totalprice") + 1).alias("o_totalprice")
+        )
+    )
+    t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+    check()
+    # compacted snapshot + fresh post-watermark base + more tombstones
+    t.compact()
+    check()
+    shifted = src.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+    t.ingest_dataframe(shifted)
+    t.bulk_delete(shifted.where("o_orderkey % 9 = 1").select("o_orderkey"))
+    t.bulk_delete(src.where("o_orderkey % 10 = 7").select("o_orderkey"))
+    check()
+    # pending (unflushed) point writes are counted driver-side
+    q = Query(t)
+    q.insert(99_999_991, 1.0, "O")
+    q.insert(99_999_992, 2.0, "O")
+    q.delete(99_999_991)
+    check()
