@@ -413,6 +413,40 @@ class LineageTable:
         self._open_batch = None
         self._batch_counter = 0
 
+    def rebase_retry(self, op, max_attempts: int = 8):
+        """Run an APPEND-SHAPED write op with bounded optimistic-
+        concurrency retries: on :class:`ConcurrentWriteError`,
+        :meth:`refresh` (rebase onto the other writer's commit) and
+        re-run. Returns ``op()``'s result.
+
+        Safe for every append-shaped mutation (``ingest_dataframe``,
+        ``bulk_update`` / ``bulk_delete`` / ``delete_where``,
+        ``merge_into``, point ops, ``flush``): each reserves its batch
+        id — the CAS commit point — BEFORE writing any data file
+        (:meth:`_save_manifest` contract), so a conflict aborts with
+        nothing published and the op is re-runnable verbatim; lineage
+        appends from different writers commute (fresh batch id spaces,
+        deltas totally ordered by ``_seq``). This is the Delta-style
+        blind-append auto-resolution: concurrent appenders never need
+        hand-written retry loops. Do NOT wrap :meth:`compact` — a
+        conflicting compaction must re-read state, and blindly
+        re-running one under churn can livelock; call it from a single
+        maintenance owner instead (its own conflict check makes it
+        abort cleanly either way).
+
+        ``max_attempts`` bounds livelock under pathological contention
+        (the sandbox measured ~1 extra manifest read per retry; see
+        tests/test_cross_process_scale.py for the bounded-retry
+        evidence). Re-raises the final conflict when exhausted."""
+        last: ConcurrentWriteError | None = None
+        for _ in range(max_attempts):
+            try:
+                return op()
+            except ConcurrentWriteError as e:
+                last = e
+                self.refresh()
+        raise last  # type: ignore[misc]
+
     @property
     def partition_by(self) -> list[str]:
         """Hive-style partition columns of the base/compacted layout

@@ -1850,3 +1850,46 @@ def test_fast_count_metadata_only(tmp_db, spark, sf_dir):
     q.insert(99_999_992, 2.0, "O")
     q.delete(99_999_991)
     check()
+
+
+def test_rebase_retry_auto_resolves_append_conflicts(tmp_db, spark, sf_dir):
+    """rebase_retry: a stale handle's append-shaped commit rebases and
+    lands automatically (no hand-written refresh loop), with no lost
+    rows and globally-unique rids across both writers."""
+    from lineage_store_database_management_system_spark import LineageTable
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(200).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    t1 = tmp_db.create_table_typed("orders_rb", orders_schema(), "o_orderkey")
+    t1.ingest_dataframe(src.where("o_orderkey % 2 = 0"))
+
+    t2 = LineageTable.load(spark, t1.path)
+    # writer 1 advances the manifest -> t2 is stale
+    t1.bulk_update(
+        src.where("o_orderkey % 4 = 0").select(
+            "o_orderkey", (F.col("o_totalprice") + 1).alias("o_totalprice")
+        )
+    )
+    # stale writer 2 lands WITHOUT a manual refresh
+    t2.rebase_retry(
+        lambda: t2.ingest_dataframe(src.where("o_orderkey % 2 = 1"))
+    )
+    t1.refresh()
+    assert t1.current_view().count() == src.count()
+    assert (
+        t1.base_df().select("_rid").distinct().count() == t1.base_df().count()
+    )
+    # exhaustion path: an op that always conflicts re-raises
+    import pytest as _pytest
+    from lineage_store_database_management_system_spark import ConcurrentWriteError
+
+    calls = {"n": 0}
+
+    def always_conflict():
+        calls["n"] += 1
+        raise ConcurrentWriteError("synthetic")
+
+    with _pytest.raises(ConcurrentWriteError):
+        t2.rebase_retry(always_conflict, max_attempts=3)
+    assert calls["n"] == 3
