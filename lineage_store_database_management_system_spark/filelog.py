@@ -268,21 +268,24 @@ class FileLog:
                     continue
         return ck, sorted(idxs)
 
-    def _apply(self, actions: list[dict]) -> None:
+    def _apply(
+        self, actions: list[dict], state: dict[str, dict[str, dict]] | None = None
+    ) -> None:
+        state = self._cache if state is None else state
         for a in actions:
             op, tag = a["op"], a["dir"]
             if op == "add":
-                d = self._cache.setdefault(tag, {})
+                d = state.setdefault(tag, {})
                 for e in a["files"]:
                     d[e["path"]] = e
             elif op == "remove":
-                d = self._cache.get(tag, {})
+                d = state.get(tag, {})
                 for p in a["paths"]:
                     d.pop(p, None)
             elif op == "reset":
-                self._cache[tag] = {e["path"]: e for e in a["files"]}
+                state[tag] = {e["path"]: e for e in a["files"]}
             elif op == "drop":
-                self._cache.pop(tag, None)
+                state.pop(tag, None)
 
     def _refresh_locked(self) -> None:
         ck, idxs = self._scan_log_dir()
@@ -309,6 +312,47 @@ class FileLog:
             return None
         self._refresh_locked()
         return list(self._cache.get(tag, {}).values())
+
+    def replayable_range(self) -> tuple[int, int] | None:
+        """Inclusive (lo, hi) of log indexes :meth:`state_at` can
+        reconstruct, or None when the log is empty/absent. lo is the
+        newest checkpoint (checkpointing compacts the per-commit files
+        it supersedes, so pre-checkpoint states are unreachable — the
+        log's own retention horizon); hi is the newest commit."""
+        if not self.exists():
+            return None
+        ck, idxs = self._scan_log_dir()
+        if ck is None and not idxs:
+            return None
+        hi = max([ck if ck is not None else -1] + idxs)
+        lo = ck if ck is not None else min(idxs)
+        return lo, hi
+
+    def state_at(self, idx: int) -> dict[str, list[dict]]:
+        """Live-file sets (tag -> entries) as of log index ``idx``,
+        inclusive — commit-pinned time travel over table METADATA.
+        Replays from the newest checkpoint forward without touching
+        the instance cache. Raises ValueError outside
+        :meth:`replayable_range` (pre-checkpoint history is compacted
+        away; that is the retention contract, same as Delta VACUUM +
+        checkpoint cleanup)."""
+        rng = self.replayable_range()
+        if rng is None or not (rng[0] <= idx <= rng[1]):
+            raise ValueError(
+                f"commit {idx} is outside the replayable log range "
+                f"{rng}: pre-checkpoint commits are compacted away"
+            )
+        ck, idxs = self._scan_log_dir()
+        state: dict[str, dict[str, dict]] = {}
+        if ck is not None and ck <= idx:
+            with open(os.path.join(self.root, f"ckpt-{ck:0{_LOG_W}d}.json")) as f:
+                state = json.load(f)["state"]
+        for i in idxs:
+            if (ck is not None and i <= ck) or i > idx:
+                continue
+            with open(os.path.join(self.root, f"{i:0{_LOG_W}d}.json")) as f:
+                self._apply(json.load(f)["actions"], state)
+        return {tag: list(d.values()) for tag, d in state.items()}
 
     # -- import / resync ----------------------------------------------
     def import_dir(

@@ -1285,25 +1285,10 @@ class LineageTable:
             if prune:
                 entries = prune_entries(entries, prune)
             if entries:
-                files = [os.path.join(path, e["path"]) for e in entries]
-                phys = self._physical_schema(schema)
-                # basePath keeps Hive partition-column derivation
-                # identical to the directory read
-                df = (
-                    self.spark.read.option("basePath", path)
-                    .schema(phys)
-                    .parquet(*files)
-                )
-                m = self._phys_map
-                if m:
-                    inv = {ph: lg for lg, ph in m.items()}
-                    df = df.select(
-                        *[
-                            F.col(f.name).alias(inv.get(f.name, f.name))
-                            for f in phys.fields
-                        ]
-                    )
-                return df
+                # basePath (inside _df_from_entries) keeps Hive
+                # partition-column derivation identical to the
+                # directory read
+                return self._df_from_entries(path, schema, entries)
         elif _has_parquet(path):
             m = self._phys_map
             if not m:
@@ -2040,6 +2025,70 @@ class LineageTable:
         if not include_meta:
             out = out.select(*self.user_cols)
         return out
+
+    def snapshot_at_commit(self, log_idx: int, include_meta: bool = False) -> DataFrame:
+        """Commit-pinned time travel (the Iceberg/Delta ``VERSION AS
+        OF`` shape, complementing :meth:`snapshot_as_of`'s ``TIMESTAMP
+        AS OF``): the table exactly as of file-log commit ``log_idx``
+        — no wall-clock in the contract, so concurrent commits in the
+        same microsecond are still totally ordered.
+
+        The file log replays to the live-file set at that commit
+        (driver-side, O(commits since checkpoint) JSON reads — zero
+        Spark jobs for planning), then the standard fold runs over
+        THAT base+tail set. No watermark bookkeeping is needed: base
+        and tail retain full history, so folding the as-of file set is
+        exact regardless of any compaction that happened afterwards
+        (compaction only ADDS a snapshot dir; it never rewrites base/
+        tail). Retention contract: commits older than the newest log
+        checkpoint are unreachable (ValueError), and a file physically
+        reclaimed by ``vacuum_tail``/``vacuum_snapshots`` since then
+        raises with the vacuum horizon named rather than silently
+        returning partial history. Uncommitted (pending) rows are
+        invisible — travel reads commits."""
+        st = self.filelog.state_at(log_idx)  # raises outside retention
+        tags = (self._log_tag(self.base_dir), self._log_tag(self.tail_dir))
+        base_entries = [e for e in st.get(tags[0], []) if e.get("rows", 1) != 0]
+        tail_entries = [e for e in st.get(tags[1], []) if e.get("rows", 1) != 0]
+        missing = [
+            p
+            for d, es in ((self.base_dir, base_entries), (self.tail_dir, tail_entries))
+            for e in es
+            if not os.path.isfile(p := os.path.join(d, e["path"]))
+        ]
+        if missing:
+            raise ValueError(
+                f"commit {log_idx} references {len(missing)} file(s) "
+                f"reclaimed by vacuum (first: {missing[0]}); state is "
+                "beyond the physical retention horizon"
+            )
+        base = self._df_from_entries(self.base_dir, self.base_schema, base_entries)
+        tail = self._df_from_entries(self.tail_dir, self.tail_schema, tail_entries)
+        out = self._fold_tail(base, tail, tail_known_empty=not tail_entries)
+        if not include_meta:
+            out = out.select(*self.user_cols)
+        return out
+
+    def _df_from_entries(
+        self, path: str, schema: T.StructType, entries: list[dict]
+    ) -> DataFrame:
+        """Scan exactly the given log entries under ``path`` (the
+        arbitrary-file-set core of :meth:`_read_or_empty`, used by
+        commit travel where the file set is historical, not live)."""
+        if not entries:
+            return self.spark.range(0).select(
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+        files = [os.path.join(path, e["path"]) for e in entries]
+        phys = self._physical_schema(schema)
+        df = self.spark.read.option("basePath", path).schema(phys).parquet(*files)
+        m = self._phys_map
+        if m:
+            inv = {ph: lg for lg, ph in m.items()}
+            df = df.select(
+                *[F.col(f.name).alias(inv.get(f.name, f.name)) for f in phys.fields]
+            )
+        return df
 
     def restore_as_of(self, ts) -> dict:
         """Roll the CURRENT view back to its state at wall-clock

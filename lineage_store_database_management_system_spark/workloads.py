@@ -321,6 +321,9 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
             )
         )
         t.tt_ts2 = _max_commit_ts(t)
+        # commit-pinned twin of tt_ts2: the newest file-log index at
+        # this same point (post-update, pre-delete)
+        t.tt_commit_idx = t.filelog.replayable_range()[1]
         time.sleep(0.2)  # belt-and-braces under the _ts capture
         t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
         t.compact()
@@ -7335,6 +7338,32 @@ def pq_snapshot_as_of(spark, sf_dir):
     keep the scan bounded; no extra shuffle over current_view."""
     t = _table(spark, sf_dir, "orders_tt")
     return t.snapshot_as_of(t.tt_ts2).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@workload(
+    "pq_snapshot_at_commit",
+    # Commit-pinned twin of pq_snapshot_as_of: travel to the file-log
+    # index captured post-update/pre-delete must give the identical
+    # state — %7 update applied, no tombstones — through a DIFFERENT
+    # mechanism (log replay to the as-of live-file set; no wall clock
+    # anywhere in the contract). The scenario compacts afterwards, so
+    # commit travel must also be invariant to the physical rewrite.
+    f"""SELECT o_orderkey, o_custkey, ROUND({_R1}, 2) AS o_totalprice
+FROM orders""",
+)
+def pq_snapshot_at_commit(spark, sf_dir):
+    """Commit-pinned time travel (lineage.snapshot_at_commit — the
+    Iceberg/Delta VERSION AS OF shape): the file log replays to the
+    live-file set at the captured commit index (driver-side JSON
+    reads, zero Spark jobs to plan), then the standard fold runs over
+    exactly that base+tail set. Total order over commits — no
+    same-microsecond ambiguity, unlike timestamp travel."""
+    t = _table(spark, sf_dir, "orders_tt")
+    return t.snapshot_at_commit(t.tt_commit_idx).select(
         "o_orderkey",
         "o_custkey",
         F.round("o_totalprice", 2).alias("o_totalprice"),

@@ -1893,3 +1893,60 @@ def test_rebase_retry_auto_resolves_append_conflicts(tmp_db, spark, sf_dir):
     with _pytest.raises(ConcurrentWriteError):
         t2.rebase_retry(always_conflict, max_attempts=3)
     assert calls["n"] == 3
+
+
+def test_snapshot_at_commit_travel(tmp_db, spark, sf_dir):
+    """Commit-pinned time travel: exact state at each log index,
+    invariant across compact(), blind to pending rows, and explicit
+    errors outside the retention horizon (pre-checkpoint index /
+    vacuumed files)."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(300).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    t = tmp_db.create_table_typed("orders_ct", orders_schema(), "o_orderkey")
+    t.ingest_dataframe(src)                                   # idx 0
+    idx0 = t.filelog.replayable_range()[1]
+    t.bulk_update(
+        src.where("o_orderkey % 7 = 0").select(
+            "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+        )
+    )                                                          # idx 1
+    idx1 = t.filelog.replayable_range()[1]
+    t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+    t.compact()  # physical rewrite AFTER the travel points
+
+    # idx0: original values, all rows
+    v0 = t.snapshot_at_commit(idx0)
+    assert v0.count() == src.count()
+    assert (
+        abs(
+            v0.agg(F.sum("o_totalprice")).collect()[0][0]
+            - src.agg(F.sum("o_totalprice")).collect()[0][0]
+        )
+        < 1e-6
+    )
+    # idx1: update applied, tombstones not yet visible
+    v1 = t.snapshot_at_commit(idx1)
+    assert v1.count() == src.count()
+    exp = src.agg(
+        F.sum(
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100)
+            .otherwise(F.col("o_totalprice"))
+        )
+    ).collect()[0][0]
+    assert abs(v1.agg(F.sum("o_totalprice")).collect()[0][0] - exp) < 1e-6
+
+    # pending (uncommitted) rows are invisible to commit travel
+    hi = t.filelog.replayable_range()[1]
+    before = t.snapshot_at_commit(hi).count()
+    Query(t).insert(99_999_001, 5.0, "O")
+    assert t.snapshot_at_commit(hi).count() == before
+    t.flush()
+
+    # outside the log range -> ValueError
+    with pytest.raises(ValueError, match="replayable"):
+        t.snapshot_at_commit(-1)
+    # vacuum reclaims pre-TPS tail deltas -> pre-vacuum travel raises
+    t.vacuum_tail()
+    with pytest.raises(ValueError, match="vacuum"):
+        t.snapshot_at_commit(idx1).count()
