@@ -230,6 +230,16 @@ AUDIT = [
     # compensating writes happened at scenario build — zero residual
     # join/Python work in the gated read.
     ("pq_restore_as_of", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
+    # r9 continuation: metadata-only COUNT — the base side is a
+    # driver-side sum over the file log, so the PLAN must contain no
+    # join at all (only the tail tombstone aggregate reaches Spark;
+    # the no-base-files-opened property is asserted inside the
+    # workload via inputFiles()).
+    ("pq_count_metadata_only", ["HashAggregate"], ["Join", "BatchEvalPython"]),
+    # r9 continuation: commit-pinned travel — log replay happens
+    # driver-side; the plan is the standard base/tail fold over the
+    # as-of file set: native parquet scans, no Python, no cartesian.
+    ("pq_snapshot_at_commit", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
