@@ -2107,11 +2107,27 @@ class LineageTable:
         to table size. Raises if ``ts`` predates a vacuumed history
         floor (inherited from :meth:`snapshot_as_of`). Returns
         {'deleted': n, 'updated': n, 'inserted': n}."""
+        return self._restore_to(self.snapshot_as_of(ts))
+
+    def restore_at_commit(self, log_idx: int) -> dict:
+        """Commit-pinned RESTORE: roll the current view back to its
+        state at file-log commit ``log_idx`` — the exact-total-order
+        twin of :meth:`restore_as_of` (same compensating-write diff
+        engine, so the log stays append-only and pre-restore states
+        remain travelable); the target state comes from
+        :meth:`snapshot_at_commit`'s log replay instead of a wall
+        clock. Retention errors are inherited from there. Returns
+        {'deleted': n, 'updated': n, 'inserted': n}."""
+        return self._restore_to(self.snapshot_at_commit(log_idx))
+
+    def _restore_to(self, old: DataFrame) -> dict:
+        """Compensating-write diff engine shared by the two RESTORE
+        entry points: work ∝ diff(now, old), never table size."""
         self.flush()
         key = self.key
         others = [c for c in self.user_cols if c != key]
         nonpart = [c for c in others if c not in self.partition_by]
-        old = self.snapshot_as_of(ts).persist()
+        old = old.persist()
         cur = self.current_view().persist()
         try:
             old_keys = old.select(key)
@@ -2122,9 +2138,20 @@ class LineageTable:
             diff = F.lit(False)
             for c in others:
                 diff = diff | ~F.col(f"o.{c}").eqNullSafe(F.col(f"c.{c}"))
+            # delete+reinsert is needed when an immutable-per-rid
+            # partition value moved, AND when a column must be
+            # restored TO NULL: the tail encoding reads NULL deltas as
+            # 'unchanged' (the reference's update convention,
+            # /root/reference/lstore/query.py:141 area), so an update
+            # delta cannot express null — a fresh rid carries it
+            # exactly.
             moved = F.lit(False)
             for c in self.partition_by:
                 moved = moved | ~F.col(f"o.{c}").eqNullSafe(F.col(f"c.{c}"))
+            for c in nonpart:
+                moved = moved | (
+                    F.col(f"o.{c}").isNull() & F.col(f"c.{c}").isNotNull()
+                )
             changed = both.where(diff)
             upd = changed.where(~moved).select(
                 F.col(key), *[F.col(f"o.{c}").alias(c) for c in nonpart]

@@ -1950,3 +1950,67 @@ def test_snapshot_at_commit_travel(tmp_db, spark, sf_dir):
     t.vacuum_tail()
     with pytest.raises(ValueError, match="vacuum"):
         t.snapshot_at_commit(idx1).count()
+
+
+def test_restore_at_commit_and_travel_across_evolution(tmp_db, spark, sf_dir):
+    """restore_at_commit rolls the current view back to the state at a
+    log index via compensating writes; commit travel across schema
+    evolution presents the table's CURRENT logical schema (pre-
+    evolution files null-fill added columns)."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(300).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    t = tmp_db.create_table_typed("orders_rc", orders_schema(), "o_orderkey")
+    t.ingest_dataframe(src)                                    # idx 0
+    idx0 = t.filelog.replayable_range()[1]
+    t.bulk_update(
+        src.where("o_orderkey % 7 = 0").select(
+            "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+        )
+    )
+    t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+    # schema evolution AFTER the travel point
+    t.add_column("o_note", T.StringType())
+    t.bulk_update(
+        src.where("o_orderkey % 11 = 0").select(
+            "o_orderkey", F.lit("x").alias("o_note")
+        )
+    )
+
+    # travel to idx0 under the CURRENT schema: added column all-null,
+    # original values intact
+    v0 = t.snapshot_at_commit(idx0)
+    assert "o_note" in v0.columns
+    assert v0.where(F.col("o_note").isNotNull()).count() == 0
+    assert v0.count() == src.count()
+    assert (
+        abs(
+            v0.agg(F.sum("o_totalprice")).collect()[0][0]
+            - src.agg(F.sum("o_totalprice")).collect()[0][0]
+        )
+        < 1e-6
+    )
+
+    # restore to idx0: deletes the nothing-fresh, re-inserts the
+    # tombstoned keys, rolls back the updated rows (incl. o_note)
+    rep = t.restore_at_commit(idx0)
+    n_del_keys = src.where("o_orderkey % 10 = 3").count()
+    # rows whose o_note must be restored TO NULL go delete+reinsert
+    # (NULL update deltas read as 'unchanged' — inexpressible as an
+    # update), so they appear in both counters
+    n_note = src.where("o_orderkey % 11 = 0 AND o_orderkey % 10 <> 3").count()
+    assert rep["inserted"] == n_del_keys + n_note
+    assert rep["deleted"] == n_note
+    assert rep["updated"] > 0
+    cur = t.current_view()
+    assert cur.count() == src.count()
+    assert cur.where(F.col("o_note").isNotNull()).count() == 0
+    assert (
+        abs(
+            cur.agg(F.sum("o_totalprice")).collect()[0][0]
+            - src.agg(F.sum("o_totalprice")).collect()[0][0]
+        )
+        < 1e-6
+    )
+    # fast_count agrees after the restore's mixed writes
+    assert t.fast_count().collect()[0]["cnt"] == src.count()
