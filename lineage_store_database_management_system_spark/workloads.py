@@ -361,6 +361,32 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
         assert report["deleted"] == n_fresh, report
         assert report["inserted"] == n_del, report
         assert report["updated"] == n_upd, report
+    elif name == "orders_opt":
+        # OPTIMIZE bin-packing scenario: 8 separate ingest commits
+        # (each lands its own small part-files in the base dir), keyed
+        # mutations, then optimize_files packs the small files into
+        # target-size outputs. The pack is physical-only — the gated
+        # workload proves the file count dropped AND every answer is
+        # byte-identical to the pure-SQL oracle over the source rows.
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(name, src.schema, "o_orderkey")
+        mx = src.agg(F.max("o_orderkey")).first()[0]
+        step = mx // 8 + 1
+        for i in range(8):
+            t.ingest_dataframe(
+                src.where(
+                    (F.col("o_orderkey") >= i * step)
+                    & (F.col("o_orderkey") < (i + 1) * step)
+                )
+            )
+        t.bulk_update(
+            src.where("o_orderkey % 6 = 0").select(
+                "o_orderkey", (F.col("o_totalprice") + 50).alias("o_totalprice")
+            )
+        )
+        t.bulk_delete(src.where("o_orderkey % 10 = 1").select("o_orderkey"))
+        t.flush()
+        t.opt_stats = t.optimize_files(target_bytes=4 << 20)
     else:  # pragma: no cover
         raise KeyError(name)
     _SCENARIOS[key] = t
@@ -7478,4 +7504,47 @@ def ds_url_canonical_dedup(spark, sf_dir):
     return canon.groupBy("canonical_url").agg(
         F.min("doc_id").alias("kept_doc_id"),
         F.count("*").cast("long").alias("n_dups"),
+    )
+
+
+@workload(
+    "pq_optimize_invariance",
+    """SELECT o_orderstatus,
+       CAST(ROUND(SUM(CAST(CASE WHEN o_orderkey % 6 = 0
+                THEN o_totalprice + 50 ELSE o_totalprice END
+            AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_total,
+       COUNT(*) AS n_rows
+FROM orders WHERE o_orderkey % 10 <> 1
+GROUP BY o_orderstatus""",
+)
+def pq_optimize_invariance(spark, sf_dir):
+    """OPTIMIZE small-file bin-packing is answers-invariant
+    (lineage.optimize_files — the Delta OPTIMIZE shape; the reference
+    has no file maintenance at all, its pages are fixed-size slots,
+    /root/reference/lstore/page.py area). The orders_opt scenario
+    lands 8 separate ingest commits (8+ small base files), mutates
+    through the tail, then packs the small files into ~4 MB outputs
+    under the crash-safe marker protocol, republishing them through
+    the file-level manifest log (remove+add in one log commit). The
+    workload asserts the pack actually happened (files_after <
+    files_before, bytes_packed > 0) and then proves the packed table
+    still answers the pure-SQL oracle over the original rows —
+    updates, tombstones and rid identity all survive the physical
+    rewrite. At 100 TB this is the churn-table maintenance loop: scan
+    cost is dominated by per-file open latency on object storage, so
+    packing thousands of KB commit files into 128 MB objects is what
+    keeps the scan linear."""
+    t = _table(spark, sf_dir, "orders_opt")
+    st = t.opt_stats
+    assert st["files_after"] < st["files_before"], st
+    assert st["partitions"] >= 1 and st["bytes_packed"] > 0, st
+    return (
+        t.current_view()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_total"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )
