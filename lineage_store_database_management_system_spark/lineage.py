@@ -276,8 +276,33 @@ class LineageTable:
         """PHYSICAL column names whose per-file min/max go into the
         file log: rid (prunes the fresh-base read above the compaction
         watermark), seq (prunes the tail read above TPS / CDC ranges),
-        and the primary key (prunes point/range lookups)."""
-        return [RID, SEQ, self._phys_map.get(self.key, self.key)]
+        the primary key (prunes point/range lookups), then EVERY other
+        top-level scalar user column up to a 32-column cap (the Delta
+        ``dataSkippingNumIndexedCols`` shape) — the extra min/max ride
+        the same per-file footer read at commit time, and any scalar
+        column can then drive file skipping and the stats-only
+        :meth:`fast_min_max`. Non-scalar / non-JSON-comparable types
+        (arrays, decimals, dates) are skipped — ``filelog
+        ._jsonable_stat`` would drop their values anyway."""
+        m = self._phys_map
+        out = [RID, SEQ, m.get(self.key, self.key)]
+        scalar = (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.StringType,
+        )
+        for f in self.base_schema.fields:
+            ph = m.get(f.name, f.name)
+            if ph in out or not isinstance(f.dataType, scalar):
+                continue
+            out.append(ph)
+            if len(out) >= 32:
+                break
+        return out
 
     def _log_tag(self, abs_dir: str) -> str:
         return os.path.relpath(abs_dir, self.path)
@@ -1836,6 +1861,169 @@ class LineageTable:
             .alias("cnt")
         )
 
+    def fast_min_max(self, column: str) -> DataFrame:
+        """Stats-driven MIN/MAX of one scalar column over the current
+        view (the Delta/Iceberg metadata min-max shape, generalized to
+        a merge-on-read lineage table; the reference's min/max is a
+        key-at-a-time loop, /root/reference/lstore/query.py:196 area).
+
+        Unlike COUNT, MIN/MAX is *not* purely metadata-derivable under
+        mutation: a tail update can overwrite the row holding the
+        extreme, and a tombstone can kill it. The algorithm is exact
+        anyway, and reads base bytes only when the file stats cannot
+        already prove the answer:
+
+        1. TAIL side (small by the compaction contract, one Spark
+           job): fold post-TPS deltas per rid — rids with an explicit
+           ``column`` delta contribute their latest value (unless
+           tombstoned); rids with any post-TPS delete or ``column``
+           delta form the DIRTY set whose base values are stale/dead.
+        2. BASE side (snapshot + fresh-base file-log entries, with the
+           same rid-watermark classification as :meth:`fast_count`):
+           progressive file skipping seeded by the tail extremes — a
+           file is scanned only while its logged ``[lo, hi]`` could
+           still beat the best-known min or max (files without stats
+           for the column always scan; scans anti-join the dirty
+           set). Each round tightens the bound, so the loop almost
+           always terminates after 0 or 1 scan rounds: with a planted
+           tail extreme it reads ZERO base bytes; on an idle table it
+           opens only the file(s) holding the global min/max.
+
+        Returns a one-row DataFrame ``(mn, mx)`` typed as the column.
+        Scan accounting lands in ``self.last_fast_minmax`` (
+        ``files_total`` / ``files_scanned`` / ``rounds``) for plan
+        audits. Pre-filelog tables fall back to a full-view aggregate.
+        Partition columns carry no file stats (their values live in
+        directory names), so they take the scan path unpruned."""
+        self.flush()
+        m = self.manifest
+        ph = self._phys_map.get(column, column)
+        dt = next(f.dataType for f in self.base_schema.fields if f.name == column)
+
+        def _full():
+            return self.current_view().agg(
+                F.min(F.col(column)).alias("mn"), F.max(F.col(column)).alias("mx")
+            )
+
+        base_entries = self.filelog.live(self._log_tag(self.base_dir))
+        if base_entries is None:
+            return _full()
+        # ---- tail side -------------------------------------------------
+        tail = self.tail_df()
+        if m.compact_version >= 0:
+            tail = tail.where(F.col(SEQ) > F.lit(m.tps))
+        upd = (
+            tail.where(F.col(column).isNotNull())
+            .groupBy(F.col(RID))
+            .agg(F.max_by(F.col(column), F.col(SEQ)).alias("v"))
+        )
+        dead = tail.where(F.col(OP) == OP_DELETE).select(RID).distinct()
+        row = (
+            upd.join(dead, on=RID, how="left_anti")
+            .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+            .first()
+        )
+        best_mn, best_mx = row["mn"], row["mx"]
+        dirty = upd.select(RID).unionByName(dead).distinct().persist()
+        try:
+            n_dirty = dirty.count()  # also materializes the persist
+            # ---- base-side entry classification ------------------------
+            # (dir, entry) pairs; fresh-base rows additionally filter
+            # _rid > compact_rid_hi (straddler discipline, fast_count)
+            snap_pairs: list[dict] = []
+            fresh_pairs: list[dict] = []
+            if m.compact_version >= 0:
+                snap_pairs = [
+                    e
+                    for e in (
+                        self.filelog.live(self._log_tag(self.compacted_dir())) or []
+                    )
+                    if e.get("rows", 1) != 0
+                ]
+                hi = m.compact_rid_hi
+                for e in base_entries:
+                    if e.get("rows", 1) == 0:
+                        continue
+                    st = e.get("stats", {}).get(RID)
+                    if st is not None and st[1] <= hi:
+                        continue  # fully folded into the snapshot
+                    fresh_pairs.append(e)
+            else:
+                fresh_pairs = [e for e in base_entries if e.get("rows", 1) != 0]
+            remaining = [("snap", e) for e in snap_pairs] + [
+                ("fresh", e) for e in fresh_pairs
+            ]
+            total = len(remaining)
+            scanned = rounds = 0
+            while remaining:
+                need = []
+                rest = []
+                for d, e in remaining:
+                    st = e.get("stats", {}).get(ph)
+                    try:
+                        if st is None:
+                            need.append((d, e))
+                        elif (best_mn is not None and st[0] < best_mn) or (
+                            best_mx is not None and st[1] > best_mx
+                        ):
+                            need.append((d, e))
+                        else:
+                            rest.append((d, e, st))
+                    except TypeError:
+                        need.append((d, e))  # incomparable stat types
+                if not need and best_mn is None and rest:
+                    # nothing known yet: seed with the argmin-lo and
+                    # argmax-hi files
+                    lo_seed = min(rest, key=lambda x: x[2][0])
+                    hi_seed = max(rest, key=lambda x: x[2][1])
+                    need = [(lo_seed[0], lo_seed[1])]
+                    if hi_seed[1] is not lo_seed[1]:
+                        need.append((hi_seed[0], hi_seed[1]))
+                    rest = [x for x in rest if x[1] is not lo_seed[1] and x[1] is not hi_seed[1]]
+                if not need:
+                    break
+                rounds += 1
+                scanned += len(need)
+                parts = []
+                snap_need = [e for d, e in need if d == "snap"]
+                fresh_need = [e for d, e in need if d == "fresh"]
+                if snap_need:
+                    parts.append(
+                        self._df_from_entries(
+                            self.compacted_dir(), self.base_schema, snap_need
+                        ).select(RID, column)
+                    )
+                if fresh_need:
+                    df = self._df_from_entries(
+                        self.base_dir, self.base_schema, fresh_need
+                    ).select(RID, column)
+                    if m.compact_version >= 0:
+                        df = df.where(F.col(RID) > F.lit(m.compact_rid_hi))
+                    parts.append(df)
+                scan = parts[0]
+                for p in parts[1:]:
+                    scan = scan.unionByName(p)
+                if n_dirty:
+                    scan = scan.join(F.broadcast(dirty), on=RID, how="left_anti")
+                r = scan.agg(
+                    F.min(F.col(column)).alias("mn"), F.max(F.col(column)).alias("mx")
+                ).first()
+                if r["mn"] is not None and (best_mn is None or r["mn"] < best_mn):
+                    best_mn = r["mn"]
+                if r["mx"] is not None and (best_mx is None or r["mx"] > best_mx):
+                    best_mx = r["mx"]
+                remaining = [(d, e) for d, e, _ in rest]
+            self.last_fast_minmax = {
+                "files_total": total,
+                "files_scanned": scanned,
+                "rounds": rounds,
+            }
+        finally:
+            dirty.unpersist()
+        return self.spark.range(1).select(
+            F.lit(best_mn).cast(dt).alias("mn"), F.lit(best_mx).cast(dt).alias("mx")
+        )
+
     # ------------------------------------------------------------------
     # statistics (ANALYZE) — extension; the reference keeps no stats
     # ------------------------------------------------------------------
@@ -2089,6 +2277,144 @@ class LineageTable:
                 *[F.col(f.name).alias(inv.get(f.name, f.name)) for f in phys.fields]
             )
         return df
+
+    # ------------------------------------------------------------------
+    # named refs (tags) — pinned, vacuum-proof commit snapshots
+    # ------------------------------------------------------------------
+    def _refs_root(self) -> str:
+        return os.path.join(self.path, "_filelog", "refs")
+
+    def create_ref(self, name: str, log_idx: int | None = None) -> dict:
+        """Pin a named, durable reference (the Iceberg tag / Delta
+        ``RESTORE``-target shape) to the table state at file-log
+        commit ``log_idx`` (default: the newest commit). The
+        reference engine has no snapshot concept at all — its
+        ``table_info.txt`` holds only live counters (reference
+        db.py:163-166).
+
+        Unlike raw commit travel (:meth:`snapshot_at_commit`), a ref
+        is immune to EVERY maintenance operation: the pinned base+tail
+        files are HARDLINKED under ``_filelog/refs/<name>/`` (same
+        inodes, zero data copy — the filesystem-snapshot primitive),
+        so ``vacuum_tail``'s directory rewrite, ``optimize_files``'s
+        small-file repacking, checkpoint compaction of the log, and
+        snapshot reclamation can all proceed with ZERO coordination:
+        they drop their link, the ref keeps its own. On object
+        storage the same contract is met by ref-aware retention
+        (vacuum consults the ref list) — hardlinks are the exact local
+        equivalent at no storage cost. Publication is atomic (build
+        into a hidden temp dir, one rename). Returns
+        ``{"name", "idx", "files", "bytes"}``."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name or ""):
+            raise ValueError(f"invalid ref name: {name!r}")
+        self.flush()
+        rng = self.filelog.replayable_range()
+        if rng is None:
+            raise ValueError("table has no commits to tag")
+        idx = rng[1] if log_idx is None else log_idx
+        st = self.filelog.state_at(idx)  # raises outside retention
+        final = os.path.join(self._refs_root(), name)
+        if os.path.isdir(final):
+            raise ValueError(f"ref already exists: {name}")
+        tags = (self._log_tag(self.base_dir), self._log_tag(self.tail_dir))
+        tmp = os.path.join(self._refs_root(), f".tmp_{uuid.uuid4().hex[:8]}")
+        n_files = n_bytes = 0
+        try:
+            for tag in tags:
+                for e in st.get(tag, []):
+                    src = os.path.join(self.path, tag, e["path"])
+                    dst = os.path.join(tmp, tag, e["path"])
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    try:
+                        os.link(src, dst)
+                    except FileNotFoundError:
+                        raise ValueError(
+                            f"commit {idx} references a file already "
+                            f"reclaimed by vacuum ({src}); tag a newer "
+                            "commit"
+                        ) from None
+                    n_files += 1
+                    n_bytes += e.get("bytes", 0)
+            _atomic_write_json(
+                os.path.join(tmp, "_ref.json"),
+                {
+                    "name": name,
+                    "idx": idx,
+                    "created_ts": time.time(),
+                    "state": {t: st.get(t, []) for t in tags},
+                },
+            )
+            os.rename(tmp, final)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        return {"name": name, "idx": idx, "files": n_files, "bytes": n_bytes}
+
+    def snapshot_at_ref(self, name: str, include_meta: bool = False) -> DataFrame:
+        """The table exactly as pinned by :meth:`create_ref` — reads
+        the ref's own hardlinked base+tail file set through the
+        standard fold, so the answer is stable FOREVER regardless of
+        vacuum/optimize/compaction since the tag (the durability
+        guarantee commit travel cannot give once retention passes)."""
+        ref_dir = os.path.join(self._refs_root(), name)
+        meta_path = os.path.join(ref_dir, "_ref.json")
+        if not os.path.isfile(meta_path):
+            raise KeyError(f"no such ref: {name}")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        base_tag = self._log_tag(self.base_dir)
+        tail_tag = self._log_tag(self.tail_dir)
+        base_entries = [
+            e for e in meta["state"].get(base_tag, []) if e.get("rows", 1) != 0
+        ]
+        tail_entries = [
+            e for e in meta["state"].get(tail_tag, []) if e.get("rows", 1) != 0
+        ]
+        base = self._df_from_entries(
+            os.path.join(ref_dir, base_tag), self.base_schema, base_entries
+        )
+        tail = self._df_from_entries(
+            os.path.join(ref_dir, tail_tag), self.tail_schema, tail_entries
+        )
+        out = self._fold_tail(base, tail, tail_known_empty=not tail_entries)
+        if not include_meta:
+            out = out.select(*self.user_cols)
+        return out
+
+    def list_refs(self) -> list[dict]:
+        """All pinned refs: [{"name", "idx", "files", "bytes",
+        "created_ts"}], name-sorted."""
+        root = self._refs_root()
+        out = []
+        if os.path.isdir(root):
+            for n in sorted(os.listdir(root)):
+                mp = os.path.join(root, n, "_ref.json")
+                if n.startswith(".") or not os.path.isfile(mp):
+                    continue
+                with open(mp) as f:
+                    m = json.load(f)
+                ents = [e for es in m["state"].values() for e in es]
+                out.append(
+                    {
+                        "name": m["name"],
+                        "idx": m["idx"],
+                        "files": len(ents),
+                        "bytes": sum(e.get("bytes", 0) for e in ents),
+                        "created_ts": m.get("created_ts"),
+                    }
+                )
+        return out
+
+    def drop_ref(self, name: str) -> None:
+        """Unpin a ref: removes its hardlink tree (data blocks are
+        freed only when the last link — live table or another ref —
+        drops)."""
+        ref_dir = os.path.join(self._refs_root(), name)
+        if not os.path.isdir(ref_dir):
+            raise KeyError(f"no such ref: {name}")
+        shutil.rmtree(ref_dir)
 
     def restore_as_of(self, ts) -> dict:
         """Roll the CURRENT view back to its state at wall-clock

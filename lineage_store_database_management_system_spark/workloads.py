@@ -361,6 +361,65 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
         assert report["deleted"] == n_fresh, report
         assert report["inserted"] == n_del, report
         assert report["updated"] == n_upd, report
+    elif name == "orders_mm":
+        # stats-driven MIN/MAX scenario: the fast_count shape (compacted
+        # snapshot + fresh post-watermark ingest + post-compaction
+        # deletes on both sides), then two post-compaction updates that
+        # plant the global extremes THROUGH THE TAIL — fast_min_max
+        # must fold the logged per-file stats with the tail values and
+        # prove the answer without reading any base bytes.
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(name, src.schema, "o_orderkey")
+        t.ingest_dataframe(src)
+        t.bulk_update(
+            src.where("o_orderkey % 7 = 0").select(
+                "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+            )
+        )
+        t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+        t.compact()
+        shifted = src.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(600_000_000)
+        )
+        t.ingest_dataframe(shifted)
+        t.bulk_delete(shifted.where("o_orderkey % 9 = 1").select("o_orderkey"))
+        t.bulk_delete(src.where("o_orderkey % 10 = 7").select("o_orderkey"))
+        t.bulk_update(
+            src.where(
+                "o_orderkey % 11 = 0 AND o_orderkey % 10 NOT IN (3, 7)"
+            ).select(
+                "o_orderkey",
+                (F.col("o_totalprice") - F.lit(5_000_000.0)).alias("o_totalprice"),
+            )
+        )
+        t.bulk_update(
+            shifted.where(
+                "o_orderkey % 13 = 0 AND o_orderkey % 9 <> 1"
+            ).select(
+                "o_orderkey",
+                (F.col("o_totalprice") + F.lit(5_000_000.0)).alias("o_totalprice"),
+            )
+        )
+    elif name == "orders_ref":
+        # named-ref durability scenario: tag the post-update state,
+        # then run EVERY maintenance op that destroys or rewrites
+        # files (delete, compact, vacuum_tail's tail rewrite,
+        # optimize_files' small-file unlink). The ref must still
+        # answer the pre-delete state exactly — raw commit travel
+        # cannot once vacuum passes.
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(name, src.schema, "o_orderkey")
+        t.ingest_dataframe(src)
+        t.bulk_update(
+            src.where("o_orderkey % 7 = 0").select(
+                "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+            )
+        )
+        t.ref_info = t.create_ref("pre_delete")
+        t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+        t.compact()
+        t.vacuum_tail()
+        t.optimize_files(target_bytes=4 << 20)
     elif name == "orders_opt":
         # OPTIMIZE bin-packing scenario: 8 separate ingest commits
         # (each lands its own small part-files in the base dir), keyed
@@ -7547,4 +7606,70 @@ def pq_optimize_invariance(spark, sf_dir):
             .alias("sum_total"),
             F.count(F.lit(1)).alias("n_rows"),
         )
+    )
+
+
+@workload(
+    "pq_fast_min_max",
+    """WITH cur AS (
+  SELECT CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice - 5000000
+              WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 10 NOT IN (3, 7)
+  UNION ALL
+  SELECT CASE WHEN (o_orderkey + 600000000) % 13 = 0
+              THEN o_totalprice + 5000000 ELSE o_totalprice END
+  FROM orders WHERE (o_orderkey + 600000000) % 9 <> 1
+)
+SELECT CAST(MIN(p) AS DOUBLE) AS mn, CAST(MAX(p) AS DOUBLE) AS mx FROM cur""",
+)
+def pq_fast_min_max(spark, sf_dir):
+    """Stats-driven MIN/MAX (lineage.fast_min_max — the Delta/Iceberg
+    metadata min-max shape generalized to merge-on-read; the
+    reference's min/max is a key-at-a-time loop over Query.select,
+    /root/reference/lstore/query.py:196 area). MIN/MAX is not purely
+    metadata-derivable under mutation (a tail update can overwrite the
+    extreme row, a tombstone can kill it), so the operator folds the
+    post-TPS tail exactly and then uses the file log's per-file
+    min/max to skip every base file that cannot beat the tail-known
+    extremes. The orders_mm scenario plants the global min and max
+    through post-compaction updates, so the proof obligation is
+    maximal: the answer must combine snapshot stats + fresh-base stats
+    + folded tail values — and the workload asserts ZERO base files
+    were scanned (at 100 TB: a MIN/MAX that reads no data bytes at
+    all, only the logged footer stats)."""
+    t = _table(spark, sf_dir, "orders_mm")
+    df = t.fast_min_max("o_totalprice")
+    acct = t.last_fast_minmax
+    assert acct["files_scanned"] == 0, acct
+    return df
+
+
+@workload(
+    "pq_ref_travel",
+    f"""SELECT o_orderkey, o_custkey, ROUND({_R1}, 2) AS o_totalprice
+FROM orders""",
+)
+def pq_ref_travel(spark, sf_dir):
+    """Named refs (lineage.create_ref / snapshot_at_ref — the Iceberg
+    tag shape; the reference has no snapshot concept, its
+    table_info.txt holds only counters, /root/reference/lstore/
+    db.py:163-166). The orders_ref scenario tags the post-update
+    state, then deletes, compacts, vacuum_tails (wholesale tail-dir
+    rewrite) and optimize_files (small-file unlink) — every
+    maintenance op that physically destroys the files the tagged
+    commit referenced. The ref still answers the pinned state exactly
+    because it hardlinked its file set at create time (same inodes,
+    zero copy — ref-aware retention is the object-storage equivalent).
+    The oracle is the pre-delete state: every key present, the %7
+    update applied. Beyond-reference extension: the durable
+    time-travel anchor a 100 TB training-data pipeline needs for
+    reproducible dataset releases ("train run N read exactly tag
+    v1.2")."""
+    t = _table(spark, sf_dir, "orders_ref")
+    assert t.ref_info["files"] >= 1, t.ref_info
+    return t.snapshot_at_ref("pre_delete").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
     )
