@@ -269,20 +269,35 @@ class FileLog:
         return ck, sorted(idxs)
 
     def _apply(
-        self, actions: list[dict], state: dict[str, dict[str, dict]] | None = None
+        self,
+        actions: list[dict],
+        state: dict[str, dict[str, dict]] | None = None,
+        idx: int | None = None,
     ) -> None:
+        """Apply one commit's actions. ``idx`` (the commit's log
+        index) is stamped onto each added entry as ``_idx`` — the
+        file -> adding-commit mapping behind row provenance
+        (lineage.provenance_view). Checkpoints serialize the stamped
+        entries, so provenance survives log compaction; entries from
+        pre-stamping logs or import_dir bootstrap simply lack the key
+        (provenance reads them as NULL)."""
         state = self._cache if state is None else state
         for a in actions:
             op, tag = a["op"], a["dir"]
             if op == "add":
                 d = state.setdefault(tag, {})
                 for e in a["files"]:
+                    if idx is not None:
+                        e.setdefault("_idx", idx)
                     d[e["path"]] = e
             elif op == "remove":
                 d = state.get(tag, {})
                 for p in a["paths"]:
                     d.pop(p, None)
             elif op == "reset":
+                if idx is not None:
+                    for e in a["files"]:
+                        e.setdefault("_idx", idx)
                 state[tag] = {e["path"]: e for e in a["files"]}
             elif op == "drop":
                 state.pop(tag, None)
@@ -298,7 +313,7 @@ class FileLog:
                 continue
             try:
                 with open(os.path.join(self.root, f"{i:0{_LOG_W}d}.json")) as f:
-                    self._apply(json.load(f)["actions"])
+                    self._apply(json.load(f)["actions"], idx=i)
                 self._cache_idx = i
             except FileNotFoundError:
                 # raced a concurrent checkpointer's cleanup; the next
@@ -351,7 +366,7 @@ class FileLog:
             if (ck is not None and i <= ck) or i > idx:
                 continue
             with open(os.path.join(self.root, f"{i:0{_LOG_W}d}.json")) as f:
-                self._apply(json.load(f)["actions"], state)
+                self._apply(json.load(f)["actions"], state, idx=i)
         return {tag: list(d.values()) for tag, d in state.items()}
 
     # -- import / resync ----------------------------------------------

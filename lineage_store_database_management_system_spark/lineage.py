@@ -2024,6 +2024,62 @@ class LineageTable:
             F.lit(best_mn).cast(dt).alias("mn"), F.lit(best_mx).cast(dt).alias("mx")
         )
 
+    def provenance_view(self, include_meta: bool = False) -> DataFrame:
+        """Current view + ``_commit``: the file-log commit index that
+        INSERTED each live row (the Iceberg snapshot-lineage /
+        Delta-row-tracking shape; the reference has no notion of
+        which write produced a row — its pages are positional,
+        /root/reference/lstore/table.py:116 area).
+
+        The mapping is file-granular and survives maintenance: every
+        file-log add action stamps its entries with the commit index
+        (filelog._apply ``_idx``), compaction never rewrites the base
+        dir (snapshots are a separate tag), and :meth:`optimize_files`
+        packs only within one source commit, carrying ``_idx``
+        forward — so a row's provenance is stable from ingest to
+        retirement. Plan shape: base scan projecting (rid,
+        ``_metadata.file_path``) joined to a broadcast file->commit
+        map (O(files) rows, driver-built from the log), then a rid
+        join onto the folded view — the provenance join shuffles on
+        rid, the same key the fold already uses. Rows from
+        pre-filelog bootstrap files read ``_commit`` as NULL."""
+        self.flush()
+        entries = self.filelog.live(self._log_tag(self.base_dir))
+        if entries is None:
+            raise ValueError(
+                "row provenance requires the file-level manifest log"
+            )
+        # Spark renders local paths as "file:" + abspath (one slash)
+        pairs = [
+            (
+                "file:" + os.path.abspath(os.path.join(self.base_dir, e["path"])),
+                e.get("_idx"),
+            )
+            for e in entries
+            if e.get("rows", 1) != 0
+        ]
+        fmap = self.spark.createDataFrame(
+            pairs or [("", None)],
+            T.StructType(
+                [
+                    T.StructField("_fp", T.StringType()),
+                    T.StructField("_commit", T.LongType()),
+                ]
+            ),
+        )
+        rid_map = (
+            self.base_df(include_pending=False)
+            .select(F.col(RID), F.col("_metadata.file_path").alias("_fp"))
+            .join(F.broadcast(fmap), on="_fp", how="left")
+            .select(RID, "_commit")
+        )
+        out = self.current_view(include_meta=True).join(
+            rid_map, on=RID, how="left"
+        )
+        if not include_meta:
+            out = out.select(*self.user_cols, "_commit")
+        return out
+
     # ------------------------------------------------------------------
     # statistics (ANALYZE) — extension; the reference keeps no stats
     # ------------------------------------------------------------------
@@ -2895,8 +2951,18 @@ class LineageTable:
         {files_before, files_after, bytes_packed, partitions}."""
         self.flush()
         small_cap = int(target_bytes * small_frac)
-        # group candidate files by their partition subdirectory
-        by_part: dict[str, list[tuple[str, int]]] = {}
+        # group candidate files by (partition subdirectory, adding
+        # commit): packing only within one source commit keeps the
+        # file -> commit provenance mapping (_idx) exact across the
+        # rewrite — the common OPTIMIZE win is a single commit's many
+        # small task files, so per-commit packing still collapses
+        # those, while rows never silently adopt the pack commit as
+        # their insert provenance (lineage.provenance_view contract)
+        idx_of: dict[str, int | None] = {}
+        if self.filelog.exists():
+            for e in self.filelog.live(self._log_tag(self.base_dir)) or []:
+                idx_of[os.path.join(self.base_dir, e["path"])] = e.get("_idx")
+        by_part: dict[tuple[str, int | None], list[tuple[str, int]]] = {}
         n_before = 0
         for root, _dirs, files in os.walk(self.base_dir):
             for name in files:
@@ -2906,10 +2972,10 @@ class LineageTable:
                 p = os.path.join(root, name)
                 sz = os.path.getsize(p)
                 if sz < small_cap:
-                    by_part.setdefault(root, []).append((p, sz))
+                    by_part.setdefault((root, idx_of.get(p)), []).append((p, sz))
         packed_bytes = 0
         n_parts = 0
-        for part_dir, members in by_part.items():
+        for (part_dir, src_idx), members in by_part.items():
             if len(members) < 2:
                 continue  # nothing to gain from rewriting one file
             n_parts += 1
@@ -2975,11 +3041,18 @@ class LineageTable:
                         {
                             "op": "add",
                             "dir": "base",
+                            # carry the SOURCE commit forward: _apply's
+                            # setdefault never overrides an explicit
+                            # _idx, so packed rows keep their insert
+                            # provenance
                             "files": [
-                                file_entry(
-                                    v,
-                                    os.path.relpath(v, self.base_dir),
-                                    self._stat_cols,
+                                dict(
+                                    file_entry(
+                                        v,
+                                        os.path.relpath(v, self.base_dir),
+                                        self._stat_cols,
+                                    ),
+                                    **({"_idx": src_idx} if src_idx is not None else {}),
                                 )
                                 for v in visible
                             ],

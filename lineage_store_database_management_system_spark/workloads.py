@@ -7673,3 +7673,47 @@ def pq_ref_travel(spark, sf_dir):
         "o_custkey",
         F.round("o_totalprice", 2).alias("o_totalprice"),
     )
+
+
+@workload(
+    "pq_row_provenance",
+    """SELECT CAST(o_orderkey // ((SELECT MAX(o_orderkey) FROM orders) // 8 + 1) + 1
+            AS INTEGER) AS batch,
+       COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey % 10 <> 1
+GROUP BY 1""",
+)
+def pq_row_provenance(spark, sf_dir):
+    """Row-level insert provenance (lineage.provenance_view — the
+    Iceberg snapshot-lineage / Delta row-tracking shape; the reference
+    cannot say which write produced a row, its pages are positional,
+    /root/reference/lstore/table.py:116 area). The orders_mc scenario
+    ingested 8 disjoint key ranges in 8 separate commits, so each live
+    row's ``_commit`` must map back to exactly the commit whose range
+    holds its key — through the later update and delete commits
+    (mutations never move insert provenance). The workload densifies
+    the internal commit indexes to batch numbers 1..8 (commit order)
+    and aggregates per batch; the oracle recomputes the batch from the
+    key range arithmetic. Plan shape: base scan projecting (rid,
+    _metadata.file_path) + broadcast file->commit map + rid join onto
+    the fold — no driver-side row loop, O(files) driver metadata."""
+    t = _table(spark, sf_dir, "orders_mc")
+    prov = t.provenance_view()
+    commits = sorted(
+        r["_commit"] for r in prov.select("_commit").distinct().collect()
+    )
+    assert len(commits) == 8 and all(c is not None for c in commits), commits
+    rank = {c: i + 1 for i, c in enumerate(commits)}
+    mapping = F.create_map(
+        *[F.lit(x) for kv in rank.items() for x in kv]
+    )
+    return (
+        prov.select(
+            mapping[F.col("_commit")].cast("int").alias("batch"), "o_orderkey"
+        )
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
