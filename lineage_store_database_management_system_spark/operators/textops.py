@@ -1041,3 +1041,89 @@ def source_drift_tv(
         F.col("_gb").alias("group_b"),
         F.floor(tv * 1000000 + F.lit(0.5)).cast("long").alias("tv_e6"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-shaped importance weights over hashed unigram features
+    (the public "Data Selection for Language Models via Importance
+    Resampling" method, Xie et al. 2023): score every RAW document by
+    how target-like its hashed-token distribution is —
+    ``weight = Σ_b count_b · ln(p̂_target(b) / p̂_raw(b))`` with
+    add-one smoothing over ``n_buckets`` hashed buckets. ``target``
+    is a boolean Column marking the in-domain documents that define
+    the target distribution; raw (non-target) documents get scored.
+
+    Plan shape (100 TB honest): one token explode (map-only), ONE
+    (bucket) aggregate for the model — model state is O(n_buckets)
+    rows regardless of corpus size — then the tiny log-ratio table
+    broadcast onto a per-(doc, bucket) count aggregate. Work ∝ corpus
+    tokens; no per-doc Python, no driver collect (totals ride a
+    broadcast 1-row cross join). Hashing is engine-portable
+    (md5-prefix → bucket), so the whole statistic has an exact SQL
+    twin. Returns (id_col, n_tokens, weight) for raw docs, weight
+    rounded to 4 decimals (absorbs summation-order noise).
+
+    The reference has no corpus operators at all; this is part of the
+    training-data-pipeline extension layer (SURVEY §2.6)."""
+    B = float(n_buckets)
+    tok = docs.select(
+        F.col(id_col),
+        target.alias("_t"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_w"),
+    ).where(F.col("_w") != "")
+    bkt = tok.select(
+        id_col,
+        "_t",
+        (
+            F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets)
+        ).alias("_b"),
+    )
+    model = bkt.groupBy("_b").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_ct"),
+        F.sum(F.when(~F.col("_t"), 1).otherwise(0)).alias("_cr"),
+    )
+    tot = model.agg(F.sum("_ct").alias("_tt"), F.sum("_cr").alias("_tr"))
+    lw = model.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        F.log(
+            ((F.col("_ct") + F.lit(1.0)) * (F.col("_tr") + F.lit(B)))
+            / ((F.col("_tt") + F.lit(B)) * (F.col("_cr") + F.lit(1.0)))
+        ).alias("_lw"),
+    )
+    docb = (
+        bkt.where(~F.col("_t"))
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        docb.join(F.broadcast(lw), on="_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("_c") * F.col("_lw")), 4).alias("weight"),
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    k: int,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Top-k raw documents by DSIR importance weight (deterministic
+    rank variant of the paper's Gumbel resampling — reproducible and
+    oracle-checkable; plug in Gumbel noise keyed on a seed column for
+    the sampled variant). Ordering is on the ROUNDED weight with id
+    tiebreak, so the selected set is engine-stable."""
+    w = dsir_weights(docs, id_col, text_col, target, n_buckets)
+    return w.orderBy(F.col("weight").desc(), F.col(id_col)).limit(k)

@@ -7717,3 +7717,53 @@ def pq_row_provenance(spark, sf_dir):
             F.sum("o_orderkey").alias("key_sum"),
         )
     )
+
+
+@workload(
+    "ds_dsir_select",
+    # DSIR (Xie et al. 2023) with hashed unigram features and add-one
+    # smoothing, target = src0/src1/src2. Identical closed-form in
+    # both engines: md5-prefix bucket hash, exact same smoothing
+    # parenthesization, ROUND(,4) before rank (summation-order noise),
+    # doc_id tiebreak.
+    """WITH tok AS (
+  SELECT doc_id, source IN ('src0','src1','src2') AS t,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), tw AS (
+  SELECT doc_id, t, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
+  FROM tok WHERE w <> ''
+), model AS (
+  SELECT b, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cr
+  FROM tw GROUP BY b
+), tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM model),
+lw AS (
+  SELECT b, LN(((ct + 1.0) * (tr + 1024.0)) / ((tt + 1024.0) * (cr + 1.0))) AS lw
+  FROM model CROSS JOIN tot
+), docb AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM tw WHERE NOT t GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       ROUND(SUM(c * lw.lw), 4) AS weight
+FROM docb JOIN lw USING (b) GROUP BY doc_id
+ORDER BY weight DESC, doc_id LIMIT 50""",
+)
+def ds_dsir_select(spark, sf_dir):
+    """Importance-resampling data selection (textops.dsir_weights /
+    dsir_select — the public DSIR method): hashed-unigram n-gram
+    features, target distribution from the in-domain sources, add-one
+    smoothed log-ratio model (O(n_buckets) state regardless of corpus
+    size) broadcast onto a per-doc bucket-count aggregate; top-50 raw
+    docs by weight. At 100 TB: two token-granular shuffles (bucket
+    model + per-doc counts), model broadcast, no per-doc Python, no
+    collect — the selection a pretraining pipeline runs to upsample
+    quality domains."""
+    docs = load_star(spark, sf_dir)["documents"]
+    return textops.dsir_select(
+        docs,
+        "doc_id",
+        "text",
+        F.col("source").isin("src0", "src1", "src2"),
+        k=50,
+    )
