@@ -1905,8 +1905,7 @@ class LineageTable:
                 F.min(F.col(column)).alias("mn"), F.max(F.col(column)).alias("mx")
             )
 
-        base_entries = self.filelog.live(self._log_tag(self.base_dir))
-        if base_entries is None:
+        if self.filelog.live(self._log_tag(self.base_dir)) is None:
             return _full()
         # ---- tail side -------------------------------------------------
         tail = self.tail_df()
@@ -1927,29 +1926,7 @@ class LineageTable:
         dirty = upd.select(RID).unionByName(dead).distinct().persist()
         try:
             n_dirty = dirty.count()  # also materializes the persist
-            # ---- base-side entry classification ------------------------
-            # (dir, entry) pairs; fresh-base rows additionally filter
-            # _rid > compact_rid_hi (straddler discipline, fast_count)
-            snap_pairs: list[dict] = []
-            fresh_pairs: list[dict] = []
-            if m.compact_version >= 0:
-                snap_pairs = [
-                    e
-                    for e in (
-                        self.filelog.live(self._log_tag(self.compacted_dir())) or []
-                    )
-                    if e.get("rows", 1) != 0
-                ]
-                hi = m.compact_rid_hi
-                for e in base_entries:
-                    if e.get("rows", 1) == 0:
-                        continue
-                    st = e.get("stats", {}).get(RID)
-                    if st is not None and st[1] <= hi:
-                        continue  # fully folded into the snapshot
-                    fresh_pairs.append(e)
-            else:
-                fresh_pairs = [e for e in base_entries if e.get("rows", 1) != 0]
+            snap_pairs, fresh_pairs = self._live_base_entries()
             remaining = [("snap", e) for e in snap_pairs] + [
                 ("fresh", e) for e in fresh_pairs
             ]
@@ -2023,6 +2000,144 @@ class LineageTable:
         return self.spark.range(1).select(
             F.lit(best_mn).cast(dt).alias("mn"), F.lit(best_mx).cast(dt).alias("mx")
         )
+
+    def _live_base_entries(self) -> tuple[list[dict], list[dict]]:
+        """(snapshot entries, fresh-base entries) that the current
+        view reads — the fast_count rid-watermark classification:
+        fresh files fully folded into the snapshot (logged rid max <=
+        compact_rid_hi) are excluded; straddlers stay (callers filter
+        their rows with ``_rid > compact_rid_hi``). Requires a live
+        file log (callers check first)."""
+        m = self.manifest
+        base_entries = self.filelog.live(self._log_tag(self.base_dir)) or []
+        snap_pairs: list[dict] = []
+        fresh_pairs: list[dict] = []
+        if m.compact_version >= 0:
+            snap_pairs = [
+                e
+                for e in (
+                    self.filelog.live(self._log_tag(self.compacted_dir())) or []
+                )
+                if e.get("rows", 1) != 0
+            ]
+            hi = m.compact_rid_hi
+            for e in base_entries:
+                if e.get("rows", 1) == 0:
+                    continue
+                st = e.get("stats", {}).get(RID)
+                if st is not None and st[1] <= hi:
+                    continue  # fully folded into the snapshot
+                fresh_pairs.append(e)
+        else:
+            fresh_pairs = [e for e in base_entries if e.get("rows", 1) != 0]
+        return snap_pairs, fresh_pairs
+
+    def scan_with_bounds(self, column: str, lo=None, hi=None) -> DataFrame:
+        """Current view filtered to ``lo <= column <= hi`` with EXACT
+        file-level data skipping on ANY scalar column's logged per-file
+        stats — the general-column data-skipping path that makes
+        ``compact(zorder_by=[...])`` pay off: a z-ordered snapshot has
+        tight per-file ranges on every clustered column, so a range
+        predicate on a non-key column opens only the files that can
+        match (the Delta/Iceberg OPTIMIZE ZORDER + stats-skipping
+        shape; the reference can only loop keys through its index,
+        /root/reference/lstore/query.py:86 area).
+
+        Exactness under merge-on-read (the part plain stats skipping
+        gets wrong): a post-watermark tail delta that SETS ``column``
+        can move a row INTO the bound even though its base file's
+        stats exclude it. Files whose logged rid range intersects any
+        such dirty rid are therefore never skipped — the dirty set is
+        one distinct-rid projection of the (small) post-TPS tail,
+        joined against the O(files) rid ranges. Deletes and
+        other-column updates cannot add matches (the key and row
+        filter run post-fold), so they never block skipping. The key
+        column delegates to :meth:`current_view`'s key_range path
+        (keys are immutable — no dirty check needed at all).
+
+        Accounting lands in ``self.last_scan_bounds`` (files_total /
+        files_scanned / dirty_rids). Pre-filelog tables fall back to
+        a filtered full view."""
+        if column == self.key:
+            return self.current_view(key_range=(lo, hi))
+        self.flush()
+        m = self.manifest
+        ph = self._phys_map.get(column, column)
+
+        def _cond(df):
+            c = F.col(column)
+            if lo is not None:
+                df = df.where(c >= F.lit(lo))
+            if hi is not None:
+                df = df.where(c <= F.lit(hi))
+            return df
+
+        if self.filelog.live(self._log_tag(self.base_dir)) is None:
+            return _cond(self.current_view())
+        tail = self.tail_df()
+        if m.compact_version >= 0:
+            tail = tail.where(F.col(SEQ) > F.lit(m.tps))
+        dirty = tail.where(F.col(column).isNotNull()).select(RID).distinct()
+        snap_pairs, fresh_pairs = self._live_base_entries()
+        every = [("snap", e) for e in snap_pairs] + [("fresh", e) for e in fresh_pairs]
+        keep: list[tuple[str, dict]] = []
+        prunable: list[tuple[str, dict]] = []
+        for d, e in every:
+            st = e.get("stats", {}).get(ph)
+            try:
+                out_of_bounds = st is not None and (
+                    (hi is not None and st[0] > hi)
+                    or (lo is not None and st[1] < lo)
+                )
+            except TypeError:
+                out_of_bounds = False  # incomparable stat types: keep
+            (prunable if out_of_bounds else keep).append((d, e))
+        n_dirty = 0
+        if prunable:
+            n_dirty = dirty.count()
+        if n_dirty:
+            # a pruned file whose rid range holds a dirty rid must stay
+            ranges = []
+            for j, (d, e) in enumerate(prunable):
+                st = e.get("stats", {}).get(RID)
+                if st is None:
+                    keep.append((d, e))  # unknown rid range: keep
+                else:
+                    ranges.append((j, int(st[0]), int(st[1])))
+            if ranges:
+                rdf = self.spark.createDataFrame(
+                    ranges, "j long, rlo long, rhi long"
+                )
+                hit = {
+                    r["j"]
+                    for r in F.broadcast(rdf)
+                    .join(
+                        dirty,
+                        (F.col(RID) >= F.col("rlo")) & (F.col(RID) <= F.col("rhi")),
+                    )
+                    .select("j")
+                    .distinct()
+                    .collect()
+                }
+                for j, rlo, rhi in ranges:
+                    if j in hit:
+                        keep.append(prunable[j])
+        snap_need = [e for d, e in keep if d == "snap"]
+        fresh_need = [e for d, e in keep if d == "fresh"]
+        base = self._df_from_entries(
+            self.compacted_dir(), self.base_schema, snap_need
+        ) if snap_need else None
+        fresh = self._df_from_entries(self.base_dir, self.base_schema, fresh_need)
+        if m.compact_version >= 0:
+            fresh = fresh.where(F.col(RID) > F.lit(m.compact_rid_hi))
+        base = fresh if base is None else base.unionByName(fresh)
+        out = self._fold_tail(base, tail)
+        self.last_scan_bounds = {
+            "files_total": len(every),
+            "files_scanned": len(keep),
+            "dirty_rids": n_dirty,
+        }
+        return _cond(out).select(*self.user_cols)
 
     def provenance_view(self, include_meta: bool = False) -> DataFrame:
         """Current view + ``_commit``: the file-log commit index that

@@ -420,6 +420,27 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
         t.compact()
         t.vacuum_tail()
         t.optimize_files(target_bytes=4 << 20)
+    elif name == "orders_z":
+        # Z-ORDER + general-column data-skipping scenario: mutate,
+        # then compact clustered by (o_custkey, o_totalprice) into
+        # bounded-size snapshot files. A custkey range scan must open
+        # only the snapshot files whose logged custkey stats intersect
+        # the bound (scan_with_bounds), with the post-compact tail
+        # clean so skipping is maximal.
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(name, src.schema, "o_orderkey")
+        t.ingest_dataframe(src)
+        t.bulk_update(
+            src.where("o_orderkey % 7 = 0").select(
+                "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+            )
+        )
+        t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+        n = src.count()
+        t.compact(
+            zorder_by=["o_custkey", "o_totalprice"],
+            max_records_per_file=max(1000, n // 8),
+        )
     elif name == "orders_opt":
         # OPTIMIZE bin-packing scenario: 8 separate ingest commits
         # (each lands its own small part-files in the base dir), keyed
@@ -7766,4 +7787,42 @@ def ds_dsir_select(spark, sf_dir):
         "text",
         F.col("source").isin("src0", "src1", "src2"),
         k=50,
+    )
+
+
+@workload(
+    "pq_zorder_skip",
+    f"""SELECT CAST(ROUND(SUM(CAST({_R1} AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_total,
+       COUNT(*) AS n_rows,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+FROM orders
+WHERE {_LIVE} AND o_custkey BETWEEN 100 AND 200""",
+)
+def pq_zorder_skip(spark, sf_dir):
+    """Z-ORDER clustering + exact general-column data skipping
+    (lineage.scan_with_bounds over a compact(zorder_by=...) snapshot —
+    the Delta OPTIMIZE ZORDER + stats-skipping shape; the reference
+    can only loop keys through its hash index, /root/reference/lstore/
+    query.py:86 area). The orders_z scenario compacts clustered by
+    (o_custkey, o_totalprice) into bounded-size snapshot files, so a
+    custkey range predicate — a NON-key column — opens only the
+    snapshot files whose logged per-file custkey stats intersect the
+    bound. Exactness under merge-on-read is the hard part the gate
+    pins: a post-watermark delta that set the column would block
+    skipping for its file (tests/test_scan_bounds.py plants that
+    hazard); here the post-compact tail is clean, so the workload
+    asserts skipping actually engaged. At 100 TB this is the
+    difference between opening ~2 files and opening the fleet."""
+    t = _table(spark, sf_dir, "orders_z")
+    view = t.scan_with_bounds("o_custkey", 100, 200)
+    acct = t.last_scan_bounds
+    assert acct["files_scanned"] < acct["files_total"], acct
+    assert acct["dirty_rids"] == 0, acct
+    return view.agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_total"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_custkey").alias("cust_sum"),
     )
