@@ -1091,3 +1091,75 @@ def semantic_dedup(
         F.coalesce("n_close_prior", F.lit(0)).alias("n_close_prior"),
         F.col("n_close_prior").isNull().alias("keep"),
     )
+
+
+def hyperplane_bucket(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 4
+) -> "F.Column":
+    """Deterministic sign-signature bucket over an embedding column:
+    bit j of the bucket is ``sign(v · h_j)`` where hyperplane
+    component ``h_j[i] = ((int(md5(f"{j}_{i}")[:8], 16) % 2001) -
+    1000) / 1000`` — pseudo-random but derived purely from md5, so
+    ANY engine reproduces the exact same planes (the portability
+    trick behind the oracle-gated ds_* workloads). Pure Catalyst
+    (zip_with + aggregate fold, no UDF), map-only: the classic
+    random-hyperplane LSH coarse clustering used as a cheap proxy for
+    k-means cells at corpus scale."""
+    import hashlib
+
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        plane = [
+            (
+                (int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:8], 16) % 2001)
+                - 1000
+            )
+            / 1000.0
+            for i in range(dim)
+        ]
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(x) for x in plane]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 4,
+    per_bucket: int = 8,
+) -> DataFrame:
+    """Diversity-preserving subsampling: an equal quota of documents
+    from every hyperplane-LSH bucket of embedding space (the
+    cluster-balanced selection a pretraining mixture uses so dominant
+    modes don't swamp the sample; the LSH buckets stand in for k-means
+    cells — deterministic and engine-portable where k-means is not).
+    Within a bucket the quota picks by md5(id) (pseudo-random,
+    reproducible), id tiebreak. Plan shape: map-only bucket signature,
+    ONE shuffle on (bucket) with WindowGroupLimit pushdown — ranking
+    stops at the quota per partition, so cost is the shuffle, not a
+    full per-bucket sort. Returns (bucket, id_col, rnk <= per_bucket).
+    """
+    from pyspark.sql import Window
+
+    b = df.select(
+        hyperplane_bucket(df, vec_col, dim, n_planes).alias("bucket"),
+        F.col(id_col),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        b.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= per_bucket)
+        .select("bucket", id_col, "rnk")
+    )

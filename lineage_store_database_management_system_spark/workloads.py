@@ -7826,3 +7826,45 @@ def pq_zorder_skip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_custkey").alias("cust_sum"),
     )
+
+
+@workload(
+    "ds_cluster_balanced_sample",
+    # md5-derived hyperplanes (engine-portable pseudo-randomness),
+    # sign-signature bucket, md5(id) quota pick. Sign flips from
+    # summation-order FP noise need |dot| < ~1e-12 — probability
+    # ~1e-12 per (vec, plane), negligible at every gate scale.
+    """WITH p AS (
+  SELECT j, i,
+         ((('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 8))::BIGINT
+           % 2001) - 1000) / 1000.0 AS h
+  FROM range(4) t1(j), range(64) t2(i)
+), d AS (
+  SELECT vec_id, j, SUM(CAST(embedding[i + 1] AS DOUBLE) * h) AS dot
+  FROM embeddings, p GROUP BY vec_id, j
+), b AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS INTEGER)
+           AS bucket
+  FROM d GROUP BY vec_id
+)
+SELECT bucket, vec_id, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT bucket, vec_id,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY md5(vec_id::VARCHAR), vec_id) AS rnk
+  FROM b) WHERE rnk <= 8""",
+)
+def ds_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced subsampling (similarity.cluster_balanced_sample):
+    an equal quota from every hyperplane-LSH bucket of embedding space
+    — the diversity-preserving selection a pretraining mixture runs so
+    dominant modes don't swamp the sample (LSH buckets as the
+    deterministic, oracle-checkable proxy for k-means cells). Pure
+    Catalyst: map-only sign signatures (zip_with/aggregate fold over
+    md5-derived planes), one bucket shuffle with WindowGroupLimit
+    pushdown for the quota. At 100 TB: no training state, no
+    centroids to ship, work linear in corpus size."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    return similarity.cluster_balanced_sample(
+        emb, "vec_id", "embedding", dim=64, n_planes=4, per_bucket=8
+    )
