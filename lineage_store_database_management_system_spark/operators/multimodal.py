@@ -726,3 +726,147 @@ def sample_frames(
     return df.select(F.col(id_col), F.explode(frames).alias("f")).select(
         id_col, "f.frame_idx", "f.frame_bytes"
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: real RIFF/WAVE PCM16 codec through the same stub-contract seam
+# ---------------------------------------------------------------------------
+def encode_wav(sample_rate: int, n_channels: int, pcm16: bytes) -> bytes:
+    """Minimal RIFF/WAVE container around interleaved little-endian
+    PCM16 samples (stdlib struct, no codec dependency) — the audio
+    twin of :func:`encode_png` for planting test corpora."""
+    import struct
+
+    block = 2 * n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block, block, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm16)) + pcm16
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(b: bytes) -> tuple[int, int, bytes]:
+    """(sample_rate, n_channels, interleaved PCM16 bytes) from a
+    RIFF/WAVE payload. REAL decode for uncompressed PCM16 (the format
+    a crawl's .wav files overwhelmingly use); compressed codecs
+    (MP3/AAC/FLAC, float or ADPCM WAV) raise the documented stub
+    contract, same seam as JPEG in :func:`_decode_payload`."""
+    import struct
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = ch = bits = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            if sz < 16:
+                raise NotImplementedError("malformed WAVE fmt chunk")
+            tag, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
+            if tag != 1:
+                raise NotImplementedError(
+                    f"compressed WAVE format tag {tag} is not supported "
+                    "(PCM only; install an audio codec for the rest)"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise NotImplementedError("truncated WAVE payload")
+    if bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAVE is supported")
+    if len(data) % (2 * ch):
+        raise NotImplementedError("truncated WAVE sample data")
+    return rate, ch, data
+
+
+def plant_test_audio(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic per-id PCM16 waveforms in real WAV containers:
+    ``n_frames = 50 + id % 97``, ``n_channels = 1 + id % 2`` (mono and
+    stereo interleave both exercised), ``rate = 8000 + (id % 3) *
+    4000``, interleaved sample k = ``((id*37 + k*k) % 4001) - 2000``.
+    Closed-form, so the decode workload has an exact SQL oracle."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                nf = 50 + rid % 97
+                ch = 1 + rid % 2
+                rate = 8000 + (rid % 3) * 4000
+                k = np.arange(nf * ch, dtype=np.int64)
+                v = ((rid * 37 + k * k) % 4001) - 2000
+                payloads.append(
+                    encode_wav(rate, ch, v.astype("<i2").tobytes())
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+    from ._util import spread
+
+    return spread(df.select(id_col)).mapInPandas(_gen, schema=schema)
+
+
+def decode_audio_stats(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
+    """Decode + per-clip sample statistics in ONE kernel pass — (id,
+    sample_rate, n_channels, n_frames, sum_samples, wsum) — the audio
+    twin of :func:`decode_image_stats`. ``wsum`` is the
+    position-weighted checksum over the INTERLEAVED stream, so a
+    decoder that mangled channel interleave, endianness, or chunk
+    alignment fails the oracle even when the plain sum survives.
+    Map-only (spread + mapInPandas), no shuffle; at 100 TB a linear
+    scan of the payload column chunks."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                id_col: [], "sample_rate": [], "n_channels": [],
+                "n_frames": [], "sum_samples": [], "wsum": [],
+            }
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    if payload is None:
+                        raise NotImplementedError(_CODEC_STUB_MSG)
+                    rate, ch, data = _decode_wav(bytes(payload))
+                except NotImplementedError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                arr = np.frombuffer(data, "<i2").astype(np.int64)
+                rows[id_col].append(rid)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(ch)
+                rows["n_frames"].append(arr.size // ch)
+                rows["sum_samples"].append(int(arr.sum()))
+                rows["wsum"].append(int(((np.arange(arr.size) + 1) * arr).sum()))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("sum_samples", T.LongType()),
+            T.StructField("wsum", T.LongType()),
+        ]
+    )
+    from ._util import spread
+
+    return spread(df.select(id_col, payload_col)).mapInPandas(_stats, schema=schema)

@@ -7868,3 +7868,37 @@ def ds_cluster_balanced_sample(spark, sf_dir):
     return similarity.cluster_balanced_sample(
         emb, "vec_id", "embedding", dim=64, n_planes=4, per_bucket=8
     )
+
+
+@workload(
+    "mm_decode_wav_stats",
+    # WAV twin of mm_decode_png_stats: planted PCM16 clips (mono and
+    # stereo) with closed-form samples; the position-weighted checksum
+    # over the INTERLEAVED stream fails on any interleave/endianness/
+    # chunk-alignment mistake.
+    """WITH d AS (
+  SELECT doc_id, 50 + doc_id % 97 AS nf, 1 + doc_id % 2 AS ch,
+         8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents
+), s AS (
+  SELECT doc_id, nf, ch, rate, r.k AS k,
+         ((doc_id * 37 + r.k * r.k) % 4001) - 2000 AS v
+  FROM d, LATERAL (SELECT unnest(range(nf * ch)) AS k) r
+)
+SELECT doc_id, CAST(rate AS INTEGER) AS sample_rate,
+       CAST(ch AS INTEGER) AS n_channels, CAST(nf AS BIGINT) AS n_frames,
+       CAST(SUM(v) AS BIGINT) AS sum_samples,
+       CAST(SUM((k + 1) * v) AS BIGINT) AS wsum
+FROM s GROUP BY doc_id, rate, ch, nf""",
+)
+def mm_decode_wav_stats(spark, sf_dir):
+    """REAL audio decode through the codec seam (multimodal._decode_wav
+    — stdlib-struct RIFF/WAVE PCM16 parse, mono + stereo interleave,
+    word-aligned chunk walk; compressed codecs stay behind the
+    documented stub contract, same seam as JPEG). Planted per-id
+    waveforms with closed-form samples decode to exact integer stats.
+    Map-only plan — plant and decode fuse into one Python stage, no
+    shuffle; at 100 TB a linear scan of audio payload column chunks."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id")
+    clips = multimodal.plant_test_audio(docs, "doc_id")
+    return multimodal.decode_audio_stats(clips, "doc_id")

@@ -1340,3 +1340,32 @@ def test_durable_index_residual_mode(spark, sf_dir, tmp_path):
         r.vec_id for r in similarity.brute_force_topk(emb, q, 5, round_to=3).collect()
     ]
     assert ids == exact
+
+
+def test_wav_codec_roundtrip_and_stub_contract():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from lineage_store_database_management_system_spark.operators import multimodal as mm
+
+    v = np.array([0, 1, -2, 32767, -32768, 7], dtype="<i2")
+    b = mm.encode_wav(16000, 2, v.tobytes())
+    rate, ch, data = mm._decode_wav(b)
+    assert (rate, ch) == (16000, 2)
+    assert np.array_equal(np.frombuffer(data, "<i2"), v)
+    # compressed format tag -> documented stub contract, not garbage
+    bad = bytearray(b)
+    fmt_at = b.index(b"fmt ") + 8
+    bad[fmt_at : fmt_at + 2] = struct.pack("<H", 85)  # MP3 tag
+    with pytest.raises(NotImplementedError, match="compressed WAVE"):
+        mm._decode_wav(bytes(bad))
+    with pytest.raises(NotImplementedError, match="RIFF"):
+        mm._decode_wav(b"not audio at all")
+    # odd-sized chunk word alignment: a 3-byte LIST chunk before data
+    head, tail = b[:12], b[12:]
+    lst = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    b2 = head[:4] + struct.pack("<I", len(head) + len(lst) + len(tail) - 8) + head[8:] + lst + tail
+    rate2, ch2, data2 = mm._decode_wav(b2)
+    assert np.array_equal(np.frombuffer(data2, "<i2"), v)
