@@ -240,6 +240,38 @@ AUDIT = [
     # driver-side; the plan is the standard base/tail fold over the
     # as-of file set: native parquet scans, no Python, no cartesian.
     ("pq_snapshot_at_commit", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
+    # r9 continuation 2: OPTIMIZE-packed table reads as a plain
+    # current-view fold over the packed files — native scans, no
+    # Python; the files_after < files_before property is asserted
+    # inside the workload from optimize_files' own accounting.
+    ("pq_optimize_invariance", ["Scan parquet", "HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
+    # Stats-driven MIN/MAX with planted tail extremes reads ZERO base
+    # bytes: the returned frame is literals over range(1) — the plan
+    # must contain NO parquet scan at all (scan accounting asserted
+    # in-workload via last_fast_minmax).
+    ("pq_fast_min_max", [], ["Scan parquet", "BatchEvalPython", "Join"]),
+    # Named-ref read: the standard fold over the ref's hardlinked
+    # file set — native parquet scans, no Python, no cartesian.
+    ("pq_ref_travel", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
+    # Row provenance: base (rid, file) projection + BROADCAST
+    # file->commit map + rid-keyed join onto the fold; never a
+    # cartesian, no Python, and the tiny map must not shuffle-join.
+    ("pq_row_provenance", ["BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
+    # General-column data skipping over the z-ordered snapshot: the
+    # kept files scan natively with the row filter pushed down; the
+    # skip ratio is asserted in-workload (last_scan_bounds).
+    ("pq_zorder_skip", ["Scan parquet", "PushedFilters"], ["BatchEvalPython", "CartesianProduct"]),
+    # DSIR: token explode (Generate) -> bucket/doc hash aggregates,
+    # log-ratio model broadcast back; top-k compiles to
+    # TakeOrderedAndProject, never a global sort; all Catalyst.
+    ("ds_dsir_select", ["Generate", "HashAggregate", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
+    # Cluster-balanced sampling: map-only sign signatures (zip_with
+    # fold), ONE bucket shuffle with the quota compiled to a grouped
+    # window limit; no Python, no join.
+    ("ds_cluster_balanced_sample", ["WindowGroupLimit"], ["BatchEvalPython", "Join"]),
+    # WAV decode: plant and decode fuse into Arrow map stages over the
+    # scan — zero shuffle, zero row-at-a-time Python.
+    ("mm_decode_wav_stats", ["MapInPandas"], ["BatchEvalPython", "Exchange hashpartitioning"]),
 ]
 
 
