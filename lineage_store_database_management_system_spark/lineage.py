@@ -942,14 +942,33 @@ class LineageTable:
         self._append_via_staging(out, self.tail_dir)
         self._maybe_auto_compact()
 
-    def merge_into(self, source: DataFrame) -> None:
-        """MERGE INTO (upsert) by primary key: source rows whose key
-        matches a live record become tail update-deltas (columns
-        absent from ``source`` stay unchanged); unmatched rows insert
-        as new base records. The lakehouse MERGE shape on the lineage
-        format: ONE join against the 2-column live-key map classifies
-        every source row, then each branch is a plain append — no
-        base rewrite, no per-row driver work.
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched_delete: Column | None = None,
+        when_matched_update: Column | None = None,
+        when_not_matched_insert: bool = True,
+    ) -> None:
+        """MERGE INTO by primary key — the full lakehouse MERGE shape
+        (Delta/Iceberg ``WHEN MATCHED [AND cond] THEN UPDATE/DELETE,
+        WHEN NOT MATCHED THEN INSERT``) on the lineage format: ONE
+        join against the 2-column live-key map classifies every source
+        row, then each branch is a plain append — no base rewrite, no
+        per-row driver work. Default arguments give the classic upsert.
+
+        - ``when_matched_delete``: matched source rows satisfying this
+          predicate (evaluated over the source row; NULL counts as
+          false, the SQL MERGE convention) become tombstones instead
+          of update deltas.
+        - ``when_matched_update``: if given, only matched rows
+          satisfying it (and not deleted) update; others are left
+          untouched.
+        - ``when_not_matched_insert=False`` drops the insert branch.
+
+        Update and delete deltas publish in ONE tail append (a single
+        ``_seq`` batch — one commit); the insert branch is a second
+        commit, with ALL branches validated before either publishes
+        (the inherited CheckViolation contract).
 
         ``source`` must be key-unique: duplicate keys would emit
         several update deltas for one rid in a single batch, and which
@@ -978,6 +997,8 @@ class LineageTable:
             )
             matched = src.join(cur_aliased, on=self.key, how="inner")
             unmatched = src.join(cur.select(self.key), on=self.key, how="left_anti")
+            if not when_not_matched_insert:
+                unmatched = unmatched.limit(0)
             batch = self.manifest.next_batch
             self.manifest.next_batch += 1
             self._save_manifest()
@@ -992,12 +1013,47 @@ class LineageTable:
                     return F.col(c).cast(self.schema[c].dataType).alias(c)
                 return F.lit(None).cast(self.schema[c].dataType).alias(c)
 
-            upd = matched.select(
+            # NULL predicate = false, the SQL MERGE convention
+            del_cond = (
+                F.coalesce(when_matched_delete, F.lit(False))
+                if when_matched_delete is not None
+                else F.lit(False)
+            )
+            to_del = matched.where(del_cond)
+            to_upd = matched.where(~del_cond)
+            if when_matched_update is not None:
+                to_upd = to_upd.where(
+                    F.coalesce(when_matched_update, F.lit(False))
+                )
+            immutable = {self.key, *self.partition_by}
+            upd = to_upd.select(
                 F.col(RID),
                 (F.lit(batch << _BATCH_SHIFT) + F.monotonically_increasing_id()).alias(SEQ),
                 F.lit(OP_UPDATE).alias(OP),
                 F.current_timestamp().alias(TS),
                 *[_delta_col(c) for c in self.user_cols],
+            )
+            # deletes get their OWN seq batch: monotonic ids restart
+            # per frame, so sharing the update batch could collide.
+            # One rid never appears in both branches (disjoint WHERE),
+            # so cross-branch seq order is irrelevant.
+            dbatch = self.manifest.next_batch
+            if when_matched_delete is not None:
+                self.manifest.next_batch += 1
+                self._save_manifest()
+            dels = to_del.select(
+                F.col(RID),
+                (F.lit(dbatch << _BATCH_SHIFT) + F.monotonically_increasing_id()).alias(SEQ),
+                F.lit(OP_DELETE).alias(OP),
+                F.current_timestamp().alias(TS),
+                *[
+                    (
+                        _delta_col(c)
+                        if c in immutable
+                        else F.lit(None).cast(self.schema[c].dataType).alias(c)
+                    )
+                    for c in self.user_cols
+                ],
             )
             ins_cols = [
                 (
@@ -1046,8 +1102,12 @@ class LineageTable:
                         f"merge would duplicate value(s) in unique column {c!r} "
                         "between its update and insert branches"
                     )
-            self._append_via_staging(upd, self.tail_dir)
-            self.ingest_dataframe(ins_proj)
+            tail_out = (
+                upd.unionByName(dels) if when_matched_delete is not None else upd
+            )
+            self._append_via_staging(tail_out, self.tail_dir)
+            if when_not_matched_insert:
+                self.ingest_dataframe(ins_proj)
         finally:
             src.unpersist()
 

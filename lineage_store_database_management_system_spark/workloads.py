@@ -441,6 +441,34 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
             zorder_by=["o_custkey", "o_totalprice"],
             max_records_per_file=max(1000, n // 8),
         )
+    elif name == "orders_mf":
+        # full-MERGE scenario: ONE source frame carries all three
+        # actions (update / delete / insert), classified through the
+        # when_matched_delete predicate on a non-user source column —
+        # the Delta "WHEN MATCHED AND cond THEN DELETE" shape. %6 and
+        # %10==7 key sets are disjoint (even vs odd), inserts are
+        # max-key shifted, so the source is key-unique by construction.
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(name, src.schema, "o_orderkey")
+        t.ingest_dataframe(src)
+        max_key = src.agg(F.max("o_orderkey")).first()[0]
+        upd_rows = src.where("o_orderkey % 6 = 0").select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            F.lit("U").alias("act"),
+        )
+        del_rows = src.where("o_orderkey % 10 = 7").select(
+            "o_orderkey", "o_totalprice", F.lit("D").alias("act")
+        )
+        ins_rows = src.where("o_orderkey % 9 = 0").select(
+            (F.col("o_orderkey") + F.lit(max_key + 1)).alias("o_orderkey"),
+            "o_totalprice",
+            F.lit("I").alias("act"),
+        )
+        t.merge_into(
+            upd_rows.unionByName(del_rows).unionByName(ins_rows),
+            when_matched_delete=F.col("act") == "D",
+        )
     elif name == "orders_opt":
         # OPTIMIZE bin-packing scenario: 8 separate ingest commits
         # (each lands its own small part-files in the base dir), keyed
@@ -7902,3 +7930,32 @@ def mm_decode_wav_stats(spark, sf_dir):
     docs = load_star(spark, sf_dir)["documents"].select("doc_id")
     clips = multimodal.plant_test_audio(docs, "doc_id")
     return multimodal.decode_audio_stats(clips, "doc_id")
+
+
+@workload(
+    "pq_merge_full",
+    """SELECT o_orderkey,
+       ROUND(CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END, 2) AS o_totalprice
+FROM orders WHERE o_orderkey % 10 <> 7
+UNION ALL
+SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+       ROUND(o_totalprice, 2)
+FROM orders WHERE o_orderkey % 9 = 0""",
+)
+def pq_merge_full(spark, sf_dir):
+    """Full MERGE semantics (lineage.merge_into with
+    when_matched_delete — the Delta/Iceberg "WHEN MATCHED AND cond
+    THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN
+    INSERT" shape; the reference has no merge at all — its closest op
+    is the per-key update loop, /root/reference/lstore/query.py:120
+    area). ONE source frame carries all three actions; one live-key
+    join classifies every row; update and delete deltas publish in a
+    single tail append (separate seq batches, disjoint rids), inserts
+    in one base append. No base rewrite, no per-row driver work — at
+    100 TB this is the CDC-apply path: work ∝ source size, never
+    table size."""
+    t = _table(spark, sf_dir, "orders_mf")
+    return t.current_view().select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )

@@ -312,3 +312,49 @@ def test_canonicalize_urls_idempotent(spark):
     twice = textops.canonicalize_urls(once, "c1", out_col="c2")
     bad = twice.where(~F.col("c1").eqNullSafe(F.col("c2"))).collect()
     assert not bad, [(r["url"], r["c1"], r["c2"]) for r in bad[:5]]
+
+
+def test_merge_full_clause_matrix(spark, tmp_db):
+    """when_matched_update condition + when_not_matched_insert=False:
+    only qualifying matched rows update, non-qualifying stay, no
+    inserts happen; NULL predicates count as false (SQL MERGE)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("flag", T.StringType()),
+        ]
+    )
+    t = tmp_db.create_table_typed("mfull", schema, "k")
+    t.ingest_dataframe(
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.0).alias("v"),
+            F.lit("x").alias("flag"),
+        )
+    )
+    src = spark.range(5, 15).select(
+        F.col("id").alias("k"),
+        (F.col("id") + 100.0).alias("v"),
+        # NULL flag for k=6 exercises the null-predicate-is-false rule
+        F.when(F.col("id") == 6, F.lit(None).cast("string"))
+        .when(F.col("id") % 2 == 0, F.lit("del"))
+        .otherwise(F.lit("upd"))
+        .alias("flag"),
+    )
+    t.merge_into(
+        src,
+        when_matched_delete=F.col("flag") == "del",
+        when_matched_update=F.col("flag") == "upd",
+        when_not_matched_insert=False,
+    )
+    got = {r["k"]: r["v"] for r in t.current_view().collect()}
+    # k 8 deleted (matched, flag=del); k 5,7,9 updated; k 6 NULL flag
+    # -> neither branch -> untouched; k 10..14 unmatched, NOT inserted
+    assert set(got) == {0, 1, 2, 3, 4, 5, 6, 7, 9}
+    assert got[5] == 105.0 and got[7] == 107.0 and got[9] == 109.0
+    assert got[6] == 6.0
+    assert max(got) == 9
