@@ -2199,6 +2199,53 @@ class LineageTable:
         }
         return _cond(out).select(*self.user_cols)
 
+    def files_df(self) -> DataFrame:
+        """The live file inventory as a DataFrame (the Iceberg
+        ``table.files`` / Delta ``DESCRIBE DETAIL`` inspection shape;
+        the reference exposes no physical metadata at all): one row
+        per live file — (dir, path, rows, bytes, commit_idx, plus the
+        logged key min/max) — built driver-side from the file log
+        (O(files) JSON state, zero data I/O, zero Spark jobs to
+        plan). The ops surface for OPTIMIZE targeting ("which
+        partitions are fragmented"), retention review, and skew
+        diagnosis."""
+        entries = []
+        kp = self._phys_map.get(self.key, self.key)
+        for tag in (
+            self._log_tag(self.base_dir),
+            self._log_tag(self.tail_dir),
+            *(
+                [self._log_tag(self.compacted_dir())]
+                if self.manifest.compact_version >= 0
+                else []
+            ),
+        ):
+            for e in self.filelog.live(tag) or []:
+                ks = e.get("stats", {}).get(kp)
+                entries.append(
+                    (
+                        tag,
+                        e["path"],
+                        int(e.get("rows", 0)),
+                        int(e.get("bytes", 0)),
+                        e.get("_idx"),
+                        str(ks[0]) if ks else None,
+                        str(ks[1]) if ks else None,
+                    )
+                )
+        schema = T.StructType(
+            [
+                T.StructField("dir", T.StringType()),
+                T.StructField("path", T.StringType()),
+                T.StructField("rows", T.LongType()),
+                T.StructField("bytes", T.LongType()),
+                T.StructField("commit_idx", T.LongType()),
+                T.StructField("key_min", T.StringType()),
+                T.StructField("key_max", T.StringType()),
+            ]
+        )
+        return self.spark.createDataFrame(entries, schema)
+
     def provenance_view(self, include_meta: bool = False) -> DataFrame:
         """Current view + ``_commit``: the file-log commit index that
         INSERTED each live row (the Iceberg snapshot-lineage /

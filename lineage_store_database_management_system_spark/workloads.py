@@ -7959,3 +7959,33 @@ def pq_merge_full(spark, sf_dir):
     return t.current_view().select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+@workload(
+    "pq_files_metadata_table",
+    """SELECT 'base' AS dir, (SELECT COUNT(*) FROM orders) AS total_rows
+UNION ALL
+SELECT 'tail', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 6 = 0)
+             + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 1)""",
+)
+def pq_files_metadata_table(spark, sf_dir):
+    """File-inventory metadata table (lineage.files_df — the Iceberg
+    ``table.files`` / Delta ``DESCRIBE DETAIL`` inspection shape; the
+    reference exposes no physical metadata, its table_info.txt holds
+    three counters, /root/reference/lstore/db.py:163-166). Built
+    driver-side from the file log with zero data I/O. The oracle pins
+    the physical accounting to the logical contract: logged base rows
+    sum to every inserted row (base retains full history), logged
+    tail rows sum to exactly one delta per update plus one tombstone
+    per delete. The workload additionally asserts the 8-commit layout
+    (>= 8 base files, every one carrying its adding commit index)."""
+    t = _table(spark, sf_dir, "orders_mc")
+    files = t.files_df()
+    base = [r for r in files.collect() if r["dir"] == "base" and r["rows"] > 0]
+    assert len(base) >= 8, len(base)
+    assert all(r["commit_idx"] is not None for r in base)
+    return (
+        files.groupBy("dir")
+        .agg(F.sum("rows").alias("total_rows"))
+        .where(F.col("dir").isin("base", "tail"))
+    )
