@@ -2848,6 +2848,58 @@ class LineageTable:
         )
         return tail.unionByName(ins)
 
+    def changes_between_commits(
+        self, commit_lo: int, commit_hi: int | None = None
+    ) -> DataFrame:
+        """Commit-pinned CDC (the Delta ``table_changes(v1, v2)``
+        shape, complementing :meth:`changes_between`'s seq-watermark
+        contract): every row published by file-log commits
+        ``(commit_lo, commit_hi]`` — tail deltas as
+        ``(_rid, _seq, _op, _ts, <changed cols>)`` and base inserts as
+        ``_op = 'I'`` rows — planned purely from the log's per-entry
+        commit stamps (``_idx``): the scan opens EXACTLY the files
+        those commits added, zero files from any other commit, no seq
+        arithmetic needed. Retention: files vacuumed/packed since then
+        have lost their original stamps (optimize re-stamps base packs
+        with the SOURCE commit, so insert CDC survives packing; a
+        vacuumed tail is gone — same horizon as commit travel)."""
+        if commit_hi is None:
+            rng = self.filelog.replayable_range()
+            commit_hi = rng[1] if rng else commit_lo
+        out = []
+        for tag, path, schema, op_lit in (
+            (self._log_tag(self.tail_dir), self.tail_dir, self.tail_schema, None),
+            (self._log_tag(self.base_dir), self.base_dir, self.base_schema, "I"),
+        ):
+            ents = [
+                e
+                for e in (self.filelog.live(tag) or [])
+                if e.get("rows", 1) != 0
+                and e.get("_idx") is not None
+                and commit_lo < e["_idx"] <= commit_hi
+            ]
+            if not ents:
+                continue
+            df = self._df_from_entries(path, schema, ents)
+            if op_lit == "I":
+                df = df.select(
+                    F.col(RID),
+                    F.col(RID).alias(SEQ),
+                    F.lit("I").alias(OP),
+                    F.col(TS),
+                    *self.user_cols,
+                )
+            out.append(df)
+        if not out:
+            empty = self.tail_schema
+            return self.spark.range(0).select(
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in empty.fields]
+            )
+        feed = out[0]
+        for df in out[1:]:
+            feed = feed.unionByName(df)
+        return feed
+
     def apply_changes(self, feed: DataFrame) -> None:
         """Apply a CDC feed (the schema :meth:`changes_between` emits)
         to THIS table, preserving rids/seqs — the replica side of

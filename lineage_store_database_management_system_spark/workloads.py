@@ -278,12 +278,14 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
                     & (F.col("o_orderkey") < (i + 1) * step)
                 )
             )
+        t.mc_idx_ingest = t.filelog.replayable_range()[1]
         t.bulk_update(
             src.where("o_orderkey % 6 = 0").select(
                 "o_orderkey", (F.col("o_totalprice") + 50).alias("o_totalprice")
             )
         )
         t.bulk_delete(src.where("o_orderkey % 10 = 1").select("o_orderkey"))
+        t.mc_idx_final = t.filelog.replayable_range()[1]
     elif name == "orders_fc":
         # metadata-only COUNT scenario (fast_count): mutations +
         # compact() + a fresh post-watermark ingest + post-compaction
@@ -7988,4 +7990,35 @@ def pq_files_metadata_table(spark, sf_dir):
         files.groupBy("dir")
         .agg(F.sum("rows").alias("total_rows"))
         .where(F.col("dir").isin("base", "tail"))
+    )
+
+
+@workload(
+    "pq_cdc_by_commit",
+    """SELECT o_orderkey, 'U' AS op,
+       ROUND(o_totalprice + 50, 2) AS new_price
+FROM orders WHERE o_orderkey % 6 = 0
+UNION ALL
+SELECT o_orderkey, 'D', CAST(NULL AS DOUBLE)
+FROM orders WHERE o_orderkey % 10 = 1""",
+)
+def pq_cdc_by_commit(spark, sf_dir):
+    """Commit-pinned CDC (lineage.changes_between_commits — the Delta
+    ``table_changes(v1, v2)`` shape; the reference has no change feed
+    at all). The orders_mc scenario captures the file-log index after
+    its 8 ingest commits and again after the update + delete commits;
+    the feed for that window must contain EXACTLY one update delta per
+    %6 key and one tombstone per %10==1 key — planned purely from the
+    log's per-entry commit stamps, so the scan opens only the two
+    mutation commits' tail files and ZERO base files (asserted via
+    inputFiles). At 100 TB: CDC cost tracks the changes between two
+    commits, never table size or age."""
+    t = _table(spark, sf_dir, "orders_mc")
+    feed = t.changes_between_commits(t.mc_idx_ingest, t.mc_idx_final)
+    bad = [p for p in feed.inputFiles() if "/base/" in p]
+    assert not bad, f"commit-window CDC opened base files: {bad[:3]}"
+    return feed.select(
+        "o_orderkey",
+        F.col("_op").alias("op"),
+        F.round("o_totalprice", 2).alias("new_price"),
     )

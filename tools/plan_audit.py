@@ -272,6 +272,17 @@ AUDIT = [
     # WAV decode: plant and decode fuse into Arrow map stages over the
     # scan — zero shuffle, zero row-at-a-time Python.
     ("mm_decode_wav_stats", ["MapInPandas"], ["BatchEvalPython", "Exchange hashpartitioning"]),
+    # Full MERGE: the gated read is a plain current-view fold (the
+    # merge's classification join ran at scenario build) — native
+    # scans, no Python, no cartesian.
+    ("pq_merge_full", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
+    # File-inventory metadata table: driver-built from the log with
+    # ZERO data I/O — the plan must contain no parquet scan at all.
+    ("pq_files_metadata_table", [], ["Scan parquet", "BatchEvalPython"]),
+    # Commit-pinned CDC: the feed scans exactly the window's tail
+    # files (zero base files asserted in-workload) — native parquet,
+    # no Python, no join at all.
+    ("pq_cdc_by_commit", ["Scan parquet"], ["BatchEvalPython", "Join"]),
 ]
 
 
