@@ -3233,7 +3233,8 @@ class LineageTable:
         # those, while rows never silently adopt the pack commit as
         # their insert provenance (lineage.provenance_view contract)
         idx_of: dict[str, int | None] = {}
-        if self.filelog.exists():
+        log_live = self.filelog.exists()
+        if log_live:
             for e in self.filelog.live(self._log_tag(self.base_dir)) or []:
                 idx_of[os.path.join(self.base_dir, e["path"])] = e.get("_idx")
         by_part: dict[tuple[str, int | None], list[tuple[str, int]]] = {}
@@ -3244,6 +3245,11 @@ class LineageTable:
                     continue
                 n_before += 1
                 p = os.path.join(root, name)
+                # never pack a file the live log does not list (a
+                # crash orphan awaiting repair): packing would
+                # republish logically-dead rows
+                if log_live and p not in idx_of:
+                    continue
                 sz = os.path.getsize(p)
                 if sz < small_cap:
                     by_part.setdefault((root, idx_of.get(p)), []).append((p, sz))
@@ -3346,6 +3352,140 @@ class LineageTable:
             "partitions": n_parts,
         }
 
+    def drop_partition(self, column: str, value) -> dict:
+        """Metadata-only partition retention (the Delta ``DELETE WHERE
+        part = v`` remove-action / Iceberg drop-partition shape; the
+        reference can only delete key-at-a-time through its index):
+        unpublish every live base/snapshot file under the partition
+        directory with ONE file-log commit — zero data I/O, zero
+        tombstones, zero row work. At 100 TB this is how a month of
+        expired crawl drops in milliseconds instead of a billion-row
+        anti-join.
+
+        Protocol (crash-safe, mirrors the OPTIMIZE marker): an intent
+        marker listing the log actions + file moves publishes first;
+        the log remove commits the drop; the files then MOVE into the
+        retained ``_dropped/<id>/`` area (rename, no copy) so the
+        "directory = ground truth" invariant repair_staging resyncs
+        from stays intact; the marker deletes last.
+        :meth:`repair_staging` rolls an interrupted drop FORWARD from
+        the marker (the remove replay is idempotent). Reclaim the
+        moved bytes later with :meth:`vacuum_dropped`; pre-drop states
+        remain durable through :meth:`create_ref` (hardlinks), while
+        raw commit travel past the move raises the standard retention
+        error.
+
+        Safety: raises if un-folded (post-TPS) tail TOMBSTONES target
+        rids inside the dropped files' rid ranges — those would
+        double-subtract from :meth:`fast_count`'s metadata contract;
+        ``compact()`` first (folds them), then drop. Dangling UPDATE
+        deltas are harmless (the fold is base-left). Simple partition
+        values only (no Hive special-char escaping)."""
+        if column not in self.partition_by:
+            raise ValueError(
+                f"{column!r} is not a partition column {self.partition_by}"
+            )
+        self.flush()
+        m = self.manifest
+        token = f"{column}={value}"
+        targets: list[tuple[str, list[dict]]] = []  # (tag, entries)
+        tags = [self._log_tag(self.base_dir)]
+        if m.compact_version >= 0:
+            tags.append(self._log_tag(self.compacted_dir()))
+        for tag in tags:
+            live = self.filelog.live(tag)
+            if live is None:
+                raise ValueError(
+                    "drop_partition requires the file-level manifest log"
+                )
+            hit = [e for e in live if token in e["path"].split(os.sep)]
+            if hit:
+                targets.append((tag, hit))
+        if not targets:
+            return {"files": 0, "rows": 0, "bytes": 0}
+        # tombstone-safety: post-TPS tombstones inside dropped rid ranges
+        tail = self.tail_df()
+        if m.compact_version >= 0:
+            tail = tail.where(F.col(SEQ) > F.lit(m.tps))
+        tomb = tail.where(F.col(OP) == OP_DELETE).select(RID).distinct()
+        ranges = [
+            (i, int(st[0]), int(st[1]))
+            for i, e in enumerate(e for _, es in targets for e in es)
+            if (st := e.get("stats", {}).get(RID)) is not None
+        ]
+        n_unknown = sum(
+            1
+            for _, es in targets
+            for e in es
+            if e.get("stats", {}).get(RID) is None and e.get("rows", 1) != 0
+        )
+        danger = n_unknown > 0
+        if not danger and ranges:
+            rdf = self.spark.createDataFrame(ranges, "i long, rlo long, rhi long")
+            danger = (
+                F.broadcast(rdf)
+                .join(
+                    tomb,
+                    (F.col(RID) >= F.col("rlo")) & (F.col(RID) <= F.col("rhi")),
+                )
+                .limit(1)
+                .count()
+                > 0
+            )
+        if danger:
+            raise ValueError(
+                f"partition {token} has un-folded tombstones (or files "
+                "without rid stats) in its rid ranges; compact() first, "
+                "then drop_partition"
+            )
+        drop_id = uuid.uuid4().hex[:8]
+        dest_root_rel = os.path.join("_dropped", drop_id)
+        actions = []
+        moves = []  # (src rel to table, dst rel to table)
+        n_files = n_rows = n_bytes = 0
+        for tag, es in targets:
+            actions.append(
+                {"op": "remove", "dir": tag, "paths": [e["path"] for e in es]}
+            )
+            for e in es:
+                moves.append(
+                    (
+                        os.path.join(tag, e["path"]),
+                        os.path.join(dest_root_rel, tag, e["path"]),
+                    )
+                )
+                n_files += 1
+                n_rows += e.get("rows", 0)
+                n_bytes += e.get("bytes", 0)
+        marker = os.path.join(self.path, f"_drop_commit_{drop_id}.json")
+        _atomic_write_json(marker, {"actions": actions, "moves": moves})
+        self.filelog.append(actions)  # <- the commit point
+        for src_rel, dst_rel in moves:
+            src = os.path.join(self.path, src_rel)
+            if os.path.exists(src):
+                os.renames(src, os.path.join(self.path, dst_rel))
+        os.remove(marker)
+        return {"files": n_files, "rows": n_rows, "bytes": n_bytes}
+
+    def vacuum_dropped(self, max_age_s: float = 0.0) -> int:
+        """Physically reclaim partitions retired by
+        :meth:`drop_partition`: deletes ``_dropped/<id>/`` trees older
+        than ``max_age_s``. Returns directories removed. Refs hold
+        their own hardlinks, so reclaim never breaks a tag."""
+        root = os.path.join(self.path, "_dropped")
+        n = 0
+        if os.path.isdir(root):
+            now = time.time()
+            for name in os.listdir(root):
+                p = os.path.join(root, name)
+                try:
+                    if now - os.path.getmtime(p) >= max_age_s:
+                        shutil.rmtree(p)
+                        n += 1
+                except OSError:  # pragma: no cover - raced removal
+                    pass
+        return n
+
     def repair_staging(self, max_age_s: float = 3600.0) -> dict:
         """Crash-artifact repair, safe to run any time (and run from
         :meth:`Database.maintain`):
@@ -3363,6 +3503,24 @@ class LineageTable:
 
         Returns {'rolled_forward': n, 'discarded': n, 'staging': n}."""
         fwd = disc = stag = 0
+        # interrupted drop_partition rolls FORWARD first (before the
+        # listing resync below, which would otherwise resurrect the
+        # not-yet-moved files): replaying the remove actions is
+        # idempotent, the moves skip already-moved paths.
+        for name in sorted(os.listdir(self.path)):
+            if not (name.startswith("_drop_commit_") and name.endswith(".json")):
+                continue
+            marker = os.path.join(self.path, name)
+            with open(marker) as fh:
+                dm = json.load(fh)
+            if self.filelog.exists():
+                self.filelog.append(dm["actions"])
+            for src_rel, dst_rel in dm["moves"]:
+                src = os.path.join(self.path, src_rel)
+                if os.path.exists(src):
+                    os.renames(src, os.path.join(self.path, dst_rel))
+            os.remove(marker)
+            fwd += 1
         claimed: set[str] = set()
         for root, _dirs, files in os.walk(self.base_dir):
             for name in files:
@@ -3405,32 +3563,26 @@ class LineageTable:
             # log never saw (invisible, by the files-then-log commit
             # order), and an interrupted optimize pack may have been
             # rolled forward/back above. One listing per table dir
-            # rebuilds ground truth.
+            # rebuilds ground truth. Re-imported entries CARRY their
+            # prior commit stamp (_idx) where the path was already
+            # live — a benign repair must not re-home every row's
+            # insert provenance onto the repair commit; genuinely new
+            # (orphan) paths get an explicit None stamp so _apply's
+            # setdefault leaves them unattributed rather than lying.
             actions = []
-            for tag, d in (
-                ("base", self.base_dir),
-                ("tail", self.tail_dir),
-            ):
-                actions.append(
-                    {
-                        "op": "reset",
-                        "dir": tag,
-                        "files": self.filelog.import_dir(
-                            tag, d, self._stat_cols
-                        ),
-                    }
-                )
+            dirs = [("base", self.base_dir), ("tail", self.tail_dir)]
             if self.manifest.compact_version >= 0:
                 cd = self.compacted_dir()
-                actions.append(
-                    {
-                        "op": "reset",
-                        "dir": self._log_tag(cd),
-                        "files": self.filelog.import_dir(
-                            self._log_tag(cd), cd, self._stat_cols
-                        ),
-                    }
-                )
+                dirs.append((self._log_tag(cd), cd))
+            for tag, d in dirs:
+                prior = {
+                    e["path"]: e.get("_idx")
+                    for e in (self.filelog.live(tag) or [])
+                }
+                files = self.filelog.import_dir(tag, d, self._stat_cols)
+                for e in files:
+                    e["_idx"] = prior.get(e["path"])
+                actions.append({"op": "reset", "dir": tag, "files": files})
             self.filelog.append(actions)
         return {"rolled_forward": fwd, "discarded": disc, "staging": stag}
 

@@ -471,6 +471,24 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
             upd_rows.unionByName(del_rows).unionByName(ins_rows),
             when_matched_delete=F.col("act") == "D",
         )
+    elif name == "orders_dp":
+        # metadata-only partition-drop scenario: Hive-partitioned by
+        # o_orderstatus, mutated, compacted (folds the tombstones so
+        # the drop's safety check passes), then status 'F' retired
+        # with ONE file-log commit — zero data I/O.
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(
+            name, src.schema, "o_orderkey", partition_by=["o_orderstatus"]
+        )
+        t.ingest_dataframe(src)
+        t.bulk_update(
+            src.where("o_orderkey % 7 = 0").select(
+                "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+            )
+        )
+        t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+        t.compact()
+        t.dp_stats = t.drop_partition("o_orderstatus", "F")
     elif name == "orders_opt":
         # OPTIMIZE bin-packing scenario: 8 separate ingest commits
         # (each lands its own small part-files in the base dir), keyed
@@ -8021,4 +8039,38 @@ def pq_cdc_by_commit(spark, sf_dir):
         "o_orderkey",
         F.col("_op").alias("op"),
         F.round("o_totalprice", 2).alias("new_price"),
+    )
+
+
+@workload(
+    "pq_drop_partition",
+    f"""SELECT o_orderkey, o_custkey, ROUND({_R1}, 2) AS o_totalprice,
+       o_orderstatus
+FROM orders WHERE {_LIVE} AND o_orderstatus <> 'F'""",
+)
+def pq_drop_partition(spark, sf_dir):
+    """Metadata-only partition retention (lineage.drop_partition — the
+    Delta remove-action / Iceberg drop-partition shape; the reference
+    deletes key-at-a-time through its index, /root/reference/lstore/
+    query.py:27 area). The orders_dp scenario mutates, compacts (folds
+    the tombstones — the drop's safety check refuses un-folded
+    tombstones in the dropped rid ranges because they would
+    double-subtract from fast_count's metadata contract), then retires
+    o_orderstatus='F' with ONE file-log commit: zero data I/O, files
+    moved (not deleted) to the retained _dropped/ area so repair's
+    directory-resync invariant holds; an interrupted drop rolls
+    forward from its marker. At 100 TB this is how a month of expired
+    crawl retires in milliseconds instead of a billion-row anti-join.
+    The fast_count cross-check inside the workload pins the metadata
+    plane to the same truth the oracle checks."""
+    t = _table(spark, sf_dir, "orders_dp")
+    assert t.dp_stats["files"] >= 1 and t.dp_stats["rows"] > 0, t.dp_stats
+    n = t.fast_count().first()["cnt"]
+    view = t.current_view()
+    assert n == view.count(), (n, "fast_count mismatch after drop")
+    return view.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
     )

@@ -283,6 +283,11 @@ AUDIT = [
     # files (zero base files asserted in-workload) — native parquet,
     # no Python, no join at all.
     ("pq_cdc_by_commit", ["Scan parquet"], ["BatchEvalPython", "Join"]),
+    # Partition drop is a pure log commit at scenario build; the gated
+    # read is the standard fold over the surviving partitions — the
+    # dropped status must NOT appear in the scan's partition filters
+    # or paths (asserted by value-hash), and the plan stays native.
+    ("pq_drop_partition", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
