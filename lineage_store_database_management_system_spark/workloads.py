@@ -489,6 +489,22 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
         t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
         t.compact()
         t.dp_stats = t.drop_partition("o_orderstatus", "F")
+    elif name == "orders_cl":
+        # shallow-clone scenario: clone after the update, then mutate
+        # ONLY the clone — the gate checks both sides diverge exactly
+        # as the oracle predicts (clone independence) while sharing
+        # every pre-clone byte (hardlinks).
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(name, src.schema, "o_orderkey")
+        t.ingest_dataframe(src)
+        t.bulk_update(
+            src.where("o_orderkey % 7 = 0").select(
+                "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+            )
+        )
+        t2 = db.clone_table(name, name + "2")
+        t2.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+        t.cl2 = t2
     elif name == "orders_opt":
         # OPTIMIZE bin-packing scenario: 8 separate ingest commits
         # (each lands its own small part-files in the base dir), keyed
@@ -8074,3 +8090,49 @@ def pq_drop_partition(spark, sf_dir):
         F.round("o_totalprice", 2).alias("o_totalprice"),
         "o_orderstatus",
     )
+
+
+@workload(
+    "pq_shallow_clone",
+    f"""SELECT 'clone' AS side, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST({_R1} AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_total
+FROM orders WHERE {_LIVE}
+UNION ALL
+SELECT 'src', COUNT(*),
+       CAST(ROUND(SUM(CAST({_R1} AS DECIMAL(18,6))), 2) AS DOUBLE)
+FROM orders""",
+)
+def pq_shallow_clone(spark, sf_dir):
+    """ZERO-COPY shallow clone (Database.clone_table — the Delta
+    SHALLOW CLONE shape; the reference has no clone, its db open/close
+    copies nothing, /root/reference/lstore/db.py:39 area): hardlink
+    every data file + copy the manifest, O(files) regardless of table
+    size, safe because the lineage format never mutates a shared file
+    in place. The orders_cl scenario clones after the %7 update and
+    deletes %10==3 rows ONLY on the clone — the gate hash-checks that
+    the two sides diverge exactly as predicted (clone independence)
+    while the workload asserts the clone's base files still share
+    inodes with the source (st_nlink >= 2 — nothing was copied)."""
+    t = _table(spark, sf_dir, "orders_cl")
+    t2 = t.cl2
+    # shared-inode proof: any clone base file must have >= 2 links
+    some = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(t2.base_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert os.stat(some).st_nlink >= 2, some
+    a = t2.current_view().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_total"),
+    ).select(F.lit("clone").alias("side"), "n_rows", "sum_total")
+    b = t.current_view().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_total"),
+    ).select(F.lit("src").alias("side"), "n_rows", "sum_total")
+    return a.unionByName(b)

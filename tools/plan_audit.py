@@ -288,6 +288,9 @@ AUDIT = [
     # dropped status must NOT appear in the scan's partition filters
     # or paths (asserted by value-hash), and the plan stays native.
     ("pq_drop_partition", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
+    # Shallow clone: both sides read as plain folds over (partly
+    # shared-inode) native scans; the clone walk ran at build time.
+    ("pq_shallow_clone", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
