@@ -3222,7 +3222,10 @@ class LineageTable:
         FORWARD (repair finishes the unlink+rename from the marker).
         Single-writer maintenance, same discipline as
         compact()/vacuum. Returns
-        {files_before, files_after, bytes_packed, partitions}."""
+        {files_before, files_after, bytes_packed, partitions} —
+        ``partitions`` counts PACK GROUPS, i.e. (hive partition dir,
+        source commit) pairs actually rewritten (per-commit grouping
+        is what keeps row provenance exact, see provenance_view)."""
         self.flush()
         small_cap = int(target_bytes * small_frac)
         # group candidate files by (partition subdirectory, adding

@@ -8093,7 +8093,7 @@ def pq_drop_partition(spark, sf_dir):
 
 
 @workload(
-    "pq_shallow_clone",
+    "pq_clone_independence",
     f"""SELECT 'clone' AS side, COUNT(*) AS n_rows,
        CAST(ROUND(SUM(CAST({_R1} AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_total
 FROM orders WHERE {_LIVE}
@@ -8102,7 +8102,7 @@ SELECT 'src', COUNT(*),
        CAST(ROUND(SUM(CAST({_R1} AS DECIMAL(18,6))), 2) AS DOUBLE)
 FROM orders""",
 )
-def pq_shallow_clone(spark, sf_dir):
+def pq_clone_independence(spark, sf_dir):
     """ZERO-COPY shallow clone (Database.clone_table — the Delta
     SHALLOW CLONE shape; the reference has no clone, its db open/close
     copies nothing, /root/reference/lstore/db.py:39 area): hardlink

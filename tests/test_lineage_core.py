@@ -1558,7 +1558,10 @@ def test_optimize_files_respects_hive_partitions(spark, tmp_path):
         )
     before = sorted((r["k"], r["p"], r["v"]) for r in t.current_view().collect())
     stats = t.optimize_files(target_bytes=1 << 20)
-    assert stats["partitions"] == 2  # p=0 and p=1 each packed
+    # pack groups are (hive partition, source commit) since the
+    # provenance-preserving change: 2 partitions x 5 commits
+    assert stats["partitions"] == 10
+    assert stats["files_after"] < stats["files_before"]
     after = sorted((r["k"], r["p"], r["v"]) for r in t.current_view().collect())
     assert before == after
     # partition pruning still works after the rewrite

@@ -290,7 +290,7 @@ AUDIT = [
     ("pq_drop_partition", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
     # Shallow clone: both sides read as plain folds over (partly
     # shared-inode) native scans; the clone walk ran at build time.
-    ("pq_shallow_clone", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
+    ("pq_clone_independence", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
