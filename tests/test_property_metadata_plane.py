@@ -1,0 +1,100 @@
+"""Property test for the METADATA PLANE: after a random-but-seeded
+interleaving of ingest / update / delete / compact / optimize /
+drop_partition, the metadata-derived answers must equal the full-scan
+truth computed from the SAME current view:
+
+- fast_count()          == current_view().count()
+- fast_min_max(c)       == agg(min(c), max(c))
+- scan_with_bounds(...) == current_view().where(bounds)
+
+These are the operators whose whole point is NOT reading the data, so
+any drift between the file-log accounting and the fold is invisible
+to the per-operator gates unless an adversarial op sequence hits it.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _schema():
+    return T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("p", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("p"),
+        (F.col("id") * 1.7 - 40.0).alias("v"),
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 23, 61])
+def test_metadata_plane_matches_full_scan(spark, tmp_db, seed):
+    rng = random.Random(seed)
+    t = tmp_db.create_table_typed(f"mp_{seed}", _schema(), "k", partition_by=["p"])
+    next_key = 0
+
+    def ingest():
+        nonlocal next_key
+        n = rng.randrange(50, 150)
+        t.ingest_dataframe(_batch(spark, next_key, next_key + n))
+        next_key += n
+
+    ingest()
+    ops = ["ingest", "update", "delete", "compact", "optimize", "drop"]
+    dropped: set[str] = set()
+    for _ in range(12):
+        op = rng.choice(ops)
+        if op == "ingest":
+            ingest()
+        elif op == "update":
+            ks = rng.sample(range(next_key), min(5, next_key))
+            t.bulk_update(
+                spark.createDataFrame(
+                    [Row(k=k, v=rng.uniform(-1e6, 1e6)) for k in ks],
+                    "k long, v double",
+                )
+            )
+        elif op == "delete":
+            ks = rng.sample(range(next_key), min(4, next_key))
+            t.bulk_delete(
+                spark.createDataFrame([Row(k=k) for k in ks], "k long")
+            )
+        elif op == "compact":
+            t.compact()
+        elif op == "optimize":
+            t.optimize_files(target_bytes=1 << 20)
+        elif op == "drop":
+            g = f"g{rng.randrange(3)}"
+            if g in dropped:
+                continue
+            try:
+                t.drop_partition("p", g)
+                dropped.add(g)
+            except ValueError:
+                pass  # un-folded tombstones: the documented refusal
+    view = t.current_view()
+    truth_n = view.count()
+    truth = view.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).first()
+    assert t.fast_count().first()["cnt"] == truth_n
+    got = t.fast_min_max("v").first()
+    assert (got["mn"], got["mx"]) == (truth["mn"], truth["mx"])
+    lo, hi = -30.0, 60.0
+    want = sorted(
+        (r["k"], r["v"])
+        for r in view.where((F.col("v") >= lo) & (F.col("v") <= hi)).collect()
+    )
+    got_b = sorted(
+        (r["k"], r["v"]) for r in t.scan_with_bounds("v", lo, hi).collect()
+    )
+    assert got_b == want
