@@ -60,6 +60,11 @@ CHECKPOINT_EVERY = 64
 
 _LOG_W = 12  # zero-pad width for log indices
 
+# Pseudo-tag holding table-level metadata (compaction watermarks) as
+# part of the logged state, so state_at(idx) reconstructs not just the
+# file sets but HOW to fold them (see lineage.compact's setmeta).
+TABLE_META_TAG = "::table::"
+
 
 def _atomic_json(path: str, obj) -> None:
     d = os.path.dirname(path)
@@ -301,6 +306,8 @@ class FileLog:
                 state[tag] = {e["path"]: e for e in a["files"]}
             elif op == "drop":
                 state.pop(tag, None)
+            elif op == "setmeta":
+                state[tag] = {"::meta::": dict(a["meta"])}
 
     def _refresh_locked(self) -> None:
         ck, idxs = self._scan_log_dir()

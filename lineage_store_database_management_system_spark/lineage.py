@@ -58,7 +58,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .filelog import FileLog, file_entry, prune_entries
+from .filelog import TABLE_META_TAG, FileLog, file_entry, prune_entries
 
 # Metadata columns. Base rows carry (_rid, _ts); tail rows carry
 # (_rid, _seq, _op, _ts). The reference's 4 hidden base columns /
@@ -2501,24 +2501,62 @@ class LineageTable:
 
         The file log replays to the live-file set at that commit
         (driver-side, O(commits since checkpoint) JSON reads — zero
-        Spark jobs for planning), then the standard fold runs over
-        THAT base+tail set. No watermark bookkeeping is needed: base
-        and tail retain full history, so folding the as-of file set is
-        exact regardless of any compaction that happened afterwards
-        (compaction only ADDS a snapshot dir; it never rewrites base/
-        tail). Retention contract: commits older than the newest log
-        checkpoint are unreachable (ValueError), and a file physically
-        reclaimed by ``vacuum_tail``/``vacuum_snapshots`` since then
-        raises with the vacuum horizon named rather than silently
-        returning partial history. Uncommitted (pending) rows are
-        invisible — travel reads commits."""
+        Spark jobs for planning), then the fold runs over THAT state —
+        SNAPSHOT-AWARE: ``compact()`` logs its watermarks into the
+        state (the ``setmeta`` action), so a commit landing after a
+        compaction folds (snapshot ∪ fresh base rows past the rid
+        watermark) with the post-TPS tail, exactly like current_view.
+        This is load-bearing once ``vacuum_tail`` has dropped pre-TPS
+        deltas: base+tail alone no longer reconstruct state (the
+        round-9 soak catch — a plain base+tail fold silently resurrects
+        pre-TPS tombstoned rows). Retention contract: commits older
+        than the newest log checkpoint are unreachable (ValueError),
+        and a file physically reclaimed by ``vacuum_tail``/
+        ``vacuum_snapshots``/``vacuum_dropped`` since then raises with
+        the horizon named rather than silently returning partial
+        history. Uncommitted (pending) rows are invisible — travel
+        reads commits."""
         st = self.filelog.state_at(log_idx)  # raises outside retention
+        meta_rows = st.get(TABLE_META_TAG, [])
+        meta = meta_rows[0] if meta_rows else None
+        cv = meta["compact_version"] if meta else -1
+        if cv < 0 and any(k.startswith("compacted/") for k in st):
+            # pre-setmeta log with a snapshot in the state: the plain
+            # fold is exact only while the tail retains full history —
+            # refuse when the manifest says vacuum has run since
+            if self.manifest.extra.get("history_floor") is not None:
+                raise ValueError(
+                    f"commit {log_idx} predates watermark metadata and "
+                    "the tail has been vacuumed; state is beyond the "
+                    "reconstructable horizon"
+                )
         tags = (self._log_tag(self.base_dir), self._log_tag(self.tail_dir))
         base_entries = [e for e in st.get(tags[0], []) if e.get("rows", 1) != 0]
         tail_entries = [e for e in st.get(tags[1], []) if e.get("rows", 1) != 0]
+        snap_entries: list[dict] = []
+        snap_dir = None
+        if cv >= 0:
+            snap_dir = self.compacted_dir(cv)
+            snap_entries = [
+                e
+                for e in st.get(self._log_tag(snap_dir), [])
+                if e.get("rows", 1) != 0
+            ]
+            hi = meta["compact_rid_hi"]
+            base_entries = [
+                e
+                for e in base_entries
+                if (rs := e.get("stats", {}).get(RID)) is None or rs[1] > hi
+            ]
+        scan_sets = [
+            (self.base_dir, base_entries),
+            (self.tail_dir, tail_entries),
+        ]
+        if snap_dir is not None:
+            scan_sets.append((snap_dir, snap_entries))
         missing = [
             p
-            for d, es in ((self.base_dir, base_entries), (self.tail_dir, tail_entries))
+            for d, es in scan_sets
             for e in es
             if not os.path.isfile(p := os.path.join(d, e["path"]))
         ]
@@ -2530,6 +2568,12 @@ class LineageTable:
             )
         base = self._df_from_entries(self.base_dir, self.base_schema, base_entries)
         tail = self._df_from_entries(self.tail_dir, self.tail_schema, tail_entries)
+        if cv >= 0:
+            base = base.where(F.col(RID) > F.lit(meta["compact_rid_hi"]))
+            base = self._df_from_entries(
+                snap_dir, self.base_schema, snap_entries
+            ).unionByName(base)
+            tail = tail.where(F.col(SEQ) > F.lit(meta["tps"]))
         out = self._fold_tail(base, tail, tail_known_empty=not tail_entries)
         if not include_meta:
             out = out.select(*self.user_cols)
@@ -2596,7 +2640,23 @@ class LineageTable:
         final = os.path.join(self._refs_root(), name)
         if os.path.isdir(final):
             raise ValueError(f"ref already exists: {name}")
-        tags = (self._log_tag(self.base_dir), self._log_tag(self.tail_dir))
+        meta_rows = st.get(TABLE_META_TAG, [])
+        meta = meta_rows[0] if meta_rows else None
+        if meta is None and any(k.startswith("compacted/") for k in st):
+            raise ValueError(
+                f"commit {idx} has a snapshot but predates watermark "
+                "metadata; compact() once under this version, then tag"
+            )
+        # pin the fold inputs the commit's state actually needs: base +
+        # tail always, plus the compacted snapshot when the state is
+        # post-compaction (base+tail alone stop reconstructing state
+        # once vacuum_tail drops pre-TPS deltas — the round-9 soak
+        # catch)
+        tags = [self._log_tag(self.base_dir), self._log_tag(self.tail_dir)]
+        if meta is not None and meta.get("compact_version", -1) >= 0:
+            tags.append(
+                self._log_tag(self.compacted_dir(meta["compact_version"]))
+            )
         tmp = os.path.join(self._refs_root(), f".tmp_{uuid.uuid4().hex[:8]}")
         n_files = n_bytes = 0
         try:
@@ -2621,6 +2681,7 @@ class LineageTable:
                     "name": name,
                     "idx": idx,
                     "created_ts": time.time(),
+                    "meta": meta,
                     "state": {t: st.get(t, []) for t in tags},
                 },
             )
@@ -2641,14 +2702,14 @@ class LineageTable:
         if not os.path.isfile(meta_path):
             raise KeyError(f"no such ref: {name}")
         with open(meta_path) as f:
-            meta = json.load(f)
+            ref = json.load(f)
         base_tag = self._log_tag(self.base_dir)
         tail_tag = self._log_tag(self.tail_dir)
         base_entries = [
-            e for e in meta["state"].get(base_tag, []) if e.get("rows", 1) != 0
+            e for e in ref["state"].get(base_tag, []) if e.get("rows", 1) != 0
         ]
         tail_entries = [
-            e for e in meta["state"].get(tail_tag, []) if e.get("rows", 1) != 0
+            e for e in ref["state"].get(tail_tag, []) if e.get("rows", 1) != 0
         ]
         base = self._df_from_entries(
             os.path.join(ref_dir, base_tag), self.base_schema, base_entries
@@ -2656,6 +2717,20 @@ class LineageTable:
         tail = self._df_from_entries(
             os.path.join(ref_dir, tail_tag), self.tail_schema, tail_entries
         )
+        wm = ref.get("meta")
+        if wm is not None and wm.get("compact_version", -1) >= 0:
+            # snapshot-aware fold, exactly like current_view at pin
+            # time: snapshot ∪ fresh base past the rid watermark,
+            # post-TPS tail only
+            snap_tag = self._log_tag(self.compacted_dir(wm["compact_version"]))
+            snap_entries = [
+                e for e in ref["state"].get(snap_tag, []) if e.get("rows", 1) != 0
+            ]
+            base = base.where(F.col(RID) > F.lit(wm["compact_rid_hi"]))
+            base = self._df_from_entries(
+                os.path.join(ref_dir, snap_tag), self.base_schema, snap_entries
+            ).unionByName(base)
+            tail = tail.where(F.col(SEQ) > F.lit(wm["tps"]))
         out = self._fold_tail(base, tail, tail_known_empty=not tail_entries)
         if not include_meta:
             out = out.select(*self.user_cols)
@@ -3111,6 +3186,11 @@ class LineageTable:
         # readers at it (a vN's file set is immutable once written, so
         # a one-shot reset entry fully describes it)
         if self.filelog.exists():
+            # the setmeta action pins the NEW watermarks into the log
+            # state itself, so commit travel / refs landing on any
+            # later commit can fold snapshot-aware (base+tail alone no
+            # longer reconstruct state once vacuum_tail drops pre-TPS
+            # deltas — the round-9 soak catch)
             self.filelog.append(
                 [
                     {
@@ -3119,7 +3199,16 @@ class LineageTable:
                         "files": self.filelog.import_dir(
                             self._log_tag(out_dir), out_dir, self._stat_cols
                         ),
-                    }
+                    },
+                    {
+                        "op": "setmeta",
+                        "dir": TABLE_META_TAG,
+                        "meta": {
+                            "compact_version": new_version,
+                            "tps": new_tps if new_tps is not None else -1,
+                            "compact_rid_hi": rid_hi,
+                        },
+                    },
                 ]
             )
         self.manifest.compact_version = new_version

@@ -107,3 +107,53 @@ def test_ref_survives_reopen(spark, tmp_db):
     t2 = db2.get_table("r5")
     assert [r["name"] for r in t2.list_refs()] == ["keep"]
     assert _rows(t2.snapshot_at_ref("keep")) == truth
+
+
+def test_ref_after_compact_and_vacuum_is_exact(spark, tmp_db):
+    """The round-9 soak catch: once vacuum_tail drops pre-TPS deltas,
+    base+tail alone no longer reconstruct state — a ref pinned AFTER
+    compact+vacuum must fold snapshot-aware or it silently resurrects
+    pre-TPS tombstoned rows."""
+    t = _mk(tmp_db, "r6")
+    t.ingest_dataframe(
+        spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+    )
+    t.bulk_update(spark.createDataFrame([Row(k=10, v=-5.0)], "k long, v double"))
+    t.bulk_delete(
+        spark.createDataFrame([Row(k=k) for k in range(0, 500, 50)], "k long")
+    )
+    t.compact()
+    assert t.vacuum_tail() > 0  # pre-TPS deltas really gone
+    t.bulk_update(spark.createDataFrame([Row(k=11, v=7.0)], "k long, v double"))
+    t.create_ref("post-vacuum")
+    truth = _rows(t.current_view())
+    # later churn must not affect the ref
+    t.bulk_delete(spark.createDataFrame([Row(k=99)], "k long"))
+    got = _rows(t.snapshot_at_ref("post-vacuum"))
+    assert got == truth
+    assert len(got) == 490  # the 10 tombstones must NOT resurrect
+    vals = dict(got)
+    assert vals[10] == -5.0 and vals[11] == 7.0
+
+
+def test_commit_travel_after_compact_and_vacuum_is_exact(spark, tmp_db):
+    """snapshot_at_commit twin of the soak catch: the newest commit
+    after compact+vacuum folds snapshot-aware via the logged setmeta
+    watermarks."""
+    t = _mk(tmp_db, "r7")
+    t.ingest_dataframe(
+        spark.range(300).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+    )
+    t.bulk_delete(spark.createDataFrame([Row(k=7), Row(k=8)], "k long"))
+    t.compact()
+    assert t.vacuum_tail() > 0
+    t.bulk_update(spark.createDataFrame([Row(k=9, v=90.0)], "k long, v double"))
+    idx = t.filelog.replayable_range()[1]
+    truth = _rows(t.current_view())
+    got = _rows(t.snapshot_at_commit(idx))
+    assert got == truth and len(got) == 298
+    assert dict(got)[9] == 90.0

@@ -114,6 +114,7 @@ def main() -> int:
             f"{len(set(got.items()) ^ set(want.items()))} differing entries"
         )
 
+    pinned: dict[str, tuple[int, float]] = {}  # ref -> (count, sum)
     for rnd in range(rounds):
         rep: dict = {"round": rnd}
         mod = 7 + (rnd % 11)
@@ -173,6 +174,32 @@ def main() -> int:
             t.vacuum_tail()
             rep["vacuumed"] = True
         rep["maintain_s"] = round(time.time() - t0, 2)
+
+        # named-ref durability under wear (round-9 third continuation):
+        # pin a tag every 8 rounds; EVERY later round each tag must
+        # still answer its frozen count+sum through whatever
+        # compaction / vacuum / optimize has happened since.
+        if rnd % 8 == 3:
+            name = f"soak-r{rnd}"
+            t.create_ref(name)
+            pinned[name] = (
+                len(model),
+                round(sum(v[2] for v in model.values()), 2),
+            )
+        for name, (wn, ws) in pinned.items():
+            row = (
+                t.snapshot_at_ref(name)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("s"),
+                )
+                .collect()[0]
+            )
+            assert row["n"] == wn, f"r{rnd}: ref {name} count {row['n']} != {wn}"
+            assert abs(round(float(row["s"]), 2) - ws) < 0.05, (
+                f"r{rnd}: ref {name} sum drifted"
+            )
+        rep["refs_checked"] = len(pinned)
 
         t0 = time.time()
         cheap_checks(rnd)
