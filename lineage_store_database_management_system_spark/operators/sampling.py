@@ -235,3 +235,32 @@ def proportional_sample(
         .where(F.col("_rn") <= F.col("_kg"))
         .select(F.col(id_col), F.col(group_col))
     )
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str, seed: int, n_shards: int
+) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment — the
+    reproducible data-ordering a training run needs ("epoch 3 of run
+    X read shard 5 in exactly this order", replayable on any engine):
+    order key = md5(seed:id) (engine-portable pseudo-randomness, a new
+    permutation per seed), shard = hash-prefix % n_shards, position =
+    rank within shard. Plan shape: map-only key computation, ONE
+    shuffle on the shard id, rank within shard (at scale: write with
+    repartition(shard) + sortWithinPartitions — the rank is then free
+    at read time). Returns (shard, pos, id_col)."""
+    h = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    out = df.select(
+        F.col(id_col),
+        h.alias("_h"),
+        (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(n_shards)
+        ).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return out.select(
+        "shard", F.row_number().over(w).alias("pos"), id_col
+    )

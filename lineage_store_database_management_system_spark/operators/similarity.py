@@ -1163,3 +1163,96 @@ def cluster_balanced_sample(
         .where(F.col("rnk") <= per_bucket)
         .select("bucket", id_col, "rnk")
     )
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_anchors: int = 50,
+    pos_min: float = 0.5,
+    neg_max: float = 0.2,
+    n_planes: int = 4,
+    round_to: int = 3,
+) -> DataFrame:
+    """Contrastive training-pair mining over an embedding corpus: for
+    a deterministic anchor sample (md5-ranked, engine-portable), the
+    best POSITIVE (highest cosine >= pos_min) and the hardest
+    NEGATIVE (highest cosine still <= neg_max — near the margin, the
+    informative kind) among candidates sharing the anchor's
+    hyperplane-LSH bucket. The bucket restriction is the scale story:
+    candidate generation is anchors x own-bucket, never all-pairs, and
+    the anchor sample bounds the join to n_anchors x bucket-size
+    regardless of corpus size. Cosines rank after rounding (id
+    tiebreak), so the mined set is engine-stable. Returns
+    (anchor_id, pair_id, kind 'pos'|'neg', cosine)."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(df, vec_col, dim, n_planes).alias("_bkt"),
+    )
+    anchors = (
+        b.withColumn(
+            "_ar",
+            F.row_number().over(
+                Window.orderBy(
+                    F.md5(F.col(id_col).cast("string")), F.col(id_col)
+                )
+            ),
+        )
+        .where(F.col("_ar") <= n_anchors)
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("_av"),
+            F.col("_bkt"),
+        )
+    )
+    cand = anchors.join(
+        b.select(
+            F.col(id_col).alias("pair_id"),
+            F.col(vec_col).alias("_bv"),
+            F.col("_bkt"),
+        ),
+        on="_bkt",
+    ).where(F.col("anchor_id") != F.col("pair_id"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_av"), F.col("_bv"), lambda a, x: a.cast("double") * x
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _nrm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.col(c),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x,
+            )
+        )
+
+    scored = cand.select(
+        "anchor_id",
+        "pair_id",
+        F.round(dot / (_nrm("_av") * _nrm("_bv")), round_to).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("pair_id")
+    )
+    pos = (
+        scored.where(F.col("cosine") >= pos_min)
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("anchor_id", "pair_id", F.lit("pos").alias("kind"), "cosine")
+    )
+    neg = (
+        scored.where(F.col("cosine") <= neg_max)
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("anchor_id", "pair_id", F.lit("neg").alias("kind"), "cosine")
+    )
+    return pos.unionByName(neg)

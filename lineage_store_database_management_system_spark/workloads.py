@@ -8136,3 +8136,92 @@ def pq_clone_independence(spark, sf_dir):
         .alias("sum_total"),
     ).select(F.lit("src").alias("side"), "n_rows", "sum_total")
     return a.unionByName(b)
+
+
+@workload(
+    "ds_epoch_shuffle",
+    """SELECT CAST(('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 8))::BIGINT % 8
+            AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 8))::BIGINT % 8
+            ORDER BY md5('42:' || doc_id::VARCHAR), doc_id) AS INTEGER) AS pos,
+       doc_id
+FROM documents""",
+)
+def ds_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle + shard assignment
+    (sampling.epoch_shuffle): the reproducible data ordering a
+    training run needs — md5(seed:id) order key gives a fresh
+    permutation per seed that ANY engine replays exactly. Map-only
+    key computation, one shard shuffle, rank within shard (at scale:
+    repartition + sortWithinPartitions makes the rank free at read
+    time). The whole 'which sample did step N see' audit question
+    becomes answerable from the id alone."""
+    from .operators.sampling import epoch_shuffle
+
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id")
+    out = epoch_shuffle(docs, "doc_id", seed=42, n_shards=8)
+    return out.select("shard", F.col("pos").cast("int").alias("pos"), "doc_id")
+
+
+@workload(
+    "ds_contrastive_pairs",
+    """WITH p AS (
+  SELECT j, i,
+         ((('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 8))::BIGINT
+           % 2001) - 1000) / 1000.0 AS h
+  FROM range(4) t1(j), range(64) t2(i)
+), d AS (
+  SELECT vec_id, j, SUM(CAST(embedding[i + 1] AS DOUBLE) * h) AS dot
+  FROM embeddings, p GROUP BY vec_id, j
+), b AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS INTEGER) AS bkt
+  FROM d GROUP BY vec_id
+), nrm AS (
+  SELECT vec_id, sqrt(list_aggregate(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS n
+  FROM embeddings
+), a AS (
+  SELECT vec_id AS anchor_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS r
+    FROM b) WHERE r <= 50
+), cand AS (
+  SELECT a.anchor_id, b2.vec_id AS pair_id,
+         ROUND(list_aggregate(list_transform(range(1, 65),
+             i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)),
+             'sum') / (n1.n * n2.n), 3) AS cosine
+  FROM a
+  JOIN b b1 ON b1.vec_id = a.anchor_id
+  JOIN b b2 ON b2.bkt = b1.bkt AND b2.vec_id <> a.anchor_id
+  JOIN embeddings e1 ON e1.vec_id = a.anchor_id
+  JOIN embeddings e2 ON e2.vec_id = b2.vec_id
+  JOIN nrm n1 ON n1.vec_id = a.anchor_id
+  JOIN nrm n2 ON n2.vec_id = b2.vec_id
+)
+SELECT anchor_id, pair_id, 'pos' AS kind, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, pair_id) AS r
+  FROM cand WHERE cosine >= 0.3) WHERE r = 1
+UNION ALL
+SELECT anchor_id, pair_id, 'neg', cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, pair_id) AS r
+  FROM cand WHERE cosine <= 0.1) WHERE r = 1""",
+)
+def ds_contrastive_pairs(spark, sf_dir):
+    """Contrastive training-pair mining (similarity.contrastive_pairs):
+    per md5-sampled anchor, the best positive (highest cosine above
+    the floor) and the HARDEST negative (highest cosine still under
+    the ceiling — near the margin, the informative kind) among
+    candidates sharing the anchor's hyperplane-LSH bucket. Candidate
+    generation is anchors x own-bucket — never all-pairs — and the
+    anchor sample bounds the join at any corpus size; cosines rank
+    after rounding with id tiebreak, so the mined pair set is
+    engine-stable. The embedding-training data-prep op (SimCSE-style
+    hard-negative mining) done entirely in Catalyst."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    return similarity.contrastive_pairs(
+        emb, "vec_id", "embedding", dim=64,
+        n_anchors=50, pos_min=0.3, neg_max=0.1,
+    )

@@ -291,6 +291,12 @@ AUDIT = [
     # Shallow clone: both sides read as plain folds over (partly
     # shared-inode) native scans; the clone walk ran at build time.
     ("pq_clone_independence", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
+    # Epoch shuffle: map-only md5 keys + ONE shard shuffle; the rank
+    # is a plain window, all Catalyst.
+    ("ds_epoch_shuffle", ["Window"], ["BatchEvalPython", "Join"]),
+    # Contrastive mining: bucket-restricted equi-join (never a
+    # cartesian), zip_with/aggregate cosine fold, per-anchor ranks.
+    ("ds_contrastive_pairs", ["Window"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
