@@ -1194,14 +1194,21 @@ def contrastive_pairs(
         F.col(vec_col),
         hyperplane_bucket(df, vec_col, dim, n_planes).alias("_bkt"),
     )
+    # Anchor sampling without a full-corpus global rank: the md5
+    # hash-prefix prefilter keeps only the smallest ~30% of the hash
+    # space (hex-string order == prefix-int order, so the global
+    # md5-smallest n_anchors all survive it), then the rank runs over
+    # that bounded set — the single-partition window never sees the
+    # whole corpus.
+    ph = F.md5(F.col(id_col).cast("string"))
+    cap = int((1 << 32) * 0.3)
     anchors = (
-        b.withColumn(
+        b.where(
+            F.conv(F.substring(ph, 1, 8), 16, 10).cast("long") < F.lit(cap)
+        )
+        .withColumn(
             "_ar",
-            F.row_number().over(
-                Window.orderBy(
-                    F.md5(F.col(id_col).cast("string")), F.col(id_col)
-                )
-            ),
+            F.row_number().over(Window.orderBy(ph, F.col(id_col))),
         )
         .where(F.col("_ar") <= n_anchors)
         .select(

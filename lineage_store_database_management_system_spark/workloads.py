@@ -8183,9 +8183,14 @@ def ds_epoch_shuffle(spark, sf_dir):
            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS n
   FROM embeddings
 ), a AS (
+  -- hash-prefix prefilter bounds the rank's input (the engine does
+  -- the same; 0.3 * 2^32 = 1288490188); hex-string order == prefix-
+  -- int order, so the global md5-smallest 50 all survive it
   SELECT vec_id AS anchor_id FROM (
     SELECT vec_id, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS r
-    FROM b) WHERE r <= 50
+    FROM b
+    WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT < 1288490188
+  ) WHERE r <= 50
 ), cand AS (
   SELECT a.anchor_id, b2.vec_id AS pair_id,
          ROUND(list_aggregate(list_transform(range(1, 65),
