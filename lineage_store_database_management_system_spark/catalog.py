@@ -199,6 +199,113 @@ class Database:
                 t.base_df().createOrReplaceTempView(f"{name}__base")
                 t.tail_df().createOrReplaceTempView(f"{name}__tail")
 
+    def execute_dml(self, stmt: str) -> dict:
+        """SQL DML over lineage tables — UPDATE / DELETE / INSERT
+        statements parsed at the CLAUSE level only; every expression
+        and predicate inside a clause is handed to Spark's own SQL
+        parser (``F.expr``), so the full Catalyst function surface
+        works in SET and WHERE. The reference has no SQL at all;
+        together with ``register_views`` (SELECT) this closes the DML
+        half of the SQL surface.
+
+        Supported statements::
+
+            UPDATE <table> SET col = expr [, col = expr ...] WHERE <pred>
+            DELETE FROM <table> WHERE <pred>
+            INSERT INTO <table> SELECT ...   (SELECT may read any
+                                             registered view)
+            INSERT INTO <table> VALUES (...), (...)
+
+        UPDATE compiles to one ``bulk_update`` (the filtered current
+        view projected to key + new values — work ∝ matched rows);
+        DELETE to ``delete_where``; INSERT to ``ingest_dataframe``
+        with positional column alignment for VALUES and by-name
+        alignment for SELECT. Returns {"op", "table", "rows"}."""
+        import re
+
+        s = stmt.strip().rstrip(";")
+        m = re.match(r"(?is)^UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$", s)
+        if m:
+            name, set_clause, pred = m.group(1), m.group(2), m.group(3)
+            t = self.get_table(name)
+            # paren/quote-aware top-level comma split of SET
+            parts, depth, buf, q = [], 0, [], None
+            for ch in set_clause:
+                if q:
+                    if ch == q:
+                        q = None
+                elif ch in "'\"":
+                    q = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append("".join(buf))
+                    buf = []
+                    continue
+                buf.append(ch)
+            parts.append("".join(buf))
+            assigns = []
+            for p in parts:
+                col, _, expr = p.partition("=")
+                col = col.strip()
+                if col not in t.user_cols:
+                    raise ValueError(f"unknown column in SET: {col!r}")
+                if col == t.key:
+                    raise ValueError("UPDATE of the primary key is not supported")
+                assigns.append((col, expr.strip()))
+            from pyspark.sql import functions as F
+
+            changes = (
+                t.current_view()
+                .where(F.expr(pred))
+                .select(
+                    F.col(t.key),
+                    *[
+                        F.expr(expr).cast(t.schema[col].dataType).alias(col)
+                        for col, expr in assigns
+                    ],
+                )
+            )
+            n = changes.count()
+            if n:
+                t.bulk_update(changes)
+            return {"op": "update", "table": name, "rows": n}
+        m = re.match(r"(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)$", s)
+        if m:
+            name, pred = m.group(1), m.group(2)
+            t = self.get_table(name)
+            from pyspark.sql import functions as F
+
+            n = t.current_view().where(F.expr(pred)).count()
+            if n:
+                t.delete_where(F.expr(pred))
+            return {"op": "delete", "table": name, "rows": n}
+        m = re.match(r"(?is)^INSERT\s+INTO\s+(\w+)\s+(SELECT\s+.+|VALUES\s+.+)$", s)
+        if m:
+            name, body = m.group(1), m.group(2)
+            t = self.get_table(name)
+            if body[:6].upper() == "VALUES":
+                df = self.spark.sql(f"SELECT * FROM ({body})")
+                if len(df.columns) != len(t.user_cols):
+                    raise ValueError(
+                        f"VALUES arity {len(df.columns)} != table arity "
+                        f"{len(t.user_cols)}"
+                    )
+                df = df.toDF(*t.user_cols)
+            else:
+                df = self.spark.sql(body)
+            n = df.count()
+            if n:
+                t.ingest_dataframe(df)
+            return {"op": "insert", "table": name, "rows": n}
+        raise ValueError(
+            "unsupported DML (expected UPDATE ... SET ... WHERE, "
+            "DELETE FROM ... WHERE, or INSERT INTO ... SELECT/VALUES): "
+            f"{stmt[:80]!r}"
+        )
+
     # -- materialized views (extension; lineage watermarks make
     # -- staleness tracking exact) --------------------------------------
     def _mv_dir(self, name: str) -> str:

@@ -505,6 +505,27 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
         t2 = db.clone_table(name, name + "2")
         t2.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
         t.cl2 = t2
+    elif name == "orders_sql":
+        # SQL-DML scenario: the whole mutation history is driven
+        # through Database.execute_dml statements (UPDATE with an
+        # arithmetic SET, DELETE, self-referential INSERT..SELECT
+        # through the registered view) — the engine-side work is the
+        # same bulk lineage write paths the API gates already prove.
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(name, src.schema, "o_orderkey")
+        t.ingest_dataframe(src)
+        db.execute_dml(
+            f"UPDATE {name} SET o_totalprice = o_totalprice + 100 "
+            "WHERE o_orderkey % 7 = 0"
+        )
+        db.execute_dml(f"DELETE FROM {name} WHERE o_orderkey % 10 = 3")
+        mx = src.agg(F.max("o_orderkey")).first()[0]
+        db.register_views()
+        cols = ", ".join(c for c in ORDER_COLS if c != "o_orderkey")
+        db.execute_dml(
+            f"INSERT INTO {name} SELECT o_orderkey + {mx + 1} AS o_orderkey, "
+            f"{cols} FROM {name} WHERE o_orderkey % 9 = 0"
+        )
     elif name == "orders_opt":
         # OPTIMIZE bin-packing scenario: 8 separate ingest commits
         # (each lands its own small part-files in the base dir), keyed
@@ -8229,4 +8250,32 @@ def ds_contrastive_pairs(spark, sf_dir):
     return similarity.contrastive_pairs(
         emb, "vec_id", "embedding", dim=64,
         n_anchors=50, pos_min=0.3, neg_max=0.1,
+    )
+
+
+@workload(
+    "pq_sql_dml",
+    f"""WITH cur AS (
+  SELECT o_orderkey, ROUND({_R1}, 2) AS p
+  FROM orders WHERE {_LIVE}
+)
+SELECT o_orderkey, p AS o_totalprice FROM cur
+UNION ALL
+SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders), p
+FROM cur WHERE o_orderkey % 9 = 0""",
+)
+def pq_sql_dml(spark, sf_dir):
+    """SQL DML surface (Database.execute_dml — the reference has no
+    SQL at all; with register_views' SELECT surface this closes the
+    DML half): the orders_sql scenario mutates ONLY through SQL
+    statements — UPDATE with an arithmetic SET (Spark's own parser
+    evaluates every expression), DELETE, and a self-referential
+    INSERT..SELECT through the registered view — compiling to the
+    same bulk lineage write paths (bulk_update / delete_where /
+    ingest_dataframe) the API gates prove. Work ∝ matched rows at
+    every statement; the oracle is the familiar closed-form CASE
+    arithmetic over the source rows."""
+    t = _table(spark, sf_dir, "orders_sql")
+    return t.current_view().select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )

@@ -297,6 +297,9 @@ AUDIT = [
     # Contrastive mining: bucket-restricted equi-join (never a
     # cartesian), zip_with/aggregate cosine fold, per-anchor ranks.
     ("ds_contrastive_pairs", ["Window"], ["BatchEvalPython", "CartesianProduct"]),
+    # SQL DML: the gated read is the standard fold after the
+    # statement-driven mutations — native scans, no Python.
+    ("pq_sql_dml", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
