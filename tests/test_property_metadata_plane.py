@@ -98,3 +98,90 @@ def test_metadata_plane_matches_full_scan(spark, tmp_db, seed):
         (r["k"], r["v"]) for r in t.scan_with_bounds("v", lo, hi).collect()
     )
     assert got_b == want
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_travel_plane_exact_or_refuse(spark, tmp_db, seed):
+    """Travel-plane property (the catch-#9 class): after a random op
+    interleaving including compact / vacuum_tail / optimize /
+    drop_partition, every captured commit index must EITHER replay to
+    exactly the rows the view held at capture time OR raise the clean
+    retention ValueError — never a silently different answer. Refs
+    must always answer exactly (hardlinks make them vacuum-proof)."""
+    rng = random.Random(seed)
+    t = tmp_db.create_table_typed(f"tp_{seed}", _schema(), "k", partition_by=["p"])
+    next_key = 0
+
+    def ingest():
+        nonlocal next_key
+        n = rng.randrange(50, 120)
+        t.ingest_dataframe(_batch(spark, next_key, next_key + n))
+        next_key += n
+
+    def rows_now():
+        return sorted(
+            (r["k"], r["v"]) for r in t.current_view().select("k", "v").collect()
+        )
+
+    ingest()
+    captured = []  # (commit_idx, rows)
+    ref_truth = {}
+    dropped: set[str] = set()
+    ops = ["ingest", "update", "delete", "compact", "vacuum", "optimize",
+           "drop", "capture", "ref"]
+    for step in range(16):
+        op = rng.choice(ops)
+        if op == "ingest":
+            ingest()
+        elif op == "update":
+            ks = rng.sample(range(next_key), min(4, next_key))
+            t.bulk_update(
+                spark.createDataFrame(
+                    [Row(k=k, v=rng.uniform(-100, 100)) for k in ks],
+                    "k long, v double",
+                )
+            )
+        elif op == "delete":
+            ks = rng.sample(range(next_key), min(3, next_key))
+            t.bulk_delete(spark.createDataFrame([Row(k=k) for k in ks], "k long"))
+        elif op == "compact":
+            t.compact()
+        elif op == "vacuum":
+            t.vacuum_tail()
+        elif op == "optimize":
+            t.optimize_files(target_bytes=1 << 20)
+        elif op == "drop":
+            g = f"g{rng.randrange(3)}"
+            if g not in dropped:
+                try:
+                    t.drop_partition("p", g)
+                    dropped.add(g)
+                except ValueError:
+                    pass
+        elif op == "capture":
+            t.flush()
+            rng_now = t.filelog.replayable_range()
+            if rng_now:
+                captured.append((rng_now[1], rows_now()))
+        elif op == "ref":
+            name = f"r{step}"
+            try:
+                t.create_ref(name)
+            except ValueError:
+                continue
+            ref_truth[name] = rows_now()
+    for idx, want in captured:
+        try:
+            got = sorted(
+                (r["k"], r["v"])
+                for r in t.snapshot_at_commit(idx).select("k", "v").collect()
+            )
+        except ValueError:
+            continue  # clean retention refusal is allowed
+        assert got == want, f"seed {seed}: commit {idx} silently diverged"
+    for name, want in ref_truth.items():
+        got = sorted(
+            (r["k"], r["v"])
+            for r in t.snapshot_at_ref(name).select("k", "v").collect()
+        )
+        assert got == want, f"seed {seed}: ref {name} diverged"
