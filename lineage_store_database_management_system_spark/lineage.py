@@ -2736,6 +2736,36 @@ class LineageTable:
             out = out.select(*self.user_cols)
         return out
 
+    def diff_refs(self, a: str, b: str) -> DataFrame:
+        """Row-level diff between two pinned refs — "what changed
+        between dataset release v1.0 and v1.1": every key classified
+        ``added`` (only in ``b``), ``removed`` (only in ``a``), or
+        ``changed`` (in both, any user column differs null-safe).
+        One full-outer join on the key between the two pinned folds —
+        work ∝ the two releases, nothing else; unchanged rows drop
+        out before the result materializes. The audit surface a
+        training-data release process runs before shipping a tag."""
+        va = self.snapshot_at_ref(a).alias("a")
+        vb = self.snapshot_at_ref(b).alias("b")
+        key = self.key
+        j = va.join(vb, on=F.col(f"a.{key}") == F.col(f"b.{key}"), how="full_outer")
+        others = [c for c in self.user_cols if c != key]
+        diff = F.lit(False)
+        for c in others:
+            diff = diff | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        change = (
+            F.when(F.col(f"a.{key}").isNull(), F.lit("added"))
+            .when(F.col(f"b.{key}").isNull(), F.lit("removed"))
+            .when(diff, F.lit("changed"))
+        )
+        return (
+            j.select(
+                F.coalesce(F.col(f"a.{key}"), F.col(f"b.{key}")).alias(key),
+                change.alias("change"),
+            )
+            .where(F.col("change").isNotNull())
+        )
+
     def list_refs(self) -> list[dict]:
         """All pinned refs: [{"name", "idx", "files", "bytes",
         "created_ts"}], name-sorted."""

@@ -526,6 +526,28 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
             f"INSERT INTO {name} SELECT o_orderkey + {mx + 1} AS o_orderkey, "
             f"{cols} FROM {name} WHERE o_orderkey % 9 = 0"
         )
+    elif name == "orders_rd":
+        # ref-diff scenario: tag v1, mutate all three ways, tag v2 —
+        # the diff between the two pinned releases is the closed-form
+        # added/removed/changed classification.
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(name, src.schema, "o_orderkey")
+        t.ingest_dataframe(src)
+        t.create_ref("v1")
+        t.bulk_update(
+            src.where("o_orderkey % 7 = 0").select(
+                "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+            )
+        )
+        t.bulk_delete(src.where("o_orderkey % 10 = 3").select("o_orderkey"))
+        mx = src.agg(F.max("o_orderkey")).first()[0]
+        t.ingest_dataframe(
+            src.where("o_orderkey % 9 = 0").select(
+                (F.col("o_orderkey") + F.lit(mx + 1)).alias("o_orderkey"),
+                *[c for c in ORDER_COLS if c != "o_orderkey"],
+            )
+        )
+        t.create_ref("v2")
     elif name == "orders_opt":
         # OPTIMIZE bin-packing scenario: 8 separate ingest commits
         # (each lands its own small part-files in the base dir), keyed
@@ -8279,3 +8301,27 @@ def pq_sql_dml(spark, sf_dir):
     return t.current_view().select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+@workload(
+    "pq_ref_diff",
+    """SELECT o_orderkey, 'changed' AS change FROM orders
+WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 3
+UNION ALL
+SELECT o_orderkey, 'removed' FROM orders WHERE o_orderkey % 10 = 3
+UNION ALL
+SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders), 'added'
+FROM orders WHERE o_orderkey % 9 = 0""",
+)
+def pq_ref_diff(spark, sf_dir):
+    """Release diff between two pinned refs (lineage.diff_refs — the
+    dataset-release audit a training pipeline runs before shipping a
+    tag; the reference has no snapshot concept at all). The orders_rd
+    scenario tags v1, mutates all three ways (update / delete /
+    fresh-key insert), tags v2 — the diff must classify every key
+    added / removed / changed exactly, including the %7-updated keys
+    that the %10==3 delete then removed (delete wins: absent from v2
+    means removed, never changed). One full-outer key join between the
+    two pinned folds; unchanged rows drop before materializing."""
+    t = _table(spark, sf_dir, "orders_rd")
+    return t.diff_refs("v1", "v2")

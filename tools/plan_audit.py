@@ -300,6 +300,9 @@ AUDIT = [
     # SQL DML: the gated read is the standard fold after the
     # statement-driven mutations — native scans, no Python.
     ("pq_sql_dml", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
+    # Ref diff: one full-outer key join between the two pinned folds —
+    # a hash/merge equi-join, never a cartesian, no Python.
+    ("pq_ref_diff", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
