@@ -2120,16 +2120,30 @@ class LineageTable:
         a filtered full view."""
         if column == self.key:
             return self.current_view(key_range=(lo, hi))
+        return self.scan_with_multi_bounds({column: (lo, hi)})
+
+    def scan_with_multi_bounds(self, bounds: dict) -> DataFrame:
+        """Multi-column generalization of :meth:`scan_with_bounds` —
+        the read that makes multi-column Z-ORDER pay in full: with
+        ``bounds = {colA: (lo, hi), colB: (lo, hi), ...}`` a file is
+        skipped when ANY bounded column's logged stats exclude its
+        range (conjunctive predicate), so a snapshot clustered on
+        (colA, colB) prunes on both axes at once. Exactness discipline
+        is per the single-column contract: files holding post-
+        watermark dirty rids (a delta setting ANY non-key bounded
+        column) never skip; the key column (immutable) participates in
+        pruning without a dirty check. Returns the current view
+        filtered to all bounds; accounting in ``last_scan_bounds``."""
         self.flush()
         m = self.manifest
-        ph = self._phys_map.get(column, column)
+        nonkey = [c for c in bounds if c != self.key]
 
         def _cond(df):
-            c = F.col(column)
-            if lo is not None:
-                df = df.where(c >= F.lit(lo))
-            if hi is not None:
-                df = df.where(c <= F.lit(hi))
+            for c, (lo, hi) in bounds.items():
+                if lo is not None:
+                    df = df.where(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    df = df.where(F.col(c) <= F.lit(hi))
             return df
 
         if self.filelog.live(self._log_tag(self.base_dir)) is None:
@@ -2137,20 +2151,28 @@ class LineageTable:
         tail = self.tail_df()
         if m.compact_version >= 0:
             tail = tail.where(F.col(SEQ) > F.lit(m.tps))
-        dirty = tail.where(F.col(column).isNotNull()).select(RID).distinct()
+        dirty_cond = F.lit(False)
+        for c in nonkey:
+            dirty_cond = dirty_cond | F.col(c).isNotNull()
+        dirty = tail.where(dirty_cond).select(RID).distinct()
         snap_pairs, fresh_pairs = self._live_base_entries()
         every = [("snap", e) for e in snap_pairs] + [("fresh", e) for e in fresh_pairs]
         keep: list[tuple[str, dict]] = []
         prunable: list[tuple[str, dict]] = []
         for d, e in every:
-            st = e.get("stats", {}).get(ph)
-            try:
-                out_of_bounds = st is not None and (
-                    (hi is not None and st[0] > hi)
-                    or (lo is not None and st[1] < lo)
-                )
-            except TypeError:
-                out_of_bounds = False  # incomparable stat types: keep
+            out_of_bounds = False
+            for c, (lo, hi) in bounds.items():
+                st = e.get("stats", {}).get(self._phys_map.get(c, c))
+                try:
+                    if st is not None and (
+                        (hi is not None and st[0] > hi)
+                        or (lo is not None and st[1] < lo)
+                    ):
+                        out_of_bounds = True
+                        break
+                except TypeError:
+                    continue  # incomparable stat types: this column
+                    # cannot prune the file
             (prunable if out_of_bounds else keep).append((d, e))
         n_dirty = 0
         if prunable:

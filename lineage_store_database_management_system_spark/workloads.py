@@ -8325,3 +8325,45 @@ def pq_ref_diff(spark, sf_dir):
     two pinned folds; unchanged rows drop before materializing."""
     t = _table(spark, sf_dir, "orders_rd")
     return t.diff_refs("v1", "v2")
+
+
+@workload(
+    "pq_zorder_skip_2d",
+    f"""SELECT CAST(ROUND(SUM(CAST({_R1} AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_total,
+       COUNT(*) AS n_rows,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+FROM orders
+WHERE {_LIVE} AND o_custkey BETWEEN 100 AND 400
+  AND ({_R1}) BETWEEN 50000 AND 100000""",
+)
+def pq_zorder_skip_2d(spark, sf_dir):
+    """TWO-axis data skipping over the z-ordered snapshot
+    (lineage.scan_with_multi_bounds) — the read that makes
+    multi-column Z-ORDER pay in full: the orders_z snapshot is
+    clustered on (o_custkey, o_totalprice), so a conjunctive range
+    predicate on BOTH columns prunes on both axes at once (a file is
+    skipped when EITHER column's logged stats exclude it). The
+    workload asserts 2D skipping prunes at least as hard as the 1D
+    custkey bound alone, with the post-compact tail clean (dirty=0).
+    Exactness discipline is per pq_zorder_skip; the price bound
+    filters the FOLDED value, which the snapshot stats reflect
+    because the update predates the compaction."""
+    t = _table(spark, sf_dir, "orders_z")
+    t.scan_with_bounds("o_custkey", 100, 400).count()
+    one_d = t.last_scan_bounds["files_scanned"]
+    view = t.scan_with_multi_bounds(
+        {"o_custkey": (100, 400), "o_totalprice": (50000.0, 100000.0)}
+    )
+    out = view.agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_total"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_custkey").alias("cust_sum"),
+    )
+    acct = t.last_scan_bounds
+    assert acct["files_scanned"] < acct["files_total"], acct
+    assert acct["files_scanned"] <= one_d, (acct, one_d)
+    assert acct["dirty_rids"] == 0, acct
+    return out

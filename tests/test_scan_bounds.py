@@ -98,3 +98,29 @@ def test_open_bounds_and_strings(spark, tmp_db):
     got = sorted(r["s"] for r in t.scan_with_bounds("s", "s00250", None).collect())
     assert got == [f"s{i:05d}" for i in range(250, 300)]
     assert t.last_scan_bounds["files_scanned"] < t.last_scan_bounds["files_total"]
+
+
+def test_multi_bounds_conjunctive_and_exact(spark, tmp_db):
+    from pyspark.sql import Row
+
+    t = _mk(tmp_db, "sb6")
+    _ingest_ranges(spark, t, 500, 4)
+    # dirty hazard on ONE of the bounded columns blocks skipping for
+    # that file but the answer stays exact
+    t.bulk_update(spark.createDataFrame([Row(k=1900, v=150.0)], "k long, v double"))
+    got = sorted(
+        (r["k"], r["v"])
+        for r in t.scan_with_multi_bounds(
+            {"v": (100.0, 220.0), "k": (50, 1950)}
+        ).collect()
+    )
+    view = t.current_view()
+    want = sorted(
+        (r["k"], r["v"])
+        for r in view.where(
+            (F.col("v") >= 100.0) & (F.col("v") <= 220.0)
+            & (F.col("k") >= 50) & (F.col("k") <= 1950)
+        ).collect()
+    )
+    assert got == want and (1900, 150.0) in got
+    assert t.last_scan_bounds["dirty_rids"] == 1

@@ -303,6 +303,9 @@ AUDIT = [
     # Ref diff: one full-outer key join between the two pinned folds —
     # a hash/merge equi-join, never a cartesian, no Python.
     ("pq_ref_diff", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
+    # 2D z-order skipping: conjunctive bounds push into the kept
+    # files' native scans; no Python, no cartesian.
+    ("pq_zorder_skip_2d", ["Scan parquet", "PushedFilters"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
