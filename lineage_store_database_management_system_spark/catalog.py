@@ -917,6 +917,7 @@ class Database:
         refresh_mvs: bool = True,
         snapshot_retain: int = 1,
         optimize_target_bytes: int | None = None,
+        vacuum_dropped_age_s: float | None = None,
     ) -> dict:
         """One housekeeping pass over the whole database — the cron
         job a deployment would run between ingest waves. Per table:
@@ -959,6 +960,11 @@ class Database:
                 }
             if snapshot_retain >= 0:
                 r["snapshots_reclaimed"] = t.vacuum_snapshots(snapshot_retain)
+            if vacuum_dropped_age_s is not None:
+                # reclaim partitions retired by drop_partition once
+                # past the retention window (refs hold their own
+                # hardlinks, so this never breaks a tag)
+                r["dropped_reclaimed"] = t.vacuum_dropped(vacuum_dropped_age_s)
             report[name] = r
         if refresh_mvs:
             mv_report = {}
