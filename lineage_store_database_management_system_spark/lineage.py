@@ -1967,25 +1967,39 @@ class LineageTable:
 
         if self.filelog.live(self._log_tag(self.base_dir)) is None:
             return _full()
-        # ---- tail side -------------------------------------------------
+        # ---- tail side: ONE aggregate job for the fold + extremes +
+        # dirty count (the zero-scan fast path then needs no second
+        # tail job at all; the dirty rid SET materializes lazily only
+        # when a scan round actually happens)
         tail = self.tail_df()
         if m.compact_version >= 0:
             tail = tail.where(F.col(SEQ) > F.lit(m.tps))
-        upd = (
-            tail.where(F.col(column).isNotNull())
-            .groupBy(F.col(RID))
-            .agg(F.max_by(F.col(column), F.col(SEQ)).alias("v"))
+        folded = tail.groupBy(F.col(RID)).agg(
+            F.max(F.when(F.col(OP) == OP_DELETE, True).otherwise(False)).alias(
+                "_dead"
+            ),
+            F.max(
+                F.when(
+                    F.col(column).isNotNull(),
+                    F.struct(F.col(SEQ).alias("s"), F.col(column).alias("v")),
+                )
+            ).alias("_uv"),
         )
-        dead = tail.where(F.col(OP) == OP_DELETE).select(RID).distinct()
-        row = (
-            upd.join(dead, on=RID, how="left_anti")
-            .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-            .first()
+        live_v = F.when(~F.col("_dead"), F.col("_uv.v"))
+        row = folded.agg(
+            F.min(live_v).alias("mn"),
+            F.max(live_v).alias("mx"),
+            F.count(
+                F.when(F.col("_dead") | F.col("_uv").isNotNull(), F.lit(1))
+            ).alias("nd"),
+        ).first()
+        best_mn, best_mx, n_dirty = row["mn"], row["mx"], row["nd"]
+        dirty = (
+            folded.where(F.col("_dead") | F.col("_uv").isNotNull())
+            .select(RID)
+            .persist()
         )
-        best_mn, best_mx = row["mn"], row["mx"]
-        dirty = upd.select(RID).unionByName(dead).distinct().persist()
         try:
-            n_dirty = dirty.count()  # also materializes the persist
             snap_pairs, fresh_pairs = self._live_base_entries()
             remaining = [("snap", e) for e in snap_pairs] + [
                 ("fresh", e) for e in fresh_pairs
