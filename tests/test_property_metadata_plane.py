@@ -100,7 +100,7 @@ def test_metadata_plane_matches_full_scan(spark, tmp_db, seed):
     assert got_b == want
 
 
-@pytest.mark.parametrize("seed", [11, 37])
+@pytest.mark.parametrize("seed", [11, 37, 53, 89])
 def test_travel_plane_exact_or_refuse(spark, tmp_db, seed):
     """Travel-plane property (the catch-#9 class): after a random op
     interleaving including compact / vacuum_tail / optimize /
