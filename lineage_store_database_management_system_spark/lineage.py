@@ -3533,12 +3533,20 @@ class LineageTable:
         raw commit travel past the move raises the standard retention
         error.
 
-        Safety: raises if un-folded (post-TPS) tail TOMBSTONES target
-        rids inside the dropped files' rid ranges — those would
-        double-subtract from :meth:`fast_count`'s metadata contract;
-        ``compact()`` first (folds them), then drop. Dangling UPDATE
-        deltas are harmless (the fold is base-left). Simple partition
-        values only (no Hive special-char escaping)."""
+        Safety: raises if ANY un-folded (post-TPS) tail delta —
+        tombstone OR update — targets rids inside the dropped files'
+        rid ranges. Tombstones would double-subtract from
+        :meth:`fast_count`'s metadata contract; dangling UPDATE
+        deltas, while harmless to the base-left ``current_view`` fold,
+        would poison :meth:`fast_min_max`'s tail-extremes fold (a
+        dropped rid's update value would surface as a live extreme
+        with no base row, and its bogus bound also suppresses base
+        scans). ``compact()`` first (folds them), then drop. The check
+        is range-based and therefore conservative: rid ranges of files
+        in different partitions interleave, so a delta on a retained
+        partition's rid can also refuse — compact clears it either
+        way. Simple partition values only (no Hive special-char
+        escaping)."""
         if column not in self.partition_by:
             raise ValueError(
                 f"{column!r} is not a partition column {self.partition_by}"
@@ -3561,11 +3569,12 @@ class LineageTable:
                 targets.append((tag, hit))
         if not targets:
             return {"files": 0, "rows": 0, "bytes": 0}
-        # tombstone-safety: post-TPS tombstones inside dropped rid ranges
+        # delta-safety: ANY post-TPS delta (update or delete) inside
+        # the dropped rid ranges refuses — see docstring
         tail = self.tail_df()
         if m.compact_version >= 0:
             tail = tail.where(F.col(SEQ) > F.lit(m.tps))
-        tomb = tail.where(F.col(OP) == OP_DELETE).select(RID).distinct()
+        tomb = tail.select(RID).distinct()
         ranges = [
             (i, int(st[0]), int(st[1]))
             for i, e in enumerate(e for _, es in targets for e in es)
@@ -3592,9 +3601,9 @@ class LineageTable:
             )
         if danger:
             raise ValueError(
-                f"partition {token} has un-folded tombstones (or files "
-                "without rid stats) in its rid ranges; compact() first, "
-                "then drop_partition"
+                f"partition {token} has un-folded tail deltas — "
+                "tombstones or updates (or files without rid stats) — "
+                "in its rid ranges; compact() first, then drop_partition"
             )
         drop_id = uuid.uuid4().hex[:8]
         dest_root_rel = os.path.join("_dropped", drop_id)

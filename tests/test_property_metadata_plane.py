@@ -100,6 +100,32 @@ def test_metadata_plane_matches_full_scan(spark, tmp_db, seed):
     assert got_b == want
 
 
+def test_update_then_drop_cannot_poison_fast_min_max(spark, tmp_db):
+    """Regression (r10 ADVICE, high): a post-TPS UPDATE delta whose
+    rid lands in a dropped partition must not surface as a live
+    extreme in fast_min_max. drop_partition now refuses on ANY
+    un-folded delta in the dropped rid ranges (not just tombstones);
+    after compact() the drop proceeds and the metadata plane stays
+    exact."""
+    t = tmp_db.create_table_typed("upd_drop", _schema(), "k", partition_by=["p"])
+    t.ingest_dataframe(_batch(spark, 0, 20))
+    # k=1 lives in g1; plant an extreme update there
+    t.bulk_update(
+        spark.createDataFrame([Row(k=1, v=1e9)], "k long, v double")
+    )
+    with pytest.raises(ValueError, match="deltas"):
+        t.drop_partition("p", "g1")
+    t.compact()
+    t.drop_partition("p", "g1")
+    truth = (
+        t.current_view().agg(F.min("v").alias("mn"), F.max("v").alias("mx")).first()
+    )
+    got = t.fast_min_max("v").first()
+    assert (got["mn"], got["mx"]) == (truth["mn"], truth["mx"])
+    assert got["mx"] != 1e9  # the dangling extreme must be gone
+    assert t.fast_count().first()["cnt"] == t.current_view().count()
+
+
 @pytest.mark.parametrize("seed", [11, 37, 53, 89])
 def test_travel_plane_exact_or_refuse(spark, tmp_db, seed):
     """Travel-plane property (the catch-#9 class): after a random op
