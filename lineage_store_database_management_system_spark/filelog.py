@@ -64,6 +64,7 @@ _LOG_W = 12  # zero-pad width for log indices
 # part of the logged state, so state_at(idx) reconstructs not just the
 # file sets but HOW to fold them (see lineage.compact's setmeta).
 TABLE_META_TAG = "::table::"
+CDC_ADDS_TAG = "::cdc_adds::"  # per-(tag, commit) first-published row ledger
 
 
 def _atomic_json(path: str, obj) -> None:
@@ -287,13 +288,32 @@ class FileLog:
         pre-stamping logs or import_dir bootstrap simply lack the key
         (provenance reads them as NULL)."""
         state = self._cache if state is None else state
+
+        def _record_add(tag: str, e: dict, first: bool) -> None:
+            # CDC completeness ledger: cumulative rows FIRST-published
+            # per (tag, commit). Re-adds that carry an explicit _idx
+            # (optimize packs, repair re-imports) are re-homed copies
+            # of already-counted rows and must not inflate it. Lives
+            # inside ``state`` so checkpoints persist it.
+            if not first or e.get("_idx") is None:
+                return
+            rows = e.get("rows")
+            if not rows:
+                return
+            led = state.setdefault(CDC_ADDS_TAG, {})
+            key = f"{tag}@{e['_idx']}"
+            cur = led.get(key) or {"rows": 0}
+            led[key] = {"rows": cur["rows"] + int(rows)}
+
         for a in actions:
             op, tag = a["op"], a["dir"]
             if op == "add":
                 d = state.setdefault(tag, {})
                 for e in a["files"]:
+                    first = "_idx" not in e
                     if idx is not None:
                         e.setdefault("_idx", idx)
+                    _record_add(tag, e, first)
                     d[e["path"]] = e
             elif op == "remove":
                 d = state.get(tag, {})
@@ -302,12 +322,37 @@ class FileLog:
             elif op == "reset":
                 if idx is not None:
                     for e in a["files"]:
+                        first = "_idx" not in e
                         e.setdefault("_idx", idx)
+                        _record_add(tag, e, first)
                 state[tag] = {e["path"]: e for e in a["files"]}
             elif op == "drop":
                 state.pop(tag, None)
+                led = state.get(CDC_ADDS_TAG)
+                if led:
+                    for k in [k for k in led if k.startswith(f"{tag}@")]:
+                        del led[k]
             elif op == "setmeta":
                 state[tag] = {"::meta::": dict(a["meta"])}
+
+    def added_rows(self, tag: str) -> dict[int, int]:
+        """CDC completeness ledger for ``tag``: commit idx -> rows
+        first-published by that commit (cumulative, never decremented
+        by removals — that asymmetry is exactly what lets a reader
+        detect that a commit's rows no longer survive in the live
+        set). Commits older than the ledger's introduction (or whose
+        per-commit log files were checkpoint-compacted before any
+        replay under a ledger-aware build) are simply absent — callers
+        treat absent as unauditable and serve the feed (grandfather)."""
+        if not self.exists():
+            return {}
+        self._refresh_locked()
+        out: dict[int, int] = {}
+        for key, v in (self._cache.get(CDC_ADDS_TAG) or {}).items():
+            t, _, i = key.rpartition("@")
+            if t == tag:
+                out[int(i)] = v["rows"]
+        return out
 
     def _refresh_locked(self) -> None:
         ck, idxs = self._scan_log_dir()

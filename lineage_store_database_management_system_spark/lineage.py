@@ -3003,7 +3003,15 @@ class LineageTable:
         arithmetic needed. Retention: files vacuumed/packed since then
         have lost their original stamps (optimize re-stamps base packs
         with the SOURCE commit, so insert CDC survives packing; a
-        vacuumed tail is gone — same horizon as commit travel)."""
+        vacuumed tail is gone — same horizon as commit travel). A
+        window that covers a commit whose first-published rows no
+        longer all survive in the live set (``vacuum_tail`` rewrote
+        the tail; ``drop_partition`` unpublished base files) raises
+        the standard retention ValueError instead of returning a
+        silently incomplete feed — audited against the file log's
+        per-commit first-published row ledger
+        (:meth:`FileLog.added_rows`); pre-ledger commits are
+        unauditable and grandfathered."""
         if commit_hi is None:
             rng = self.filelog.replayable_range()
             commit_hi = rng[1] if rng else commit_lo
@@ -3012,9 +3020,30 @@ class LineageTable:
             (self._log_tag(self.tail_dir), self.tail_dir, self.tail_schema, None),
             (self._log_tag(self.base_dir), self.base_dir, self.base_schema, "I"),
         ):
+            live = self.filelog.live(tag) or []
+            ledger = self.filelog.added_rows(tag)
+            if ledger:
+                surviving: dict[int, int] = {}
+                for e in live:
+                    i = e.get("_idx")
+                    if i is not None:
+                        surviving[i] = surviving.get(i, 0) + (e.get("rows") or 0)
+                gone = [
+                    i
+                    for i, rows in ledger.items()
+                    if commit_lo < i <= commit_hi and surviving.get(i, 0) < rows
+                ]
+                if gone:
+                    raise ValueError(
+                        f"CDC window ({commit_lo}, {commit_hi}] covers "
+                        f"commit(s) {sorted(gone)[:5]} whose published rows "
+                        f"in {tag!r} were since removed (vacuum_tail / "
+                        "drop_partition); the feed would be silently "
+                        "incomplete — beyond the CDC retention horizon"
+                    )
             ents = [
                 e
-                for e in (self.filelog.live(tag) or [])
+                for e in live
                 if e.get("rows", 1) != 0
                 and e.get("_idx") is not None
                 and commit_lo < e["_idx"] <= commit_hi

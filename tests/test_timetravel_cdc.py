@@ -265,3 +265,54 @@ def test_snapshot_all_as_of_is_cross_table_consistent(spark, tmp_path):
     # a cross-table join at the instant
     j = views["a"].join(views["b"], on="k")
     assert j.count() == 5
+
+
+def test_cdc_by_commit_raises_when_window_rows_removed(spark, tmp_path):
+    """Regression (r10 ADVICE, medium): changes_between_commits plans
+    from live stamped entries, so commits whose files were removed
+    since (vacuum_tail tail rewrite, drop_partition unpublish) used to
+    vanish silently from the feed. The per-commit first-published row
+    ledger now detects the shortfall and raises the retention error,
+    matching snapshot_at_commit's contract. Packing via optimize_files
+    preserves source-commit stamps and must keep serving the feed."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    db = Database().open(str(tmp_path / "db"), spark)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("p", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    t = db.create_table_typed("cdc_ret", schema, "k", partition_by=["p"])
+    t.ingest_dataframe(
+        spark.range(60).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("g"), (F.col("id") % 2).cast("string")).alias("p"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+    )
+    lo0 = t.filelog.replayable_range()[1]
+    t.bulk_update(
+        spark.createDataFrame([Row(k=3, v=300.0)], "k long, v double")
+    )
+    hi1 = t.filelog.replayable_range()[1]
+    # healthy window serves the update delta
+    assert t.changes_between_commits(lo0, hi1).count() == 1
+    # optimize packing keeps insert CDC alive (stamps preserved)
+    t.optimize_files(target_bytes=1 << 30)
+    assert t.changes_between_commits(-1, lo0).where("_op = 'I'").count() == 60
+    # vacuum rewrites the tail -> the update commit's rows are re-homed
+    t.compact()
+    t.vacuum_tail()
+    with pytest.raises(ValueError, match="CDC"):
+        t.changes_between_commits(lo0, hi1)
+    # drop_partition unpublishes base files -> insert CDC over the
+    # ingest commit must refuse too
+    t.drop_partition("p", "g1")
+    with pytest.raises(ValueError, match="CDC"):
+        t.changes_between_commits(-1, lo0)
