@@ -268,9 +268,16 @@ class Database:
                     ],
                 )
             )
-            n = changes.count()
-            if n:
-                t.bulk_update(changes)
+            # persist so the reported count and the applied batch are
+            # the SAME evaluation — a nondeterministic SET/WHERE
+            # (rand(), current_timestamp) must not diverge between them
+            changes = changes.persist()
+            try:
+                n = changes.count()
+                if n:
+                    t.bulk_update(changes)
+            finally:
+                changes.unpersist()
             return {"op": "update", "table": name, "rows": n}
         m = re.match(r"(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)$", s)
         if m:
@@ -278,9 +285,15 @@ class Database:
             t = self.get_table(name)
             from pyspark.sql import functions as F
 
-            n = t.current_view().where(F.expr(pred)).count()
-            if n:
-                t.delete_where(F.expr(pred))
+            # evaluate the predicate ONCE: delete exactly the keys that
+            # were counted, even when the predicate is nondeterministic
+            keys = t.current_view().where(F.expr(pred)).select(t.key).persist()
+            try:
+                n = keys.count()
+                if n:
+                    t.bulk_delete(keys)
+            finally:
+                keys.unpersist()
             return {"op": "delete", "table": name, "rows": n}
         m = re.match(r"(?is)^INSERT\s+INTO\s+(\w+)\s+(SELECT\s+.+|VALUES\s+.+)$", s)
         if m:
@@ -296,9 +309,13 @@ class Database:
                 df = df.toDF(*t.user_cols)
             else:
                 df = self.spark.sql(body)
-            n = df.count()
-            if n:
-                t.ingest_dataframe(df)
+            df = df.persist()  # count and ingest see one evaluation
+            try:
+                n = df.count()
+                if n:
+                    t.ingest_dataframe(df)
+            finally:
+                df.unpersist()
             return {"op": "insert", "table": name, "rows": n}
         raise ValueError(
             "unsupported DML (expected UPDATE ... SET ... WHERE, "

@@ -86,8 +86,15 @@ def _jsonable_stat(v):
     """Stat value if losslessly JSON-comparable, else None (dropped).
     bool is excluded: it json-roundtrips but min/max pruning on a
     bool column is worthless and pyarrow stats for it are unreliable
-    across writers."""
+    across writers. NaN is excluded: parquet-mr writes a NaN-poisoned
+    max for float chunks containing NaN while other writers omit NaN
+    from stats entirely (the reason Delta special-cases float data
+    skipping) — dropping the stat makes a NaN-bearing file
+    self-exclude from pruning, so it always scans and stats-driven
+    answers stay exact under Spark's NaN-greatest ordering."""
     if isinstance(v, bool):
+        return None
+    if isinstance(v, float) and v != v:
         return None
     if isinstance(v, (int, float)):
         return v

@@ -85,6 +85,28 @@ _CHECK_ISIN_CAP = 100_000
 _BATCH_SHIFT = 48
 
 
+def _nan_lt(a, b) -> bool:
+    """``a < b`` under Spark's total ordering (NaN greater than every
+    value) — footer stats and scan results can carry NaN (grandfathered
+    logs; F.min/F.max over NaN-bearing files), and naive Python
+    comparisons are always-False against NaN, which would freeze the
+    fast_min_max bound-tightening loop on the wrong value."""
+    if isinstance(a, float) and a != a:
+        return False  # NaN is never smaller
+    if isinstance(b, float) and b != b:
+        return True  # anything non-NaN is smaller than NaN
+    return a < b
+
+
+def _nan_gt(a, b) -> bool:
+    """``a > b`` under Spark's NaN-greatest total ordering."""
+    if isinstance(b, float) and b != b:
+        return False  # nothing beats NaN
+    if isinstance(a, float) and a != a:
+        return True
+    return a > b
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -2014,8 +2036,8 @@ class LineageTable:
                     try:
                         if st is None:
                             need.append((d, e))
-                        elif (best_mn is not None and st[0] < best_mn) or (
-                            best_mx is not None and st[1] > best_mx
+                        elif (best_mn is not None and _nan_lt(st[0], best_mn)) or (
+                            best_mx is not None and _nan_gt(st[1], best_mx)
                         ):
                             need.append((d, e))
                         else:
@@ -2059,9 +2081,9 @@ class LineageTable:
                 r = scan.agg(
                     F.min(F.col(column)).alias("mn"), F.max(F.col(column)).alias("mx")
                 ).first()
-                if r["mn"] is not None and (best_mn is None or r["mn"] < best_mn):
+                if r["mn"] is not None and (best_mn is None or _nan_lt(r["mn"], best_mn)):
                     best_mn = r["mn"]
-                if r["mx"] is not None and (best_mx is None or r["mx"] > best_mx):
+                if r["mx"] is not None and (best_mx is None or _nan_gt(r["mx"], best_mx)):
                     best_mx = r["mx"]
                 remaining = [(d, e) for d, e, _ in rest]
             self.last_fast_minmax = {

@@ -133,3 +133,50 @@ def test_renamed_column_uses_physical_stats(spark, tmp_db):
     # stats are keyed by the physical (birth) name, so skipping still
     # engages through the rename mapping
     assert t.last_fast_minmax["files_scanned"] < t.last_fast_minmax["files_total"]
+
+
+def test_nan_bearing_files_never_stats_skipped(spark, tmp_db):
+    """Regression (r10 ADVICE, low): parquet-mr writes a NaN-poisoned
+    footer max for float chunks containing NaN, and naive Python
+    comparisons against NaN are always-False — a NaN-bearing file
+    could be stats-skipped so fast_min_max's max disagreed with the
+    full-scan agg (which returns NaN under Spark's NaN-greatest
+    ordering). NaN stats are now dropped at entry-build time (the file
+    self-excludes from pruning) and the bound fold is NaN-aware."""
+    import math
+
+    t, _ = _mk(tmp_db, "mm_nan", None)
+    _ingest_ranges(spark, t, 300, 3)
+    # a separate commit whose file holds NaN plus in-range values
+    t.ingest_dataframe(
+        spark.createDataFrame(
+            [Row(k=9001, v=float("nan"), s="s-nan"),
+             Row(k=9002, v=100.0, s="s-mid")],
+            "k long, v double, s string",
+        )
+    )
+    truth = _truth(t, "v")
+    got = t.fast_min_max("v").first()
+    assert math.isnan(truth["mx"]) and math.isnan(got["mx"])
+    assert got["mn"] == truth["mn"]
+    # min side still exact when an all-NaN file exists too
+    t.ingest_dataframe(
+        spark.createDataFrame(
+            [Row(k=9003, v=float("nan"), s="s-nan2")],
+            "k long, v double, s string",
+        )
+    )
+    got2 = t.fast_min_max("v").first()
+    assert math.isnan(got2["mx"]) and got2["mn"] == truth["mn"]
+    # and a planted NaN-free table still zero-scans on a tail extreme
+    t2, _ = _mk(tmp_db, "mm_nan_clean", None)
+    _ingest_ranges(spark, t2, 300, 3)
+    t2.bulk_update(
+        spark.createDataFrame([Row(k=1, v=1e12)], "k long, v double")
+    )
+    t2.bulk_update(
+        spark.createDataFrame([Row(k=2, v=-1e12)], "k long, v double")
+    )
+    got3 = t2.fast_min_max("v").first()
+    assert (got3["mn"], got3["mx"]) == (-1e12, 1e12)
+    assert t2.last_fast_minmax["files_scanned"] == 0

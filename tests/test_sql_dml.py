@@ -70,3 +70,20 @@ def test_errors(spark, tmp_db):
         tmp_db.execute_dml("MERGE INTO dml USING x ON 1=1")
     with pytest.raises(ValueError, match="arity"):
         tmp_db.execute_dml("INSERT INTO dml VALUES (1, 2.0)")
+
+
+def test_nondeterministic_dml_count_matches_applied(spark, tmp_db):
+    """Regression (r10 ADVICE, low): the reported row count and the
+    applied batch must come from ONE evaluation of the plan, even when
+    SET/WHERE uses a nondeterministic expression like rand()."""
+    t = _mk(spark, tmp_db)
+    rep = tmp_db.execute_dml("DELETE FROM dml WHERE rand(7) < 0.5")
+    assert rep["rows"] == 100 - t.current_view().count()
+    before = t.current_view().count()
+    rep2 = tmp_db.execute_dml(
+        "UPDATE dml SET v = rand() * 1000 WHERE rand(11) < 0.3"
+    )
+    # every counted row carries exactly one applied update delta
+    upd = t.changes_between(-1).where("_op = 'U'").count()
+    assert rep2["rows"] == upd
+    assert t.current_view().count() == before  # updates never change n
