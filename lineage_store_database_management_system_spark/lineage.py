@@ -886,9 +886,10 @@ class LineageTable:
         # later scan on one core. At real scale inputs carry >= session
         # parallelism splits and this is a no-op; when it does fire,
         # the shuffle moves exactly the bytes being written anyway.
-        floor = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < floor:
-            df = df.repartition(floor)
+        # (Plan-level probe — no df.rdd: see operators._util.spread.)
+        from .operators._util import spread as _spread
+
+        df = _spread(df)
         out = df.select(
             (F.lit(batch << _BATCH_SHIFT) + F.monotonically_increasing_id()).alias(RID),
             F.current_timestamp().alias(TS),

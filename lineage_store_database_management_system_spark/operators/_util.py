@@ -2,7 +2,20 @@
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame
+
+
+def _default_parallelism(df: DataFrame) -> int:
+    """Executor-count target without touching the RDD API (Spark
+    Connect has no ``sparkContext``): classic sessions answer from the
+    context, Connect sessions fall back to the shuffle-partition
+    setting, which the session pins to the core count anyway."""
+    try:
+        return df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -10,8 +23,8 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     coarse for a compute-heavy per-row stage (e.g. one small Parquet
     file = one partition = one core doing all the shingling).
 
-    No-op when the input already has enough partitions — so at real
-    scale (thousands of input splits) this costs nothing, while in
+    No-op when the input scan already has enough splits — so at real
+    scale (thousands of input files) this costs nothing, while in
     small-file corners it unlocks the full executor count. The shuffle
     it introduces moves exactly the columns the downstream op needs,
     once, and is strictly cheaper than serializing the whole stage on
@@ -22,8 +35,53 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     # not input bytes: a 500 KB / 5k-doc corpus still deserves all
     # cores when each row costs ~100 µs of CPU. (A bytes-derived
     # target was tried in round 2 and collapsed small-but-hot corpora
-    # to one partition — a 3x headline regression.)
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # to one partition — a 3x headline regression.) The width probe is
+    # plan-level (inputFiles), never df.rdd — the RDD probe forced a
+    # plan materialization per call and breaks under Spark Connect; a
+    # derived frame with no file scan (empty list) just repartitions,
+    # which is correctness-neutral and exactly the small-corner case
+    # the helper exists for.
+    target = min_parts or _default_parallelism(df)
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits >= target:
         return df
     return df.repartition(target)
+
+
+def tree_fold_partials(
+    partials: DataFrame,
+    col: str,
+    combine: Callable,
+    groups: int = 16,
+) -> list[bytes]:
+    """Executor-side fold of a one-row-per-partition binary-partials
+    frame (the output shape of a ``mapInPandas`` partial-sketch pass)
+    into at most ``groups`` rows BEFORE the driver collect — the
+    two-level fold that keeps sketch builds scale-safe: a 100 TB input
+    has ~1e5 splits, and collecting one ~1 MiB partial per split would
+    push ~100 GiB through the driver, while this caps the driver's
+    intake at ``groups`` rows regardless of input partition count.
+
+    ``combine(acc, value) -> acc`` merges one partial into the running
+    accumulator (``acc`` is None for the first; return a numpy array
+    or bytes). Runs as ONE extra Arrow-batched stage shuffling only
+    the partials themselves (#partitions x partial bytes, round-robin
+    into ``groups`` tasks), never touching the input data again.
+    Returns the <= ``groups`` merged blobs for the final driver fold.
+    """
+    import pandas as pd
+
+    def _merge(batches):
+        acc = None
+        for pdf in batches:
+            for b in pdf[col]:
+                acc = combine(acc, b)
+        if acc is not None:
+            out = acc.tobytes() if hasattr(acc, "tobytes") else acc
+            yield pd.DataFrame({col: [out]})
+
+    merged = partials.repartition(groups).mapInPandas(_merge, f"{col} binary")
+    return [r[col] for r in merged.collect()]

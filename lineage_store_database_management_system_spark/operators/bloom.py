@@ -10,9 +10,11 @@ superset: no false negatives) reach the exact verification join.
 
 Build is distributed: each input partition folds its elements' bit
 positions into a local numpy bitset inside one ``mapInPandas`` pass
-(Arrow-batched, ``np.bitwise_or.at`` — no per-row Python), and the
-driver ORs one ``num_bits/8``-byte row per partition. Driver memory
-is bounded by partitions x filter size, never by element count.
+(Arrow-batched, ``np.bitwise_or.at`` — no per-row Python); the
+partials then tree-fold executor-side into a bounded group count
+before the driver's final OR, so driver memory is bounded by
+``fold_groups`` x filter size — independent of both element count
+and input split count.
 
 Probing stays deterministic and engine-checkable because the k bit
 positions are computed JVM-side (``xxhash64(i, value) mod num_bits``,
@@ -33,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import word_shingles
-from ._util import spread
+from ._util import spread, tree_fold_partials
 
 DEFAULT_BITS = 1 << 23
 DEFAULT_HASHES = 5
@@ -104,9 +106,17 @@ def build_bloom(
     col: str | Column,
     num_bits: int = DEFAULT_BITS,
     num_hashes: int = DEFAULT_HASHES,
+    fold_groups: int = 16,
 ) -> BloomFilter:
     """Build the filter over every value of ``col`` (one distributed
-    pass; duplicates are harmless — set semantics are free)."""
+    pass; duplicates are harmless — set semantics are free). Partials
+    tree-fold executor-side into at most ``fold_groups`` rows before
+    the driver OR (``_util.tree_fold_partials``), so driver intake is
+    bounded by ``fold_groups`` x filter bytes regardless of input
+    split count — at 100 TB (~1e5 splits) a flat collect would push
+    ~100 GiB of partials through the driver. The returned filter's
+    ``driver_fold_rows`` records how many rows the driver actually
+    merged (unit-tested <= ``fold_groups``)."""
     if num_bits % 8:
         raise ValueError("num_bits must be a multiple of 8")
     c = F.col(col) if isinstance(col, str) else col
@@ -122,10 +132,19 @@ def build_bloom(
             np.bitwise_or.at(arr, ps >> 3, (1 << (ps & 7)).astype(np.uint8))
         yield pd.DataFrame({"bits": [arr.tobytes()]})
 
+    def _or(acc, b):
+        a = np.frombuffer(b, dtype=np.uint8)
+        return a.copy() if acc is None else acc | a
+
+    blobs = tree_fold_partials(
+        pos.mapInPandas(_part, "bits binary"), "bits", _or, groups=fold_groups
+    )
     out = np.zeros(nbytes, dtype=np.uint8)
-    for row in pos.mapInPandas(_part, "bits binary").collect():
-        out |= np.frombuffer(row["bits"], dtype=np.uint8)
-    return BloomFilter(out.tobytes(), num_bits, num_hashes)
+    for b in blobs:
+        out |= np.frombuffer(b, dtype=np.uint8)
+    bf = BloomFilter(out.tobytes(), num_bits, num_hashes)
+    bf.driver_fold_rows = len(blobs)
+    return bf
 
 
 def might_contain(df: DataFrame, col: str | Column, bf: BloomFilter) -> Column:

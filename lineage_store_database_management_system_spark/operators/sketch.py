@@ -6,9 +6,10 @@ sketch surface, SURVEY §2.6).
 The 100 TB problem: "which tokens appear >= T times corpus-wide"
 naively shuffles EVERY token occurrence into a groupBy. The sketch
 route: build a (depth x width) count matrix in one distributed pass
-(per-partition numpy ``np.add.at`` inside ``mapInPandas``, driver
-SUMS one matrix per partition — memory bounded by partitions x
-sketch size, never by token count), broadcast it, and prune the token
+(per-partition numpy ``np.add.at`` inside ``mapInPandas``; partials
+tree-fold executor-side into a bounded group count before the driver
+SUM, so driver memory is ``fold_groups`` x sketch size — independent
+of token count and split count), broadcast it, and prune the token
 stream MAP-SIDE to rows whose CMS estimate reaches the threshold.
 CMS only ever OVER-estimates, so the surviving rows are a guaranteed
 superset of the true heavy hitters; the exact groupBy then runs over
@@ -28,7 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ._util import spread
+from ._util import spread, tree_fold_partials
 
 DEFAULT_WIDTH = 1 << 16
 DEFAULT_DEPTH = 4
@@ -88,9 +89,14 @@ def build_cms(
     col: str | Column,
     width: int = DEFAULT_WIDTH,
     depth: int = DEFAULT_DEPTH,
+    fold_groups: int = 16,
 ) -> CountMinSketch:
     """One distributed pass over every OCCURRENCE of ``col`` (counts,
-    not set semantics — duplicates are the point)."""
+    not set semantics — duplicates are the point). Partials tree-fold
+    executor-side into at most ``fold_groups`` rows before the driver
+    SUM (``_util.tree_fold_partials``) — CMS is linear, so the grouped
+    elementwise sums compose losslessly. ``driver_fold_rows`` on the
+    returned sketch records the driver's actual intake."""
     c = F.col(col) if isinstance(col, str) else col
     pos = spread(df).select(cms_positions(c, width, depth).alias("pos"))
 
@@ -104,10 +110,19 @@ def build_cms(
             np.add.at(arr, (rows[None, :], m), 1)
         yield pd.DataFrame({"counts": [arr.tobytes()]})
 
+    def _sum(acc, b):
+        a = np.frombuffer(b, dtype=np.int64)
+        return a.copy() if acc is None else acc + a
+
+    blobs = tree_fold_partials(
+        pos.mapInPandas(_part, "counts binary"), "counts", _sum, groups=fold_groups
+    )
     out = np.zeros((depth, width), dtype=np.int64)
-    for row in pos.mapInPandas(_part, "counts binary").collect():
-        out += np.frombuffer(row["counts"], dtype=np.int64).reshape(depth, width)
-    return CountMinSketch(out, width, depth)
+    for b in blobs:
+        out += np.frombuffer(b, dtype=np.int64).reshape(depth, width)
+    sk = CountMinSketch(out, width, depth)
+    sk.driver_fold_rows = len(blobs)
+    return sk
 
 
 def cms_estimate(df: DataFrame, col: str | Column, sk: CountMinSketch) -> Column:

@@ -300,3 +300,19 @@ def test_star_cc_isolated_nodes_and_empty_edges(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     got2 = _comp_map(graph.connected_components_star(empty, nodes=nodes))
     assert got2 == {i: i for i in range(5)}
+
+
+def test_cms_tree_fold_bounds_driver_intake(spark):
+    """Scale contract (r10 VERDICT #1): build_cms partials tree-fold
+    executor-side; the driver sums at most fold_groups matrices, and
+    the grouped sums compose losslessly (CMS is linear)."""
+    import numpy as np
+
+    vals = spark.range(3000).select((F.col("id") % 97).cast("string").alias("v"))
+    sk_wide = build_cms(vals.repartition(48), "v", width=1 << 10, depth=3,
+                        fold_groups=5)
+    assert sk_wide.driver_fold_rows <= 5
+    sk_narrow = build_cms(vals.coalesce(2), "v", width=1 << 10, depth=3,
+                          fold_groups=5)
+    assert np.array_equal(sk_wide.counts, sk_narrow.counts)
+    assert int(sk_wide.counts[0].sum()) == 3000  # every occurrence counted
