@@ -82,6 +82,38 @@ def _atomic_json(path: str, obj) -> None:
         raise
 
 
+# Commit-mode switch for the log write side. "rename" (default) is the
+# HDFS/POSIX path: atomic os.replace under the table's manifest lock.
+# "put" is the object-store path: write-once log files committed with
+# put-if-absent semantics and NO lock — losers rescan and retry at the
+# next index, the same optimistic-concurrency loop as Delta on S3 (and
+# as lineage.rebase_retry for data commits). Locally the conditional
+# PUT is modeled by os.link(tmp, final): the content is fully written
+# and fsynced before the name appears, the link is atomic, and it
+# fails with FileExistsError when a concurrent writer won the index —
+# exactly S3's `If-None-Match: *` contract, with no rename anywhere.
+COMMIT_MODE_ENV = "SPARK_GRAFT_LOG_COMMIT"
+
+
+def _put_if_absent_json(path: str, obj) -> None:
+    """Publish ``obj`` at ``path`` iff no object exists there yet;
+    raises FileExistsError when a concurrent writer already committed
+    the name. Write-once: the name never changes content afterwards."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, separators=(",", ":"))
+            f.flush()
+            os.fsync(f.fileno())
+        os.link(tmp, path)
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 def _jsonable_stat(v):
     """Stat value if losslessly JSON-comparable, else None (dropped).
     bool is excluded: it json-roundtrips but min/max pruning on a
@@ -217,14 +249,27 @@ class FileLog:
         os.makedirs(self.root, exist_ok=True)
 
     # -- write side ---------------------------------------------------
+    @staticmethod
+    def commit_mode() -> str:
+        """'rename' (POSIX/HDFS: atomic replace under the manifest
+        lock) or 'put' (object-store: write-once put-if-absent commits
+        with loser-retries, no lock) — see COMMIT_MODE_ENV."""
+        return os.environ.get(COMMIT_MODE_ENV, "rename")
+
     def append(self, actions: list[dict]) -> int:
         """Publish one commit's actions. Caller must have already made
-        the data files visible (files-then-log). Serialized by the
-        table's manifest lock. Returns the log index written."""
-        from .lineage import _ManifestLock
-
+        the data files visible (files-then-log). Returns the log index
+        written. In 'rename' mode appends serialize under the table's
+        manifest lock; in 'put' mode the index name itself is the
+        coordination point (put-if-absent; collision -> rescan and
+        retry at the next index), so no lock service is needed — the
+        Delta-on-S3 commit shape."""
         if not actions:
             return -1
+        if self.commit_mode() == "put":
+            return self._append_put(actions)
+        from .lineage import _ManifestLock
+
         with _ManifestLock(self.table_path):
             ck, idxs = self._scan_log_dir()
             last = max([ck if ck is not None else -1] + idxs)
@@ -240,21 +285,76 @@ class FileLog:
                     os.path.join(self.root, f"ckpt-{idx:0{_LOG_W}d}.json"),
                     {"state": self._cache},
                 )
-                for i in idxs + [idx]:
-                    try:
-                        os.unlink(
-                            os.path.join(self.root, f"{i:0{_LOG_W}d}.json")
-                        )
-                    except OSError:
-                        pass
-                if ck is not None:
-                    try:
-                        os.unlink(
-                            os.path.join(self.root, f"ckpt-{ck:0{_LOG_W}d}.json")
-                        )
-                    except OSError:
-                        pass
+                self._cleanup_covered(ck, idxs + [idx])
         return idx
+
+    def _append_put(self, actions: list[dict]) -> int:
+        """Lock-free commit: claim the next index with a put-if-absent
+        publish; a FileExistsError means a concurrent writer won that
+        index — rescan and retry (bounded; the loop makes progress
+        because every collision implies someone ELSE committed)."""
+        for _ in range(512):
+            ck, idxs = self._scan_log_dir()
+            last = max([ck if ck is not None else -1] + idxs)
+            idx = last + 1
+            try:
+                _put_if_absent_json(
+                    os.path.join(self.root, f"{idx:0{_LOG_W}d}.json"),
+                    {"actions": actions},
+                )
+            except FileExistsError:
+                continue
+            if len(idxs) + 1 >= CHECKPOINT_EVERY:
+                # Checkpoint from an explicit replay pinned at OUR idx:
+                # a concurrent commit at idx+1 must not leak into a
+                # checkpoint named ckpt-{idx} (the instance cache may
+                # already have replayed past it).
+                try:
+                    state = self._replay_raw(idx)
+                    _put_if_absent_json(
+                        os.path.join(self.root, f"ckpt-{idx:0{_LOG_W}d}.json"),
+                        {"state": state},
+                    )
+                    self._cleanup_covered(ck, idxs + [idx])
+                except (FileExistsError, FileNotFoundError):
+                    pass  # raced another checkpointer; theirs covers us
+            return idx
+        raise RuntimeError(
+            "put-if-absent log commit failed 512 consecutive index races"
+        )
+
+    def _cleanup_covered(self, prev_ck: int | None, covered: list[int]) -> None:
+        """Delete per-commit files folded into a just-written
+        checkpoint, plus the superseded checkpoint. Readers tolerate
+        the race (FileNotFoundError -> the newer checkpoint covers)."""
+        for i in covered:
+            try:
+                os.unlink(os.path.join(self.root, f"{i:0{_LOG_W}d}.json"))
+            except OSError:
+                pass
+        if prev_ck is not None:
+            try:
+                os.unlink(
+                    os.path.join(self.root, f"ckpt-{prev_ck:0{_LOG_W}d}.json")
+                )
+            except OSError:
+                pass
+
+    def _replay_raw(self, idx: int) -> dict[str, dict[str, dict]]:
+        """State dict (tag -> path -> entry) as of commit ``idx``,
+        replayed fresh from disk without touching the instance cache —
+        the checkpoint builder for 'put' mode."""
+        ck, idxs = self._scan_log_dir()
+        state: dict[str, dict[str, dict]] = {}
+        if ck is not None and ck <= idx:
+            with open(os.path.join(self.root, f"ckpt-{ck:0{_LOG_W}d}.json")) as f:
+                state = json.load(f)["state"]
+        for i in idxs:
+            if (ck is not None and i <= ck) or i > idx:
+                continue
+            with open(os.path.join(self.root, f"{i:0{_LOG_W}d}.json")) as f:
+                self._apply(json.load(f)["actions"], state, idx=i)
+        return state
 
     # -- read side ----------------------------------------------------
     def _scan_log_dir(self) -> tuple[int | None, list[int]]:
@@ -416,17 +516,7 @@ class FileLog:
                 f"commit {idx} is outside the replayable log range "
                 f"{rng}: pre-checkpoint commits are compacted away"
             )
-        ck, idxs = self._scan_log_dir()
-        state: dict[str, dict[str, dict]] = {}
-        if ck is not None and ck <= idx:
-            with open(os.path.join(self.root, f"ckpt-{ck:0{_LOG_W}d}.json")) as f:
-                state = json.load(f)["state"]
-        for i in idxs:
-            if (ck is not None and i <= ck) or i > idx:
-                continue
-            with open(os.path.join(self.root, f"{i:0{_LOG_W}d}.json")) as f:
-                self._apply(json.load(f)["actions"], state, idx=i)
-        return {tag: list(d.values()) for tag, d in state.items()}
+        return {tag: list(d.values()) for tag, d in self._replay_raw(idx).items()}
 
     # -- import / resync ----------------------------------------------
     def import_dir(

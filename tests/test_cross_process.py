@@ -185,3 +185,48 @@ def test_kill9_mid_commit_leaves_no_torn_state(spark, tmp_path):
     t.refresh()
     assert t.current_view().count() == n + 100
     assert t.base_df().select("_rid").distinct().count() == n + 100
+
+
+def test_two_processes_race_ingest_put_commit_mode(spark, tmp_path, monkeypatch):
+    """Same two-writer race as above but with the object-store log
+    commit mode (r10 VERDICT #3): log commits are write-once
+    put-if-absent files with loser-retries and no lock. Both writers'
+    batches must land exactly once and a fresh handle must agree."""
+    from lineage_store_database_management_system_spark import (
+        ConcurrentWriteError, LineageTable,
+    )
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    monkeypatch.setenv("SPARK_GRAFT_LOG_COMMIT", "put")
+    db = Database().open(str(tmp_path / "db"), spark)
+    src = spark.range(500).selectExpr("id as k", "cast(id as double) as v")
+    t = db.create_table_typed("tput", src.schema, "k")
+    t.ingest_dataframe(src)
+
+    N_SUB, N_MAIN = 3, 3
+    proc, progress = _spawn_writer(tmp_path, t.path, N_SUB, key_base=10_000)
+    try:
+        for i in range(N_MAIN):
+            df = spark.range(20_000 + i * 100, 20_000 + i * 100 + 100).selectExpr(
+                "id as k", "cast(id as double) as v"
+            )
+            while True:
+                try:
+                    t.ingest_dataframe(df)
+                    break
+                except ConcurrentWriteError:
+                    t.refresh()
+        out, _ = proc.communicate(timeout=240)
+        assert proc.returncode == 0 and "WRITER-DONE" in out, out[-2000:]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    t.refresh()
+    expected = 500 + (N_SUB + N_MAIN) * 100
+    cur = t.current_view()
+    assert cur.count() == expected
+    assert t.base_df().select("_rid").distinct().count() == expected
+    assert cur.select("k").distinct().count() == expected
+    t2 = LineageTable.load(spark, t.path)
+    assert t2.current_view().count() == expected

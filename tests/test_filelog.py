@@ -223,3 +223,76 @@ def test_partitioned_table_log_roundtrip(spark, tmp_db):
     assert df.where((F.col("k") < 40) & (F.col("v") == 5)).count() == 40
     t.compact()
     assert t.current_view().where(F.col("p") == 2).count() == 50
+
+
+def test_put_mode_threaded_contention_no_lost_commits(tmp_path, monkeypatch):
+    """Object-store commit mode (r10 VERDICT #3): 'put' commits are
+    write-once put-if-absent files with loser-retries and NO lock —
+    eight threads hammering one log root must land every commit under
+    a distinct index, checkpoints (written mid-contention) must fold
+    without losing actions, and leftover .tmp files from the
+    put-if-absent emulation are invisible to readers."""
+    import threading
+
+    from lineage_store_database_management_system_spark.filelog import (
+        CHECKPOINT_EVERY,
+        FileLog,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_LOG_COMMIT", "put")
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    FileLog(root).init()
+    n_threads, n_each = 8, 2 * CHECKPOINT_EVERY // 8 + 5
+    errs = []
+
+    def writer(wid):
+        log = FileLog(root)  # own handle, like a separate process
+        try:
+            for i in range(n_each):
+                idx = log.append(
+                    [{"op": "add", "dir": "base",
+                      "files": [{"path": f"w{wid}_{i}.parquet", "rows": 1,
+                                 "bytes": 10, "stats": {}}]}]
+                )
+                assert idx >= 0
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(w,)) for w in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    live = FileLog(root).live("base")
+    paths = sorted(e["path"] for e in live)
+    want = sorted(f"w{w}_{i}.parquet" for w in range(n_threads) for i in range(n_each))
+    assert paths == want  # every commit landed exactly once
+    # checkpointing kept the metadata-file count bounded
+    n_json = len([n for n in os.listdir(os.path.join(root, "_filelog"))
+                  if n.endswith(".json") and not n.startswith("ckpt-")])
+    assert n_json <= 2 * CHECKPOINT_EVERY
+    # no .tmp leaks pollute the log dir listing semantics
+    for n in os.listdir(os.path.join(root, "_filelog")):
+        assert not n.endswith(".tmp"), n
+
+
+def test_put_mode_indices_are_write_once(tmp_path, monkeypatch):
+    """A name that exists can never be recommitted: the loser's append
+    lands at the NEXT index, and the winner's content is untouched."""
+    from lineage_store_database_management_system_spark.filelog import FileLog
+
+    monkeypatch.setenv("SPARK_GRAFT_LOG_COMMIT", "put")
+    root = str(tmp_path / "t2")
+    os.makedirs(root)
+    a, b = FileLog(root), FileLog(root)
+    a.init()
+    i0 = a.append([{"op": "add", "dir": "base",
+                    "files": [{"path": "a.parquet", "rows": 1, "bytes": 1,
+                               "stats": {}}]}])
+    i1 = b.append([{"op": "add", "dir": "base",
+                    "files": [{"path": "b.parquet", "rows": 1, "bytes": 1,
+                               "stats": {}}]}])
+    assert i1 == i0 + 1
+    assert {e["path"] for e in a.live("base")} == {"a.parquet", "b.parquet"}
