@@ -886,10 +886,14 @@ class LineageTable:
         # later scan on one core. At real scale inputs carry >= session
         # parallelism splits and this is a no-op; when it does fire,
         # the shuffle moves exactly the bytes being written anyway.
-        # (Plan-level probe — no df.rdd: see operators._util.spread.)
-        from .operators._util import spread as _spread
-
-        df = _spread(df)
+        # The probe must be exact (df.rdd, not a plan-level guess):
+        # an unconditional round-robin repartition here would scatter
+        # naturally-contiguous keys across every output file and
+        # destroy the tight per-file key stats that file skipping
+        # plans from (r10 regression caught by test_filelog).
+        floor = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < floor:
+            df = df.repartition(floor)
         out = df.select(
             (F.lit(batch << _BATCH_SHIFT) + F.monotonically_increasing_id()).alias(RID),
             F.current_timestamp().alias(TS),
