@@ -49,6 +49,11 @@ class Database:
             self.spark = get_spark()
         self.path = path
         os.makedirs(path, exist_ok=True)
+        # roll forward any multi-table commit interrupted by a crash —
+        # the shared marker means every listed table must publish
+        from .lineage import recover_txn_markers
+
+        recover_txn_markers(path)
         return self
 
     def close(self) -> None:

@@ -770,8 +770,12 @@ class LineageTable:
         }
 
     def _append_via_staging(
-        self, df: DataFrame, target_dir: str, partition_by: list[str] | None = None
-    ) -> None:
+        self,
+        df: DataFrame,
+        target_dir: str,
+        partition_by: list[str] | None = None,
+        txn_hidden: str | None = None,
+    ) -> dict | None:
         """Commit-protocol append: write to a staging dir, then move
         the finished part-files into the table dir (preserving
         Hive partition subdirectories). Two reasons this exists
@@ -785,7 +789,15 @@ class LineageTable:
            partial append (files appear only after they are complete),
            which is the same files-then-manifest discipline a real
            lakehouse format uses.
-        """
+
+        With ``txn_hidden`` (a transaction id) the files land under
+        HIDDEN names (``_txn_<id>_...``: Spark scans skip ``_``
+        prefixes and the repair resync imports only ``*.parquet``
+        without it) and the log append is DEFERRED — the method
+        returns the publish intent (renames + log action) for
+        :func:`commit_tables_atomically` to publish under one shared
+        commit marker. Footer stats are read from the hidden files;
+        the entries carry the visible (post-rename) paths."""
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:8]}")
         aggs = self._check_aggs()
         obs = None
@@ -806,7 +818,8 @@ class LineageTable:
                 # the write never happened
                 shutil.rmtree(staging, ignore_errors=True)
                 raise CheckViolation(f"check constraint(s) violated: {viol}")
-        moved: list[str] = []
+        moved: list[str] = []  # visible dests ('rename' path) or hidden abs
+        renames: list[tuple[str, str]] = []  # (hidden rel, visible rel) to table
         for root, _dirs, files in os.walk(staging):
             rel = os.path.relpath(root, staging)
             for name in files:
@@ -814,10 +827,48 @@ class LineageTable:
                     continue
                 dest_dir = target_dir if rel == "." else os.path.join(target_dir, rel)
                 os.makedirs(dest_dir, exist_ok=True)
-                dest = os.path.join(dest_dir, f"{uuid.uuid4().hex[:8]}-{name}")
-                os.rename(os.path.join(root, name), dest)
-                moved.append(dest)
+                vis = f"{uuid.uuid4().hex[:8]}-{name}"
+                if txn_hidden is not None:
+                    hid = os.path.join(dest_dir, f"_txn_{txn_hidden}_{vis}")
+                    os.rename(os.path.join(root, name), hid)
+                    renames.append(
+                        (
+                            os.path.relpath(hid, self.path),
+                            os.path.relpath(os.path.join(dest_dir, vis), self.path),
+                        )
+                    )
+                    moved.append(hid)
+                else:
+                    dest = os.path.join(dest_dir, vis)
+                    os.rename(os.path.join(root, name), dest)
+                    moved.append(dest)
         shutil.rmtree(staging, ignore_errors=True)
+        if txn_hidden is not None:
+            if not moved:
+                return None
+            from .filelog import file_entries
+
+            # entries: stats from the hidden bytes, visible rel path
+            ents = file_entries(
+                [
+                    (
+                        hid,
+                        os.path.relpath(
+                            os.path.join(self.path, vis_rel), target_dir
+                        ),
+                    )
+                    for hid, (_h, vis_rel) in zip(moved, renames)
+                ],
+                self._stat_cols,
+            )
+            return {
+                "renames": renames,
+                "action": {
+                    "op": "add",
+                    "dir": self._log_tag(target_dir),
+                    "files": ents,
+                },
+            }
         # files-then-log: the commit becomes visible to log-planned
         # scans here (one footer read per new file for stats)
         if moved and self.filelog.exists():
@@ -838,6 +889,7 @@ class LineageTable:
                     }
                 ]
             )
+        return None
 
     # ------------------------------------------------------------------
     # write path (Q1 insert / Q4 update / Q5 delete — bulk + row-at-a-time)
@@ -1318,10 +1370,13 @@ class LineageTable:
         if len(self._pending_base) + len(self._pending_tail) >= self.FLUSH_THRESHOLD:
             self.flush()
 
-    def flush(self) -> None:
+    def flush(self, _txn_id: str | None = None) -> list[dict]:
         """Write pending buffers to Parquet and close the open batch.
         The Spark analogue of the reference's page rollover
-        (table.py:104-119)."""
+        (table.py:104-119). With ``_txn_id`` the files stage HIDDEN
+        and the publish intents return instead of the log committing —
+        see :meth:`stage_pending` / :func:`commit_tables_atomically`."""
+        intents: list[dict] = []
         if self._pending_base:
             df = self.spark.createDataFrame(self._pending_base, self.base_schema)
             aggs = self._check_aggs()
@@ -1340,7 +1395,14 @@ class LineageTable:
             except UniqueViolation:
                 self._pending_base = []
                 raise
-            self._append_via_staging(df.coalesce(1), self.base_dir, partition_by=self.partition_by)
+            it = self._append_via_staging(
+                df.coalesce(1),
+                self.base_dir,
+                partition_by=self.partition_by,
+                txn_hidden=_txn_id,
+            )
+            if it:
+                intents.append(it)
             self._pending_base = []
         if self._pending_tail:
             df = self.spark.createDataFrame(self._pending_tail, self.tail_schema)
@@ -1362,13 +1424,33 @@ class LineageTable:
             # staged like every other commit (was a direct
             # mode("append") before the file log existed: staging is
             # what lets the new files be enumerated for the log entry)
-            self._append_via_staging(df.coalesce(1), self.tail_dir)
+            it = self._append_via_staging(
+                df.coalesce(1), self.tail_dir, txn_hidden=_txn_id
+            )
+            if it:
+                intents.append(it)
             self._pending_tail = []
         # No manifest save here: the open batch was reserved (and the
         # manifest CAS'd) in _ensure_batch, so the on-disk manifest is
         # already current — saving again would only widen the window in
         # which a stale handle conflicts AFTER publishing files.
         self._open_batch = None
+        return intents
+
+    def stage_pending(self, txn_id: str) -> dict | None:
+        """Stage this table's pending buffered rows as HIDDEN files
+        plus a publish intent — the per-table half of the multi-table
+        atomic commit (:func:`commit_tables_atomically`). Runs the
+        same constraint/uniqueness validation as :meth:`flush`.
+        Returns None when nothing is pending."""
+        intents = self.flush(_txn_id=txn_id)
+        if not intents:
+            return None
+        return {
+            "path": self.path,
+            "renames": [r for it in intents for r in it["renames"]],
+            "actions": [it["action"] for it in intents],
+        }
 
     # ------------------------------------------------------------------
     # read path: raw frames
@@ -3726,6 +3808,11 @@ class LineageTable:
 
         Returns {'rolled_forward': n, 'discarded': n, 'staging': n}."""
         fwd = disc = stag = 0
+        # interrupted multi-table commits roll FORWARD first: the
+        # shared marker in the database root is the commit point, so
+        # its presence means every listed table must publish (this
+        # table's hidden files become visible before the resync runs).
+        fwd += recover_txn_markers(os.path.dirname(os.path.abspath(self.path)))
         # interrupted drop_partition rolls FORWARD first (before the
         # listing resync below, which would otherwise resurrect the
         # not-yet-moved files): replaying the remove actions is
@@ -3780,6 +3867,22 @@ class LineageTable:
                         stag += 1
                 except OSError:  # pragma: no cover - raced removal
                     pass
+        # hidden multi-table-commit files with no surviving marker are
+        # pre-commit-point orphans (the txn never committed) — discard.
+        # Age-gated like _staging_: a live writer between staging and
+        # marker publish must keep its in-flight hidden files.
+        for d in (self.base_dir, self.tail_dir):
+            for root, _dirs, files in os.walk(d):
+                for name in files:
+                    if not name.startswith("_txn_"):
+                        continue
+                    p = os.path.join(root, name)
+                    try:
+                        if now - os.path.getmtime(p) > max_age_s:
+                            os.remove(p)
+                            disc += 1
+                    except OSError:  # pragma: no cover - raced removal
+                        pass
         if self.filelog.exists():
             # Repair is the designated log-resync point: a crash
             # between file publish and log append leaves orphans the
@@ -4065,3 +4168,87 @@ def _now():
     import datetime
 
     return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+
+
+# ---------------------------------------------------------------------------
+# multi-table atomic commit (extension beyond the reference's per-table
+# transactions, transaction.py:35-42; the protocol is the drop/optimize
+# marker shape generalized across tables)
+# ---------------------------------------------------------------------------
+def commit_tables_atomically(tables: list["LineageTable"]) -> int:
+    """Publish every listed table's pending buffered rows with
+    all-or-nothing VISIBILITY across tables: each table stages its
+    rows as hidden files (invisible to scans and to the repair
+    resync), then ONE shared commit marker in the common database
+    root becomes the commit point, then each table's renames + log
+    append publish, then the marker deletes. A crash before the
+    marker leaves only hidden orphans (repair discards them); a crash
+    after it rolls FORWARD from the marker (:func:`
+    roll_forward_txn_marker` — both halves idempotent), so either
+    every table's rows become visible or none do. Tables must share a
+    parent directory (one Database) so recovery has a single scan
+    root. Returns the number of tables that had pending rows."""
+    pending = [t for t in tables if t._pending_base or t._pending_tail]
+    if not pending:
+        return 0
+    parents = {os.path.dirname(os.path.abspath(t.path)) for t in pending}
+    if len(parents) > 1:
+        raise ValueError(
+            "multi-table atomic commit requires tables in one database "
+            f"directory; got {sorted(parents)}"
+        )
+    txn_id = uuid.uuid4().hex[:8]
+    intents = [i for t in pending if (i := t.stage_pending(txn_id))]
+    if not intents:
+        return 0
+    marker = os.path.join(parents.pop(), f"_txn_commit_{txn_id}.json")
+    _atomic_write_json(marker, {"tables": intents})  # <- the commit point
+    roll_forward_txn_marker(marker)
+    return len(intents)
+
+
+def roll_forward_txn_marker(marker_path: str) -> None:
+    """Complete a multi-table commit from its marker. Idempotent:
+    renames skip already-visible files; a table whose log already
+    contains any of the intent's paths skips the append (one log
+    commit per table is atomic, so presence of one path implies all).
+    The marker deletes only after every table published."""
+    from .filelog import FileLog
+
+    with open(marker_path) as fh:
+        m = json.load(fh)
+    for t in m["tables"]:
+        tpath = t["path"]
+        for hid_rel, vis_rel in t["renames"]:
+            hid = os.path.join(tpath, hid_rel)
+            vis = os.path.join(tpath, vis_rel)
+            if os.path.exists(hid) and not os.path.exists(vis):
+                os.replace(hid, vis)
+        log = FileLog(tpath)
+        if not log.exists() or not t["actions"]:
+            continue
+        already = False
+        for a in t["actions"]:
+            live = {e["path"] for e in (log.live(a["dir"]) or [])}
+            if any(e["path"] in live for e in a["files"]):
+                already = True
+                break
+        if not already:
+            log.append(t["actions"])
+    os.remove(marker_path)
+
+
+def recover_txn_markers(db_root: str) -> int:
+    """Scan a database root for interrupted multi-table commit
+    markers and roll each forward. Called from Database.open/maintain
+    and from repair_staging (which checks its table's parent)."""
+    n = 0
+    try:
+        names = sorted(os.listdir(db_root))
+    except FileNotFoundError:
+        return 0
+    for name in names:
+        if name.startswith("_txn_commit_") and name.endswith(".json"):
+            roll_forward_txn_marker(os.path.join(db_root, name))
+            n += 1
+    return n

@@ -118,6 +118,25 @@ class Transaction:
         return False
 
     def commit(self) -> bool:
+        # Multi-table atomicity (extension; the reference's commit is a
+        # stub): when the txn touched 2+ tables, their buffered rows
+        # publish through ONE shared commit marker — both tables'
+        # appends become visible or neither does, even across a crash
+        # between the per-table publishes (lineage.
+        # commit_tables_atomically; recovery rolls the marker forward).
+        # Single-table txns keep the cheap path: the next flush is
+        # already atomic per table. Holds for txns under the flush
+        # threshold (a mid-txn auto-flush publishes early by design —
+        # the same boundary abort() documents).
+        tables = [
+            t
+            for t in self._tables.values()
+            if t._pending_base or t._pending_tail
+        ]
+        if len(tables) >= 2:
+            from .lineage import commit_tables_atomically
+
+            commit_tables_atomically(tables)
         self._release()
         return True
 
