@@ -246,11 +246,434 @@ def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, np.ascontiguousarray(rgb).tobytes()
 
 
+# ---------------------------------------------------------------------------
+# baseline sequential JPEG (ITU-T T.81 / ISO 10918-1, public spec):
+# pure stdlib + numpy — Huffman entropy decode, dequantization, 8x8
+# IDCT, chroma upsampling, JFIF YCbCr->RGB. Progressive (SOF2),
+# arithmetic coding, 12-bit precision, and hierarchical modes stay
+# behind the explicit NotImplementedError contract.
+# ---------------------------------------------------------------------------
+
+# zigzag scan order: _JPEG_ZZ[k] = natural (row-major) index of the
+# k-th zigzag position
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_IDCT_M = None  # lazy 8x8 DCT-III basis
+
+
+def _jpeg_idct_matrix():
+    global _JPEG_IDCT_M
+    if _JPEG_IDCT_M is None:
+        import math
+
+        import numpy as np
+
+        m = np.zeros((8, 8), dtype=np.float64)
+        for u in range(8):
+            cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+            for x in range(8):
+                m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        _JPEG_IDCT_M = m
+    return _JPEG_IDCT_M
+
+
+def _jpeg_build_huffman(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman per T.81 Annex C: (code length, code) ->
+    symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded segment (byte
+    stuffing already stripped)."""
+
+    __slots__ = ("d", "pos", "buf", "n")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.buf = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise NotImplementedError("truncated JPEG entropy data")
+            self.buf = self.d[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise NotImplementedError("invalid JPEG Huffman code")
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = self.read_bits(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline sequential JPEG -> (w, h, 3, row-major RGB bytes).
+    Handles multi-table DQT/DHT segments, restart intervals, 4:4:4 /
+    4:2:0 / arbitrary sampling (nearest-replication upsampling, the
+    T.81 Annex default), greyscale and 3-component YCbCr."""
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload")
+    qt: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    i = 2
+    while i < len(b) - 1:
+        if b[i] != 0xFF:
+            raise NotImplementedError("malformed JPEG marker stream")
+        m = b[i + 1]
+        i += 2
+        if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
+            continue
+        if m == 0xD9:
+            break
+        if i + 2 > len(b):
+            raise NotImplementedError("truncated JPEG segment")
+        seg_len = int.from_bytes(b[i : i + 2], "big")
+        seg = b[i + 2 : i + seg_len]
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    raise NotImplementedError(
+                        "16-bit JPEG quantization tables are not supported"
+                    )
+                qt[tq] = np.frombuffer(seg, np.uint8, 64, p).astype(np.int32)
+                p += 64
+        elif m in (0xC0, 0xC1):  # baseline / extended-sequential Huffman
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG precision is supported")
+            fh = int.from_bytes(seg[1:3], "big")
+            fw = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                comps.append(
+                    {
+                        "id": seg[6 + 3 * c],
+                        "h": seg[7 + 3 * c] >> 4,
+                        "v": seg[7 + 3 * c] & 15,
+                        "tq": seg[8 + 3 * c],
+                    }
+                )
+            frame = (fw, fh, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/SOF1) is supported — "
+                "progressive/lossless/arithmetic modes keep the codec stub"
+            )
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                p += 1
+                bits = list(seg[p : p + 16])
+                p += 16
+                n = sum(bits)
+                vals = list(seg[p : p + n])
+                p += n
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_build_huffman(
+                    bits, vals
+                )
+        elif m == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:  # SOS — single scan (baseline), entropy data follows
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                scomps.append((seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15))
+            scan = (scomps, i + seg_len)
+            break
+        i += seg_len
+    if frame is None or scan is None:
+        raise NotImplementedError("JPEG without SOF0+SOS is not supported")
+    w, h, comps = frame
+    scomps, p = scan
+    # entropy-coded segments: strip byte stuffing, split at restarts
+    segs: list[bytes] = []
+    cur = bytearray()
+    n_b = len(b)
+    while p < n_b:
+        x = b[p]
+        if x != 0xFF:
+            cur.append(x)
+            p += 1
+            continue
+        nxt = b[p + 1] if p + 1 < n_b else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:
+            break  # EOI or next marker: single-scan baseline ends here
+    segs.append(bytes(cur))
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[cs] for cs, _td, _ta in scomps]
+    tabs = {cs: (td, ta) for cs, td, ta in scomps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        c["id"]: np.zeros((mcy * 8 * c["v"], mcx * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    }
+    M = _jpeg_idct_matrix()
+    zz = _JPEG_ZZ
+    preds = {c["id"]: 0 for c in comps}
+    seg_i = 0
+    br = _JpegBitReader(segs[0])
+    for mcu in range(mcx * mcy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise NotImplementedError("missing JPEG restart segment")
+            br = _JpegBitReader(segs[seg_i])
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcx)
+        for c in order:
+            td, ta = tabs[c["id"]]
+            q = qt[c["tq"]]
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    s = br.read_huff(huff_dc[td])
+                    preds[c["id"]] += br.receive_extend(s)
+                    coefz = np.zeros(64, dtype=np.int32)
+                    coefz[0] = preds[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = br.read_huff(huff_ac[ta])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise NotImplementedError("corrupt JPEG AC run")
+                        coefz[k] = br.receive_extend(s)
+                        k += 1
+                    dq = (coefz * q).astype(np.float64)
+                    block = np.zeros(64, dtype=np.float64)
+                    block[zz] = dq  # un-zigzag
+                    spat = M.T @ block.reshape(8, 8) @ M + 128.0
+                    y0 = (my * c["v"] + v) * 8
+                    x0 = (mx * c["h"] + hh) * 8
+                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = spat
+    out = {}
+    for c in comps:
+        pl = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
+        out[c["id"]] = pl[:h, :w]
+    if len(comps) == 1:
+        y = np.clip(np.rint(next(iter(out.values()))), 0, 255).astype(np.uint8)
+        rgb = np.repeat(y[:, :, None], 3, axis=2)
+    elif len(comps) == 3:
+        yy = out[comps[0]["id"]]
+        cb = out[comps[1]["id"]] - 128.0
+        cr = out[comps[2]["id"]] - 128.0
+        r = yy + 1.402 * cr
+        g = yy - 0.344136 * cb - 0.714136 * cr
+        bl = yy + 1.772 * cb
+        rgb = np.clip(np.rint(np.stack([r, g, bl], axis=2)), 0, 255).astype(
+            np.uint8
+        )
+    else:
+        raise NotImplementedError("JPEG with 2 or 4 components is not supported")
+    return w, h, 3, np.ascontiguousarray(rgb).tobytes()
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with T.81 byte stuffing (FF -> FF 00)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write_bits(self, v: int, k: int) -> None:
+        for i in range(k - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)
+                self.buf = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write_bits(1, 1)  # pad with 1s per spec
+
+
+# encoder Huffman tables (custom, spec-legal canonical sets): DC —
+# twelve 4-bit codes for categories 0..11 (code 1111 unused, as the
+# all-ones code must be); AC — the single 1-bit code "0" for EOB.
+_JPEG_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_ENC_DC_VALS = list(range(12))
+_JPEG_ENC_AC_BITS = [1] + [0] * 15
+_JPEG_ENC_AC_VALS = [0x00]
+
+
+def encode_jpeg_blocks(
+    w: int, h: int, block_vals, color: bool = True
+) -> bytes:
+    """Minimal baseline JPEG encoder — the deterministic twin
+    generator for the JPEG decode gates. The image is a grid of solid
+    8x8 blocks: ``block_vals[by][bx]`` (any indexable of indexables of
+    0..255 ints) is the luma of block (bx, by); quantization tables
+    are all-ones and every block is DC-only, so the decode is EXACT
+    (IDCT of a pure-DC block is a flat block) and a SQL oracle can
+    compute every decoded pixel closed-form. ``color=True`` writes a
+    3-component 4:4:4 YCbCr frame with neutral chroma (Cb=Cr=128 —
+    zero after level shift, so RGB == luma exactly through the JFIF
+    matrix); ``color=False`` writes single-component greyscale. The
+    entropy stream still exercises the real Huffman path: DC
+    categories vary with the per-block DPCM diffs."""
+    import struct
+
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: table 0, 8-bit, all ones (zigzag order — identity here)
+    out += b"\xff\xdb" + struct.pack(">BB", 0, 67)[1:] + b"\x43\x00" + b"\x01" * 64
+    ncomp = 3 if color else 1
+    # SOF0
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += struct.pack(">BBB", cid, 0x11, 0)  # H=V=1, quant table 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: DC table 0 + AC table 0
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_ENC_DC_BITS) + bytes(_JPEG_ENC_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_ENC_AC_BITS) + bytes(_JPEG_ENC_AC_VALS)
+    )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    # SOS
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    dc_table = _jpeg_build_huffman(_JPEG_ENC_DC_BITS, _JPEG_ENC_DC_VALS)
+    dc_code = {
+        sym: (length, code) for (length, code), sym in dc_table.items()
+    }
+    bwr = _JpegBitWriter()
+    preds = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw):
+            # luma DC for a flat block of value v is 8*(v-128); neutral
+            # chroma is 0 (all with all-ones quantization)
+            dcs = [8 * (int(block_vals[by][bx]) - 128)]
+            if color:
+                dcs += [0, 0]
+            for ci, dc in enumerate(dcs):
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                mag = abs(diff)
+                s = mag.bit_length()
+                length, code = dc_code[s]
+                bwr.write_bits(code, length)
+                if s:
+                    bwr.write_bits(diff if diff > 0 else diff + (1 << s) - 1, s)
+                bwr.write_bits(0, 1)  # AC: EOB (code "0")
+    bwr.flush()
+    out += bwr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def plant_test_images_jpeg(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic planted-JPEG corpus for the JPEG decode gate: per
+    id, a (8*(1 + id%3) + id%5) x (8*(1 + id%2) + id%7) image of solid
+    8x8 blocks whose block (bx, by) has luma (id*31 + bx*17 + by*29) %
+    256 — 3-component neutral-chroma YCbCr for even ids, greyscale for
+    odd — so every decoded pixel is closed-form in the id (DC-only
+    blocks under all-ones quantization decode exactly) while the Spark
+    side must genuinely Huffman-decode, dequantize, IDCT, and
+    color-convert the container. Edge blocks crop (dims are not
+    multiples of 8), exercising the partial-MCU path."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                w = 8 * (1 + rid % 3) + rid % 5
+                h = 8 * (1 + rid % 2) + rid % 7
+                bw, bh = (w + 7) // 8, (h + 7) // 8
+                vals = [
+                    [(rid * 31 + bx * 17 + by * 29) % 256 for bx in range(bw)]
+                    for by in range(bh)
+                ]
+                payloads.append(
+                    encode_jpeg_blocks(w, h, vals, color=(rid % 2 == 0))
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+    from ._util import spread
+
+    return spread(df.select(id_col)).mapInPandas(_gen, schema=schema)
+
+
 _CODEC_STUB_MSG = (
     "image decode requires PIL/cv2 for this format (not installed; "
-    "native decoders cover PPM P6/P3, uncompressed 24/32bpp BMP, and "
-    "non-interlaced 8-bit greyscale/RGB/RGBA PNG); "
-    "use extract_byte_features for the deterministic fake path"
+    "native decoders cover PPM P6/P3, uncompressed 24/32bpp BMP, "
+    "non-interlaced 8-bit greyscale/RGB/RGBA PNG, and baseline "
+    "sequential JPEG — progressive/arithmetic JPEG and video stay "
+    "stubbed); use extract_byte_features for the deterministic fake path"
 )
 
 

@@ -850,11 +850,20 @@ def ivf_pq_write_index(
         books = pq_train(df, vec_col=vec_col, id_col=id_col, m=m, nbits=nbits)
         prepared = pq_encode(assigned, books, vec_col=vec_col)
     prepared.write.mode("overwrite").partitionBy("_list").parquet(index_dir)
+    # Birth-time health stats for the drift trigger
+    # (ivf_pq_index_staleness): per-list balance and mean assignment
+    # error of the data the quantizer was actually trained for. One
+    # n_lists-row agg over the freshly written index.
+    build_stats = _ivf_health(
+        ivf_residuals(assigned, cents, vec_col=vec_col)
+    )
     tmp = _os.path.join(index_dir, "_ann_meta.json.tmp")
     with open(tmp, "w") as f:
         _json.dump(
             {"centroids": cents, "codebooks": books, "id_col": id_col,
-             "vec_col": vec_col, "residual": residual},
+             "vec_col": vec_col, "residual": residual,
+             "n_lists": n_lists, "m": m, "nbits": nbits,
+             "build_stats": build_stats},
             f,
         )
     _os.replace(tmp, _os.path.join(index_dir, "_ann_meta.json"))
@@ -896,6 +905,119 @@ def ivf_pq_append_index(
     n = prepared.count()
     prepared.write.mode("append").partitionBy("_list").parquet(index_dir)
     return n
+
+
+def _ivf_health(res_df: DataFrame, list_col: str = "_list") -> dict:
+    """List-balance + assignment-error stats from a frame carrying
+    ``_res`` (vector minus its ASSIGNED list's centroid) — ONE
+    n_lists-row aggregate, pure Catalyst (the residual norm is an
+    F.aggregate fold, no Python). skew = max list size / mean list
+    size; assign_err = mean squared residual norm."""
+    err = F.aggregate(
+        "_res", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    rows = (
+        res_df.groupBy(F.col(list_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(err).alias("e"))
+        .collect()
+    )
+    sizes = [r["n"] for r in rows]
+    total = sum(sizes)
+    return {
+        "rows": int(total),
+        "n_lists_used": len(sizes),
+        "skew": float(max(sizes) / (total / len(sizes))) if sizes else 0.0,
+        "assign_err": float(sum(r["e"] for r in rows) / total) if total else 0.0,
+    }
+
+
+def ivf_pq_index_staleness(
+    spark,
+    index_dir: str,
+    skew_factor: float = 3.0,
+    err_factor: float = 2.0,
+) -> dict:
+    """Drift trigger for a persisted ANN index (the FAISS operational
+    recipe made checkable; analogous to indexing.index_staleness for
+    secondary indexes): appends encode under FROZEN centroids and
+    codebooks, so as the data distribution drifts the inverted lists
+    skew (hot lists absorb the new mass) and the mean assignment
+    error grows — both directly predict recall decay. Compares the
+    index's CURRENT per-list balance and assignment error against the
+    birth-time stats in the sidecar and flags ``stale`` when either
+    degrades past its factor. One n_lists-row aggregate over the
+    index — never touches the source corpus."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_dir, "_ann_meta.json")) as f:
+        meta = _json.load(f)
+    idx = spark.read.parquet(index_dir)
+    cur = _ivf_health(
+        ivf_residuals(idx, meta["centroids"], vec_col=meta["vec_col"])
+    )
+    build = meta.get("build_stats") or {}
+    b_skew = max(build.get("skew", 1.0), 1.0)
+    b_err = build.get("assign_err", 0.0)
+    skew_ratio = cur["skew"] / b_skew
+    err_ratio = (cur["assign_err"] / b_err) if b_err else 1.0
+    return {
+        **cur,
+        "build_skew": b_skew,
+        "build_assign_err": b_err,
+        "skew_ratio": skew_ratio,
+        "err_ratio": err_ratio,
+        "stale": bool(skew_ratio > skew_factor or err_ratio > err_factor),
+    }
+
+
+def ivf_pq_maintain_index(
+    spark,
+    index_dir: str,
+    skew_factor: float = 3.0,
+    err_factor: float = 2.0,
+    **train_opts,
+) -> dict:
+    """Retrain-and-rebuild a drifted ANN index in place: when
+    :func:`ivf_pq_index_staleness` flags it, re-read the index's own
+    (id, vector) rows — raw vectors ride in every partition, so no
+    source-corpus access is needed — retrain centroids + codebooks at
+    the sidecar's parameters (``train_opts`` forwards e.g.
+    ``residual=True``), write the rebuild beside the index, and swap
+    directories (rename-rename-rmtree, the vacuum_tail dance; a crash
+    between the renames leaves either the old or the new complete
+    index, never a torn one). Work is one corpus re-encode — the
+    operation the staleness gate exists to run RARELY. Returns the
+    staleness report plus ``rebuilt``."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    rep = ivf_pq_index_staleness(spark, index_dir, skew_factor, err_factor)
+    if not rep["stale"]:
+        return {**rep, "rebuilt": False}
+    import json as _json
+
+    with open(_os.path.join(index_dir, "_ann_meta.json")) as f:
+        meta = _json.load(f)
+    vecs = spark.read.parquet(index_dir).select(meta["id_col"], meta["vec_col"])
+    token = _uuid.uuid4().hex[:8]
+    fresh = f"{index_dir.rstrip('/')}_rebuild_{token}"
+    kw = dict(
+        n_lists=meta.get("n_lists", 16),
+        m=meta.get("m", 4),
+        nbits=meta.get("nbits", 4),
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+        residual=meta.get("residual", False),
+    )
+    kw.update(train_opts)
+    ivf_pq_write_index(vecs, fresh, **kw)
+    old = f"{index_dir.rstrip('/')}_old_{token}"
+    _os.rename(index_dir, old)
+    _os.rename(fresh, index_dir)
+    _shutil.rmtree(old, ignore_errors=True)
+    return {**rep, "rebuilt": True}
 
 
 def ivf_pq_topk_from_index(

@@ -8367,3 +8367,87 @@ def pq_zorder_skip_2d(spark, sf_dir):
     assert acct["files_scanned"] <= one_d, (acct, one_d)
     assert acct["dirty_rids"] == 0, acct
     return out
+
+
+@workload(
+    "ds_embedding_ivf_pq_maintained_topk",
+    # Index maintenance under append drift (r10 VERDICT #5): build the
+    # durable IVF+PQ index on the corpus, append its ANTIPODAL copy
+    # (every vector negated — the drifted cloud keeps perfect neighbor
+    # geometry, but the frozen centroids point the wrong way, so the
+    # assignment error explodes), require the staleness trigger to
+    # fire, retrain-and-rebuild via ivf_pq_maintain_index, then query
+    # in the drifted region. Gated rows = exact top-20 over the
+    # drifted corpus (well-conditioned: negation preserves cosine
+    # separation); booleans: stale_flagged + stale_cleared +
+    # rebuilt_ok + overlap >= 4 of 20 (the fresh-build recall bound of
+    # the ds_embedding_ivf_pq_topk gate).
+    """WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 500000,
+         list_transform(embedding, x -> -CAST(x AS DOUBLE))
+  FROM embeddings
+), q AS (SELECT e AS qe FROM corpus WHERE vec_id = 500003),
+scored AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(e) + 1),
+      i -> e[i] * qe[i]), 'sum')
+    / (sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe, x -> x * x), 'sum'))) AS c
+  FROM corpus, q
+)
+SELECT vec_id, ROUND(c, 3) AS cosine, TRUE AS stale_flagged,
+       TRUE AS rebuilt_ok, TRUE AS stale_cleared, TRUE AS overlap_ok
+FROM scored ORDER BY ROUND(c, 3) DESC, vec_id LIMIT 20""",
+)
+def ds_embed_ivf_pq_maintained(spark, sf_dir):
+    """Drifted-corpus ANN maintenance: appends encode under frozen
+    centroids/codebooks, so distribution drift degrades recall
+    silently — similarity.ivf_pq_index_staleness detects it from the
+    index's own per-list balance + assignment error vs the sidecar's
+    birth stats (one n_lists-row agg, no corpus access), and
+    ivf_pq_maintain_index retrains and swaps the index in place
+    (rename-rename-rmtree; never torn). Post-maintenance top-k in the
+    drifted region must match the exact oracle at the same recall
+    bound as a fresh build."""
+    emb = load_star(spark, sf_dir)["embeddings"].select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    drifted = emb.select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.expr("transform(embedding, x -> -x)").alias("embedding"),
+    )
+    root = tempfile.mkdtemp(prefix="lss_wl_annmaint_")
+    idx = os.path.join(root, "idx")
+    similarity.ivf_pq_write_index(emb, idx, n_lists=16, m=8, nbits=4)
+    similarity.ivf_pq_append_index(drifted, idx)
+    st = similarity.ivf_pq_index_staleness(spark, idx)
+    rep = similarity.ivf_pq_maintain_index(spark, idx)
+    post = similarity.ivf_pq_index_staleness(spark, idx)
+    q = [
+        float(x)
+        for x in drifted.where(F.col("vec_id") == 500003).first()["embedding"]
+    ]
+    corpus = emb.unionByName(drifted)
+    exact = similarity.brute_force_topk(corpus, q, k=20, round_to=3)
+    approx = similarity.ivf_pq_topk_from_index(
+        spark, idx, q, k=20, nprobe=4, n_candidates=200
+    ).select(F.col("vec_id").alias("_aid"))
+    overlap = (
+        exact.select("vec_id")
+        .join(approx, F.col("vec_id") == F.col("_aid"))
+        .agg(F.count(F.lit(1)).alias("_ov"))
+    )
+    flags = overlap.select(
+        F.lit(bool(st["stale"])).alias("stale_flagged"),
+        F.lit(bool(rep["rebuilt"])).alias("rebuilt_ok"),
+        F.lit(not post["stale"]).alias("stale_cleared"),
+        (F.col("_ov") >= 4).alias("overlap_ok"),
+    )
+    return exact.crossJoin(F.broadcast(flags)).select(
+        "vec_id", "cosine", "stale_flagged", "rebuilt_ok", "stale_cleared",
+        "overlap_ok"
+    )

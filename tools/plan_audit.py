@@ -150,6 +150,10 @@ AUDIT = [
     # Grown (build+append) ANN index: the gated plan's exact side is
     # a top-k; index build/append jobs run before the audited plan.
     ("ds_embedding_index_append_topk", ["TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
+    # Maintained (drift->retrain->swap) ANN index: same gated-plan
+    # shape as the other index workloads; staleness/rebuild jobs run
+    # before the audited plan.
+    ("ds_embedding_ivf_pq_maintained_topk", ["TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
     # Keep-best dedup: one digest-keyed aggregate (struct max -> no
     # mutable-buffer hash impl -> SortAggregate, still partial
     # map-side), never a window sort over the corpus; all Catalyst.
