@@ -8371,23 +8371,30 @@ def pq_zorder_skip_2d(spark, sf_dir):
 
 @workload(
     "ds_embedding_ivf_pq_maintained_topk",
-    # Index maintenance under append drift (r10 VERDICT #5): build the
-    # durable IVF+PQ index on the corpus, append its ANTIPODAL copy
-    # (every vector negated — the drifted cloud keeps perfect neighbor
-    # geometry, but the frozen centroids point the wrong way, so the
-    # assignment error explodes), require the staleness trigger to
-    # fire, retrain-and-rebuild via ivf_pq_maintain_index, then query
-    # in the drifted region. Gated rows = exact top-20 over the
-    # drifted corpus (well-conditioned: negation preserves cosine
-    # separation); booleans: stale_flagged + stale_cleared +
-    # rebuilt_ok + overlap >= 4 of 20 (the fresh-build recall bound of
-    # the ds_embedding_ivf_pq_topk gate).
+    # Index maintenance under append drift (r10 VERDICT #5, plant
+    # redesigned per r10 catch: the original ANTIPODAL plant is a
+    # geometric no-op on zero-mean unit-norm embeddings — negation is
+    # distribution-preserving, measured err_ratio 1.04 vs threshold
+    # 2.0, so the detector CORRECTLY stayed quiet while the oracle
+    # hard-coded TRUE). Now: build the durable IVF+PQ index on the
+    # corpus, append a DISPLACED copy (every coordinate +0.5, i.e. the
+    # cloud moves ||c||=4 away from the frozen centroids' unit ball,
+    # so mean squared assignment error jumps ~10x — same mechanism as
+    # tests/test_new_ops_r10.py's offset=4.0 plant), require the
+    # staleness trigger to fire, retrain-and-rebuild via
+    # ivf_pq_maintain_index, then query in the drifted region. Gated
+    # rows = exact top-20 over the drifted corpus (displacement keeps
+    # cosine discrimination: c.u varies +-1.5 across unit vectors, so
+    # 3-decimal rounding still separates neighbors); booleans:
+    # stale_flagged + stale_cleared + rebuilt_ok + overlap >= 4 of 20
+    # (the fresh-build recall bound of the ds_embedding_ivf_pq_topk
+    # gate).
     """WITH corpus AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
   UNION ALL
   SELECT vec_id + 500000,
-         list_transform(embedding, x -> -CAST(x AS DOUBLE))
+         list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.5)
   FROM embeddings
 ), q AS (SELECT e AS qe FROM corpus WHERE vec_id = 500003),
 scored AS (
@@ -8418,7 +8425,7 @@ def ds_embed_ivf_pq_maintained(spark, sf_dir):
     )
     drifted = emb.select(
         (F.col("vec_id") + 500000).alias("vec_id"),
-        F.expr("transform(embedding, x -> -x)").alias("embedding"),
+        F.expr("transform(embedding, x -> x + 0.5d)").alias("embedding"),
     )
     root = tempfile.mkdtemp(prefix="lss_wl_annmaint_")
     idx = os.path.join(root, "idx")
