@@ -343,8 +343,17 @@ class FileLog:
     def _replay_raw(self, idx: int) -> dict[str, dict[str, dict]]:
         """State dict (tag -> path -> entry) as of commit ``idx``,
         replayed fresh from disk without touching the instance cache —
-        the checkpoint builder for 'put' mode."""
+        the checkpoint builder for 'put' mode. Raises
+        FileNotFoundError when the newest checkpoint already exceeds
+        the pin — a concurrent checkpointer superseded ``idx`` and may
+        have compacted its per-commit files, so replaying from empty
+        would fabricate a stale, near-empty state (and _append_put
+        would leak it as a never-cleaned ckpt-{idx})."""
         ck, idxs = self._scan_log_dir()
+        if ck is not None and ck > idx:
+            raise FileNotFoundError(
+                f"checkpoint {ck} supersedes replay pin {idx}"
+            )
         state: dict[str, dict[str, dict]] = {}
         if ck is not None and ck <= idx:
             with open(os.path.join(self.root, f"ckpt-{ck:0{_LOG_W}d}.json")) as f:
@@ -462,22 +471,38 @@ class FileLog:
         return out
 
     def _refresh_locked(self) -> None:
-        ck, idxs = self._scan_log_dir()
-        if ck is not None and ck > self._cache_idx:
-            with open(os.path.join(self.root, f"ckpt-{ck:0{_LOG_W}d}.json")) as f:
-                self._cache = json.load(f)["state"]
-            self._cache_idx = ck
-        for i in idxs:
-            if i <= self._cache_idx:
-                continue
+        # A FileNotFoundError on any log file means a concurrent
+        # checkpointer compacted it AFTER our directory scan — the
+        # covering checkpoint is already durable (cleanup only ever
+        # runs after the checkpoint put succeeds). Skipping the file
+        # and applying later commits would advance _cache_idx PAST
+        # that checkpoint without loading it, silently dropping every
+        # checkpoint-covered commit from this handle's view (up to
+        # CHECKPOINT_EVERY commits) — so on any miss, restart the
+        # whole refresh from a fresh scan; the rescan resolves to the
+        # superseding checkpoint. Bounded: each restart implies
+        # another CHECKPOINT_EVERY-commit checkpoint landed mid-read.
+        for _ in range(64):
+            ck, idxs = self._scan_log_dir()
             try:
-                with open(os.path.join(self.root, f"{i:0{_LOG_W}d}.json")) as f:
-                    self._apply(json.load(f)["actions"], idx=i)
-                self._cache_idx = i
+                if ck is not None and ck > self._cache_idx:
+                    p = os.path.join(self.root, f"ckpt-{ck:0{_LOG_W}d}.json")
+                    with open(p) as f:
+                        self._cache = json.load(f)["state"]
+                    self._cache_idx = ck
+                for i in idxs:
+                    if i <= self._cache_idx:
+                        continue
+                    with open(os.path.join(self.root, f"{i:0{_LOG_W}d}.json")) as f:
+                        self._apply(json.load(f)["actions"], idx=i)
+                    self._cache_idx = i
             except FileNotFoundError:
-                # raced a concurrent checkpointer's cleanup; the next
-                # refresh sees the checkpoint that superseded this file
                 continue
+            return
+        raise RuntimeError(
+            "file log refresh lost 64 consecutive races against "
+            "checkpoint cleanup"
+        )
 
     def live(self, tag: str) -> list[dict] | None:
         """Live entries for a directory tag, or None when the log was
@@ -510,13 +535,26 @@ class FileLog:
         :meth:`replayable_range` (pre-checkpoint history is compacted
         away; that is the retention contract, same as Delta VACUUM +
         checkpoint cleanup)."""
-        rng = self.replayable_range()
-        if rng is None or not (rng[0] <= idx <= rng[1]):
-            raise ValueError(
-                f"commit {idx} is outside the replayable log range "
-                f"{rng}: pre-checkpoint commits are compacted away"
-            )
-        return {tag: list(d.values()) for tag, d in self._replay_raw(idx).items()}
+        for _ in range(4):
+            rng = self.replayable_range()
+            if rng is None or not (rng[0] <= idx <= rng[1]):
+                raise ValueError(
+                    f"commit {idx} is outside the replayable log range "
+                    f"{rng}: pre-checkpoint commits are compacted away"
+                )
+            try:
+                return {
+                    tag: list(d.values())
+                    for tag, d in self._replay_raw(idx).items()
+                }
+            except FileNotFoundError:
+                # concurrent checkpoint cleanup raced the replay;
+                # rescan — either idx is still replayable (retry) or
+                # it fell out of retention (the range check raises)
+                continue
+        raise ValueError(
+            f"commit {idx} fell out of the replayable range during replay"
+        )
 
     # -- import / resync ----------------------------------------------
     def import_dir(

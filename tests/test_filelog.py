@@ -296,3 +296,84 @@ def test_put_mode_indices_are_write_once(tmp_path, monkeypatch):
                                "stats": {}}]}])
     assert i1 == i0 + 1
     assert {e["path"] for e in a.live("base")} == {"a.parquet", "b.parquet"}
+
+
+def _put_add(log, path):
+    return log.append([{"op": "add", "dir": "base",
+                        "files": [{"path": path, "rows": 1, "bytes": 1,
+                                   "stats": {}}]}])
+
+
+def test_put_mode_reader_racing_cleanup_resolves_to_checkpoint(
+    tmp_path, monkeypatch
+):
+    """r11 ADVICE (high): a put-mode reader whose directory scan ran
+    BEFORE a concurrent checkpointer's cleanup but whose file opens
+    run AFTER it must restart from a fresh scan and load the covering
+    checkpoint — the old skip-and-continue advanced _cache_idx past
+    the checkpoint index and silently dropped every checkpoint-covered
+    commit from the handle's live() view (reproduced: 63 of 65 files
+    missing) until the NEXT checkpoint landed."""
+    from lineage_store_database_management_system_spark.filelog import (
+        CHECKPOINT_EVERY,
+        FileLog,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_LOG_COMMIT", "put")
+    root = str(tmp_path / "t3")
+    os.makedirs(root)
+    w = FileLog(root)
+    w.init()
+    n = CHECKPOINT_EVERY + 1
+    for i in range(n):
+        _put_add(w, f"f{i}.parquet")
+    # on disk now: ckpt-{CHECKPOINT_EVERY-1} + the one post-checkpoint
+    # commit; the per-commit files 0..CHECKPOINT_EVERY-1 are cleaned
+    reader = FileLog(root)
+    stale_scan = (None, list(range(n)))  # what a pre-cleanup scan saw
+    real_scan = reader._scan_log_dir
+    calls = {"n": 0}
+
+    def first_scan_is_stale():
+        calls["n"] += 1
+        return stale_scan if calls["n"] == 1 else real_scan()
+
+    monkeypatch.setattr(reader, "_scan_log_dir", first_scan_is_stale)
+    live = reader.live("base")
+    assert calls["n"] >= 2  # the miss forced a restart
+    assert {e["path"] for e in live} == {f"f{i}.parquet" for i in range(n)}
+    # and the handle keeps tracking new commits afterwards
+    _put_add(w, "tail.parquet")
+    assert {e["path"] for e in reader.live("base")} == (
+        {f"f{i}.parquet" for i in range(n)} | {"tail.parquet"}
+    )
+
+
+def test_replay_raw_refuses_pin_behind_newer_checkpoint(tmp_path, monkeypatch):
+    """r11 ADVICE (low): _append_put's checkpoint path replays pinned
+    at its own idx; if a concurrent writer already checkpointed PAST
+    that pin and cleaned the per-commit files, the replay used to see
+    no files and publish a bogus near-empty ckpt-{idx} that leaked
+    forever (never the newest, never cleaned). _replay_raw now raises
+    FileNotFoundError on a superseded pin so the existing except-skip
+    aborts the checkpoint."""
+    import pytest as _pytest
+
+    from lineage_store_database_management_system_spark.filelog import (
+        CHECKPOINT_EVERY,
+        FileLog,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_LOG_COMMIT", "put")
+    root = str(tmp_path / "t4")
+    os.makedirs(root)
+    w = FileLog(root)
+    w.init()
+    for i in range(CHECKPOINT_EVERY):
+        _put_add(w, f"f{i}.parquet")
+    ck = CHECKPOINT_EVERY - 1  # newest checkpoint on disk
+    with _pytest.raises(FileNotFoundError):
+        FileLog(root)._replay_raw(ck - 2)
+    # a pin AT or past the checkpoint still replays fine
+    state = FileLog(root)._replay_raw(ck)
+    assert len(state["base"]) == CHECKPOINT_EVERY
