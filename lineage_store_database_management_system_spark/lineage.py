@@ -4207,35 +4207,70 @@ def commit_tables_atomically(tables: list["LineageTable"]) -> int:
     return len(intents)
 
 
-def roll_forward_txn_marker(marker_path: str) -> None:
-    """Complete a multi-table commit from its marker. Idempotent:
-    renames skip already-visible files; a table whose log already
-    contains any of the intent's paths skips the append (one log
-    commit per table is atomic, so presence of one path implies all).
-    The marker deletes only after every table published."""
+class _TxnRecoveryLock(_ManifestLock):
+    """Serializes multi-table marker roll-forward per database root.
+    The marker exists for the whole publish window, so Database.open's
+    recovery can race the committing process (or another opener):
+    without serialization both pass the already-published check and
+    double-apply the log append — the CDC completeness ledger counts
+    the rows twice (the action JSON carries no _idx, so the re-append
+    stamps a fresh one) and later retention audits raise spurious
+    surviving<ledger errors — and the loser of the final marker unlink
+    crashes Database.open. Multi-table commit already requires every
+    table under ONE local database root, so the manifest lock's
+    O_CREAT|O_EXCL mechanics apply directly."""
+
+    def __init__(self, db_root: str):
+        self.path = os.path.join(db_root, "_txn_recovery.lock")
+
+
+def roll_forward_txn_marker(marker_path: str) -> bool:
+    """Complete a multi-table commit from its marker. Idempotent AND
+    concurrency-safe: executions serialize on the database-root
+    recovery lock, and a marker that vanished before the lock was
+    held means another process already rolled it forward (returns
+    False — never an error). Under the lock: renames skip
+    already-visible files; a table whose log already contains any of
+    the intent's paths skips the append (one log commit per table is
+    atomic, so presence of one path implies all). The marker deletes
+    only after every table published."""
     from .filelog import FileLog
 
-    with open(marker_path) as fh:
-        m = json.load(fh)
-    for t in m["tables"]:
-        tpath = t["path"]
-        for hid_rel, vis_rel in t["renames"]:
-            hid = os.path.join(tpath, hid_rel)
-            vis = os.path.join(tpath, vis_rel)
-            if os.path.exists(hid) and not os.path.exists(vis):
-                os.replace(hid, vis)
-        log = FileLog(tpath)
-        if not log.exists() or not t["actions"]:
-            continue
-        already = False
-        for a in t["actions"]:
-            live = {e["path"] for e in (log.live(a["dir"]) or [])}
-            if any(e["path"] in live for e in a["files"]):
-                already = True
-                break
-        if not already:
-            log.append(t["actions"])
-    os.remove(marker_path)
+    with _TxnRecoveryLock(os.path.dirname(os.path.abspath(marker_path))):
+        try:
+            with open(marker_path) as fh:
+                m = json.load(fh)
+        except FileNotFoundError:
+            return False  # already recovered by a concurrent process
+        for t in m["tables"]:
+            tpath = t["path"]
+            for hid_rel, vis_rel in t["renames"]:
+                hid = os.path.join(tpath, hid_rel)
+                vis = os.path.join(tpath, vis_rel)
+                if os.path.exists(hid) and not os.path.exists(vis):
+                    try:
+                        os.replace(hid, vis)
+                    except FileNotFoundError:
+                        # defense-in-depth for a >stale-timeout lock
+                        # break: the other executor published this one
+                        if not os.path.exists(vis):
+                            raise
+            log = FileLog(tpath)
+            if not log.exists() or not t["actions"]:
+                continue
+            already = False
+            for a in t["actions"]:
+                live = {e["path"] for e in (log.live(a["dir"]) or [])}
+                if any(e["path"] in live for e in a["files"]):
+                    already = True
+                    break
+            if not already:
+                log.append(t["actions"])
+        try:
+            os.remove(marker_path)
+        except FileNotFoundError:
+            pass
+        return True
 
 
 def recover_txn_markers(db_root: str) -> int:
@@ -4249,6 +4284,6 @@ def recover_txn_markers(db_root: str) -> int:
         return 0
     for name in names:
         if name.startswith("_txn_commit_") and name.endswith(".json"):
-            roll_forward_txn_marker(os.path.join(db_root, name))
-            n += 1
+            if roll_forward_txn_marker(os.path.join(db_root, name)):
+                n += 1
     return n

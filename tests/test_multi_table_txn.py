@@ -132,3 +132,62 @@ def test_commit_tables_atomically_noop_and_multi_db_guard(spark, tmp_path):
     assert ta._pending_base and tc._pending_base
     ta.flush()
     tc.flush()
+
+
+def test_concurrent_marker_recovery_applies_once(spark, tmp_path):
+    """r11 ADVICE (medium): Database.open's recover_txn_markers can
+    race the committing process — the marker exists for the whole
+    publish window. Without per-root serialization both executors pass
+    the already-published check, the log append lands twice (the CDC
+    ledger counts the rows twice since the action JSON carries no
+    _idx), and the loser of the final marker unlink crashes open().
+    Eight threads rolling the same marker forward must yield exactly
+    one True, a single-counted ledger, and zero exceptions."""
+    import threading
+
+    from lineage_store_database_management_system_spark.lineage import (
+        roll_forward_txn_marker,
+    )
+
+    db = _db(spark, tmp_path)
+    ta, tb = _mk(db, "a5"), _mk(db, "b5")
+    ta.insert_rows([(100, 1)])
+    tb.insert_rows([(200, 2)])
+    ia = ta.stage_pending("cafe0race")
+    ib = tb.stage_pending("cafe0race")
+    marker = os.path.join(db.path, "_txn_commit_cafe0race.json")
+    with open(marker, "w") as f:
+        json.dump({"tables": [ia, ib]}, f)
+    ledger_before = FileLog(ia["path"]).added_rows("base")
+
+    results, errs = [], []
+    gate = threading.Barrier(8)
+
+    def recover():
+        try:
+            gate.wait()
+            results.append(roll_forward_txn_marker(marker))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=recover) for _ in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert sorted(results) == [False] * 7 + [True]
+    assert not os.path.exists(marker)
+    # published exactly once: the CDC ledger gained ONE commit whose
+    # row count equals the staged batch, not a double count
+    ledger_after = FileLog(ia["path"]).added_rows("base")
+    new = {k: v for k, v in ledger_after.items() if k not in ledger_before}
+    assert len(new) == 1 and list(new.values()) == [1], (ledger_before,
+                                                        ledger_after)
+    assert ta.current_view().where("k = 100").count() == 1
+    assert tb.current_view().where("k = 200").count() == 1
+    # a second sequential roll-forward of the gone marker is a no-op
+    assert roll_forward_txn_marker(marker) is False
+    # and database reopen (recovery scan) is clean
+    db2 = Database().open(db.path, spark)
+    assert db2.get_table("a5").current_view().count() == 6
