@@ -869,6 +869,61 @@ def ivf_pq_write_index(
     _os.replace(tmp, _os.path.join(index_dir, "_ann_meta.json"))
 
 
+def _ann_recover(index_dir: str) -> bool:
+    """Heal a crash inside :func:`ivf_pq_maintain_index`'s directory
+    swap (rename index_dir -> _old_{t}; rename _rebuild_{t} ->
+    index_dir; rmtree _old_{t}): a crash between the two renames
+    leaves NOTHING at index_dir, with the previous index intact under
+    the _old_ sibling and the complete rebuild under the _rebuild_
+    sibling. Promote the completed rebuild if one exists (its sidecar
+    is written last, atomically — presence means complete), else
+    restore the old index; then sweep superseded siblings. No-op (and
+    zero-cost) while index_dir exists. Returns True when a recovery
+    happened."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    base = index_dir.rstrip("/")
+    if _os.path.isdir(base):
+        return False
+    candidates = sorted(_glob.glob(base + "_rebuild_*")) + sorted(
+        _glob.glob(base + "_old_*")
+    )
+    for c in candidates:
+        if _os.path.isfile(_os.path.join(c, "_ann_meta.json")):
+            try:
+                _os.rename(c, base)
+            except OSError:
+                if not _os.path.isdir(base):
+                    raise
+            break
+    else:
+        return False
+    for leftover in _glob.glob(base + "_rebuild_*") + _glob.glob(
+        base + "_old_*"
+    ):
+        _shutil.rmtree(leftover, ignore_errors=True)
+    return True
+
+
+def _open_ann_meta(index_dir: str) -> dict:
+    """Load an index sidecar, healing an interrupted maintenance swap
+    first when the index directory is missing (see _ann_recover)."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(index_dir, "_ann_meta.json")
+    try:
+        with open(p) as f:
+            return _json.load(f)
+    except FileNotFoundError:
+        if _ann_recover(index_dir):
+            with open(p) as f:
+                return _json.load(f)
+        raise
+
+
 def ivf_pq_append_index(
     df: DataFrame,
     index_dir: str,
@@ -893,8 +948,7 @@ def ivf_pq_append_index(
     import json as _json
     import os as _os
 
-    with open(_os.path.join(index_dir, "_ann_meta.json")) as f:
-        meta = _json.load(f)
+    meta = _open_ann_meta(index_dir)
     vec_col = meta["vec_col"]
     assigned = ivf_assign(df, meta["centroids"], vec_col=vec_col)
     if meta.get("residual"):
@@ -931,11 +985,65 @@ def _ivf_health(res_df: DataFrame, list_col: str = "_list") -> dict:
     }
 
 
+def ivf_pq_recall_probe(
+    spark,
+    index_dir: str,
+    k: int = 10,
+    nprobe: int = 4,
+    n_queries: int = 8,
+    n_candidates: int = 200,
+) -> float:
+    """Measured recall@k of a persisted index against ITSELF: sample
+    ``n_queries`` of the index's own vectors (hash-spread, so appended
+    regions are represented proportionally), take exact cosine top-k
+    over the index's rows as truth, and compare the index's answer.
+    This is the trigger of last resort for drift the cheap statistics
+    can't see — r10 proved residual-norm/skew triggers stay silent
+    under distribution-PRESERVING changes, and the same blindness
+    applies when drift concentrates on centroid boundaries (neighbor
+    sets split across more lists than nprobe reads, recall drops,
+    mean residual barely moves). Cost: n_queries exact scans of the
+    index — a sampled, scheduled health check, not a per-query path;
+    at 100 TB run it on an index sample or a fixed witness set."""
+    meta = _open_ann_meta(index_dir)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    idx = spark.read.parquet(index_dir).select(id_col, vec_col)
+    picks = (
+        idx.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit("probe")))
+        .limit(n_queries)
+        .collect()
+    )
+    if not picks:
+        return 1.0
+    total = 0.0
+    for r in picks:
+        q = [float(x) for x in r[vec_col]]
+        truth = {
+            t[id_col]
+            for t in brute_force_topk(
+                idx, q, k=k, id_col=id_col, vec_col=vec_col
+            ).collect()
+        }
+        got = {
+            t[id_col]
+            for t in ivf_pq_topk_from_index(
+                spark, index_dir, q, k=k, nprobe=nprobe,
+                n_candidates=n_candidates,
+            ).collect()
+        }
+        total += len(truth & got) / max(len(truth), 1)
+    return total / len(picks)
+
+
 def ivf_pq_index_staleness(
     spark,
     index_dir: str,
     skew_factor: float = 3.0,
     err_factor: float = 2.0,
+    recall_probe: int = 0,
+    recall_floor: float = 0.5,
+    recall_k: int = 10,
+    recall_nprobe: int = 4,
 ) -> dict:
     """Drift trigger for a persisted ANN index (the FAISS operational
     recipe made checkable; analogous to indexing.index_staleness for
@@ -946,12 +1054,16 @@ def ivf_pq_index_staleness(
     index's CURRENT per-list balance and assignment error against the
     birth-time stats in the sidecar and flags ``stale`` when either
     degrades past its factor. One n_lists-row aggregate over the
-    index — never touches the source corpus."""
-    import json as _json
-    import os as _os
+    index — never touches the source corpus.
 
-    with open(_os.path.join(index_dir, "_ann_meta.json")) as f:
-        meta = _json.load(f)
+    ``recall_probe > 0`` adds the measured second trigger (r10 catch:
+    statistics triggers are blind to drift that hurts recall without
+    moving mean residual or list balance): sample that many index
+    vectors as queries via :func:`ivf_pq_recall_probe` and flag stale
+    when recall@recall_k at recall_nprobe falls below
+    ``recall_floor``. Opt-in because it costs recall_probe exact index
+    scans (vs the statistics' single aggregate)."""
+    meta = _open_ann_meta(index_dir)
     idx = spark.read.parquet(index_dir)
     cur = _ivf_health(
         ivf_residuals(idx, meta["centroids"], vec_col=meta["vec_col"])
@@ -961,7 +1073,7 @@ def ivf_pq_index_staleness(
     b_err = build.get("assign_err", 0.0)
     skew_ratio = cur["skew"] / b_skew
     err_ratio = (cur["assign_err"] / b_err) if b_err else 1.0
-    return {
+    out = {
         **cur,
         "build_skew": b_skew,
         "build_assign_err": b_err,
@@ -969,6 +1081,14 @@ def ivf_pq_index_staleness(
         "err_ratio": err_ratio,
         "stale": bool(skew_ratio > skew_factor or err_ratio > err_factor),
     }
+    if recall_probe > 0:
+        rec = ivf_pq_recall_probe(
+            spark, index_dir, k=recall_k, nprobe=recall_nprobe,
+            n_queries=recall_probe,
+        )
+        out["recall"] = rec
+        out["stale"] = bool(out["stale"] or rec < recall_floor)
+    return out
 
 
 def ivf_pq_maintain_index(
@@ -976,6 +1096,10 @@ def ivf_pq_maintain_index(
     index_dir: str,
     skew_factor: float = 3.0,
     err_factor: float = 2.0,
+    recall_probe: int = 0,
+    recall_floor: float = 0.5,
+    recall_k: int = 10,
+    recall_nprobe: int = 4,
     **train_opts,
 ) -> dict:
     """Retrain-and-rebuild a drifted ANN index in place: when
@@ -984,22 +1108,29 @@ def ivf_pq_maintain_index(
     source-corpus access is needed — retrain centroids + codebooks at
     the sidecar's parameters (``train_opts`` forwards e.g.
     ``residual=True``), write the rebuild beside the index, and swap
-    directories (rename-rename-rmtree, the vacuum_tail dance; a crash
-    between the renames leaves either the old or the new complete
-    index, never a torn one). Work is one corpus re-encode — the
+    directories (rename-rename-rmtree, the vacuum_tail dance). A crash
+    BETWEEN the two renames leaves index_dir momentarily absent with
+    both complete siblings on disk — every index entry point heals
+    that on its next open via :func:`_ann_recover` (promote the
+    completed rebuild, else restore the old index), so readers always
+    resolve to a complete index, never a torn one; a concurrent read
+    landing exactly inside the swap window may see path-not-found
+    once and succeeds on retry. Work is one corpus re-encode — the
     operation the staleness gate exists to run RARELY. Returns the
     staleness report plus ``rebuilt``."""
     import os as _os
     import shutil as _shutil
     import uuid as _uuid
 
-    rep = ivf_pq_index_staleness(spark, index_dir, skew_factor, err_factor)
+    _ann_recover(index_dir)
+    rep = ivf_pq_index_staleness(
+        spark, index_dir, skew_factor, err_factor,
+        recall_probe=recall_probe, recall_floor=recall_floor,
+        recall_k=recall_k, recall_nprobe=recall_nprobe,
+    )
     if not rep["stale"]:
         return {**rep, "rebuilt": False}
-    import json as _json
-
-    with open(_os.path.join(index_dir, "_ann_meta.json")) as f:
-        meta = _json.load(f)
+    meta = _open_ann_meta(index_dir)
     vecs = spark.read.parquet(index_dir).select(meta["id_col"], meta["vec_col"])
     token = _uuid.uuid4().hex[:8]
     fresh = f"{index_dir.rstrip('/')}_rebuild_{token}"
@@ -1033,13 +1164,9 @@ def ivf_pq_topk_from_index(
     ONLY the nprobe nearest list partitions (`_list IN (...)` becomes
     a partition filter — files of unprobed lists are never opened),
     ADC-scan their codes, exact-refine the recalled candidates."""
-    import json as _json
-    import os as _os
-
     import numpy as np
 
-    with open(_os.path.join(index_dir, "_ann_meta.json")) as f:
-        meta = _json.load(f)
+    meta = _open_ann_meta(index_dir)
     cents = np.asarray(meta["centroids"], dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
     order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()[:nprobe]
