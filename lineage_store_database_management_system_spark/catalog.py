@@ -275,7 +275,12 @@ class Database:
             )
             # persist so the reported count and the applied batch are
             # the SAME evaluation — a nondeterministic SET/WHERE
-            # (rand(), current_timestamp) must not diverge between them
+            # (rand(), current_timestamp) must not diverge between them.
+            # Best-effort, not a guarantee: MEMORY_AND_DISK partitions
+            # lost to executor failure are recomputed and re-evaluate
+            # the predicate; checkpoint() or a temp-table write is the
+            # upgrade when exact count/apply agreement must survive
+            # executor loss (r11 ADVICE, accepted for this engine)
             changes = changes.persist()
             try:
                 n = changes.count()
@@ -292,6 +297,7 @@ class Database:
 
             # evaluate the predicate ONCE: delete exactly the keys that
             # were counted, even when the predicate is nondeterministic
+            # (same best-effort caveat as the UPDATE branch above)
             keys = t.current_view().where(F.expr(pred)).select(t.key).persist()
             try:
                 n = keys.count()

@@ -583,8 +583,9 @@ def encode_jpeg_blocks(
     bw = (w + 7) // 8
     bh = (h + 7) // 8
     out = bytearray(b"\xff\xd8")  # SOI
-    # DQT: table 0, 8-bit, all ones (zigzag order — identity here)
-    out += b"\xff\xdb" + struct.pack(">BB", 0, 67)[1:] + b"\x43\x00" + b"\x01" * 64
+    # DQT: table 0, 8-bit, all ones (zigzag order — identity here);
+    # segment = 2-byte length (2 + 1 + 64) + Pq/Tq byte + 64 entries
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
     ncomp = 3 if color else 1
     # SOF0
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
@@ -688,6 +689,8 @@ def _decode_payload(b: bytes) -> tuple[int, int, int, bytes]:
         return _decode_bmp(b)
     if b[:8] == _PNG_SIG:
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        return _decode_jpeg(b)
     raise NotImplementedError(_CODEC_STUB_MSG)
 
 

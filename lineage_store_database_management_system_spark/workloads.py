@@ -7506,6 +7506,54 @@ def mm_decode_png_stats(spark, sf_dir):
 
 
 @workload(
+    "mm_decode_jpeg_stats",
+    # JPEG twin of mm_decode_png_stats (closes the r10 VERDICT #2 dead
+    # -code finding: the baseline decoder existed but was unreachable).
+    # Planted corpus: per doc_id a (8*(1+id%3)+id%5) x (8*(1+id%2)+
+    # id%7) image of solid 8x8 blocks, block (bx,by) luma =
+    # (id*31 + bx*17 + by*29) % 256 — DC-only under all-ones
+    # quantization, so IDCT decodes each block to its exact flat value
+    # and every pixel is closed-form in the id. Even ids are
+    # 3-component neutral-chroma YCbCr (RGB == luma exactly through
+    # the JFIF matrix), odd ids single-component greyscale (decoder
+    # replicates to RGB); dims are NOT multiples of 8, exercising the
+    # partial-MCU crop. The Spark side genuinely Huffman-decodes,
+    # dequantizes, IDCTs, and color-converts; the oracle recomputes
+    # width/height/mean/position-weighted checksum from the formula
+    # (pixel p = k, x = k%w, y = k//w; its 3 RGB bytes contribute
+    # v*(9p+6) to wsum).
+    """WITH d AS (SELECT doc_id,
+                  8*(1 + doc_id % 3) + doc_id % 5 AS w,
+                  8*(1 + doc_id % 2) + doc_id % 7 AS h
+           FROM documents),
+px AS (
+  SELECT doc_id, w, h, r.k AS p,
+         (doc_id*31 + ((r.k % w) // 8)*17 + ((r.k // w) // 8)*29) % 256 AS v
+  FROM d, LATERAL (SELECT unnest(range(w*h)) AS k) r
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels, CAST(w*h*3 AS BIGINT) AS n_pixel_bytes,
+       CAST(SUM(v)*3 AS DOUBLE) / (w*h*3) AS mean_byte,
+       CAST(SUM(v*(9*p + 6)) AS BIGINT) AS wsum
+FROM px GROUP BY doc_id, w, h""",
+)
+def mm_decode_jpeg_stats(spark, sf_dir):
+    """REAL baseline-JPEG decode through the codec seam (closes the
+    r10 dead-code finding): multi-table DQT/DHT parsing, Huffman
+    entropy decode, dequantize, IDCT, YCbCr->RGB / greyscale
+    replication in the Arrow-batched mapInPandas kernel
+    (multimodal._decode_jpeg), planted per-id with closed-form pixels
+    (multimodal.plant_test_images_jpeg / encode_jpeg_blocks).
+    Progressive/arithmetic JPEG and video stay behind the
+    contract-pinned stub. Map-only plan — plant and decode fuse into
+    one Python stage, no shuffle; at 100 TB this is a linear scan of
+    payload column chunks."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id")
+    imgs = multimodal.plant_test_images_jpeg(docs, "doc_id")
+    return multimodal.decode_image_stats(imgs, "doc_id")
+
+
+@workload(
     "pq_index_dispatch_lookup",
     f"""SELECT o_orderkey, o_custkey, {_CUR} AS o_totalprice
 FROM orders WHERE o_custkey = 55 AND {_LIVE}""",

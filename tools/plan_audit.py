@@ -276,6 +276,10 @@ AUDIT = [
     # WAV decode: plant and decode fuse into Arrow map stages over the
     # scan — zero shuffle, zero row-at-a-time Python.
     ("mm_decode_wav_stats", ["MapInPandas"], ["BatchEvalPython", "Exchange hashpartitioning"]),
+    # Baseline-JPEG decode (r11): same fused Arrow map-only shape as
+    # the PNG/WAV twins — Huffman+IDCT run inside the kernel, no
+    # shuffle, no row-at-a-time Python.
+    ("mm_decode_jpeg_stats", ["MapInPandas"], ["BatchEvalPython", "Exchange hashpartitioning"]),
     # Full MERGE: the gated read is a plain current-view fold (the
     # merge's classification join ran at scenario build) — native
     # scans, no Python, no cartesian.
