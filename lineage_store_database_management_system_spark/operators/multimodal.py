@@ -564,7 +564,12 @@ _JPEG_ENC_AC_VALS = [0x00]
 
 
 def encode_jpeg_blocks(
-    w: int, h: int, block_vals, color: bool = True
+    w: int,
+    h: int,
+    block_vals,
+    color: bool = True,
+    subsampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
 ) -> bytes:
     """Minimal baseline JPEG encoder — the deterministic twin
     generator for the JPEG decode gates. The image is a grid of solid
@@ -573,24 +578,40 @@ def encode_jpeg_blocks(
     are all-ones and every block is DC-only, so the decode is EXACT
     (IDCT of a pure-DC block is a flat block) and a SQL oracle can
     compute every decoded pixel closed-form. ``color=True`` writes a
-    3-component 4:4:4 YCbCr frame with neutral chroma (Cb=Cr=128 —
-    zero after level shift, so RGB == luma exactly through the JFIF
+    3-component YCbCr frame with neutral chroma (Cb=Cr=128 — zero
+    after level shift, so RGB == luma exactly through the JFIF
     matrix); ``color=False`` writes single-component greyscale. The
     entropy stream still exercises the real Huffman path: DC
-    categories vary with the per-block DPCM diffs."""
+    categories vary with the per-block DPCM diffs.
+
+    ``subsampling=(2, 2)`` (color only) writes a 4:2:0 frame — luma
+    H=V=2, one chroma block per 16x16 MCU, edge-clamped luma padding
+    blocks for partial MCUs — and since neutral chroma stays neutral
+    under the decoder's nearest-replication upsampling, the SAME
+    closed-form pixel oracle holds. ``restart_interval=N`` emits a DRI
+    segment plus byte-aligned RSTm markers with DC-predictor resets
+    every N MCUs (T.81 restart semantics). Both exist so the decode
+    gate exercises the decoder's subsampling/restart paths, not just
+    4:4:4 single-segment streams."""
     import struct
 
+    sh, sv = subsampling if color else (1, 1)
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("subsampling factors must be 1 or 2")
     bw = (w + 7) // 8
     bh = (h + 7) // 8
+    mcx = (bw + sh - 1) // sh
+    mcy = (bh + sv - 1) // sv
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT: table 0, 8-bit, all ones (zigzag order — identity here);
     # segment = 2-byte length (2 + 1 + 64) + Pq/Tq byte + 64 entries
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
     ncomp = 3 if color else 1
-    # SOF0
+    # SOF0: luma carries the sampling factors, chroma is always 1x1
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += struct.pack(">BBB", cid, 0x11, 0)  # H=V=1, quant table 0
+        hv = (sh << 4) | sv if cid == 1 else 0x11
+        sof += struct.pack(">BBB", cid, hv, 0)
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT: DC table 0 + AC table 0
     dht = (
@@ -598,6 +619,8 @@ def encode_jpeg_blocks(
         + bytes([0x10]) + bytes(_JPEG_ENC_AC_BITS) + bytes(_JPEG_ENC_AC_VALS)
     )
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
@@ -610,23 +633,37 @@ def encode_jpeg_blocks(
     }
     bwr = _JpegBitWriter()
     preds = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bw):
-            # luma DC for a flat block of value v is 8*(v-128); neutral
-            # chroma is 0 (all with all-ones quantization)
-            dcs = [8 * (int(block_vals[by][bx]) - 128)]
-            if color:
-                dcs += [0, 0]
-            for ci, dc in enumerate(dcs):
-                diff = dc - preds[ci]
-                preds[ci] = dc
-                mag = abs(diff)
-                s = mag.bit_length()
-                length, code = dc_code[s]
-                bwr.write_bits(code, length)
-                if s:
-                    bwr.write_bits(diff if diff > 0 else diff + (1 << s) - 1, s)
-                bwr.write_bits(0, 1)  # AC: EOB (code "0")
+
+    def _emit(ci: int, dc: int) -> None:
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        s = abs(diff).bit_length()
+        length, code = dc_code[s]
+        bwr.write_bits(code, length)
+        if s:
+            bwr.write_bits(diff if diff > 0 else diff + (1 << s) - 1, s)
+        bwr.write_bits(0, 1)  # AC: EOB (code "0")
+
+    rst = 0
+    for mcu in range(mcx * mcy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bwr.flush()  # byte-align before the marker
+            bwr.out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * ncomp
+        my, mx = divmod(mcu, mcx)
+        # luma: v-major then h within the MCU (the T.81 interleave the
+        # decoder walks); blocks past the image edge are clamped
+        # padding — decoded then cropped away
+        for v in range(sv):
+            for hh in range(sh):
+                by = min(my * sv + v, bh - 1)
+                bx = min(mx * sh + hh, bw - 1)
+                # luma DC for a flat block of value val is 8*(val-128)
+                _emit(0, 8 * (int(block_vals[by][bx]) - 128))
+        if color:
+            _emit(1, 0)  # neutral chroma: DC 0 under all-ones quant
+            _emit(2, 0)
     bwr.flush()
     out += bwr.out
     out += b"\xff\xd9"  # EOI
@@ -642,7 +679,12 @@ def plant_test_images_jpeg(df: DataFrame, id_col: str) -> DataFrame:
     blocks under all-ones quantization decode exactly) while the Spark
     side must genuinely Huffman-decode, dequantize, IDCT, and
     color-convert the container. Edge blocks crop (dims are not
-    multiples of 8), exercising the partial-MCU path."""
+    multiples of 8), exercising the partial-MCU path. The CONTAINER
+    varies by id class while the decoded pixels stay on the same
+    closed form, so one oracle gates every decoder path: id % 4 == 0
+    -> 4:2:0 with restart markers every 2 MCUs, id % 4 == 2 -> 4:4:4
+    with restart markers every 3 MCUs, other even ids plain 4:4:4,
+    odd ids greyscale."""
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -656,9 +698,14 @@ def plant_test_images_jpeg(df: DataFrame, id_col: str) -> DataFrame:
                     [(rid * 31 + bx * 17 + by * 29) % 256 for bx in range(bw)]
                     for by in range(bh)
                 ]
-                payloads.append(
-                    encode_jpeg_blocks(w, h, vals, color=(rid % 2 == 0))
-                )
+                if rid % 4 == 0:
+                    kw = dict(color=True, subsampling=(2, 2),
+                              restart_interval=2)
+                elif rid % 4 == 2:
+                    kw = dict(color=True, restart_interval=3)
+                else:
+                    kw = dict(color=False)
+                payloads.append(encode_jpeg_blocks(w, h, vals, **kw))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     schema = T.StructType(

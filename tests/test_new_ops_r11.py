@@ -135,16 +135,27 @@ def test_jpeg_roundtrip_exact(spark):
             [(rid * 31 + bx * 17 + by * 29) % 256 for bx in range(bw)]
             for by in range(bh)
         ]
-        payload = encode_jpeg_blocks(w, h, vals, color=(rid % 2 == 0))
-        W, H, C, rgb = _decode_payload(payload)
-        assert (W, H, C) == (w, h, 3)
-        arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
-        xs = np.arange(w) // 8
-        ys = np.arange(h) // 8
-        want = ((rid * 31 + xs[None, :] * 17 + ys[:, None] * 29) % 256).astype(
-            np.uint8
-        )
-        assert (arr == want[:, :, None]).all(), rid
+        variants = [dict(color=(rid % 2 == 0))]
+        if rid % 3 == 0:
+            # container variants decode to the SAME pixels: 4:2:0
+            # (nearest-replication chroma upsampling), 4:2:2, and
+            # restart markers with DC-predictor resets
+            variants += [
+                dict(color=True, subsampling=(2, 2)),
+                dict(color=True, subsampling=(2, 1), restart_interval=3),
+                dict(color=(rid % 2 == 0), restart_interval=1),
+            ]
+        for kw in variants:
+            payload = encode_jpeg_blocks(w, h, vals, **kw)
+            W, H, C, rgb = _decode_payload(payload)
+            assert (W, H, C) == (w, h, 3)
+            arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+            xs = np.arange(w) // 8
+            ys = np.arange(h) // 8
+            want = (
+                (rid * 31 + xs[None, :] * 17 + ys[:, None] * 29) % 256
+            ).astype(np.uint8)
+            assert (arr == want[:, :, None]).all(), (rid, kw)
 
 
 def test_jpeg_decode_stats_kernel(spark):
