@@ -115,6 +115,13 @@ def main() -> int:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     REBUILD = {"pq_insert_bulk_current_view"}
 
+    # Optional subset for out-of-band scale probes (e.g. the sf30
+    # sweep, where a couple of queries' SCENARIO builds dominate the
+    # budget): comma-separated headline names. The driver contract is
+    # unchanged — unset, the full headline set runs.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    headline = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+
     # The registry's minhash workload became gate-shaped in round 4
     # (it also computes the exact-Jaccard truth set to oracle the
     # candidates). The BENCH keeps timing the raw operator over the
@@ -133,7 +140,7 @@ def main() -> int:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = FN_OVERRIDES.get(name, workloads.QUERIES[name])
         per_run: list[float] = []
         n = 0
