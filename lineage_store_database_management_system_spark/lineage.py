@@ -2297,6 +2297,27 @@ class LineageTable:
                     continue  # incomparable stat types: this column
                     # cannot prune the file
             (prunable if out_of_bounds else keep).append((d, e))
+        out = self._pruned_scan(every, keep, prunable, tail, dirty)
+        return _cond(out).select(*self.user_cols)
+
+    def _pruned_scan(
+        self,
+        every: list[tuple[str, dict]],
+        keep: list[tuple[str, dict]],
+        prunable: list[tuple[str, dict]],
+        tail: DataFrame,
+        dirty: DataFrame,
+    ) -> DataFrame:
+        """Shared core of the file-skipping scans (stats bounds,
+        bloom sidecars): dirty-rid rescue + restricted base fold.
+
+        ``prunable`` files whose logged rid range intersects a dirty
+        rid (a post-watermark tail delta that could move a row INTO
+        the predicate) are moved back to ``keep`` — this is what
+        makes skipping EXACT under merge-on-read. Returns the current
+        view over the kept files (caller applies its row predicate);
+        accounting lands in ``self.last_scan_bounds``."""
+        m = self.manifest
         n_dirty = 0
         if prunable:
             n_dirty = dirty.count()
@@ -2342,7 +2363,237 @@ class LineageTable:
             "files_scanned": len(keep),
             "dirty_rids": n_dirty,
         }
-        return _cond(out).select(*self.user_cols)
+        return out
+
+    # ------------------------------------------------------------------
+    # per-file Bloom sidecars — equality file skipping on unordered
+    # high-cardinality columns (where min/max stats cannot prune)
+    # ------------------------------------------------------------------
+    def _bloom_root(self, column: str) -> str:
+        return os.path.join(self.path, "bloomskip", column)
+
+    @staticmethod
+    def _meta_file_path(abs_path: str) -> str:
+        # Spark renders local paths as "file:" + abspath (one slash)
+        # in _metadata.file_path; sidecar rows key on that form.
+        return "file:" + os.path.abspath(abs_path)
+
+    def _live_file_paths(self) -> list[tuple[str, str, dict]]:
+        """[(meta_file_path, dir_kind, entry)] for every live base/
+        snapshot file the current view reads."""
+        snap_pairs, fresh_pairs = self._live_base_entries()
+        out = []
+        for e in snap_pairs:
+            out.append((
+                self._meta_file_path(
+                    os.path.join(self.compacted_dir(), e["path"])
+                ),
+                "snap",
+                e,
+            ))
+        for e in fresh_pairs:
+            out.append((
+                self._meta_file_path(os.path.join(self.base_dir, e["path"])),
+                "fresh",
+                e,
+            ))
+        return out
+
+    def build_bloom_filters(
+        self, column: str, fpp: float = 0.01, max_bits: int = 1 << 24
+    ) -> dict:
+        """Build per-file Bloom-filter sidecars for ``column`` over
+        every live base/snapshot file that does not have one yet (the
+        Delta Lake bloom-filter-index shape). Equality lookups on an
+        unordered high-cardinality column then skip whole files that
+        provably do not contain the value — the case per-file min/max
+        stats (:meth:`scan_with_bounds`) cannot prune, because a
+        hash-scattered column spans the whole value range in every
+        file. The reference can only answer this with its exact
+        in-memory secondary index (reference index.py:22-40); at
+        100 TB the bloom sidecar costs ~1.2 MB per GB-file instead of
+        a full (value, rid) copy of the column.
+
+        Maintenance-free by construction: data files are IMMUTABLE,
+        so a sidecar entry is computed once and never refreshed.
+        Files committed after the build simply have no entry and are
+        never skipped (exactness first, pruning second); compaction /
+        optimize produce new files that pick up entries on the next
+        build; vacuumed files leave harmless stale rows (pruning
+        consults only live files). Incremental: one Spark job over
+        only the not-yet-covered files, Arrow-batched bitset fold per
+        file, appended to the sidecar Parquet.
+
+        All files of one build share (m, k) sized for the largest
+        file at ``fpp``; the probe handles mixed (m, k) across
+        builds. Returns {"built", "covered", "m", "k"}."""
+        import math
+
+        if column not in self.user_cols:
+            raise ValueError(f"no such column: {column!r}")
+        if not isinstance(
+            self.schema[column].dataType,
+            (T.NumericType, T.StringType, T.BooleanType),
+        ):
+            raise ValueError(
+                "bloom sidecars need a scalar column, got "
+                f"{self.schema[column].dataType.simpleString()}"
+            )
+        self.flush()
+        if self.filelog.live(self._log_tag(self.base_dir)) is None:
+            raise ValueError("bloom sidecars need a file-log table")
+        live = self._live_file_paths()
+        root = self._bloom_root(column)
+        covered: set[str] = set()
+        if os.path.isdir(root):
+            covered = {
+                r["file"]
+                for r in self.spark.read.parquet(root).select("file").collect()
+            }
+        need = [(p, e) for p, d, e in live if p not in covered]
+        if not need:
+            return {"built": 0, "covered": len(live), "m": 0, "k": 0}
+        rows_max = max(int(e.get("rows") or 0) for _, e in need) or 1 << 20
+        m = min(
+            max(64, int(math.ceil(-rows_max * math.log(fpp) / math.log(2) ** 2))),
+            int(max_bits),
+        )
+        k = max(1, min(16, round(m / rows_max * math.log(2))))
+        phys = self._phys_map.get(column, column)
+        phys_schema = self._physical_schema(self.base_schema)
+        src = (
+            self.spark.read.schema(phys_schema)
+            .parquet(*[p[len("file:"):] for p, _ in need])
+            .select(
+                F.col("_metadata.file_path").alias("file"),
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col(phys), F.lit(i)), F.lit(m))
+                        for i in range(k)
+                    ]
+                ).alias("pos"),
+            )
+        )
+        nbytes = (m + 7) // 8
+
+        def _fold(pdf):
+            import numpy as np
+            import pandas as pd
+
+            bits = np.zeros(nbytes, dtype=np.uint8)
+            pos = np.unique(np.concatenate(pdf["pos"].values))
+            np.bitwise_or.at(
+                bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+            )
+            return pd.DataFrame(
+                {
+                    "file": [pdf["file"].iloc[0]],
+                    "m": [m],
+                    "k": [k],
+                    "nrows": [len(pdf)],
+                    "bits": [bits.tobytes()],
+                }
+            )
+
+        out = src.groupBy("file").applyInPandas(
+            _fold, "file string, m long, k long, nrows long, bits binary"
+        )
+        out.write.mode("append").parquet(root)
+        return {"built": len(need), "covered": len(live), "m": m, "k": k}
+
+    def scan_with_bloom(self, column: str, value) -> DataFrame:
+        """Current view filtered to ``column = value`` with EXACT
+        file-level skipping driven by the per-file Bloom sidecars of
+        :meth:`build_bloom_filters`: a file is skipped only when it
+        HAS a sidecar entry and the bloom test is negative (no false
+        negatives by construction — every value in the file set its
+        bits), so files written after the last build are always
+        scanned. Exactness under merge-on-read follows the
+        :meth:`scan_with_bounds` discipline: files whose rid range
+        holds a post-watermark tail delta that SET ``column`` are
+        never skipped (the delta could move a row into equality);
+        deletes and other-column updates cannot add matches. The
+        probe hashes the literal through the SAME Spark expression
+        the build used (one trivial job per distinct (m, k)), so
+        build and probe can never disagree on hash semantics.
+        Accounting (files_total / files_scanned / files_bloomed /
+        dirty_rids) lands in ``last_scan_bounds``."""
+        if value is None:
+            raise ValueError("bloom lookup needs a non-null value")
+        if column == self.key:
+            return self.current_view(key_range=(value, value))
+        self.flush()
+        root = self._bloom_root(column)
+        if (
+            self.filelog.live(self._log_tag(self.base_dir)) is None
+            or not os.path.isdir(root)
+        ):
+            return (
+                self.current_view()
+                .where(F.col(column) == F.lit(value))
+                .select(*self.user_cols)
+            )
+        man = self.manifest
+        tail = self.tail_df()
+        if man.compact_version >= 0:
+            tail = tail.where(F.col(SEQ) > F.lit(man.tps))
+        dirty = tail.where(F.col(column).isNotNull()).select(RID).distinct()
+        lit = F.lit(value).cast(self.schema[column].dataType)
+        sidecar = self.spark.read.parquet(root)
+        mks = [
+            (int(r["m"]), int(r["k"]))
+            for r in sidecar.select("m", "k").distinct().collect()
+        ]
+        pos_by_mk: dict[tuple[int, int], list[int]] = {}
+        for bm, bk in mks:
+            row = self.spark.range(1).select(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(bm))
+                        for i in range(bk)
+                    ]
+                ).alias("pos")
+            ).head()
+            pos_by_mk[(bm, bk)] = [int(p) for p in row["pos"]]
+        bpos = self.spark.sparkContext.broadcast(pos_by_mk)
+
+        def _test(batches):
+            import numpy as np
+
+            for pdf in batches:
+                hits = []
+                for bits, bm, bk in zip(pdf["bits"], pdf["m"], pdf["k"]):
+                    arr = np.frombuffer(bits, dtype=np.uint8)
+                    pos = np.asarray(
+                        bpos.value[(int(bm), int(bk))], dtype=np.int64
+                    )
+                    hits.append(
+                        bool(
+                            ((arr[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1)
+                            .all()
+                        )
+                    )
+                yield pdf.assign(hit=hits)[["file", "hit"]]
+
+        verdicts = {
+            r["file"]: bool(r["hit"])
+            for r in sidecar.select("file", "m", "k", "bits")
+            .mapInPandas(_test, "file string, hit boolean")
+            .collect()
+        }
+        keep: list[tuple[str, dict]] = []
+        prunable: list[tuple[str, dict]] = []
+        every: list[tuple[str, dict]] = []
+        n_bloomed = 0
+        for p, d, e in self._live_file_paths():
+            every.append((d, e))
+            v = verdicts.get(p)
+            if v is not None:
+                n_bloomed += 1
+            (keep if v is None or v else prunable).append((d, e))
+        out = self._pruned_scan(every, keep, prunable, tail, dirty)
+        self.last_scan_bounds["files_bloomed"] = n_bloomed
+        return out.where(F.col(column) == lit).select(*self.user_cols)
 
     def files_df(self) -> DataFrame:
         """The live file inventory as a DataFrame (the Iceberg

@@ -443,6 +443,43 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
             zorder_by=["o_custkey", "o_totalprice"],
             max_records_per_file=max(1000, n // 8),
         )
+    elif name == "orders_bl":
+        # Bloom file-skipping scenario: EIGHT commits × 2 partitions of
+        # hash-interleaved orderkeys, so every base file's o_custkey
+        # min/max spans nearly the whole custkey range — stats-based
+        # skipping (scan_with_bounds) can prune NOTHING on this column.
+        # Per-file bloom sidecars are built, then one post-build tail
+        # update moves the max-orderkey row INTO the probed custkey
+        # (the dirty-rid rescue path must keep its pruned base file).
+        # The probe key is the smallest custkey with exactly one order
+        # (deterministic; exists at every sf) so bloom pruning is
+        # near-total: ~1 true file + fpp*files false positives + 1
+        # dirty-rescued file out of 16.
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = db.create_table_typed(name, src.schema, "o_orderkey")
+        for i in range(8):
+            t.ingest_dataframe(
+                src.where((F.col("o_orderkey") % 8) == i).repartition(2)
+            )
+        t.build_bloom_filters("o_custkey", fpp=0.005)
+        singles = (
+            src.groupBy("o_custkey")
+            .count()
+            .where(F.col("count") == 1)
+            .agg(F.min("o_custkey"))
+            .first()[0]
+        )
+        t.bloom_probe_key = int(singles)
+        max_key = src.agg(F.max("o_orderkey")).first()[0]
+        t.bulk_update(
+            spark.createDataFrame(
+                [(int(max_key), int(singles))],
+                "o_orderkey long, o_custkey long",
+            ).select(
+                F.col("o_orderkey").cast(src.schema["o_orderkey"].dataType),
+                F.col("o_custkey").cast(src.schema["o_custkey"].dataType),
+            )
+        )
     elif name == "orders_mf":
         # full-MERGE scenario: ONE source frame carries all three
         # actions (update / delete / insert), classified through the
@@ -8415,6 +8452,56 @@ def pq_zorder_skip_2d(spark, sf_dir):
     assert acct["files_scanned"] <= one_d, (acct, one_d)
     assert acct["dirty_rids"] == 0, acct
     return out
+
+
+@workload(
+    "pq_bloom_skip_lookup",
+    """WITH ck AS (
+  SELECT o_custkey AS v FROM orders GROUP BY o_custkey
+  HAVING COUNT(*) = 1 ORDER BY o_custkey LIMIT 1
+), mk AS (SELECT MAX(o_orderkey) AS v FROM orders)
+SELECT o_orderkey, (SELECT v FROM ck) AS o_custkey,
+       CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+       TRUE AS bloom_pruned, TRUE AS dirty_rescued, TRUE AS covered
+FROM orders
+WHERE o_custkey = (SELECT v FROM ck) OR o_orderkey = (SELECT v FROM mk)""",
+)
+def pq_bloom_skip_lookup(spark, sf_dir):
+    """Equality file skipping via per-file Bloom sidecars
+    (lineage.build_bloom_filters / scan_with_bloom — the Delta Lake
+    bloom-filter-index shape; the reference can only answer this with
+    its exact in-memory index, reference index.py:22-40). The
+    orders_bl scenario hash-interleaves orderkeys across 16 base
+    files so every file's o_custkey min/max spans the whole range —
+    stats skipping prunes nothing — then blooms o_custkey and moves
+    one extra row into the probed key through a post-build tail
+    update. Gated: the exact rows (the probe custkey's single order +
+    the dirty-moved max-orderkey row), plus run-derived booleans —
+    bloom pruning opened at most half the files (the expected count
+    is ~3 of 16: one true + one dirty-rescued + fpp false positives),
+    the dirty rescue fired, and every base file was bloom-covered.
+    Exactness under merge-on-read per the scan_with_bounds
+    discipline: files whose rid range holds a tail delta that SET the
+    bloomed column are never skipped."""
+    t = _table(spark, sf_dir, "orders_bl")
+    view = t.scan_with_bloom("o_custkey", t.bloom_probe_key)
+    out = view.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).cast("double").alias("o_totalprice"),
+    )
+    n = out.count()  # materialize so last_scan_bounds reflects THIS scan
+    acct = t.last_scan_bounds
+    assert n >= 2, (n, acct)
+    bloom_pruned = acct["files_scanned"] <= acct["files_total"] // 2
+    dirty_rescued = acct["dirty_rids"] >= 1
+    covered = acct["files_bloomed"] == acct["files_total"]
+    return out.select(
+        "*",
+        F.lit(bool(bloom_pruned)).alias("bloom_pruned"),
+        F.lit(bool(dirty_rescued)).alias("dirty_rescued"),
+        F.lit(bool(covered)).alias("covered"),
+    )
 
 
 @workload(

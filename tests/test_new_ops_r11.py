@@ -187,3 +187,129 @@ def test_jpeg_decode_stats_kernel(spark):
     )
     with _pytest.raises(Exception, match="progressive|not supported|requires"):
         multimodal.decode_image_stats(bad, "doc_id").collect()
+
+
+# ---------------------------------------------------------------------------
+# per-file Bloom sidecars (equality file skipping on unordered columns)
+# ---------------------------------------------------------------------------
+
+def _orders_table(spark, tmp_db, commits=4, parts=2):
+    src = (
+        spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    t = tmp_db.create_table_typed("orders_bloom", src.schema, "o_orderkey")
+    for i in range(commits):
+        t.ingest_dataframe(
+            src.where((F.col("o_orderkey") % commits) == i).repartition(parts)
+        )
+    return t, src
+
+
+def test_bloom_sidecar_prunes_and_stays_exact(spark, tmp_db):
+    t, src = _orders_table(spark, tmp_db)
+    r = t.build_bloom_filters("o_custkey", fpp=0.005)
+    assert r["built"] == len(t._live_file_paths()) and r["covered"] == r["built"]
+    ck = src.select("o_custkey").head()[0]
+    exp = sorted(
+        x[0] for x in src.where(F.col("o_custkey") == ck)
+        .select("o_orderkey").collect()
+    )
+    got = sorted(
+        x[0] for x in t.scan_with_bloom("o_custkey", ck)
+        .select("o_orderkey").collect()
+    )
+    assert got == exp
+    acct = t.last_scan_bounds
+    # o_custkey is hash-scattered, so min/max stats could prune nothing;
+    # the bloom must skip at least half the files for one key's lookup
+    assert acct["files_bloomed"] == acct["files_total"]
+    assert acct["files_scanned"] <= acct["files_total"] // 2
+
+
+def test_bloom_lookup_never_false_negative(spark, tmp_db):
+    t, src = _orders_table(spark, tmp_db, commits=3)
+    t.build_bloom_filters("o_custkey", fpp=0.02)
+    for v in [r[0] for r in src.select("o_custkey").distinct().limit(20).collect()]:
+        exp = sorted(
+            x[0] for x in src.where(F.col("o_custkey") == v)
+            .select("o_orderkey").collect()
+        )
+        got = sorted(
+            x[0] for x in t.scan_with_bloom("o_custkey", v)
+            .select("o_orderkey").collect()
+        )
+        assert got == exp, f"false negative for o_custkey={v}"
+
+
+def test_bloom_dirty_tail_update_rescues_pruned_file(spark, tmp_db):
+    # a tail delta SETTING the bloomed column moves a row INTO equality:
+    # its base file would bloom-prune (old value's bits), so the dirty-rid
+    # rescue must keep it — the scan_with_bounds exactness discipline
+    t, src = _orders_table(spark, tmp_db)
+    t.build_bloom_filters("o_custkey", fpp=0.005)
+    ck = src.select("o_custkey").head()[0]
+    other = src.where(F.col("o_custkey") != ck).select("o_orderkey").head()[0]
+    t.bulk_update(
+        spark.createDataFrame([(other, ck)], "o_orderkey long, o_custkey long")
+    )
+    exp = sorted(
+        [x[0] for x in src.where(F.col("o_custkey") == ck)
+         .select("o_orderkey").collect()] + [other]
+    )
+    got = sorted(
+        x[0] for x in t.scan_with_bloom("o_custkey", ck)
+        .select("o_orderkey").collect()
+    )
+    assert got == exp
+    assert t.last_scan_bounds["dirty_rids"] >= 1
+
+
+def test_bloom_uncovered_files_never_skip_and_incremental_build(spark, tmp_db):
+    t, src = _orders_table(spark, tmp_db)
+    t.build_bloom_filters("o_custkey", fpp=0.005)
+    ck = src.select("o_custkey").head()[0]
+    schema = src.schema
+    t.ingest_dataframe(
+        spark.createDataFrame([(99999999, ck, "O", 1.0)], schema)
+    )
+    got = {
+        x[0] for x in t.scan_with_bloom("o_custkey", ck)
+        .select("o_orderkey").collect()
+    }
+    assert 99999999 in got  # fresh file has no sidecar entry -> scanned
+    acct = t.last_scan_bounds
+    assert acct["files_bloomed"] == acct["files_total"] - 1
+    r2 = t.build_bloom_filters("o_custkey", fpp=0.005)
+    assert r2["built"] == 1  # only the new file
+    got2 = {
+        x[0] for x in t.scan_with_bloom("o_custkey", ck)
+        .select("o_orderkey").collect()
+    }
+    assert got2 == got
+    assert t.last_scan_bounds["files_bloomed"] == t.last_scan_bounds["files_total"]
+
+
+def test_bloom_survives_compaction_exactly(spark, tmp_db):
+    # compaction rewrites base files: new snapshot files have NO sidecar
+    # entries (never skipped) until the next build — answers invariant
+    t, src = _orders_table(spark, tmp_db)
+    t.build_bloom_filters("o_custkey", fpp=0.005)
+    ck = src.select("o_custkey").head()[0]
+    before = sorted(
+        x[0] for x in t.scan_with_bloom("o_custkey", ck)
+        .select("o_orderkey").collect()
+    )
+    t.compact()
+    after = sorted(
+        x[0] for x in t.scan_with_bloom("o_custkey", ck)
+        .select("o_orderkey").collect()
+    )
+    assert after == before
+    t.build_bloom_filters("o_custkey", fpp=0.005)
+    rebuilt = sorted(
+        x[0] for x in t.scan_with_bloom("o_custkey", ck)
+        .select("o_orderkey").collect()
+    )
+    assert rebuilt == before
+    assert t.last_scan_bounds["files_bloomed"] == t.last_scan_bounds["files_total"]

@@ -314,6 +314,10 @@ AUDIT = [
     # 2D z-order skipping: conjunctive bounds push into the kept
     # files' native scans; no Python, no cartesian.
     ("pq_zorder_skip_2d", ["Scan parquet", "PushedFilters"], ["BatchEvalPython", "CartesianProduct"]),
+    # bloom skipping happens at PLANNING time (file-set restriction):
+    # the returned plan is the ordinary fold over the ~3 kept files —
+    # no Python, no cartesian; the sidecar probe is a separate tiny job
+    ("pq_bloom_skip_lookup", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
