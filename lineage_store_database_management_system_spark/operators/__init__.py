@@ -1,3 +1,19 @@
-from . import dedup, multimodal, similarity, textops, windows
+from . import (
+    dedup,
+    expectations,
+    multimodal,
+    similarity,
+    textops,
+    textsearch,
+    windows,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "textops", "windows"]
+__all__ = [
+    "dedup",
+    "expectations",
+    "multimodal",
+    "similarity",
+    "textops",
+    "textsearch",
+    "windows",
+]

@@ -496,6 +496,141 @@ def ivf_topk_batch(
     )
 
 
+def filtered_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    predicate,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact PRE-FILTER vector search: push the predicate into the
+    scan, rank only the survivors. ``predicate`` is a Column or SQL
+    string; as a plain comparison on a stored column it reaches the
+    parquet reader (PushedFilters), so the scan cost is the filter's
+    selectivity, not the corpus — the right plan whenever the filter
+    keeps few enough rows that exact ranking over them is cheap.
+    The ranking itself is TakeOrderedAndProject (per-partition
+    partial top-k, k-row driver merge, no sort shuffle)."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    return brute_force_topk(df.where(pred), query_vec, k, id_col, vec_col, round_to)
+
+
+def ivf_filter_histogram(
+    assigned: DataFrame,
+    filter_col: str,
+    list_col: str = "_list",
+) -> dict:
+    """Index-build-time metadata for filtered ANN: per-(inverted list,
+    filter value) row counts, ONE aggregate job over the assigned
+    corpus. Meant for low-cardinality filter columns (label / source /
+    lang — the attributes real retrieval stacks filter on); the result
+    is n_lists x n_values rows on the driver, independent of corpus
+    size. Query-time strategy selection (:func:`ivf_filtered_topk`)
+    then needs ZERO data jobs to decide: match totals and per-list
+    availability are lookups."""
+    rows = (
+        assigned.groupBy(list_col, filter_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    hist: dict = {}
+    for r in rows:
+        hist.setdefault(r[filter_col], {})[int(r[list_col])] = int(r["_n"])
+    return hist
+
+
+def ivf_filtered_topk(
+    assigned: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    filter_col: str,
+    filter_value,
+    k: int = 10,
+    histogram: dict | None = None,
+    brute_threshold: int = 128,
+    min_candidates: int | None = None,
+    max_nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "_list",
+    round_to: int | None = None,
+):
+    """Filtered ANN with metadata-driven strategy selection — the
+    missing piece between :func:`filtered_topk` (always exact, always
+    scans every match) and :func:`ivf_topk` (prunes lists but is blind
+    to the predicate, so a selective filter starves the probed lists
+    of matches and recall collapses).
+
+    Strategy, decided entirely from the build-time histogram
+    (:func:`ivf_filter_histogram` — no data job):
+
+    - ``total_matches <= brute_threshold`` → **prefilter**: exact
+      scan of the matching rows (:func:`filtered_topk`). A selective
+      filter makes exact search cheaper than any probe plan.
+    - otherwise → **probe**: rank lists by centroid distance to the
+      query and take lists IN ORDER until the histogram says at least
+      ``min_candidates`` (default ``8*k``) matching rows live in the
+      probe set — predicate-aware nprobe escalation, so a filter that
+      concentrates in few lists probes few lists, and one that spreads
+      thin escalates automatically instead of returning k' < k rows.
+      The single data job scans ``list IN probes AND filter`` (list
+      partition pruning + pushed filter) and exact-ranks.
+
+    Returns ``(topk_df, info)`` where ``info`` records the decision
+    (``strategy``, ``probes``, ``total_matches``,
+    ``candidates_available``) — deterministic given the corpus, so
+    gates can assert it."""
+    pred = F.col(filter_col) == F.lit(filter_value)
+    hist = (
+        histogram
+        if histogram is not None
+        else ivf_filter_histogram(assigned, filter_col, list_col)
+    )
+    per_list = hist.get(filter_value, {})
+    total = sum(per_list.values())
+    if total <= brute_threshold:
+        out = filtered_topk(assigned, query_vec, pred, k, id_col, vec_col, round_to)
+        info = {
+            "strategy": "prefilter",
+            "probes": [],
+            "total_matches": total,
+            "candidates_available": total,
+        }
+        return out, info
+
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()
+    cap = len(cents) if max_nprobe is None else min(max_nprobe, len(cents))
+    need = 8 * k if min_candidates is None else min_candidates
+    probes: list[int] = []
+    avail = 0
+    for li in order[:cap]:
+        probes.append(int(li))
+        avail += per_list.get(int(li), 0)
+        if avail >= need:
+            break
+    out = brute_force_topk(
+        assigned.where(F.col(list_col).isin(probes) & pred),
+        query_vec,
+        k,
+        id_col,
+        vec_col,
+        round_to,
+    )
+    info = {
+        "strategy": "probe",
+        "probes": probes,
+        "total_matches": total,
+        "candidates_available": avail,
+    }
+    return out, info
+
+
 def scalar_quantize(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1,0 +1,95 @@
+"""Trigram inverted-index substring search (round 11): exact
+contains() answers from posting-list intersection + verify, never a
+blind full-corpus scan."""
+
+from pyspark.sql import functions as F
+
+from lineage_store_database_management_system_spark.operators import textsearch
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my box with five dozen liquor jugs"),
+        (2, "a quick brown dog outpaces a quick fox"),
+        (3, "sphinx of black quartz judge my vow"),
+        (4, "the five boxing wizards jump quickly"),
+        (5, ""),
+        (6, "qu"),  # shorter than a trigram
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def _truth(spark, pattern):
+    return _ids(_docs(spark).where(F.col("text").contains(pattern)))
+
+
+def test_postings_are_distinct_per_doc(spark):
+    docs = _docs(spark)
+    p = textsearch.trigram_postings(docs)
+    assert (
+        p.groupBy("doc_id", "gram").count().where(F.col("count") > 1).count() == 0
+    )
+    # doc 6 ("qu") and doc 5 ("") contribute nothing
+    assert p.where(F.col("doc_id").isin([5, 6])).count() == 0
+
+
+def test_index_search_matches_full_scan(spark):
+    docs = _docs(spark)
+    postings = textsearch.trigram_postings(docs)
+    stats = textsearch.trigram_stats(postings)
+    for pattern in ["quick brown", "five", "jump", "the quick brown fox"]:
+        got, info = textsearch.substring_search(
+            docs, pattern, postings=postings, stats=stats
+        )
+        assert info["strategy"] == "index"
+        assert _ids(got) == _truth(spark, pattern), pattern
+
+
+def test_rarest_grams_chosen(spark):
+    docs = _docs(spark)
+    postings = textsearch.trigram_postings(docs)
+    stats = textsearch.trigram_stats(postings)
+    got, info = textsearch.substring_search(
+        docs, "quick brown fox", postings=postings, stats=stats, n_probe_grams=2
+    )
+    df_map = {
+        r["gram"]: r["df"]
+        for r in stats.where(
+            F.col("gram").isin(textsearch.pattern_grams("quick brown fox"))
+        ).collect()
+    }
+    chosen = info["probe_grams"]
+    worst_chosen = max(df_map[g] for g in chosen)
+    best_skipped = min(v for g, v in df_map.items() if g not in chosen)
+    assert worst_chosen <= best_skipped
+    assert _ids(got) == _truth(spark, "quick brown fox")
+
+
+def test_absent_gram_short_circuits_to_empty(spark):
+    docs = _docs(spark)
+    postings = textsearch.trigram_postings(docs)
+    stats = textsearch.trigram_stats(postings)
+    got, info = textsearch.substring_search(
+        docs, "zzz_not_here", postings=postings, stats=stats
+    )
+    assert info["strategy"] == "index"
+    assert got.count() == 0
+
+
+def test_short_pattern_falls_back_to_scan(spark):
+    docs = _docs(spark)
+    got, info = textsearch.substring_search(docs, "qu")
+    assert info["strategy"] == "scan"
+    assert _ids(got) == _truth(spark, "qu")
+
+
+def test_no_false_negatives_without_stats(spark):
+    docs = _docs(spark)
+    got, info = textsearch.substring_search(docs, "boxing wizards")
+    assert info["strategy"] == "index"
+    assert _ids(got) == _truth(spark, "boxing wizards")
