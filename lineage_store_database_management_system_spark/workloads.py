@@ -60,6 +60,7 @@ from .operators import (
     similarity,
     sketch,
     textops,
+    textsearch,
     windows,
 )
 from .sources.readers import load_star
@@ -8592,4 +8593,167 @@ def ds_embed_ivf_pq_maintained(spark, sf_dir):
     return exact.crossJoin(F.broadcast(flags)).select(
         "vec_id", "cosine", "stale_flagged", "rebuilt_ok", "stale_cleared",
         "overlap_ok"
+    )
+
+
+@workload(
+    "ds_embedding_filtered_topk",
+    # Filtered vector search (round 11): gated rows = the exact
+    # PRE-FILTER top-20 (filtered_topk IS the engine's exact path —
+    # predicate pushed into the scan, TakeOrderedAndProject ranking).
+    # The adaptive path enters as deterministic run-derived columns:
+    # `strategy` must match the histogram rule the oracle restates as
+    # a scalar subquery (<= 128 matches -> prefilter, else probe), so
+    # the SAME workload proves the selective branch at sf0.01 (47
+    # matches) and the escalation branch at sf0.1+ (218+). adaptive_ok
+    # = exact equality on the prefilter branch (same plan), overlap
+    # >= 8 of 20 on the probe branch; probe_overlap_ok gates a FORCED
+    # probe run (brute_threshold=0) at every tier so escalation is
+    # always exercised (measured overlap: 20 at sf0.01 — escalation
+    # covers all matching lists below min_candidates — and 15 at
+    # sf0.1 probing 8 of 16 lists).
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM embeddings, q
+  WHERE label = 2
+)
+SELECT vec_id, ROUND(c, 3) AS cosine,
+  (SELECT CASE WHEN COUNT(*) <= 128 THEN 'prefilter' ELSE 'probe' END
+   FROM embeddings WHERE label = 2) AS strategy,
+  TRUE AS adaptive_ok, TRUE AS probe_overlap_ok
+FROM scored ORDER BY ROUND(c, 3) DESC, vec_id LIMIT 20""",
+)
+def ds_embed_filtered(spark, sf_dir):
+    """Filtered ANN: top-k under a predicate, the shape real
+    retrieval stacks run ('nearest docs WHERE lang=en'). A
+    predicate-blind probe starves when the filter concentrates away
+    from the query's lists; the adaptive operator decides from the
+    index-build-time (list x label) histogram — zero data jobs — and
+    either pre-filters exactly (selective) or escalates nprobe until
+    the probe set provably holds enough matches."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    cents = similarity.ivf_centroids(emb, n_lists=16)
+    assigned = similarity.ivf_assign(emb, cents)
+    hist = similarity.ivf_filter_histogram(assigned, "label")
+    exact = similarity.filtered_topk(emb, q, "label = 2", k=20, round_to=3)
+    adaptive, info = similarity.ivf_filtered_topk(
+        assigned, q, cents, "label", 2, k=20, histogram=hist,
+        brute_threshold=128, min_candidates=100, round_to=3,
+    )
+    forced, _pinfo = similarity.ivf_filtered_topk(
+        assigned, q, cents, "label", 2, k=20, histogram=hist,
+        brute_threshold=0, min_candidates=100, round_to=3,
+    )
+    a_ov = (
+        exact.select("vec_id")
+        .join(adaptive.select(F.col("vec_id").alias("_aid")),
+              F.col("vec_id") == F.col("_aid"))
+        .agg(F.count(F.lit(1)).alias("_ov"))
+    )
+    p_ov = (
+        exact.select("vec_id")
+        .join(forced.select(F.col("vec_id").alias("_pid")),
+              F.col("vec_id") == F.col("_pid"))
+        .agg(F.count(F.lit(1)).alias("_pv"))
+    )
+    need_adaptive = 20 if info["strategy"] == "prefilter" else 8
+    flags = a_ov.crossJoin(p_ov).select(
+        F.lit(info["strategy"]).alias("strategy"),
+        (F.col("_ov") >= need_adaptive).alias("adaptive_ok"),
+        (F.col("_pv") >= 8).alias("probe_overlap_ok"),
+    )
+    return exact.crossJoin(F.broadcast(flags)).select(
+        "vec_id", "cosine", "strategy", "adaptive_ok", "probe_overlap_ok"
+    )
+
+
+@workload(
+    "ds_substring_search",
+    # Trigram-index substring search: the RESULT is exact (candidates
+    # from rarest-gram posting intersection are verified with
+    # contains()), so the whole match set hash-gates against the
+    # naive full-scan SQL. used_index asserts the planner took the
+    # index path (pattern long enough, all grams present).
+    """SELECT doc_id, source, n_chars, TRUE AS used_index
+FROM documents WHERE contains(text, 'customer query')""",
+)
+def ds_substring_search(spark, sf_dir):
+    """grep-at-scale: exact contains() answered from a trigram
+    inverted index — AND-intersect the pattern's 3 rarest posting
+    lists (doc-frequency stats pick them), verify only the
+    candidates. Work scales with the rarest posting list, never the
+    corpus; the naive twin (the oracle SQL) reads every text byte."""
+    docs = load_star(spark, sf_dir)["documents"]
+    postings = textsearch.trigram_postings(docs)
+    stats = textsearch.trigram_stats(postings)
+    got, info = textsearch.substring_search(
+        docs, "customer query", postings=postings, stats=stats
+    )
+    return got.select(
+        "doc_id", "source", "n_chars",
+        F.lit(info["strategy"] == "index").alias("used_index"),
+    )
+
+
+@workload(
+    "pq_expectations_quarantine",
+    # Expectations quarantine ingest: violating rows (price cap /
+    # key screen) land in the quarantine parquet with per-row rule
+    # tags instead of aborting the batch or entering the table.
+    # Gated rows = the quarantine contents (key + comma-joined tags,
+    # rule order = registration order) plus scalar-subquery metrics;
+    # table_rows pins that the table admitted EXACTLY the complement.
+    """WITH bad AS (
+  SELECT o_orderkey,
+    concat_ws(',',
+      CASE WHEN NOT coalesce(o_totalprice < 480000, TRUE)
+           THEN 'price_cap' END,
+      CASE WHEN NOT coalesce(o_orderkey % 97 <> 13, TRUE)
+           THEN 'key_screen' END) AS violations
+  FROM orders
+  WHERE NOT coalesce(o_totalprice < 480000, TRUE)
+     OR NOT coalesce(o_orderkey % 97 <> 13, TRUE)
+)
+SELECT o_orderkey, violations,
+  (SELECT COUNT(*) FROM orders) AS rows_in,
+  (SELECT COUNT(*) FROM bad) AS rows_bad,
+  (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM bad) AS table_rows
+FROM bad""",
+)
+def pq_expectations_quarantine(spark, sf_dir):
+    """Validated bulk ingest (the Delta Live Tables expectations
+    shape): rows failing any rule are tagged with WHICH rules and
+    quarantined under <table>/_quarantine — outside base/tail, so
+    scans/repair/vacuum never see them — while the clean complement
+    takes the normal rid-assigned staged-publish write path. ANSI
+    semantics match the CHECK constraint layer (NULL passes), so an
+    expectation can be promoted to a hard constraint without
+    changing admitted rows."""
+    from .operators import expectations as _X
+
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    root = tempfile.mkdtemp(prefix="lss_wl_expect_")
+    db = Database().open(root, spark)
+    t = db.create_table_typed("orders_q", src.schema, "o_orderkey")
+    rules = {
+        "price_cap": "o_totalprice < 480000",
+        "key_screen": "o_orderkey % 97 <> 13",
+    }
+    metrics = _X.ingest_with_expectations(t, src, rules)
+    quar = spark.read.parquet(metrics["quarantine_dir"])
+    n_table = t.current_view().count()
+    return quar.select(
+        "o_orderkey",
+        F.array_join(F.col(_X.VIOLATIONS_COL), ",").alias("violations"),
+        F.lit(metrics["rows"]).cast("long").alias("rows_in"),
+        F.lit(metrics["rows_bad"]).cast("long").alias("rows_bad"),
+        F.lit(n_table).cast("long").alias("table_rows"),
     )

@@ -30,8 +30,10 @@ def test_png_roundtrip_all_filters(color_type, nch, filter_seed):
 
 
 def test_png_dispatch_and_stub_contract():
-    # JPEG magic still raises the contract-pinned stub
-    with pytest.raises(NotImplementedError, match="PIL/cv2"):
+    # JPEG magic dispatches to the NATIVE decoder since r11 (no more
+    # PIL/cv2 stub): a garbage marker stream fails inside it with the
+    # decoder's own contract error
+    with pytest.raises(NotImplementedError, match="JPEG marker stream"):
         mm._decode_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 40)
     # PNG magic dispatches to the native decoder
     src = bytes(range(2 * 2 * 3)) * 2  # 2x4 RGB
