@@ -631,6 +631,75 @@ def ivf_filtered_topk(
     return out, info
 
 
+def multi_vector_split(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_tokens: int = 4,
+    out_col: str = "token_vecs",
+) -> DataFrame:
+    """Slice a flat dim-D vector into ``n_tokens`` contiguous
+    sub-vectors (array<array<double>>) — deterministic multi-vector
+    plumbing for corpora stored single-vector. Real late-interaction
+    corpora store per-token vectors natively; this adapter exists so
+    the MaxSim operators are exercisable (and gated) on any embedding
+    column. Pure Catalyst (slice inside transform), map-only."""
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"transform(sequence(0, {n_tokens - 1}), t -> "
+            f"transform(slice({vec_col}, t * (size({vec_col}) div {n_tokens}) + 1,"
+            f" size({vec_col}) div {n_tokens}), x -> cast(x as double)))"
+        ),
+    )
+
+
+def maxsim_score_col(mv_col: str, query_tokens: list[list[float]]):
+    """ColBERT MaxSim as ONE Catalyst expression: for each query
+    token, the max dot product against the document's token vectors;
+    summed. The query is driver-side (tokens are few), so the outer
+    sum unrolls into Python — every term is a JVM-side
+    ``array_max(transform(dot))``, no Python in the row path, no
+    shuffle: scoring a 100 TB corpus is a map-only projection."""
+    total = F.lit(0.0)
+    for qt in query_tokens:
+        qlit = F.array(*[F.lit(float(x)) for x in qt])
+        best = F.array_max(
+            F.transform(
+                F.col(mv_col),
+                lambda dt: F.aggregate(
+                    F.zip_with(dt, qlit, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+        total = total + best
+    return total
+
+
+def maxsim_topk(
+    df: DataFrame,
+    query_tokens: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    mv_col: str = "token_vecs",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact late-interaction top-k: rank the corpus by MaxSim against
+    a driver-side query token set. Compiles to a map-only projection +
+    TakeOrderedAndProject (per-partition partial top-k, k-row driver
+    merge) — the same no-global-sort shape as :func:`brute_force_topk`.
+    Ties broken by id; ``round_to`` for engine-stable gating."""
+    score = maxsim_score_col(mv_col, query_tokens)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        df.select(F.col(id_col), score.alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def scalar_quantize(
     df: DataFrame,
     id_col: str = "vec_id",

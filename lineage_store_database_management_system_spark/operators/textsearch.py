@@ -48,7 +48,14 @@ __all__ = [
     "trigram_stats",
     "pattern_grams",
     "substring_search",
+    "write_trigram_index",
+    "append_trigram_index",
+    "open_trigram_index",
 ]
+
+# candidate sets up to this size verify through a pushed-down IN-list
+# (same convention as lineage._CHECK_ISIN_CAP / indexing.ISIN_CAP)
+_VERIFY_ISIN_CAP = 100_000
 
 
 def _grams_col(text_col: str):
@@ -93,6 +100,55 @@ def pattern_grams(pattern: str) -> list[str]:
         if g not in seen:
             seen.append(g)
     return seen
+
+
+def write_trigram_index(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the index: ``<dir>/postings`` (gram, id) and
+    ``<dir>/stats`` (gram, df). Stats are written PER BATCH and summed
+    on open, which is what makes :func:`append_trigram_index`
+    incremental: doc-frequencies are additive over disjoint doc sets,
+    so an append writes only its own delta — no read-modify-write, no
+    rebuild. (Documents are immutable in the corpora this serves;
+    deletes would need a tombstone sweep, out of scope.)"""
+    import os
+
+    postings = trigram_postings(docs, id_col, text_col)
+    postings.write.mode("append").parquet(os.path.join(index_dir, "postings"))
+    # second pass over the batch for its stats delta (postings are
+    # not cached — the batch is the small side by construction)
+    trigram_stats(postings).write.mode("append").parquet(
+        os.path.join(index_dir, "stats")
+    )
+
+
+def append_trigram_index(
+    new_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental maintenance: postings/stats for the NEW docs only
+    append to the index — O(new docs), independent of index size."""
+    write_trigram_index(new_docs, index_dir, id_col, text_col)
+
+
+def open_trigram_index(spark, index_dir: str):
+    """(postings, stats) from a persisted index. Stats fold the
+    per-batch deltas with one vocabulary-sized aggregate."""
+    import os
+
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    stats = (
+        spark.read.parquet(os.path.join(index_dir, "stats"))
+        .groupBy("gram")
+        .agg(F.sum("df").alias("df"))
+    )
+    return postings, stats
 
 
 def substring_search(
@@ -141,7 +197,20 @@ def substring_search(
         .where(F.col("_ng") == len(grams))
         .select(id_col)
     )
-    verified = docs.join(hits, on=id_col, how="left_semi").where(
-        F.contains(F.col(text_col), F.lit(pattern))
-    )
+    # The verify must run on CANDIDATES ONLY — left to Catalyst, the
+    # contains() commutes below the semi-join and re-scans every
+    # document's text, which is exactly the work the index exists to
+    # avoid. Below the cap the candidate ids become a pushed-down
+    # IN-list on the docs scan, so file skipping on the id column
+    # prunes the text read to candidate files. Above the cap the
+    # broadcast semi-join stands: a candidate set that large means
+    # the pattern is unselective and a wide verify is honest work.
+    ids = [r[id_col] for r in hits.limit(_VERIFY_ISIN_CAP + 1).collect()]
+    if len(ids) <= _VERIFY_ISIN_CAP:
+        candidates = docs.where(F.col(id_col).isin(ids)) if ids else docs.where(
+            F.lit(False)
+        )
+    else:  # pragma: no cover - pattern matching >100k docs
+        candidates = docs.join(hits, on=id_col, how="left_semi")
+    verified = candidates.where(F.contains(F.col(text_col), F.lit(pattern)))
     return verified, {"strategy": "index", "probe_grams": grams}

@@ -91,6 +91,102 @@ def gapfill_locf(
     )
 
 
+def gapfill_interpolate(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    start: str,
+    end: str,
+    bucket: str = "hour",
+    agg: str = "avg",
+    round_to: int = 4,
+) -> DataFrame:
+    """Dense per-key grid like :func:`gapfill_locf`, but gaps fill by
+    LINEAR INTERPOLATION between the surrounding observations
+    (TimescaleDB's ``interpolate()``): a gap at t between observations
+    (t0, v0) and (t1, v1) fills with v0 + (v1-v0)*(t-t0)/(t1-t0).
+    Gaps after the last observation carry the last value forward
+    (nothing ahead to interpolate toward); gaps before the first stay
+    NULL. Same scale shape as LOCF — grid bounded by key cardinality,
+    observed side pre-aggregated, then two per-key windows (the
+    backward look and the forward look); no UDFs."""
+    if bucket not in ("hour", "day"):
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    step = F.expr(f"interval 1 {bucket}")
+    agg_fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[agg]
+
+    observed = (
+        spread(df)
+        .select(
+            F.col(key_col).alias("_k"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("_b"),
+            F.col(value_col).alias("_v"),
+        )
+        .where(
+            (F.col("_b") >= F.lit(start).cast("timestamp"))
+            & (F.col("_b") <= F.lit(end).cast("timestamp"))
+        )
+        .groupBy("_k", "_b")
+        .agg(F.round(agg_fn("_v"), round_to).alias("observed"))
+    )
+    grid = (
+        df.select(F.col(key_col).alias("_k"))
+        .distinct()
+        .select(
+            "_k",
+            F.explode(
+                F.sequence(
+                    F.lit(start).cast("timestamp"),
+                    F.lit(end).cast("timestamp"),
+                    step,
+                )
+            ).alias("_b"),
+        )
+    )
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("observed").isNotNull(), F.col("_b"))
+    joined = (
+        grid.join(observed, on=["_k", "_b"], how="left")
+        .select(
+            "_k",
+            "_b",
+            "observed",
+            F.last("observed", ignorenulls=True).over(wb).alias("_pv"),
+            F.last(obs_ts, ignorenulls=True).over(wb).alias("_pt"),
+            F.first("observed", ignorenulls=True).over(wf).alias("_nv"),
+            F.first(obs_ts, ignorenulls=True).over(wf).alias("_nt"),
+        )
+    )
+    frac = (
+        (F.unix_timestamp("_b") - F.unix_timestamp("_pt")).cast("double")
+        / (F.unix_timestamp("_nt") - F.unix_timestamp("_pt")).cast("double")
+    )
+    interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac
+    filled = (
+        F.when(F.col("observed").isNotNull(), F.col("observed"))
+        .when(F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+              F.round(interp, round_to))
+        .when(F.col("_pv").isNotNull(), F.col("_pv"))
+    )
+    return joined.select(
+        F.col("_k").alias(key_col),
+        F.col("_b").alias("bucket"),
+        F.col("observed"),
+        filled.alias("filled"),
+        F.col("observed").isNull().alias("is_gap"),
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     ts_col: str,

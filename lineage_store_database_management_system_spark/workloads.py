@@ -8757,3 +8757,148 @@ def pq_expectations_quarantine(spark, sf_dir):
         F.lit(metrics["rows_bad"]).cast("long").alias("rows_bad"),
         F.lit(n_table).cast("long").alias("table_rows"),
     )
+
+
+@workload(
+    "ds_maxsim_topk",
+    # ColBERT-style late interaction, gated EXACTLY (no recall
+    # booleans needed — maxsim_topk is exact): corpus token vectors
+    # come from the deterministic 4x16 split of the 64-d embedding,
+    # query = vec 0's token set, score = sum over query tokens of the
+    # max dot against the doc's tokens. Both engines unroll the same
+    # nested fold over the same split (list_slice / slice), sum in
+    # the same order, and rank by ROUND(s, 3) with id tiebreak.
+    """WITH c AS (
+  SELECT vec_id,
+    list_transform(range(0, 4), t ->
+      list_transform(list_slice(embedding, t * 16 + 1, (t + 1) * 16),
+                     x -> CAST(x AS DOUBLE))) AS dtoks
+  FROM embeddings
+), q AS (SELECT dtoks AS qtoks FROM c WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(qtoks, qt ->
+      list_aggregate(list_transform(dtoks, dt ->
+        list_aggregate(list_transform(range(1, len(qt) + 1),
+          i -> qt[i] * dt[i]), 'sum')), 'max')), 'sum') AS s
+  FROM c, q
+)
+SELECT vec_id, ROUND(s, 3) AS maxsim
+FROM scored ORDER BY ROUND(s, 3) DESC, vec_id LIMIT 20""",
+)
+def ds_maxsim_topk(spark, sf_dir):
+    """Late-interaction retrieval (MaxSim): per-query-token max dot
+    against the document's token vectors, summed — the multi-vector
+    scoring ColBERT uses, here as ONE map-only Catalyst projection
+    (the driver-side query unrolls into JVM array_max/zip_with terms,
+    no Python, no shuffle) + TakeOrderedAndProject ranking."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    mv = similarity.multi_vector_split(emb, n_tokens=4)
+    qrow = mv.where(F.col("vec_id") == 0).first()["token_vecs"]
+    q = [[float(x) for x in t] for t in qrow]
+    return similarity.maxsim_topk(mv, q, k=20, round_to=3)
+
+
+@workload(
+    "ext_gapfill_interpolate",
+    # TimescaleDB interpolate(): gaps between observations fill
+    # linearly, the tail past the last observation carries forward,
+    # heads before the first stay NULL. Same dense-grid shape as the
+    # LOCF gate; both engines window over (prev/next value, prev/next
+    # observed bucket) and compute the identical double expression.
+    """WITH src AS (SELECT * FROM events WHERE user_id < 8),
+keys AS (SELECT DISTINCT user_id FROM src),
+grid AS (SELECT k.user_id, gs.generate_series AS b
+         FROM keys k, generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                      TIMESTAMP '2024-01-05 00:00:00',
+                                      INTERVAL 1 HOUR) gs),
+obs AS (SELECT user_id, date_trunc('hour', ts) AS b,
+               ROUND(AVG(value), 3) AS observed
+        FROM src
+        WHERE date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+                                         AND TIMESTAMP '2024-01-05 00:00:00'
+        GROUP BY 1, 2),
+j AS (
+  SELECT g.user_id, g.b, o.observed,
+    last_value(o.observed IGNORE NULLS)
+      OVER (PARTITION BY g.user_id ORDER BY g.b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN o.observed IS NOT NULL THEN g.b END IGNORE NULLS)
+      OVER (PARTITION BY g.user_id ORDER BY g.b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(o.observed IGNORE NULLS)
+      OVER (PARTITION BY g.user_id ORDER BY g.b
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN o.observed IS NOT NULL THEN g.b END IGNORE NULLS)
+      OVER (PARTITION BY g.user_id ORDER BY g.b
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b)
+SELECT user_id, b AS bucket, observed,
+  CASE WHEN observed IS NOT NULL THEN observed
+       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         ROUND(pv + (nv - pv) * ((epoch(b) - epoch(pt)) / (epoch(nt) - epoch(pt))), 3)
+       WHEN pv IS NOT NULL THEN pv END AS filled,
+  (observed IS NULL) AS is_gap
+FROM j""",
+)
+def ext_gapfill_interpolate(spark, sf_dir):
+    """Gap-filled hourly series with LINEAR interpolation
+    (operators/timeseries.gapfill_interpolate): grid bounded by key
+    cardinality, observed side pre-aggregated, then two per-key
+    windows (backward and forward look) — no UDFs, every shuffle on
+    the series key."""
+    from .operators import timeseries as _ts
+
+    ev = load_star(spark, sf_dir)["events"].where(F.col("user_id") < 8)
+    return _ts.gapfill_interpolate(
+        ev,
+        "ts",
+        "user_id",
+        "value",
+        "2024-01-02 00:00:00",
+        "2024-01-05 00:00:00",
+        bucket="hour",
+        agg="avg",
+        round_to=3,
+    )
+
+
+@workload(
+    "ds_incremental_trigram_search",
+    # Durable trigram index under append: build on the corpus, append
+    # planted pattern-bearing docs (ids offset past max, the
+    # scale-safe planted-key convention), search the grown corpus
+    # through the incrementally-maintained index. The verified match
+    # set is exact, so originals + every planted doc gate closed-form.
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents)
+SELECT doc_id, FALSE AS is_planted
+FROM documents WHERE contains(text, 'customer query')
+UNION ALL
+SELECT doc_id + mx.m + 1 AS doc_id, TRUE AS is_planted
+FROM documents CROSS JOIN mx WHERE doc_id % 25 = 0""",
+)
+def ds_incremental_trigram_search(spark, sf_dir):
+    """Incremental index maintenance for substring search: an append
+    writes only ITS batch's postings + stats delta (doc-frequencies
+    are additive over disjoint doc sets — open folds the deltas with
+    one vocabulary-sized aggregate), so keeping grep-at-scale current
+    costs O(new docs), never a rebuild."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    m = docs.agg(F.max("doc_id")).first()[0]
+    planted = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + m + 1).alias("doc_id"),
+        F.concat(
+            F.lit("planted customer query probe "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    root = tempfile.mkdtemp(prefix="lss_wl_trgm_")
+    idx = os.path.join(root, "trgm")
+    textsearch.write_trigram_index(docs, idx)
+    textsearch.append_trigram_index(planted, idx)
+    postings, stats = textsearch.open_trigram_index(spark, idx)
+    corpus = docs.unionByName(planted)
+    got, _info = textsearch.substring_search(
+        corpus, "customer query", postings=postings, stats=stats
+    )
+    return got.select("doc_id", (F.col("doc_id") > m).alias("is_planted"))

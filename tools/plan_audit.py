@@ -318,6 +318,34 @@ AUDIT = [
     # the returned plan is the ordinary fold over the ~3 kept files —
     # no Python, no cartesian; the sidecar probe is a separate tiny job
     ("pq_bloom_skip_lookup", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
+    # Filtered ANN: the gated exact path pushes the label predicate
+    # into the parquet scan and ranks via top-k — never a global sort,
+    # never row-Python (ivf_assign's Arrow kernel runs in the
+    # adaptive branch only, not in the returned plan).
+    ("ds_embedding_filtered_topk", ["TakeOrderedAndProject", "PushedFilters"], ["BatchEvalPython", "CartesianProduct"]),
+    # Trigram search: the posting intersection runs as its own
+    # bounded candidate job; the RETURNED plan must verify on the
+    # candidates only — the id IN-list pushed into the docs scan
+    # (file skipping prunes the text read), contains() JVM-side.
+    # Left to Catalyst the contains() would commute below the join
+    # and re-scan the whole corpus (the r11 fix this shape pins).
+    ("ds_substring_search", ["In(doc_id", "StringContains"], ["BatchEvalPython", "CartesianProduct"]),
+    # Expectations quarantine: the gated read is a native parquet
+    # scan of the quarantine area — tagging/splitting happened at
+    # ingest as one Catalyst projection, nothing row-at-a-time.
+    ("pq_expectations_quarantine", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
+    # MaxSim: the whole late-interaction score is a map-only
+    # projection (unrolled array_max/zip_with terms) + top-k — no
+    # Python, no shuffle before the k-row merge.
+    ("ds_maxsim_topk", ["TakeOrderedAndProject"], ["BatchEvalPython", "Exchange hashpartitioning", "CartesianProduct"]),
+    # Interpolation gapfill: same dense-grid shape as LOCF — grid
+    # explode + pre-aggregated observed side + per-key windows, all
+    # Catalyst.
+    ("ext_gapfill_interpolate", ["Window", "Generate"], ["BatchEvalPython", "CartesianProduct"]),
+    # Incremental trigram search: same pruned-verify contract over
+    # the persisted index (candidates from the folded posting scans,
+    # id IN-list pushed into both corpus branches of the union).
+    ("ds_incremental_trigram_search", ["In(doc_id", "StringContains"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
