@@ -1027,6 +1027,7 @@ def ivf_pq_write_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    filter_cols: list[str] | None = None,
 ) -> None:
     """Persist a durable ANN index: train the coarse quantizer and PQ
     codebooks (once, on the deterministic sample), assign + encode
@@ -1040,7 +1041,15 @@ def ivf_pq_write_index(
     ``residual=True`` trains/encodes PQ over :func:`ivf_residuals`
     displacements (full IVFADC) — the clustered-corpus default per
     the r7 recall study (SCALING.md); the flag is recorded in the
-    sidecar so probes and appends transparently do the right thing."""
+    sidecar so probes and appends transparently do the right thing.
+
+    ``filter_cols`` names low-cardinality attribute columns of ``df``
+    (label / lang / source) to support FILTERED search on the durable
+    index: the columns already ride into the partitioned parquet with
+    every row; this additionally records their per-(list, value)
+    histograms in the sidecar (:func:`ivf_filter_histogram` shape) so
+    :func:`ivf_pq_filtered_topk_from_index` selects its strategy from
+    metadata alone. Appends keep the histograms current."""
     import json as _json
     import os as _os
 
@@ -1061,16 +1070,31 @@ def ivf_pq_write_index(
     build_stats = _ivf_health(
         ivf_residuals(assigned, cents, vec_col=vec_col)
     )
+    fhist = {}
+    for c in filter_cols or []:
+        fhist[c] = _hist_triples(ivf_filter_histogram(assigned, c))
     tmp = _os.path.join(index_dir, "_ann_meta.json.tmp")
     with open(tmp, "w") as f:
         _json.dump(
             {"centroids": cents, "codebooks": books, "id_col": id_col,
              "vec_col": vec_col, "residual": residual,
              "n_lists": n_lists, "m": m, "nbits": nbits,
-             "build_stats": build_stats},
+             "build_stats": build_stats, "filter_hist": fhist},
             f,
         )
     _os.replace(tmp, _os.path.join(index_dir, "_ann_meta.json"))
+
+
+def _hist_triples(hist: dict) -> list:
+    """{value: {list: n}} -> JSON-safe [[value, list, n], ...]."""
+    return [[v, li, n] for v, d in hist.items() for li, n in d.items()]
+
+
+def _hist_from_triples(triples: list) -> dict:
+    out: dict = {}
+    for v, li, n in triples:
+        out.setdefault(v, {})[int(li)] = int(n)
+    return out
 
 
 def _ann_recover(index_dir: str) -> bool:
@@ -1162,6 +1186,20 @@ def ivf_pq_append_index(
         prepared = pq_encode(assigned, meta["codebooks"], vec_col=vec_col)
     n = prepared.count()
     prepared.write.mode("append").partitionBy("_list").parquet(index_dir)
+    if meta.get("filter_hist"):
+        # histograms are additive over disjoint batches: fold the
+        # APPENDED rows' counts (O(batch) aggregates) into the sidecar
+        for c, triples in meta["filter_hist"].items():
+            hist = _hist_from_triples(triples)
+            for v, d in ivf_filter_histogram(assigned, c).items():
+                slot = hist.setdefault(v, {})
+                for li, cnt in d.items():
+                    slot[li] = slot.get(li, 0) + cnt
+            meta["filter_hist"][c] = _hist_triples(hist)
+        tmp = _os.path.join(index_dir, "_ann_meta.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(meta, f)
+        _os.replace(tmp, _os.path.join(index_dir, "_ann_meta.json"))
     return n
 
 
@@ -1335,7 +1373,10 @@ def ivf_pq_maintain_index(
     if not rep["stale"]:
         return {**rep, "rebuilt": False}
     meta = _open_ann_meta(index_dir)
-    vecs = spark.read.parquet(index_dir).select(meta["id_col"], meta["vec_col"])
+    fcols = list(meta.get("filter_hist") or {})
+    vecs = spark.read.parquet(index_dir).select(
+        meta["id_col"], meta["vec_col"], *fcols
+    )
     token = _uuid.uuid4().hex[:8]
     fresh = f"{index_dir.rstrip('/')}_rebuild_{token}"
     kw = dict(
@@ -1345,6 +1386,7 @@ def ivf_pq_maintain_index(
         id_col=meta["id_col"],
         vec_col=meta["vec_col"],
         residual=meta.get("residual", False),
+        filter_cols=fcols,
     )
     kw.update(train_opts)
     ivf_pq_write_index(vecs, fresh, **kw)
@@ -1406,6 +1448,85 @@ def ivf_pq_topk_from_index(
     return brute_force_topk(
         subset, query_vec, k, meta["id_col"], meta["vec_col"], round_to
     )
+
+
+def ivf_pq_filtered_topk_from_index(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    filter_col: str,
+    filter_value,
+    k: int = 10,
+    brute_threshold: int = 128,
+    min_candidates: int | None = None,
+    max_nprobe: int | None = None,
+    round_to: int | None = None,
+):
+    """Filtered search on the DURABLE index — the production shape of
+    :func:`ivf_filtered_topk`. Strategy comes from the sidecar's
+    per-(list, value) histogram (recorded at build, kept current by
+    appends): zero data jobs to decide.
+
+    - **prefilter** (``total <= brute_threshold``): one pushed-down
+      equality scan of the index parquet (the filter column rides in
+      every partition) + exact ranking of the matches — raw vectors
+      are partition-local, so no second read.
+    - **probe**: lists in centroid order until the histogram covers
+      ``min_candidates`` (default ``8*k``) matching rows; the read is
+      `_list IN probes` (PARTITION pruning — unprobed lists' files
+      never open) + the pushed equality; exact cosine over the
+      filtered probed rows. The filtered subset inside the probes is
+      histogram-bounded, so exact refine replaces the ADC stage — the
+      candidate set is already small by construction.
+
+    Returns ``(topk_df, info)`` like the in-memory operator."""
+    import numpy as np
+
+    meta = _open_ann_meta(index_dir)
+    triples = (meta.get("filter_hist") or {}).get(filter_col)
+    if triples is None:
+        raise ValueError(
+            f"index has no filter histogram for {filter_col!r} — "
+            f"rebuild with filter_cols=[{filter_col!r}]"
+        )
+    hist = _hist_from_triples(triples)
+    per_list = hist.get(filter_value, {})
+    total = sum(per_list.values())
+    idx = spark.read.parquet(index_dir)
+    pred = F.col(filter_col) == F.lit(filter_value)
+    if total <= brute_threshold:
+        out = brute_force_topk(
+            idx.where(pred), query_vec, k, meta["id_col"], meta["vec_col"],
+            round_to,
+        )
+        return out, {
+            "strategy": "prefilter",
+            "probes": [],
+            "total_matches": total,
+            "candidates_available": total,
+        }
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()
+    cap = len(cents) if max_nprobe is None else min(max_nprobe, len(cents))
+    need = 8 * k if min_candidates is None else min_candidates
+    probes: list[int] = []
+    avail = 0
+    for li in order[:cap]:
+        probes.append(int(li))
+        avail += per_list.get(int(li), 0)
+        if avail >= need:
+            break
+    out = brute_force_topk(
+        idx.where(F.col("_list").isin(probes) & pred),
+        query_vec, k, meta["id_col"], meta["vec_col"], round_to,
+    )
+    return out, {
+        "strategy": "probe",
+        "probes": probes,
+        "total_matches": total,
+        "candidates_available": avail,
+    }
 
 
 def semantic_dedup(

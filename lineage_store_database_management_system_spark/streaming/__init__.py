@@ -4,6 +4,7 @@ from .stream_ops import (
     replicate_stream,
     run_stream_once,
     stream_ingest_lineage,
+    stream_ingest_with_expectations,
     stream_maintain_join_mv,
     streaming_dedup,
     streaming_event_join,
@@ -17,6 +18,7 @@ __all__ = [
     "replicate_stream",
     "run_stream_once",
     "stream_ingest_lineage",
+    "stream_ingest_with_expectations",
     "stream_maintain_join_mv",
     "streaming_dedup",
     "streaming_event_join",

@@ -208,6 +208,53 @@ def stream_ingest_lineage(
     return n_batches["n"]
 
 
+def stream_ingest_with_expectations(
+    stream_df: DataFrame,
+    table,
+    rules: dict,
+    stream_id: str = "default",
+    quarantine_dir: str | None = None,
+) -> dict:
+    """Validated streaming ingest: every micro-batch splits through
+    the expectations rules (operators/expectations.py — ANSI
+    semantics, one-projection tagging); clean rows take the
+    exactly-once lineage ingest, violating rows land in a PER-BATCH
+    quarantine directory written with overwrite — so a replayed
+    micro-batch (crash between table commit and checkpoint commit)
+    rewrites the identical quarantine content instead of duplicating
+    it, and the quarantine write ordering (before the table commit)
+    means every crash window resolves to both-sides-exactly-once.
+    Returns totals: batches applied, rows seen/admitted/quarantined."""
+    import os
+
+    from ..operators import expectations as _X
+
+    qdir = quarantine_dir or os.path.join(table.path, "_quarantine")
+    totals = {"batches": 0, "rows": 0, "rows_bad": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        good, bad, metrics = _X.apply_expectations(batch_df, rules)
+        if metrics["rows_bad"]:
+            # overwrite = idempotent under replay (deterministic path)
+            bad.write.mode("overwrite").parquet(
+                os.path.join(qdir, f"batch_{batch_id}")
+            )
+        if _ingest_exactly_once(table, stream_id, good, batch_id):
+            totals["batches"] += 1
+            totals["rows"] += metrics["rows"]
+            totals["rows_bad"] += metrics["rows_bad"]
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", table.path + "/_stream_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    totals["quarantine_dir"] = qdir
+    return totals
+
+
 def stream_maintain_join_mv(
     stream_df: DataFrame,
     db,

@@ -8902,3 +8902,139 @@ def ds_incremental_trigram_search(spark, sf_dir):
         corpus, "customer query", postings=postings, stats=stats
     )
     return got.select("doc_id", (F.col("doc_id") > m).alias("is_planted"))
+
+
+@workload(
+    "ds_embedding_filtered_index_topk",
+    # The DURABLE twin of ds_embedding_filtered_topk: strategy comes
+    # from the index SIDECAR's per-(list,value) histogram (recorded at
+    # build, kept current by appends) — zero data jobs to decide; the
+    # prefilter branch is one pushed-down equality scan of the index
+    # parquet, the probe branch partition-prunes to the covered
+    # lists. Gated rows = exact filtered top-20; booleans as in the
+    # in-memory twin (adaptive equality/overlap + forced-probe
+    # overlap >= 8, measured 15-20 across tiers).
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM embeddings, q
+  WHERE label = 2
+)
+SELECT vec_id, ROUND(c, 3) AS cosine,
+  (SELECT CASE WHEN COUNT(*) <= 128 THEN 'prefilter' ELSE 'probe' END
+   FROM embeddings WHERE label = 2) AS strategy,
+  TRUE AS adaptive_ok, TRUE AS probe_overlap_ok
+FROM scored ORDER BY ROUND(c, 3) DESC, vec_id LIMIT 20""",
+)
+def ds_embed_filtered_index(spark, sf_dir):
+    """Filtered ANN on the persisted index — the production shape:
+    filter attributes ride inside every list partition, their
+    histograms live in the sidecar, appends fold their deltas in, and
+    rebuilds re-derive them — so 'nearest WHERE label = x' never
+    touches data to plan and never opens unprobed lists' files."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    root = tempfile.mkdtemp(prefix="lss_wl_fidx_")
+    idx = os.path.join(root, "idx")
+    similarity.ivf_pq_write_index(
+        emb, idx, n_lists=16, m=8, nbits=4, filter_cols=["label"]
+    )
+    exact = similarity.filtered_topk(
+        spark.read.parquet(idx), q, "label = 2", k=20, round_to=3
+    )
+    adaptive, info = similarity.ivf_pq_filtered_topk_from_index(
+        spark, idx, q, "label", 2, k=20,
+        brute_threshold=128, min_candidates=100, round_to=3,
+    )
+    forced, _p = similarity.ivf_pq_filtered_topk_from_index(
+        spark, idx, q, "label", 2, k=20,
+        brute_threshold=0, min_candidates=100, round_to=3,
+    )
+    a_ov = (
+        exact.select("vec_id")
+        .join(adaptive.select(F.col("vec_id").alias("_aid")),
+              F.col("vec_id") == F.col("_aid"))
+        .agg(F.count(F.lit(1)).alias("_ov"))
+    )
+    p_ov = (
+        exact.select("vec_id")
+        .join(forced.select(F.col("vec_id").alias("_pid")),
+              F.col("vec_id") == F.col("_pid"))
+        .agg(F.count(F.lit(1)).alias("_pv"))
+    )
+    need = 20 if info["strategy"] == "prefilter" else 8
+    flags = a_ov.crossJoin(p_ov).select(
+        F.lit(info["strategy"]).alias("strategy"),
+        (F.col("_ov") >= need).alias("adaptive_ok"),
+        (F.col("_pv") >= 8).alias("probe_overlap_ok"),
+    )
+    return exact.crossJoin(F.broadcast(flags)).select(
+        "vec_id", "cosine", "strategy", "adaptive_ok", "probe_overlap_ok"
+    )
+
+
+@workload(
+    "st_stream_expectations",
+    # Streaming twin of pq_expectations_quarantine: a 4-micro-batch
+    # file stream ingests through the expectations split with
+    # exactly-once table commits and idempotent per-batch quarantine
+    # writes; the drained totals equal the batch oracle regardless of
+    # batching.
+    """WITH bad AS (
+  SELECT o_orderkey,
+    concat_ws(',',
+      CASE WHEN NOT coalesce(o_totalprice < 480000, TRUE)
+           THEN 'price_cap' END,
+      CASE WHEN NOT coalesce(o_orderkey % 97 <> 13, TRUE)
+           THEN 'key_screen' END) AS violations
+  FROM orders
+  WHERE NOT coalesce(o_totalprice < 480000, TRUE)
+     OR NOT coalesce(o_orderkey % 97 <> 13, TRUE)
+)
+SELECT o_orderkey, violations,
+  (SELECT COUNT(*) FROM orders) AS rows_in,
+  (SELECT COUNT(*) FROM bad) AS rows_bad,
+  (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM bad) AS table_rows
+FROM bad""",
+)
+def st_stream_expectations(spark, sf_dir):
+    """Validated STREAMING ingest: every micro-batch splits through
+    the expectations rules; clean rows take the exactly-once lineage
+    ingest (manifest marker discipline), violating rows land in
+    per-batch overwrite-idempotent quarantine dirs — a replayed batch
+    rewrites identical content instead of duplicating it."""
+    from .streaming import stream_ingest_with_expectations
+
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    root = tempfile.mkdtemp(prefix="lss_wl_stexp_")
+    db = Database().open(root, spark)
+    t = db.create_table_typed("orders_sq", src.schema, "o_orderkey")
+    src_dir = os.path.join(root, "stream_src")
+    src.repartition(4).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    rules = {
+        "price_cap": "o_totalprice < 480000",
+        "key_screen": "o_orderkey % 97 <> 13",
+    }
+    totals = stream_ingest_with_expectations(stream, t, rules)
+    from .operators import expectations as _X
+
+    quar = spark.read.parquet(os.path.join(totals["quarantine_dir"], "batch_*"))
+    n_table = t.current_view().count()
+    return quar.select(
+        "o_orderkey",
+        F.array_join(F.col(_X.VIOLATIONS_COL), ",").alias("violations"),
+        F.lit(totals["rows"]).cast("long").alias("rows_in"),
+        F.lit(totals["rows_bad"]).cast("long").alias("rows_bad"),
+        F.lit(n_table).cast("long").alias("table_rows"),
+    )

@@ -346,6 +346,14 @@ AUDIT = [
     # the persisted index (candidates from the folded posting scans,
     # id IN-list pushed into both corpus branches of the union).
     ("ds_incremental_trigram_search", ["In(doc_id", "StringContains"], ["BatchEvalPython", "CartesianProduct"]),
+    # Durable filtered ANN: the gated exact path is a pushed-down
+    # equality scan of the index parquet + top-k — label reaches the
+    # reader, ranking never globally sorts.
+    ("ds_embedding_filtered_index_topk", ["TakeOrderedAndProject", "PushedFilters"], ["BatchEvalPython", "CartesianProduct"]),
+    # Streaming expectations: the gated read is a native scan of the
+    # per-batch quarantine dirs; the split ran in foreachBatch as one
+    # Catalyst projection per micro-batch.
+    ("st_stream_expectations", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
