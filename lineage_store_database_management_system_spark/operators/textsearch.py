@@ -115,15 +115,36 @@ def write_trigram_index(
     so an append writes only its own delta — no read-modify-write, no
     rebuild. (Documents are immutable in the corpora this serves;
     deletes would need a tombstone sweep, out of scope.)"""
+    import json
     import os
 
     postings = trigram_postings(docs, id_col, text_col)
-    postings.write.mode("append").parquet(os.path.join(index_dir, "postings"))
+    # CLUSTER BY GRAM: range-partition + sort so every posting file
+    # covers a narrow gram range — the query's gram IN-list then
+    # prunes at the parquet row-group/file level instead of scanning
+    # the whole posting table (at sf10 the unclustered posting scan
+    # was BIGGER than the corpus scan it was supposed to avoid —
+    # measured in tools/r11_ops_probe.py).
+    clustered = postings.repartitionByRange(
+        max(postings.sparkSession.sparkContext.defaultParallelism, 8), "gram"
+    ).sortWithinPartitions("gram")
+    clustered.write.mode("append").parquet(os.path.join(index_dir, "postings"))
     # second pass over the batch for its stats delta (postings are
     # not cached — the batch is the small side by construction)
     trigram_stats(postings).write.mode("append").parquet(
         os.path.join(index_dir, "stats")
     )
+    # additive doc count for query-time selectivity planning
+    meta_path = os.path.join(index_dir, "_meta.json")
+    prev = 0
+    try:
+        with open(meta_path) as f:
+            prev = int(json.load(f).get("n_docs", 0))
+    except FileNotFoundError:
+        pass
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump({"n_docs": prev + docs.count()}, f)
+    os.replace(meta_path + ".tmp", meta_path)
 
 
 def append_trigram_index(
@@ -151,6 +172,16 @@ def open_trigram_index(spark, index_dir: str):
     return postings, stats
 
 
+def trigram_index_ndocs(index_dir: str) -> int:
+    """Total docs indexed (additive across appends) — the corpus-size
+    denominator for query-time selectivity planning."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        return int(json.load(f)["n_docs"])
+
+
 def substring_search(
     docs: DataFrame,
     pattern: str,
@@ -159,6 +190,8 @@ def substring_search(
     n_probe_grams: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_docs: int | None = None,
+    scan_fraction: float = 0.05,
 ):
     """Exact ``contains(text, pattern)`` via the trigram index.
 
@@ -167,7 +200,16 @@ def substring_search(
     ``info`` records the plan (``strategy`` 'index' or 'scan',
     ``probe_grams``). With no index supplied, one is built on the fly
     (still the right plan shape — the build is one pass; callers at
-    scale persist it once and pass it in)."""
+    scale persist it once and pass it in).
+
+    Selectivity planning: the rarest pattern gram's doc-frequency is
+    an UPPER BOUND proxy for the candidate set. When ``n_docs`` is
+    known (``trigram_index_ndocs``) and that bound exceeds
+    ``scan_fraction`` of the corpus, the index cannot prune enough to
+    beat the straight scan — candidate materialization + verify would
+    COST more than the naive plan (measured at sf10: a 6%-selective
+    pattern ran 13x faster as a scan) — so the planner falls back to
+    the scan honestly and says so in ``info``."""
     if len(pattern) < 3:
         return (
             docs.where(F.contains(F.col(text_col), F.lit(pattern))),
@@ -176,7 +218,7 @@ def substring_search(
     if postings is None:
         postings = trigram_postings(docs, id_col, text_col)
     grams = pattern_grams(pattern)
-    if stats is not None and len(grams) > n_probe_grams:
+    if stats is not None and len(grams) >= 1:
         df_rows = stats.where(F.col("gram").isin(grams)).collect()
         known = {r["gram"]: r["df"] for r in df_rows}
         # a pattern gram absent from the stats table has df 0: no
@@ -188,6 +230,12 @@ def substring_search(
                 "probe_grams": [g for g in grams if g not in known][:n_probe_grams],
             }
         grams = sorted(grams, key=lambda g: (known[g], g))[:n_probe_grams]
+        if n_docs and known[grams[0]] > scan_fraction * n_docs:
+            return (
+                docs.where(F.contains(F.col(text_col), F.lit(pattern))),
+                {"strategy": "scan", "probe_grams": [],
+                 "reason": "unselective", "min_df": int(known[grams[0]])},
+            )
     else:
         grams = grams[:n_probe_grams]
     hits = (

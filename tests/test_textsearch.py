@@ -93,3 +93,24 @@ def test_no_false_negatives_without_stats(spark):
     got, info = textsearch.substring_search(docs, "boxing wizards")
     assert info["strategy"] == "index"
     assert _ids(got) == _truth(spark, "boxing wizards")
+
+
+def test_unselective_pattern_plans_a_scan(spark):
+    docs = _docs(spark)
+    postings = textsearch.trigram_postings(docs)
+    stats = textsearch.trigram_stats(postings)
+    # "the " appears in most docs -> min_df exceeds 5% of the corpus
+    got, info = textsearch.substring_search(
+        docs, "the ", postings=postings, stats=stats, n_docs=7
+    )
+    assert info["strategy"] == "scan" and info["reason"] == "unselective"
+    assert _ids(got) == _truth(spark, "the ")
+
+
+def test_index_meta_ndocs_additive(spark, tmp_path):
+    idx = str(tmp_path / "trgm_meta")
+    textsearch.write_trigram_index(_docs(spark), idx)
+    assert textsearch.trigram_index_ndocs(idx) == 7
+    extra = spark.createDataFrame([(10, "more alpha text")], ["doc_id", "text"])
+    textsearch.append_trigram_index(extra, idx)
+    assert textsearch.trigram_index_ndocs(idx) == 8

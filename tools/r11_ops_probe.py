@@ -59,24 +59,64 @@ def main() -> int:
     textsearch.write_trigram_index(docs, idx)
     build_s = round(time.time() - t0, 3)
     postings, stats = textsearch.open_trigram_index(spark, idx)
-    pattern = "customer query"
+    nd = textsearch.trigram_index_ndocs(idx)
 
-    def _index_search():
-        got, _ = textsearch.substring_search(
-            docs, pattern, postings=postings, stats=stats
+    def _index_search(pattern):
+        got, info = textsearch.substring_search(
+            docs, pattern, postings=postings, stats=stats, n_docs=nd
         )
-        return got.count()
+        return got.count(), info
 
-    def _naive():
+    def _naive(pattern):
         return docs.where(F.col("text").contains(pattern)).count()
 
-    n_match = _naive()
-    out["trigram"] = {
-        "docs": n_docs,
-        "matches": n_match,
-        "index_build_s": build_s,
-        "index_search_s": _t(_index_search),
-        "naive_scan_s": _t(_naive),
+    out["trigram"] = {"docs": n_docs, "index_build_s": build_s}
+    for label, pattern in [
+        ("selective", "sort table window"),
+        ("unselective", "customer query"),
+    ]:
+        n_match, info = _index_search(pattern)
+        out["trigram"][label] = {
+            "pattern": pattern,
+            "matches": n_match,
+            "strategy": info["strategy"],
+            "search_s": _t(lambda: _index_search(pattern)[0]),
+            "naive_scan_s": _t(lambda: _naive(pattern)),
+        }
+
+    # gram-diverse corpus: the driver testdata draws from ~30 words,
+    # so EVERY trigram is corpus-common and the planner (correctly)
+    # refuses the index on it. Real corpora have diverse grams; this
+    # case plants one (hex tokens per doc) with a 0.02%-selective
+    # needle to show the index path pruning when grams CAN prune.
+    div = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.md5(F.col("doc_id").cast("string")), F.lit(" "),
+            F.when(F.col("doc_id") % 5000 == 17, F.lit("xq7zkneedle"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    didx = tempfile.mkdtemp(prefix="r11_trgm_div_")
+    textsearch.write_trigram_index(div, didx)
+    dpost, dstats = textsearch.open_trigram_index(spark, didx)
+    dn = textsearch.trigram_index_ndocs(didx)
+
+    def _div_index():
+        got, info = textsearch.substring_search(
+            div, "xq7zkneedle", postings=dpost, stats=dstats, n_docs=dn
+        )
+        return got.count(), info
+
+    n_needle, dinfo = _div_index()
+    out["trigram"]["diverse_needle"] = {
+        "matches": n_needle,
+        "strategy": dinfo["strategy"],
+        "search_s": _t(lambda: _div_index()[0]),
+        "naive_scan_s": _t(
+            lambda: div.where(F.col("text").contains("xq7zkneedle")).count()
+        ),
     }
 
     # ---------------- filtered ANN ----------------
