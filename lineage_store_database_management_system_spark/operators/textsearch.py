@@ -258,7 +258,13 @@ def substring_search(
         candidates = docs.where(F.col(id_col).isin(ids)) if ids else docs.where(
             F.lit(False)
         )
+        n_cand = len(ids)
     else:  # pragma: no cover - pattern matching >100k docs
         candidates = docs.join(hits, on=id_col, how="left_semi")
+        n_cand = -1  # unmaterialized
     verified = candidates.where(F.contains(F.col(text_col), F.lit(pattern)))
-    return verified, {"strategy": "index", "probe_grams": grams}
+    return verified, {
+        "strategy": "index",
+        "probe_grams": grams,
+        "n_candidates": n_cand,
+    }

@@ -112,3 +112,36 @@ def test_stream_expectations_quarantine(spark, tmp_db, tmp_path):
     quar = spark.read.parquet(os.path.join(totals["quarantine_dir"], "batch_*"))
     assert sorted(r["k"] for r in quar.collect()) == [7, 37, 67, 97]
     assert t.current_view().where("qty < 0").count() == 0
+
+
+def test_stream_expectations_replay_is_idempotent(spark, tmp_db, tmp_path):
+    """The crash window foreachBatch leaves open (table committed,
+    checkpoint not) replays the micro-batch on restart: the manifest
+    marker must skip the re-ingest and the per-batch overwrite must
+    rewrite identical quarantine content — both sides exactly-once."""
+    from lineage_store_database_management_system_spark.operators import (
+        expectations as X,
+    )
+    from lineage_store_database_management_system_spark.streaming.stream_ops import (
+        _ingest_exactly_once,
+    )
+
+    src = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 20 == 3, -1).otherwise(2).alias("qty"),
+    )
+    t = tmp_db.create_table_typed("st_rq", src.schema, "k")
+    rules = {"qty_pos": "qty > 0"}
+    good, bad, m = X.apply_expectations(src, rules)
+    qdir = os.path.join(t.path, "_quarantine", "batch_0")
+    # first apply (batch 0)
+    bad.write.mode("overwrite").parquet(qdir)
+    assert _ingest_exactly_once(t, "s1", good, 0) is True
+    n_table = t.current_view().count()
+    n_quar = spark.read.parquet(qdir).count()
+    # replay of batch 0 (same content): overwrite rewrites identical
+    # quarantine; the marker skips the table re-ingest
+    bad.write.mode("overwrite").parquet(qdir)
+    assert _ingest_exactly_once(t, "s1", good, 0) is False
+    assert t.current_view().count() == n_table == 38
+    assert spark.read.parquet(qdir).count() == n_quar == 2

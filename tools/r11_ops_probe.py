@@ -113,6 +113,8 @@ def main() -> int:
     out["trigram"]["diverse_needle"] = {
         "matches": n_needle,
         "strategy": dinfo["strategy"],
+        "n_candidates": dinfo.get("n_candidates"),
+        "corpus_rows_avoided": n_docs - max(dinfo.get("n_candidates", 0), 0),
         "search_s": _t(lambda: _div_index()[0]),
         "naive_scan_s": _t(
             lambda: div.where(F.col("text").contains("xq7zkneedle")).count()
