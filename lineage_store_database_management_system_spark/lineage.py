@@ -2595,6 +2595,167 @@ class LineageTable:
         self.last_scan_bounds["files_bloomed"] = n_bloomed
         return out.where(F.col(column) == lit).select(*self.user_cols)
 
+    def _sketch_root(self, column: str) -> str:
+        return os.path.join(self.path, "distinctsketch", column)
+
+    def build_distinct_sketches(self, column: str, k: int = 1024) -> dict:
+        """Per-file KMV (k-minimum-values) sidecars for ``column``:
+        the ``k`` smallest distinct ``xxhash64`` values of each live
+        base/snapshot file that does not have an entry yet. Like the
+        Bloom sidecars, maintenance-free by construction (data files
+        are immutable; files without entries are scanned on demand),
+        incremental (one job over uncovered files only), and tiny
+        (8k bytes per file vs the column itself). Powers
+        :meth:`fast_approx_distinct` — the metadata-plane
+        COUNT(DISTINCT col) the way fast_min_max answers MIN/MAX.
+        A file with fewer than ``k`` distinct values stores its
+        COMPLETE hash set (the estimate degrades to exact)."""
+        if column not in self.user_cols:
+            raise ValueError(f"no such column: {column!r}")
+        if not isinstance(
+            self.schema[column].dataType,
+            (T.NumericType, T.StringType, T.BooleanType),
+        ):
+            raise ValueError(
+                "distinct sketches need a scalar column, got "
+                f"{self.schema[column].dataType.simpleString()}"
+            )
+        self.flush()
+        if self.filelog.live(self._log_tag(self.base_dir)) is None:
+            raise ValueError("distinct sketches need a file-log table")
+        live = self._live_file_paths()
+        root = self._sketch_root(column)
+        covered: set[str] = set()
+        if os.path.isdir(root):
+            covered = {
+                r["file"]
+                for r in self.spark.read.parquet(root).select("file").collect()
+            }
+        need = [(p, e) for p, d, e in live if p not in covered]
+        if not need:
+            return {"built": 0, "covered": len(live), "k": k}
+        phys = self._phys_map.get(column, column)
+        phys_schema = self._physical_schema(self.base_schema)
+        src = (
+            self.spark.read.schema(phys_schema)
+            .parquet(*[p[len("file:"):] for p, _ in need])
+            .where(F.col(phys).isNotNull())
+            .select(
+                F.col("_metadata.file_path").alias("file"),
+                F.xxhash64(F.col(phys)).alias("h"),
+            )
+        )
+
+        def _fold(pdf):
+            import numpy as np
+            import pandas as pd
+
+            hs = np.unique(pdf["h"].values)  # sorted ascending
+            return pd.DataFrame(
+                {
+                    "file": [pdf["file"].iloc[0]],
+                    "k": [k],
+                    "hashes": [hs[:k].tolist()],
+                }
+            )
+
+        out = src.groupBy("file").applyInPandas(
+            _fold, "file string, k long, hashes array<long>"
+        )
+        out.write.mode("append").parquet(root)
+        return {"built": len(need), "covered": len(live), "k": k}
+
+    def fast_approx_distinct(self, column: str, k: int = 1024) -> dict:
+        """COUNT(DISTINCT ``column``) from the KMV sidecars without
+        scanning covered base bytes: per-file KMVs union driver-side
+        (the union of per-file k-minima is a superset of the k minima
+        of the union, so the merged sketch is a valid KMV of the whole
+        table), uncovered files get their KMV computed on the fly (one
+        job over just those files — the incremental-coverage
+        discipline the Bloom sidecars use).
+
+        Exactness contract (the drop_partition refusal shape): any
+        post-watermark tail DELETE, or UPDATE that SET this column,
+        changes the live value multiset in ways an immutable-file
+        sketch cannot see (the stale value still counts) — the method
+        REFUSES with the compact() remedy rather than silently
+        over-counting. Updates to other columns cannot change this
+        column's distinct set and pass. When the merged hash set holds
+        fewer than ``k`` values it IS the complete distinct set and
+        the answer is exact (collision probability ~n^2/2^64)."""
+        self.flush()
+        tail = self.tail_df()
+        man = self.manifest
+        if man.compact_version >= 0:
+            tail = tail.where(F.col(SEQ) > F.lit(man.tps))
+        hazard = tail.agg(
+            F.sum(F.when(F.col(OP) == OP_DELETE, 1).otherwise(0)).alias("_d"),
+            F.sum(
+                F.when(
+                    (F.col(OP) == OP_UPDATE) & F.col(column).isNotNull(), 1
+                ).otherwise(0)
+            ).alias("_u"),
+        ).first()
+        if (hazard["_d"] or 0) or (hazard["_u"] or 0):
+            raise ValueError(
+                f"fast_approx_distinct({column!r}) is not answerable from "
+                f"immutable-file sketches: the un-folded tail holds "
+                f"{hazard['_d'] or 0} delete(s) and {hazard['_u'] or 0} "
+                f"update(s) touching the column — run compact() first"
+            )
+        live = self._live_file_paths()
+        root = self._sketch_root(column)
+        entries: dict[str, list[int]] = {}
+        if os.path.isdir(root):
+            entries = {
+                r["file"]: list(r["hashes"])
+                for r in self.spark.read.parquet(root).collect()
+            }
+        merged: set[int] = set()
+        sketch_complete = True
+        for p, _d, _e in live:
+            hs = entries.get(p)
+            if hs is None:
+                continue
+            merged.update(hs)
+            if len(hs) >= k:
+                sketch_complete = False
+        uncovered = [p for p, _d, _e in live if p not in entries]
+        if uncovered:
+            phys = self._phys_map.get(column, column)
+            phys_schema = self._physical_schema(self.base_schema)
+            rows = (
+                self.spark.read.schema(phys_schema)
+                .parquet(*[p[len("file:"):] for p in uncovered])
+                .where(F.col(phys).isNotNull())
+                .select(F.xxhash64(F.col(phys)).alias("h"))
+                .distinct()
+                .orderBy("h")
+                .limit(k)
+                .collect()
+            )
+            merged.update(r["h"] for r in rows)
+            if len(rows) >= k:
+                sketch_complete = False
+        n_files = len(live)
+        if sketch_complete or len(merged) < k:
+            return {
+                "distinct_estimate": len(merged),
+                "exact": True,
+                "files_total": n_files,
+                "files_covered": n_files - len(uncovered),
+                "k": k,
+            }
+        kth = sorted(merged)[k - 1]
+        u = (kth + (1 << 63)) / float(1 << 64)
+        return {
+            "distinct_estimate": (k - 1) / u if u > 0 else float(len(merged)),
+            "exact": False,
+            "files_total": n_files,
+            "files_covered": n_files - len(uncovered),
+            "k": k,
+        }
+
     def files_df(self) -> DataFrame:
         """The live file inventory as a DataFrame (the Iceberg
         ``table.files`` / Delta ``DESCRIBE DETAIL`` inspection shape;

@@ -9038,3 +9038,51 @@ def st_stream_expectations(spark, sf_dir):
         F.lit(totals["rows_bad"]).cast("long").alias("rows_bad"),
         F.lit(n_table).cast("long").alias("table_rows"),
     )
+
+
+@workload(
+    "pq_fast_approx_distinct",
+    # Metadata-plane COUNT DISTINCT (KMV sidecars): gate the exact
+    # truth (both engines), plus run-derived booleans — the sketch
+    # answer is within KMV tolerance of the truth (deterministic:
+    # fixed xxhash64, fixed data), the low-cardinality column takes
+    # the exact branch (complete hash set under k), and a tail update
+    # that SETS the sketched column flips the scan into the honest
+    # refusal instead of over-counting.
+    """SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS true_distinct,
+       TRUE AS within_tol, TRUE AS exact_small, TRUE AS refused_dirty
+FROM orders""",
+)
+def pq_fast_approx_distinct(spark, sf_dir):
+    """COUNT(DISTINCT col) the way fast_min_max answers MIN/MAX: per-
+    file KMV sidecars (immutable files -> maintenance-free; uncovered
+    files scanned on demand) merge driver-side into a valid whole-
+    table KMV. The exactness contract mirrors drop_partition: un-
+    folded tail deletes/updates-of-the-column refuse with the
+    compact() remedy rather than silently counting stale values."""
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    root = tempfile.mkdtemp(prefix="lss_wl_kmv_")
+    db = Database().open(root, spark)
+    t = db.create_table_typed("orders_kmv", src.schema, "o_orderkey")
+    t.ingest_dataframe(src)
+    true_distinct = src.select("o_custkey").distinct().count()
+    t.build_distinct_sketches("o_custkey", k=512)
+    t.build_distinct_sketches("o_orderstatus", k=512)
+    est = t.fast_approx_distinct("o_custkey", k=512)
+    small = t.fast_approx_distinct("o_orderstatus", k=512)
+    n_status = src.select("o_orderstatus").distinct().count()
+    within = abs(est["distinct_estimate"] - true_distinct) <= 0.15 * true_distinct
+    exact_small = bool(small["exact"]) and small["distinct_estimate"] == n_status
+    t.bulk_update(
+        src.limit(5).select("o_orderkey", (F.col("o_custkey") + 1).alias("o_custkey"))
+    )
+    try:
+        t.fast_approx_distinct("o_custkey", k=512)
+        refused = False
+    except ValueError:
+        refused = True
+    return spark.createDataFrame(
+        [(true_distinct, bool(within), bool(exact_small), bool(refused))],
+        "true_distinct long, within_tol boolean, exact_small boolean, "
+        "refused_dirty boolean",
+    )

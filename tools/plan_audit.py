@@ -354,6 +354,10 @@ AUDIT = [
     # per-batch quarantine dirs; the split ran in foreachBatch as one
     # Catalyst projection per micro-batch.
     ("st_stream_expectations", ["Scan parquet"], ["BatchEvalPython", "CartesianProduct"]),
+    # KMV distinct: the sketch merge is driver-side over O(files)
+    # sidecar rows; the gated row is a local one-row result — no data
+    # scan in the returned plan at all.
+    ("pq_fast_approx_distinct", ["LocalTableScan"], ["BatchEvalPython", "CartesianProduct", "Scan parquet"]),
 ]
 
 
