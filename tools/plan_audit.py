@@ -357,7 +357,7 @@ AUDIT = [
     # KMV distinct: the sketch merge is driver-side over O(files)
     # sidecar rows; the gated row is a local one-row result — no data
     # scan in the returned plan at all.
-    ("pq_fast_approx_distinct", ["LocalTableScan"], ["BatchEvalPython", "CartesianProduct", "Scan parquet"]),
+    ("pq_fast_approx_distinct", ["Scan ExistingRDD"], ["BatchEvalPython", "CartesianProduct", "Scan parquet"]),
 ]
 
 
