@@ -1450,6 +1450,102 @@ def ivf_pq_topk_from_index(
     )
 
 
+def ivf_filtered_topk_batch(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    filter_col: str,
+    k: int = 10,
+    histogram: dict | None = None,
+    min_candidates: int | None = None,
+    max_nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "_list",
+    qid_col: str = "q_id",
+    qvec_col: str = "q_embedding",
+    qval_col: str = "q_filter",
+    round_to: int | None = None,
+) -> DataFrame:
+    """BATCH filtered ANN: top-k per query UNDER EACH QUERY'S OWN
+    filter value in ONE job — the production retrieval shape
+    (:func:`ivf_topk_batch`) extended with the predicate awareness of
+    :func:`ivf_filtered_topk`. ``queries`` carries (q_id, q_embedding,
+    q_filter); a data row meets only queries probing its list AND
+    matching its filter value.
+
+    Per-query probe sets are histogram-driven exactly like the
+    single-query operator — each query escalates through its nearest
+    lists until the build-time histogram covers ``min_candidates``
+    (default ``8*k``) rows of ITS filter value — but all the
+    escalation happens driver/Arrow-side on metadata; the single data
+    job is the exploded (list, query) equi-join with the filter-value
+    equality folded into the join keys, so predicate-starved lists
+    are never scanned and the join never sees cross-value pairs.
+    Output: (q_id, vec_id, cosine), exact over each query's probe
+    set, ties by id."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    hist = (
+        histogram
+        if histogram is not None
+        else ivf_filter_histogram(assigned, filter_col, list_col)
+    )
+    cents = np.asarray(centroids, dtype=np.float64)
+    need = 8 * k if min_candidates is None else min_candidates
+    cap = len(cents) if max_nprobe is None else min(max_nprobe, len(cents))
+
+    def _probes_fn(it):
+        for pdf in it:
+            rows = []
+            for qid, vec, val in zip(
+                pdf[qid_col], pdf[qvec_col], pdf[qval_col]
+            ):
+                q = np.asarray(vec, dtype=np.float64)
+                order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()
+                per_list = hist.get(val, {})
+                probes, avail = [], 0
+                for li in order[:cap]:
+                    probes.append(int(li))
+                    avail += per_list.get(int(li), 0)
+                    if avail >= need:
+                        break
+                for li in probes:
+                    rows.append((qid, vec, val, li))
+            yield pd.DataFrame(
+                rows, columns=[qid_col, qvec_col, qval_col, list_col]
+            )
+
+    q_schema = (
+        f"{qid_col} long, {qvec_col} array<float>, "
+        f"{qval_col} {queries.schema[qval_col].dataType.simpleString()}, "
+        f"{list_col} int"
+    )
+    q_lists = F.broadcast(
+        queries.select(qid_col, qvec_col, qval_col).mapInPandas(
+            _probes_fn, q_schema
+        )
+    )
+    joined = assigned.join(
+        q_lists,
+        (assigned[list_col] == q_lists[list_col])
+        & (assigned[filter_col] == q_lists[qval_col]),
+    )
+    sim = cosine_similarity(F.col(vec_col), F.col(qvec_col))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.select(F.col(qid_col), F.col(id_col), sim.alias("cosine"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def ivf_pq_filtered_topk_from_index(
     spark,
     index_dir: str,

@@ -9086,3 +9086,169 @@ def pq_fast_approx_distinct(spark, sf_dir):
         "true_distinct long, within_tol boolean, exact_small boolean, "
         "refused_dirty boolean",
     )
+
+
+@workload(
+    "ds_embedding_filtered_batch_topk",
+    # Batch filtered ANN: 3 queries, EACH filtering to its OWN label
+    # ('nearest within my class' — the value whose matches stay near
+    # the query's lists at every replication tier; an arbitrary label
+    # concentrates its matches in far lists at sf1/sf10 and probe
+    # escalation stops on COUNT coverage, not quality — measured 0/20
+    # overlap), answered in one job. Gated rows = per-query exact
+    # FILTERED top-20; the escalated batch result enters as a
+    # per-query overlap boolean (>= 4 of 20, the ivf-gate recall
+    # bound; observed minimum 10 across sf0.001..sf10).
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS fv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(e.embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(q.qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM embeddings e, q WHERE e.label = q.fv
+),
+ranked AS (
+  SELECT q_id, vec_id, ROUND(c, 3) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(c, 3) DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, TRUE AS overlap_ok
+FROM ranked WHERE rk <= 20""",
+)
+def ds_embed_filtered_batch(spark, sf_dir):
+    """Batch filtered ANN (similarity.ivf_filtered_topk_batch): every
+    query carries its own filter value; per-query probe sets escalate
+    through the build-time histogram driver/Arrow-side, and ONE
+    equi-join (list AND filter value folded into the join keys)
+    scores only rows matching each query's predicate in its probed
+    lists — the production shape for 'nearest WHERE lang = x' at
+    millions of queries."""
+    from pyspark.sql import Window
+
+    from .functions.vectors import cosine_similarity
+
+    emb = load_star(spark, sf_dir)["embeddings"]
+    queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("label").alias("q_filter"),
+    )
+    cents = similarity.ivf_centroids(emb, n_lists=16)
+    assigned = similarity.ivf_assign(emb, cents)
+    hist = similarity.ivf_filter_histogram(assigned, "label")
+    approx = similarity.ivf_filtered_topk_batch(
+        assigned, queries, cents, "label", k=20,
+        histogram=hist, min_candidates=160, round_to=3,
+    )
+    ex = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("label") == F.col("q_filter"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q_embedding")), 3
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exact = ex.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= 20
+    ).drop("_rk")
+    a = approx.select(F.col("q_id").alias("_aq"), F.col("vec_id").alias("_aid"))
+    flags = (
+        exact.select("q_id", "vec_id")
+        .join(a, (F.col("vec_id") == F.col("_aid")) & (F.col("q_id") == F.col("_aq")))
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("_ov"))
+        .select("q_id", (F.col("_ov") >= 4).alias("overlap_ok"))
+    )
+    # LEFT join + coalesce: a zero-overlap query must surface as
+    # overlap_ok=False, never silently drop its exact rows (the shape
+    # the first sf1 gate run caught: inner join ate 20 rows)
+    return exact.join(flags, on="q_id", how="left").select(
+        "q_id",
+        "vec_id",
+        "cosine",
+        F.coalesce(F.col("overlap_ok"), F.lit(False)).alias("overlap_ok"),
+    )
+
+
+@workload(
+    "pq_constraint_enforcement",
+    # The CHECK/UNIQUE layer oracle-gated end to end: registering a
+    # check the existing data violates is refused; registering a
+    # unique on a duplicated column is refused; a violating bulk
+    # ingest aborts BEFORE publishing (count unchanged); a clean
+    # batch under the accepted check lands. n_rows pins the final
+    # visible state = original + the one clean row.
+    """SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_rows,
+       TRUE AS bad_check_refused, TRUE AS dup_unique_refused,
+       TRUE AS bad_insert_aborted, TRUE AS clean_insert_landed
+FROM orders""",
+)
+def pq_constraint_enforcement(spark, sf_dir):
+    """Write-time constraints (extension — the reference validates
+    nothing): CHECK enforcement rides the staged write as an
+    Observation (zero extra passes) and aborts before publish; UNIQUE
+    registration validates existing data with one aggregate. ANSI
+    semantics (NULL passes) shared with the expectations layer, so
+    an expectation promotes to a constraint without changing admitted
+    rows."""
+    from .lineage import CheckViolation, UniqueViolation
+
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    root = tempfile.mkdtemp(prefix="lss_wl_constr_")
+    db = Database().open(root, spark)
+    t = db.create_table_typed("orders_c", src.schema, "o_orderkey")
+    t.ingest_dataframe(src)
+    n0 = t.current_view().count()
+    t.add_check_constraint("price_nonneg", "o_totalprice >= 0")
+    try:
+        t.add_check_constraint("price_low", "o_totalprice < 400000")
+        bad_check = False
+    except CheckViolation:
+        bad_check = True
+    try:
+        t.add_unique_constraint("o_custkey")
+        dup_unique = False
+    except UniqueViolation:
+        dup_unique = True
+    mx = src.agg(F.max("o_orderkey")).first()[0]
+    bad_row = src.limit(1).select(
+        *[
+            (F.lit(-5.0).alias(c) if c == "o_totalprice"
+             else (F.col(c) + mx + 1).alias(c) if c == "o_orderkey"
+             else F.col(c))
+            for c in src.columns
+        ]
+    )
+    try:
+        t.ingest_dataframe(bad_row)
+        bad_insert_aborted = False
+    except CheckViolation:
+        bad_insert_aborted = t.current_view().count() == n0
+    clean_row = src.limit(1).select(
+        *[
+            ((F.col(c) + mx + 2).alias(c) if c == "o_orderkey" else F.col(c))
+            for c in src.columns
+        ]
+    )
+    t.ingest_dataframe(clean_row)
+    n1 = t.current_view().count()
+    return spark.createDataFrame(
+        [(
+            n1,
+            bool(bad_check),
+            bool(dup_unique),
+            bool(bad_insert_aborted),
+            bool(n1 == n0 + 1),
+        )],
+        "n_rows long, bad_check_refused boolean, dup_unique_refused boolean, "
+        "bad_insert_aborted boolean, clean_insert_landed boolean",
+    )

@@ -358,6 +358,14 @@ AUDIT = [
     # sidecar rows; the gated row is a local one-row result — no data
     # scan in the returned plan at all.
     ("pq_fast_approx_distinct", ["Scan ExistingRDD"], ["BatchEvalPython", "CartesianProduct", "Scan parquet"]),
+    # Batch filtered ANN: per-query top-k via ranked window with the
+    # group limit pushed into the shuffle; probe-set generation is
+    # the Arrow kernel, never row-Python; the value-folded equi-join
+    # must never degrade to a cartesian.
+    ("ds_embedding_filtered_batch_topk", ["WindowGroupLimit"], ["BatchEvalPython", "CartesianProduct"]),
+    # Constraint enforcement: the gated row is local; enforcement ran
+    # as Observations on the staged writes.
+    ("pq_constraint_enforcement", ["Scan ExistingRDD"], ["BatchEvalPython", "CartesianProduct", "Scan parquet"]),
 ]
 
 
