@@ -2705,21 +2705,30 @@ class LineageTable:
             )
         live = self._live_file_paths()
         root = self._sketch_root(column)
-        entries: dict[str, list[int]] = {}
+        entries: dict[str, tuple[list[int], int]] = {}
         if os.path.isdir(root):
             entries = {
-                r["file"]: list(r["hashes"])
+                r["file"]: (list(r["hashes"]), int(r["k"]))
                 for r in self.spark.read.parquet(root).collect()
             }
+        # A sidecar row built with a smaller k than the caller's holds
+        # only its own k minima: treating it as complete would silently
+        # undercount and claim exact. Truncation is judged against the
+        # STORED per-row k, and every truncated sketch caps the merged
+        # estimator at its build k (the union of per-file minima is only
+        # a valid KMV of the whole table up to the smallest truncated k).
         merged: set[int] = set()
         sketch_complete = True
+        k_eff = k
         for p, _d, _e in live:
-            hs = entries.get(p)
-            if hs is None:
+            ent = entries.get(p)
+            if ent is None:
                 continue
+            hs, row_k = ent
             merged.update(hs)
-            if len(hs) >= k:
+            if len(hs) >= row_k:
                 sketch_complete = False
+                k_eff = min(k_eff, row_k)
         uncovered = [p for p, _d, _e in live if p not in entries]
         if uncovered:
             phys = self._phys_map.get(column, column)
@@ -2731,29 +2740,31 @@ class LineageTable:
                 .select(F.xxhash64(F.col(phys)).alias("h"))
                 .distinct()
                 .orderBy("h")
-                .limit(k)
+                .limit(k_eff)
                 .collect()
             )
             merged.update(r["h"] for r in rows)
-            if len(rows) >= k:
+            if len(rows) >= k_eff:
                 sketch_complete = False
         n_files = len(live)
-        if sketch_complete or len(merged) < k:
+        if sketch_complete or len(merged) < k_eff:
             return {
                 "distinct_estimate": len(merged),
                 "exact": True,
                 "files_total": n_files,
                 "files_covered": n_files - len(uncovered),
                 "k": k,
+                "k_effective": k_eff,
             }
-        kth = sorted(merged)[k - 1]
+        kth = sorted(merged)[k_eff - 1]
         u = (kth + (1 << 63)) / float(1 << 64)
         return {
-            "distinct_estimate": (k - 1) / u if u > 0 else float(len(merged)),
+            "distinct_estimate": (k_eff - 1) / u if u > 0 else float(len(merged)),
             "exact": False,
             "files_total": n_files,
             "files_covered": n_files - len(uncovered),
             "k": k,
+            "k_effective": k_eff,
         }
 
     def files_df(self) -> DataFrame:

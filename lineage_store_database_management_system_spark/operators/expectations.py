@@ -114,6 +114,7 @@ def ingest_with_expectations(
     df: DataFrame,
     rules: dict,
     quarantine_dir: str | None = None,
+    batch_id: str | None = None,
 ) -> dict:
     """Validated bulk ingest: good rows take the normal
     :meth:`LineageTable.ingest_dataframe` write path (rid assignment,
@@ -123,14 +124,28 @@ def ingest_with_expectations(
     batch. Returns the metrics dict, extended with
     ``quarantine_dir``.
 
+    Retry-idempotency (the streaming twin's per-batch-overwrite
+    discipline): quarantine is written AFTER the ingest succeeds, so
+    an aborted ingest (CheckViolation etc.) leaves no quarantine rows
+    behind to duplicate on retry. Callers that may re-run a
+    *successful* batch (at-least-once drivers) pass ``batch_id``:
+    quarantine then overwrites the deterministic subdirectory
+    ``<qdir>/batch=<batch_id>`` instead of appending, so a replay
+    converges rather than accumulates.
+
     The default quarantine area ``<table>/_quarantine`` sits next to
     ``_dropped/`` — outside the base/tail data dirs, invisible to
     scans, repair, and vacuum."""
     good, bad, metrics = apply_expectations(df, rules, mode="quarantine")
     n_bad = metrics["rows_bad"]
     qdir = quarantine_dir or os.path.join(table.path, "_quarantine")
-    if n_bad:
-        bad.write.mode("append").parquet(qdir)
-    metrics["quarantine_dir"] = qdir if n_bad else None
     table.ingest_dataframe(good)
+    if n_bad:
+        if batch_id is not None:
+            bad.write.mode("overwrite").parquet(
+                os.path.join(qdir, f"batch={batch_id}")
+            )
+        else:
+            bad.write.mode("append").parquet(qdir)
+    metrics["quarantine_dir"] = qdir if n_bad else None
     return metrics

@@ -1079,7 +1079,8 @@ def ivf_pq_write_index(
             {"centroids": cents, "codebooks": books, "id_col": id_col,
              "vec_col": vec_col, "residual": residual,
              "n_lists": n_lists, "m": m, "nbits": nbits,
-             "build_stats": build_stats, "filter_hist": fhist},
+             "build_stats": build_stats, "filter_hist": fhist,
+             "hist_rows": build_stats["rows"]},
             f,
         )
     _os.replace(tmp, _os.path.join(index_dir, "_ann_meta.json"))
@@ -1172,7 +1173,22 @@ def ivf_pq_append_index(
     assignment/encoding are deterministic functions of the sidecar.
 
     New ids are NOT checked against existing ids (same as any Parquet
-    append); dedup upstream if re-ingest is possible."""
+    append); dedup upstream if re-ingest is possible.
+
+    Filter-histogram consistency: the data-parquet append and the
+    sidecar histogram fold are two writes, not one atomic commit. A
+    crash BETWEEN them leaves the sidecar undercounting the appended
+    rows (probe-mode min_candidates escalation then runs on low
+    coverage numbers — a recall, never a correctness, hazard; the
+    prefilter branch stays exact either way). The sidecar carries a
+    ``hist_rows`` marker updated in the same atomic rename as the
+    histograms, so the torn state is DETECTABLE by comparing it with
+    the index's footer row count — :func:`ivf_filter_histogram_repair`
+    does exactly that and re-derives the histograms from the stored
+    filter columns when they disagree. A replayed whole-batch append
+    duplicates data and histogram counts TOGETHER (marker still
+    matches) — that is the upstream-dedup caveat above, not a torn
+    sidecar."""
     import json as _json
     import os as _os
 
@@ -1196,11 +1212,45 @@ def ivf_pq_append_index(
                 for li, cnt in d.items():
                     slot[li] = slot.get(li, 0) + cnt
             meta["filter_hist"][c] = _hist_triples(hist)
+        meta["hist_rows"] = int(meta.get("hist_rows", 0)) + n
         tmp = _os.path.join(index_dir, "_ann_meta.json.tmp")
         with open(tmp, "w") as f:
             _json.dump(meta, f)
         _os.replace(tmp, _os.path.join(index_dir, "_ann_meta.json"))
     return n
+
+
+def ivf_filter_histogram_repair(spark, index_dir: str) -> dict:
+    """Detect and heal a torn filter-histogram sidecar (a crash
+    between :func:`ivf_pq_append_index`'s data append and its meta
+    rewrite). Check is metadata-plane: ``count()`` over the index
+    parquet is answered from file footers (no vector bytes read) and
+    compared against the sidecar's ``hist_rows`` marker. On mismatch
+    the per-(list, value) histograms are re-aggregated from the
+    filter columns STORED in the index partitions (one O(index-rows)
+    two-column aggregate per filter column — the rebuild-of-last-
+    resort, run only when the cheap marker says the sidecar lies)
+    and the sidecar is atomically rewritten. Returns
+    ``{"checked": rows, "hist_rows": marker, "repaired": bool}``."""
+    import json as _json
+    import os as _os
+
+    meta = _open_ann_meta(index_dir)
+    if not meta.get("filter_hist"):
+        return {"checked": 0, "hist_rows": 0, "repaired": False}
+    actual = spark.read.parquet(index_dir).count()
+    marker = int(meta.get("hist_rows", -1))
+    if marker == actual:
+        return {"checked": actual, "hist_rows": marker, "repaired": False}
+    idx = spark.read.parquet(index_dir)
+    for c in list(meta["filter_hist"]):
+        meta["filter_hist"][c] = _hist_triples(ivf_filter_histogram(idx, c))
+    meta["hist_rows"] = int(actual)
+    tmp = _os.path.join(index_dir, "_ann_meta.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, _os.path.join(index_dir, "_ann_meta.json"))
+    return {"checked": actual, "hist_rows": marker, "repaired": True}
 
 
 def _ivf_health(res_df: DataFrame, list_col: str = "_list") -> dict:

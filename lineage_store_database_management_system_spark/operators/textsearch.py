@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import _default_parallelism
+
 __all__ = [
     "trigram_postings",
     "trigram_stats",
@@ -126,7 +128,7 @@ def write_trigram_index(
     # was BIGGER than the corpus scan it was supposed to avoid —
     # measured in tools/r11_ops_probe.py).
     clustered = postings.repartitionByRange(
-        max(postings.sparkSession.sparkContext.defaultParallelism, 8), "gram"
+        max(_default_parallelism(postings), 8), "gram"
     ).sortWithinPartitions("gram")
     clustered.write.mode("append").parquet(os.path.join(index_dir, "postings"))
     # second pass over the batch for its stats delta (postings are
