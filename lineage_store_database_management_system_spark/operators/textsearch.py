@@ -53,6 +53,11 @@ __all__ = [
     "write_trigram_index",
     "append_trigram_index",
     "open_trigram_index",
+    "delete_from_trigram_index",
+    "update_trigram_index",
+    "trigram_tombstones",
+    "trigram_index_staleness",
+    "compact_trigram_index",
 ]
 
 # candidate sets up to this size verify through a pushed-down IN-list
@@ -104,23 +109,57 @@ def pattern_grams(pattern: str) -> list[str]:
     return seen
 
 
+def _read_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(index_dir, "_meta.json")) as f:
+            m = json.load(f)
+    except FileNotFoundError:
+        m = {}
+    return {
+        "n_docs": int(m.get("n_docs", 0)),
+        "n_batches": int(m.get("n_batches", 0)),
+        "n_dead": int(m.get("n_dead", 0)),
+    }
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    meta_path = os.path.join(index_dir, "_meta.json")
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
+
+
 def write_trigram_index(
     docs: DataFrame,
     index_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Persist the index: ``<dir>/postings`` (gram, id) and
+    """Persist the index: ``<dir>/postings`` (gram, id, _batch) and
     ``<dir>/stats`` (gram, df). Stats are written PER BATCH and summed
     on open, which is what makes :func:`append_trigram_index`
     incremental: doc-frequencies are additive over disjoint doc sets,
     so an append writes only its own delta — no read-modify-write, no
-    rebuild. (Documents are immutable in the corpora this serves;
-    deletes would need a tombstone sweep, out of scope.)"""
-    import json
+    rebuild.
+
+    Deletes and updates reconcile through generation-stamped
+    tombstones (``_batch`` is the write generation;
+    :func:`delete_from_trigram_index` / :func:`update_trigram_index`)
+    and the staleness counter triggers compaction
+    (:func:`compact_trigram_index`) past a tombstone fraction."""
     import os
 
-    postings = trigram_postings(docs, id_col, text_col)
+    meta = _read_meta(index_dir)
+    batch = meta["n_batches"]
+    postings = trigram_postings(docs, id_col, text_col).withColumn(
+        "_batch", F.lit(batch)
+    )
     # CLUSTER BY GRAM: range-partition + sort so every posting file
     # covers a narrow gram range — the query's gram IN-list then
     # prunes at the parquet row-group/file level instead of scanning
@@ -133,20 +172,13 @@ def write_trigram_index(
     clustered.write.mode("append").parquet(os.path.join(index_dir, "postings"))
     # second pass over the batch for its stats delta (postings are
     # not cached — the batch is the small side by construction)
-    trigram_stats(postings).write.mode("append").parquet(
+    trigram_stats(postings.drop("_batch")).write.mode("append").parquet(
         os.path.join(index_dir, "stats")
     )
     # additive doc count for query-time selectivity planning
-    meta_path = os.path.join(index_dir, "_meta.json")
-    prev = 0
-    try:
-        with open(meta_path) as f:
-            prev = int(json.load(f).get("n_docs", 0))
-    except FileNotFoundError:
-        pass
-    with open(meta_path + ".tmp", "w") as f:
-        json.dump({"n_docs": prev + docs.count()}, f)
-    os.replace(meta_path + ".tmp", meta_path)
+    meta["n_docs"] += docs.count()
+    meta["n_batches"] = batch + 1
+    _write_meta(index_dir, meta)
 
 
 def append_trigram_index(
@@ -162,16 +194,160 @@ def append_trigram_index(
 
 def open_trigram_index(spark, index_dir: str):
     """(postings, stats) from a persisted index. Stats fold the
-    per-batch deltas with one vocabulary-sized aggregate."""
+    per-batch deltas with one vocabulary-sized aggregate.
+
+    Tombstones (deletes/updates since the last compaction) are applied
+    HERE: the returned postings anti-join the tombstone table — small
+    by the compaction contract, so it broadcasts — which means a
+    search through this handle can never surface a deleted document
+    or a stale pre-update candidate, whatever corpus snapshot the
+    caller verifies against. Stats keep the dead docs' counts until
+    compaction (doc-frequency OVERestimates only make the planner
+    fall back to the honest scan earlier, never miss a match)."""
     import os
 
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    if "_batch" not in postings.columns:  # pre-r12 index layout
+        postings = postings.withColumn("_batch", F.lit(0))
+    tomb = trigram_tombstones(spark, index_dir)
+    if tomb is not None:
+        idc = [c for c in postings.columns if c not in ("gram", "_batch")][0]
+        postings = postings.join(
+            F.broadcast(tomb),
+            on=(F.col(idc) == F.col("_dead_id"))
+            & (F.col("_batch") <= F.col("_upto")),
+            how="left_anti",
+        )
     stats = (
         spark.read.parquet(os.path.join(index_dir, "stats"))
         .groupBy("gram")
         .agg(F.sum("df").alias("df"))
     )
     return postings, stats
+
+
+def trigram_tombstones(spark, index_dir: str) -> DataFrame | None:
+    """The (``_dead_id``, ``_upto``) tombstone table, or None when the
+    index has none. A posting row is dead when its doc id matches and
+    its ``_batch`` generation is <= ``_upto`` — so an UPDATED document
+    kills only its pre-update postings while the re-indexed text stays
+    live."""
+    import os
+
+    path = os.path.join(index_dir, "tombstones")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def delete_from_trigram_index(ids: DataFrame, index_dir: str) -> int:
+    """Remove documents from the index WITHOUT rewriting postings:
+    append (id, upto=current generation) tombstones — O(deleted ids),
+    the same cost class as the lineage engine's own tail deletes. The
+    staleness counter in ``_meta.json`` tracks the dead fraction so
+    :func:`compact_trigram_index` knows when the bloat is worth a
+    sweep. ``ids`` is a one-column DataFrame of doc ids."""
+    import os
+
+    meta = _read_meta(index_dir)
+    idc = ids.columns[0]
+    n = ids.count()
+    if n == 0:
+        return 0
+    (
+        ids.select(
+            F.col(idc).alias("_dead_id"),
+            F.lit(meta["n_batches"] - 1).alias("_upto"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "tombstones"))
+    )
+    meta["n_dead"] += n
+    meta["n_docs"] -= n
+    _write_meta(index_dir, meta)
+    return n
+
+
+def update_trigram_index(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Re-index CHANGED documents: tombstone their pre-update postings
+    (so stale trigrams stop producing candidates) and append postings
+    for the new text as a fresh generation (so patterns matching the
+    NEW text are found — without this, an updated document whose new
+    text contains the pattern is a FALSE NEGATIVE, the one failure
+    mode the verify stage cannot mask). O(changed docs), independent
+    of index size."""
+    n = delete_from_trigram_index(docs.select(id_col), index_dir)
+    write_trigram_index(docs, index_dir, id_col, text_col)
+    return n
+
+
+def trigram_index_staleness(index_dir: str) -> dict:
+    """Dead-posting pressure report: live docs, tombstoned docs, and
+    the dead fraction that drives the compaction trigger."""
+    meta = _read_meta(index_dir)
+    total = meta["n_docs"] + meta["n_dead"]
+    return {
+        "n_docs": meta["n_docs"],
+        "n_dead": meta["n_dead"],
+        "n_batches": meta["n_batches"],
+        "dead_fraction": (meta["n_dead"] / total) if total else 0.0,
+    }
+
+
+def compact_trigram_index(
+    spark,
+    index_dir: str,
+    tombstone_fraction: float = 0.2,
+    force: bool = False,
+) -> dict:
+    """Sweep tombstoned postings once their fraction crosses the
+    threshold: rewrite the live postings (gram-clustered, generation
+    reset), rebuild stats from them (dead doc-frequencies drop out, so
+    the planner's selectivity estimates are honest again), drop the
+    tombstone table, and swap directories atomically-enough (two
+    renames; a crash between them is healed by re-running — the new
+    layout is complete before the first rename). The trigger runs on
+    the metadata counter alone: below threshold this is a zero-job
+    no-op, the maintain-cadence shape shared with the ANN staleness
+    gate."""
+    import os
+    import shutil
+    import uuid
+
+    rep = trigram_index_staleness(index_dir)
+    if not force and rep["dead_fraction"] < tombstone_fraction:
+        return {**rep, "compacted": False}
+    postings, _stats = open_trigram_index(spark, index_dir)  # tombstone-filtered
+    token = uuid.uuid4().hex[:8]
+    fresh_p = os.path.join(index_dir, f"postings_new_{token}")
+    fresh_s = os.path.join(index_dir, f"stats_new_{token}")
+    live = postings.withColumn("_batch", F.lit(0))
+    (
+        live.repartitionByRange(max(_default_parallelism(live), 8), "gram")
+        .sortWithinPartitions("gram")
+        .write.mode("overwrite")
+        .parquet(fresh_p)
+    )
+    trigram_stats(spark.read.parquet(fresh_p).drop("_batch")).write.mode(
+        "overwrite"
+    ).parquet(fresh_s)
+    for sub, fresh in (("postings", fresh_p), ("stats", fresh_s)):
+        old = os.path.join(index_dir, f"{sub}_old_{token}")
+        os.rename(os.path.join(index_dir, sub), old)
+        os.rename(fresh, os.path.join(index_dir, sub))
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    meta = _read_meta(index_dir)
+    meta["n_dead"] = 0
+    meta["n_batches"] = 1
+    _write_meta(index_dir, meta)
+    return {**rep, "compacted": True}
 
 
 def trigram_index_ndocs(index_dir: str) -> int:

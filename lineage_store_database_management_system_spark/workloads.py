@@ -8905,6 +8905,89 @@ def ds_incremental_trigram_search(spark, sf_dir):
 
 
 @workload(
+    "ds_trigram_delete_update_search",
+    # Round 12 (VERDICT r11 #3): delete/update reconciliation for the
+    # trigram index. Deleted docs (even ids matching the pattern) and
+    # updated docs (ids % 25 == 0, re-indexed with NEW text) must
+    # never surface for their OLD text — even when the search verifies
+    # against the STALE corpus snapshot — while the updated docs' new
+    # text IS found (the false-negative hazard tombstones alone can't
+    # fix). compaction_invariant pins that the tombstone sweep
+    # (compact_trigram_index) changes no answers.
+    """SELECT doc_id, 'kept' AS status, TRUE AS compaction_invariant
+FROM documents
+WHERE contains(text, 'customer query') AND doc_id % 2 = 1 AND doc_id % 25 <> 0
+UNION ALL
+SELECT doc_id, 'updated' AS status, TRUE AS compaction_invariant
+FROM documents WHERE doc_id % 25 = 0""",
+)
+def ds_trigram_delete_update(spark, sf_dir):
+    """Trigram index under DELETE and UPDATE: generation-stamped
+    tombstones kill a doc's pre-change postings without touching the
+    posting files (O(changed docs), the lineage tail-delete cost
+    class); updates re-index the new text as a fresh generation so
+    new-text matches are found; open_trigram_index applies the
+    broadcast tombstone anti-join so stale candidates can never
+    surface; compaction sweeps the dead rows and rebuilds stats once
+    the metadata counter crosses the tombstone fraction."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="lss_wl_trgm_du_")
+    idx = os.path.join(root, "trgm")
+    textsearch.write_trigram_index(docs, idx)
+    # DELETE: even-id matches of the pattern (updated ids excluded)
+    dead = docs.where(
+        F.col("text").contains("customer query")
+        & (F.col("doc_id") % 2 == 0)
+        & (F.col("doc_id") % 25 != 0)
+    ).select("doc_id")
+    textsearch.delete_from_trigram_index(dead, idx)
+    # UPDATE: every 25th doc gets new text with a corpus-novel needle
+    changed = docs.where(F.col("doc_id") % 25 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("updated flagon needle probe "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    textsearch.update_trigram_index(changed, idx)
+    postings, stats = textsearch.open_trigram_index(spark, idx)
+    # old text never surfaces — verified against the STALE snapshot
+    kept, _i1 = textsearch.substring_search(
+        docs, "customer query", postings=postings, stats=stats
+    )
+    # new text found through the live corpus
+    current = docs.where(F.col("doc_id") % 25 != 0).unionByName(changed)
+    updated, _i2 = textsearch.substring_search(
+        current, "flagon needle", postings=postings, stats=stats
+    )
+    # the sweep changes no answers (forced: the dead fraction at
+    # small SF sits below the production 0.2 threshold)
+    textsearch.compact_trigram_index(spark, idx, force=True)
+    postings2, stats2 = textsearch.open_trigram_index(spark, idx)
+    kept2, _i3 = textsearch.substring_search(
+        docs, "customer query", postings=postings2, stats=stats2
+    )
+    inv = (
+        kept.select("doc_id")
+        .unionByName(kept2.select("doc_id"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_u"))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("_a")))
+        .crossJoin(kept2.agg(F.count(F.lit(1)).alias("_b")))
+        .select(
+            ((F.col("_u") == F.col("_a")) & (F.col("_u") == F.col("_b"))).alias(
+                "compaction_invariant"
+            )
+        )
+    )
+    return (
+        kept.select("doc_id", F.lit("kept").alias("status"))
+        .unionByName(updated.select("doc_id", F.lit("updated").alias("status")))
+        .crossJoin(F.broadcast(inv))
+    )
+
+
+@workload(
     "ds_embedding_filtered_index_topk",
     # The DURABLE twin of ds_embedding_filtered_topk: strategy comes
     # from the index SIDECAR's per-(list,value) histogram (recorded at

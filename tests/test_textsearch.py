@@ -114,3 +114,92 @@ def test_index_meta_ndocs_additive(spark, tmp_path):
     extra = spark.createDataFrame([(10, "more alpha text")], ["doc_id", "text"])
     textsearch.append_trigram_index(extra, idx)
     assert textsearch.trigram_index_ndocs(idx) == 8
+
+
+# --- round 12: delete/update reconciliation -------------------------
+
+def test_deleted_docs_never_surface(spark, tmp_path):
+    idx = str(tmp_path / "trgm_del")
+    docs = _docs(spark)
+    textsearch.write_trigram_index(docs, idx)
+    dead = spark.createDataFrame([(0,), (2,)], ["doc_id"])
+    n = textsearch.delete_from_trigram_index(dead, idx)
+    assert n == 2
+    postings, stats = textsearch.open_trigram_index(spark, idx)
+    # even verifying against the STALE corpus snapshot, tombstoned
+    # docs produce no candidates
+    got, info = textsearch.substring_search(
+        docs, "quick brown", postings=postings, stats=stats
+    )
+    assert info["strategy"] == "index"
+    assert _ids(got) == []  # only docs 0 and 2 matched; both deleted
+    got2, _ = textsearch.substring_search(
+        docs, "five", postings=postings, stats=stats
+    )
+    assert _ids(got2) == [1, 4]  # untouched docs still found
+    rep = textsearch.trigram_index_staleness(idx)
+    assert rep["n_dead"] == 2 and rep["n_docs"] == 5
+
+
+def test_updated_doc_found_under_new_text_not_old(spark, tmp_path):
+    idx = str(tmp_path / "trgm_upd")
+    docs = _docs(spark)
+    textsearch.write_trigram_index(docs, idx)
+    changed = spark.createDataFrame(
+        [(1, "pack my crate with seven flagons of mead")],
+        ["doc_id", "text"],
+    )
+    textsearch.update_trigram_index(changed, idx)
+    current = docs.where("doc_id != 1").unionByName(changed)
+    postings, stats = textsearch.open_trigram_index(spark, idx)
+    # new text IS found (the false-negative hazard without re-index)
+    got, info = textsearch.substring_search(
+        current, "flagons", postings=postings, stats=stats
+    )
+    assert info["strategy"] == "index" and _ids(got) == [1]
+    # old text no longer produces doc 1, even against the stale corpus
+    got2, _ = textsearch.substring_search(
+        docs, "liquor jugs", postings=postings, stats=stats
+    )
+    assert _ids(got2) == []
+
+
+def test_compaction_sweeps_tombstones_and_heals_stats(spark, tmp_path):
+    idx = str(tmp_path / "trgm_cmp")
+    docs = _docs(spark)
+    textsearch.write_trigram_index(docs, idx)
+    dead = spark.createDataFrame([(0,), (2,), (4,)], ["doc_id"])
+    textsearch.delete_from_trigram_index(dead, idx)
+    # 3 of 7 dead -> above the 0.2 default threshold
+    rep = textsearch.compact_trigram_index(spark, idx)
+    assert rep["compacted"] is True
+    assert textsearch.trigram_tombstones(spark, idx) is None
+    rep2 = textsearch.trigram_index_staleness(idx)
+    assert rep2["n_dead"] == 0 and rep2["n_docs"] == 4
+    postings, stats = textsearch.open_trigram_index(spark, idx)
+    # postings hold no trace of the dead docs
+    assert postings.where(F.col("doc_id").isin([0, 2, 4])).count() == 0
+    # stats rebuilt from live postings only: "qui" (quick/quickly,
+    # docs 0/2/4 — all dead) drops out of the vocabulary entirely,
+    # while "iqu" survives at df=1 through doc 1's "liquor"
+    assert stats.where(F.col("gram") == "qui").count() == 0
+    iqu = stats.where(F.col("gram") == "iqu").collect()
+    assert iqu and iqu[0]["df"] == 1
+    got, _ = textsearch.substring_search(
+        docs.where("doc_id != 0 and doc_id != 2 and doc_id != 4"),
+        "five", postings=postings, stats=stats,
+    )
+    assert _ids(got) == [1]
+    # below-threshold compaction is a metadata no-op
+    rep3 = textsearch.compact_trigram_index(spark, idx)
+    assert rep3["compacted"] is False
+
+
+def test_compaction_noop_below_threshold(spark, tmp_path):
+    idx = str(tmp_path / "trgm_noop")
+    textsearch.write_trigram_index(_docs(spark), idx)
+    rep = textsearch.compact_trigram_index(spark, idx)
+    assert rep["compacted"] is False and rep["dead_fraction"] == 0.0
+    # force sweeps regardless
+    rep2 = textsearch.compact_trigram_index(spark, idx, force=True)
+    assert rep2["compacted"] is True

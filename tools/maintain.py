@@ -5,7 +5,24 @@ Opens a database path and runs one ``Database.maintain()`` pass
 snapshot retention -> stale-MV refresh), printing the per-table
 report as one JSON line.
 
+Durable operator-layer indexes live OUTSIDE the database directory,
+so they are maintained by flag:
+
+- ``--ann-index DIR`` (repeatable): one
+  ``ivf_pq_maintain_index`` pass with the MEASURED recall probe ON by
+  default (``--ann-recall-probe``, default 8 sampled queries) — the
+  r10/r11 lesson is that the cheap statistics triggers (skew/err
+  ratios) can be blind to boundary drift, so the trigger of last
+  resort runs on the maintenance cadence, not opt-in. Also checks the
+  filter-histogram sidecar's hist_rows marker and heals a torn append
+  (``ivf_filter_histogram_repair``).
+- ``--trigram-index DIR`` (repeatable): tombstone-fraction-triggered
+  postings compaction (``compact_trigram_index`` — a zero-job
+  metadata check below threshold).
+
 Usage: python tools/maintain.py /path/to/db [--retain N] [--stale N]
+           [--ann-index DIR ...] [--ann-recall-probe N]
+           [--trigram-index DIR ...]
 """
 
 from __future__ import annotations
@@ -25,6 +42,26 @@ def main() -> int:
     ap.add_argument(
         "--stale", type=int, default=10_000, help="index staleness threshold (deltas)"
     )
+    ap.add_argument(
+        "--ann-index", action="append", default=[],
+        help="durable ANN index dir to maintain (repeatable)",
+    )
+    ap.add_argument(
+        "--ann-recall-probe", type=int, default=8,
+        help="sampled queries for the measured recall trigger (0 disables)",
+    )
+    ap.add_argument(
+        "--ann-recall-floor", type=float, default=0.5,
+        help="recall@k below this flags the index stale",
+    )
+    ap.add_argument(
+        "--ann-recall-nprobe", type=int, default=4,
+        help="nprobe the recall probe measures at (match production queries)",
+    )
+    ap.add_argument(
+        "--trigram-index", action="append", default=[],
+        help="trigram index dir to compact past its tombstone fraction (repeatable)",
+    )
     args = ap.parse_args()
 
     from lineage_store_database_management_system_spark import Database, get_spark
@@ -34,6 +71,27 @@ def main() -> int:
     db = Database().open(args.db_path, spark)
     report = db.maintain(snapshot_retain=args.retain, max_stale_deltas=args.stale)
     db.close()
+    if args.ann_index:
+        from lineage_store_database_management_system_spark.operators import similarity
+
+        ann_report = {}
+        for d in args.ann_index:
+            r = similarity.ivf_pq_maintain_index(
+                spark, d,
+                recall_probe=args.ann_recall_probe,
+                recall_floor=args.ann_recall_floor,
+                recall_nprobe=args.ann_recall_nprobe,
+            )
+            r["histogram_sidecar"] = similarity.ivf_filter_histogram_repair(spark, d)
+            ann_report[d] = r
+        report["_ann_indexes"] = ann_report
+    if args.trigram_index:
+        from lineage_store_database_management_system_spark.operators import textsearch
+
+        report["_trigram_indexes"] = {
+            d: textsearch.compact_trigram_index(spark, d)
+            for d in args.trigram_index
+        }
     print(json.dumps(report))
     return 0
 
