@@ -14,6 +14,23 @@ keeps them in separate column chunks — metadata-only queries never
 read the bytes (column pruning); decode/feature stages are
 ``mapInPandas`` so each Arrow batch holds a bounded number of
 payloads (maxRecordsPerBatch) instead of whole-row Python pickling.
+
+Codec support boundary (every unsupported variant raises a
+clearly-worded NotImplementedError — refuse, never mis-decode):
+
+- **PPM**: binary P6, maxval 255.
+- **BMP**: uncompressed 24/32 bpp, BITMAPINFOHEADER.
+- **PNG**: 8-bit gray/RGB/RGBA (non-palette), non-interlaced; all
+  five filter types. Adam7 interlace and palettes raise.
+- **JPEG** (pure-python T.81 decoder, `_decode_jpeg`): baseline
+  sequential DCT (SOF0/SOF1) with 8-bit precision, 4:4:4 / 4:2:2 /
+  4:2:0 chroma subsampling, restart markers (DRI/RSTn). Progressive
+  (SOF2), arithmetic coding (SOF9+), 12-bit precision, and 16-bit
+  quantization tables raise NotImplementedError with the variant
+  named.
+- **WAV**: PCM 8/16-bit. **Video**: contract stub only (container
+  parsing raises; frame-sampling plumbing is real and tested against
+  the deterministic fake decoder).
 """
 
 from __future__ import annotations

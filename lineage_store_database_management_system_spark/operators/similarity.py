@@ -1028,6 +1028,7 @@ def ivf_pq_write_index(
     vec_col: str = "embedding",
     residual: bool = False,
     filter_cols: list[str] | None = None,
+    range_cols: list[str] | None = None,
 ) -> None:
     """Persist a durable ANN index: train the coarse quantizer and PQ
     codebooks (once, on the deterministic sample), assign + encode
@@ -1049,7 +1050,15 @@ def ivf_pq_write_index(
     every row; this additionally records their per-(list, value)
     histograms in the sidecar (:func:`ivf_filter_histogram` shape) so
     :func:`ivf_pq_filtered_topk_from_index` selects its strategy from
-    metadata alone. Appends keep the histograms current."""
+    metadata alone. Appends keep the histograms current.
+
+    ``range_cols`` names numeric/timestamp columns (created_at /
+    score / size) to support RANGE-filtered search: per-list exact
+    min/max plus equi-width bucket counts land in the sidecar
+    (:func:`ivf_range_stats`), so
+    :func:`ivf_pq_range_filtered_topk_from_index` prunes lists whose
+    [min, max] provably misses the query range and sizes its probe
+    escalation from the buckets — again zero data jobs to plan."""
     import json as _json
     import os as _os
 
@@ -1073,6 +1082,9 @@ def ivf_pq_write_index(
     fhist = {}
     for c in filter_cols or []:
         fhist[c] = _hist_triples(ivf_filter_histogram(assigned, c))
+    rstats = {}
+    for c in range_cols or []:
+        rstats[c] = ivf_range_stats(assigned, c)
     tmp = _os.path.join(index_dir, "_ann_meta.json.tmp")
     with open(tmp, "w") as f:
         _json.dump(
@@ -1080,10 +1092,139 @@ def ivf_pq_write_index(
              "vec_col": vec_col, "residual": residual,
              "n_lists": n_lists, "m": m, "nbits": nbits,
              "build_stats": build_stats, "filter_hist": fhist,
+             "range_stats": rstats,
              "hist_rows": build_stats["rows"]},
             f,
         )
     _os.replace(tmp, _os.path.join(index_dir, "_ann_meta.json"))
+
+
+def ivf_range_stats(
+    assigned: DataFrame,
+    range_col: str,
+    list_col: str = "_list",
+    n_buckets: int = 16,
+) -> dict:
+    """Index-build-time metadata for RANGE-filtered ANN over a
+    numeric/timestamp column: per-inverted-list EXACT min/max +
+    equi-width bucket counts over the global [lo, hi]. Two aggregate
+    jobs at build (global extent, then one (list, bucket) group-by);
+    the result is n_lists x n_buckets rows on the driver, independent
+    of corpus size. Timestamps are folded through CAST(double) (epoch
+    seconds) so the sidecar stays JSON.
+
+    The per-list min/max are the PROVABLE part (a list whose extent
+    misses the query range cannot hold a match — pruning on them is
+    exact); the buckets are the ESTIMATE part (probe-escalation
+    sizing only). Bucket edges FREEZE at build: appends clamp
+    out-of-extent values into the edge buckets, keeping the fold
+    additive while min/max stay exact under the min/max merge."""
+    c = F.col(range_col).cast("double")
+    g = assigned.where(c.isNotNull()).agg(
+        F.min(c).alias("lo"), F.max(c).alias("hi")
+    ).first()
+    if g["lo"] is None:
+        return {"lo": 0.0, "hi": 0.0, "n_buckets": n_buckets, "lists": {}}
+    base = {"lo": float(g["lo"]), "hi": float(g["hi"]), "n_buckets": n_buckets}
+    return _range_stats_delta(assigned, range_col, base, list_col)
+
+
+def _merge_range_stats(base: dict, delta: dict) -> dict:
+    """Fold an append batch's range stats into the sidecar's: counts
+    and buckets add, per-list min/max take the merge — exactness of
+    the pruning bound survives any append sequence. ``delta`` must be
+    computed against the SAME frozen [lo, hi] bucket edges (the
+    append path rebuilds it with ivf_range_stats_delta)."""
+    out = {
+        "lo": base["lo"], "hi": base["hi"],
+        "n_buckets": base["n_buckets"],
+        "lists": {k: dict(v, buckets=dict(v["buckets"]))
+                  for k, v in base["lists"].items()},
+    }
+    for li, d in delta["lists"].items():
+        t = out["lists"].setdefault(
+            li, {"n": 0, "min": float("inf"), "max": float("-inf"), "buckets": {}}
+        )
+        t["n"] += d["n"]
+        t["min"] = min(t["min"], d["min"])
+        t["max"] = max(t["max"], d["max"])
+        for bk, n in d["buckets"].items():
+            t["buckets"][bk] = t["buckets"].get(bk, 0) + n
+    return out
+
+
+def _range_stats_delta(
+    assigned: DataFrame, range_col: str, base: dict, list_col: str = "_list"
+) -> dict:
+    """Range stats of an APPEND batch against the sidecar's FROZEN
+    bucket edges (one group-by over the batch)."""
+    lo, hi, nb = base["lo"], base["hi"], base["n_buckets"]
+    width = (hi - lo) / nb or 1.0
+    c = F.col(range_col).cast("double")
+    src = assigned.where(c.isNotNull())
+    b = F.least(
+        F.lit(nb - 1), F.greatest(F.lit(0), F.floor((c - lo) / width).cast("int"))
+    )
+    rows = (
+        src.groupBy(F.col(list_col).alias("_li"), b.alias("_b"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(c).alias("_mn"),
+            F.max(c).alias("_mx"),
+        )
+        .collect()
+    )
+    lists: dict = {}
+    for r in rows:
+        d = lists.setdefault(
+            str(int(r["_li"])),
+            {"n": 0, "min": float("inf"), "max": float("-inf"), "buckets": {}},
+        )
+        d["n"] += int(r["_n"])
+        d["min"] = min(d["min"], float(r["_mn"]))
+        d["max"] = max(d["max"], float(r["_mx"]))
+        d["buckets"][str(int(r["_b"]))] = (
+            d["buckets"].get(str(int(r["_b"])), 0) + int(r["_n"])
+        )
+    return {"lo": lo, "hi": hi, "n_buckets": nb, "lists": lists}
+
+
+def _range_to_double(v) -> float:
+    """Query-range endpoint -> the sidecar's double domain (matches
+    CAST(col AS double): datetimes fold to epoch seconds)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=v.tzinfo or _dt.timezone.utc).timestamp()
+    return float(v)
+
+
+def _range_estimate(stats: dict, lo_d: float, hi_d: float) -> dict:
+    """Per-list match-count estimates for [lo_d, hi_d] from the
+    bucket histogram, with the exact min/max overlap test deciding
+    which lists are POSSIBLE at all. Returns {list_int: est}."""
+    width = (stats["hi"] - stats["lo"]) / stats["n_buckets"] or 1.0
+    out: dict = {}
+    for li, d in stats["lists"].items():
+        if d["n"] == 0 or d["max"] < lo_d or d["min"] > hi_d:
+            continue  # provably no matches
+        est = 0.0
+        for bk, n in d["buckets"].items():
+            b = int(bk)
+            b_lo = stats["lo"] + b * width
+            b_hi = b_lo + width
+            # edge buckets absorb clamped appends: widen to the
+            # list's exact extent so the estimate stays a cover
+            if b == 0:
+                b_lo = min(b_lo, d["min"])
+            if b == stats["n_buckets"] - 1:
+                b_hi = max(b_hi, d["max"])
+            ov = min(hi_d, b_hi) - max(lo_d, b_lo)
+            if ov <= 0:
+                continue
+            est += n * min(1.0, ov / (b_hi - b_lo or 1.0))
+        out[int(li)] = est
+    return out
 
 
 def _hist_triples(hist: dict) -> list:
@@ -1213,6 +1354,14 @@ def ivf_pq_append_index(
                     slot[li] = slot.get(li, 0) + cnt
             meta["filter_hist"][c] = _hist_triples(hist)
         meta["hist_rows"] = int(meta.get("hist_rows", 0)) + n
+    if meta.get("range_stats"):
+        # min/max merge + frozen-edge bucket adds: exact pruning
+        # bounds and additive estimates under any append sequence
+        for c, base in meta["range_stats"].items():
+            meta["range_stats"][c] = _merge_range_stats(
+                base, _range_stats_delta(assigned, c, base)
+            )
+    if meta.get("filter_hist") or meta.get("range_stats"):
         tmp = _os.path.join(index_dir, "_ann_meta.json.tmp")
         with open(tmp, "w") as f:
             _json.dump(meta, f)
@@ -1424,8 +1573,9 @@ def ivf_pq_maintain_index(
         return {**rep, "rebuilt": False}
     meta = _open_ann_meta(index_dir)
     fcols = list(meta.get("filter_hist") or {})
+    rcols = [c for c in (meta.get("range_stats") or {}) if c not in fcols]
     vecs = spark.read.parquet(index_dir).select(
-        meta["id_col"], meta["vec_col"], *fcols
+        meta["id_col"], meta["vec_col"], *fcols, *rcols
     )
     token = _uuid.uuid4().hex[:8]
     fresh = f"{index_dir.rstrip('/')}_rebuild_{token}"
@@ -1437,6 +1587,7 @@ def ivf_pq_maintain_index(
         vec_col=meta["vec_col"],
         residual=meta.get("residual", False),
         filter_cols=fcols,
+        range_cols=list(meta.get("range_stats") or {}),
     )
     kw.update(train_opts)
     ivf_pq_write_index(vecs, fresh, **kw)
@@ -1672,6 +1823,97 @@ def ivf_pq_filtered_topk_from_index(
         "probes": probes,
         "total_matches": total,
         "candidates_available": avail,
+    }
+
+
+def ivf_pq_range_filtered_topk_from_index(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    filter_col: str,
+    lo,
+    hi,
+    k: int = 10,
+    brute_threshold: int = 128,
+    min_candidates: int | None = None,
+    max_nprobe: int | None = None,
+    round_to: int | None = None,
+):
+    """RANGE-filtered search on the durable index: ``filter_col
+    BETWEEN lo AND hi`` (inclusive) + top-k — the timestamp/score
+    predicate shape the categorical histogram can't serve. Strategy
+    comes from the sidecar's per-list range stats
+    (:func:`ivf_range_stats`): zero data jobs to plan.
+
+    - Lists whose EXACT [min, max] extent misses [lo, hi] are pruned
+      outright — provable, the same partition-file never opens.
+    - **prefilter** (bucket-estimated matches <= brute_threshold):
+      one scan of the surviving lists with the BETWEEN pushed down +
+      exact ranking — EXACT regardless of estimate error, because
+      pruning used only the exact extents.
+    - **probe**: surviving lists in centroid order until the bucket
+      estimates cover ``min_candidates`` (default ``8*k``); exact
+      cosine over the probed, filtered rows. Estimates steer recall
+      here, never correctness of the scores returned; worst case the
+      probe set is sized from a coarse estimate — exactly the honest
+      fallback contract of the categorical operator.
+
+    ``lo``/``hi`` accept numbers or datetimes (folded to epoch
+    seconds, matching the sidecar's CAST(double) domain). Raises when
+    the index was built without ``range_cols=[filter_col]``."""
+    import numpy as np
+
+    meta = _open_ann_meta(index_dir)
+    stats = (meta.get("range_stats") or {}).get(filter_col)
+    if stats is None:
+        raise ValueError(
+            f"index has no range stats for {filter_col!r} — "
+            f"rebuild with range_cols=[{filter_col!r}]"
+        )
+    lo_d, hi_d = _range_to_double(lo), _range_to_double(hi)
+    est = _range_estimate(stats, lo_d, hi_d)
+    n_lists = len(meta["centroids"])
+    pred = F.col(filter_col).between(F.lit(lo), F.lit(hi))
+    idx = spark.read.parquet(index_dir)
+    info_base = {
+        "lists_possible": sorted(est),
+        "lists_pruned": n_lists - len(est),
+        "est_matches": round(sum(est.values()), 1),
+    }
+    if not est:
+        return idx.where(F.lit(False)).select(
+            meta["id_col"], F.lit(0.0).alias("cosine")
+        ), {**info_base, "strategy": "prefilter", "probes": []}
+    if sum(est.values()) <= brute_threshold:
+        out = brute_force_topk(
+            idx.where(F.col("_list").isin(list(est)) & pred),
+            query_vec, k, meta["id_col"], meta["vec_col"], round_to,
+        )
+        return out, {**info_base, "strategy": "prefilter", "probes": []}
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()
+    cap = n_lists if max_nprobe is None else min(max_nprobe, n_lists)
+    need = 8 * k if min_candidates is None else min_candidates
+    probes: list[int] = []
+    avail = 0.0
+    for li in order[:cap]:
+        li = int(li)
+        if li not in est:
+            continue  # provably empty for this range: skip, don't count
+        probes.append(li)
+        avail += est[li]
+        if avail >= need:
+            break
+    out = brute_force_topk(
+        idx.where(F.col("_list").isin(probes) & pred),
+        query_vec, k, meta["id_col"], meta["vec_col"], round_to,
+    )
+    return out, {
+        **info_base,
+        "strategy": "probe",
+        "probes": probes,
+        "candidates_available": round(avail, 1),
     }
 
 

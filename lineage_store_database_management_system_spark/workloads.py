@@ -9063,6 +9063,89 @@ def ds_embed_filtered_index(spark, sf_dir):
 
 
 @workload(
+    "ds_embedding_range_filtered_topk",
+    # Round 12 (VERDICT r11 #6): RANGE-predicate filtered ANN on the
+    # durable index — `score BETWEEN lo AND hi` planned from per-list
+    # exact min/max + frozen-edge bucket estimates in the sidecar
+    # (zero data jobs). Gated rows = the exact range-filtered top-20;
+    # the fixed vec_id slab (201..320 -> 120 matches at EVERY tier)
+    # sits under brute_threshold=128 so the adaptive run must pick
+    # prefilter (exact by construction: pruning uses only exact
+    # extents), and the forced probe (brute_threshold=0,
+    # min_candidates=400 > matches) must escalate across every
+    # possible list and therefore ALSO return the exact set — both
+    # pinned as full-equality booleans, not overlap fractions.
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM embeddings, q
+  WHERE vec_id / 10.0 BETWEEN 20.05 AND 32.05
+)
+SELECT vec_id, ROUND(c, 3) AS cosine,
+  (SELECT CASE WHEN COUNT(*) <= 128 THEN 'prefilter' ELSE 'probe' END
+   FROM embeddings WHERE vec_id / 10.0 BETWEEN 20.05 AND 32.05) AS strategy,
+  TRUE AS adaptive_ok, TRUE AS probe_exact_ok
+FROM scored ORDER BY ROUND(c, 3) DESC, vec_id LIMIT 20""",
+)
+def ds_embed_range_filtered(spark, sf_dir):
+    """Range-filtered ANN on the persisted index: 'nearest WHERE
+    created_at/score in [lo, hi]' — the timestamp-shaped predicate
+    the categorical (list x value) histogram cannot serve. The
+    sidecar's per-list EXACT extents prune provably-miss lists (a
+    partition whose [min, max] misses the range never opens), bucket
+    histograms size the probe escalation, and appends fold deltas
+    under frozen bucket edges with exact min/max merge."""
+    emb = load_star(spark, sf_dir)["embeddings"].withColumn(
+        "score", F.col("vec_id") / F.lit(10.0)
+    )
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    root = tempfile.mkdtemp(prefix="lss_wl_ridx_")
+    idx = os.path.join(root, "idx")
+    similarity.ivf_pq_write_index(
+        emb, idx, n_lists=16, m=8, nbits=4, range_cols=["score"]
+    )
+    exact = similarity.filtered_topk(
+        spark.read.parquet(idx), q,
+        (F.col("score") >= 20.05) & (F.col("score") <= 32.05),
+        k=20, round_to=3,
+    )
+    adaptive, info = similarity.ivf_pq_range_filtered_topk_from_index(
+        spark, idx, q, "score", 20.05, 32.05, k=20,
+        brute_threshold=128, round_to=3,
+    )
+    forced, _p = similarity.ivf_pq_range_filtered_topk_from_index(
+        spark, idx, q, "score", 20.05, 32.05, k=20,
+        brute_threshold=0, min_candidates=400, round_to=3,
+    )
+    a_ov = (
+        exact.select("vec_id")
+        .join(adaptive.select(F.col("vec_id").alias("_aid")),
+              F.col("vec_id") == F.col("_aid"))
+        .agg(F.count(F.lit(1)).alias("_ov"))
+    )
+    p_ov = (
+        exact.select("vec_id")
+        .join(forced.select(F.col("vec_id").alias("_pid")),
+              F.col("vec_id") == F.col("_pid"))
+        .agg(F.count(F.lit(1)).alias("_pv"))
+    )
+    flags = a_ov.crossJoin(p_ov).select(
+        F.lit(info["strategy"]).alias("strategy"),
+        (F.col("_ov") == 20).alias("adaptive_ok"),
+        (F.col("_pv") == 20).alias("probe_exact_ok"),
+    )
+    return exact.crossJoin(F.broadcast(flags)).select(
+        "vec_id", "cosine", "strategy", "adaptive_ok", "probe_exact_ok"
+    )
+
+
+@workload(
     "st_stream_expectations",
     # Streaming twin of pq_expectations_quarantine: a 4-micro-batch
     # file stream ingests through the expectations split with

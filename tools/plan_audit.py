@@ -366,6 +366,16 @@ AUDIT = [
     # Constraint enforcement: the gated row is local; enforcement ran
     # as Observations on the staged writes.
     ("pq_constraint_enforcement", ["Scan ExistingRDD"], ["BatchEvalPython", "CartesianProduct", "Scan parquet"]),
+    # Round 12. Range-filtered ANN: the gated exact path pushes the
+    # score BETWEEN bounds into the index parquet scan and ranks via
+    # top-k; strategy planning consumed only the sidecar (no extra
+    # jobs appear in the returned plan).
+    ("ds_embedding_range_filtered_topk", ["TakeOrderedAndProject", "PushedFilters"], ["BatchEvalPython", "CartesianProduct"]),
+    # Trigram delete/update reconciliation: same pruned-verify
+    # contract (candidate id IN-list pushed to the corpus scans,
+    # contains() JVM-side); the tombstone anti-join ran in the
+    # bounded candidate job, not the returned plan.
+    ("ds_trigram_delete_update_search", ["In(doc_id", "StringContains"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
