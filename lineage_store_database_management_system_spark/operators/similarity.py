@@ -1917,6 +1917,110 @@ def ivf_pq_range_filtered_topk_from_index(
     }
 
 
+def ivf_pq_composite_filtered_topk_from_index(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    eq_col: str,
+    eq_value,
+    range_col: str,
+    lo,
+    hi,
+    k: int = 10,
+    brute_threshold: int = 128,
+    min_candidates: int | None = None,
+    max_nprobe: int | None = None,
+    round_to: int | None = None,
+):
+    """COMPOSITE filtered search: ``eq_col = v AND range_col BETWEEN
+    lo AND hi`` + top-k — the full retrieval-stack predicate shape
+    ('nearest WHERE lang = en AND created_at in [t0, t1]'), planned
+    by INTERSECTING both sidecars with zero data jobs:
+
+    - a list is possible only if its (list, value) histogram count is
+      nonzero AND its exact [min, max] extent overlaps the range —
+      either sidecar alone can rule a list out, so composite pruning
+      is at least as strong as each filter's own;
+    - per-list match estimates take min(categorical count, range
+      bucket estimate) — each is an upper bound on the conjunction,
+      so the min is the tighter admissible bound;
+    - strategy follows the shared contract: **prefilter** under
+      ``brute_threshold`` scans possible lists with BOTH predicates
+      pushed (exact: pruning used only exact evidence), else
+      **probe** escalates through possible lists in centroid order.
+
+    Needs the index built with BOTH ``filter_cols=[eq_col]`` and
+    ``range_cols=[range_col]``."""
+    import numpy as np
+
+    meta = _open_ann_meta(index_dir)
+    triples = (meta.get("filter_hist") or {}).get(eq_col)
+    if triples is None:
+        raise ValueError(
+            f"index has no filter histogram for {eq_col!r} — "
+            f"rebuild with filter_cols=[{eq_col!r}]"
+        )
+    stats = (meta.get("range_stats") or {}).get(range_col)
+    if stats is None:
+        raise ValueError(
+            f"index has no range stats for {range_col!r} — "
+            f"rebuild with range_cols=[{range_col!r}]"
+        )
+    per_value = _hist_from_triples(triples).get(eq_value, {})
+    lo_d, hi_d = _range_to_double(lo), _range_to_double(hi)
+    r_est = _range_estimate(stats, lo_d, hi_d)
+    est = {
+        li: min(float(per_value[li]), r_est[li])
+        for li in per_value
+        if li in r_est and per_value[li] > 0
+    }
+    n_lists = len(meta["centroids"])
+    pred = (F.col(eq_col) == F.lit(eq_value)) & F.col(range_col).between(
+        F.lit(lo), F.lit(hi)
+    )
+    idx = spark.read.parquet(index_dir)
+    info_base = {
+        "lists_possible": sorted(est),
+        "lists_pruned": n_lists - len(est),
+        "est_matches": round(sum(est.values()), 1),
+    }
+    if not est:
+        return idx.where(F.lit(False)).select(
+            meta["id_col"], F.lit(0.0).alias("cosine")
+        ), {**info_base, "strategy": "prefilter", "probes": []}
+    if sum(est.values()) <= brute_threshold:
+        out = brute_force_topk(
+            idx.where(F.col("_list").isin(list(est)) & pred),
+            query_vec, k, meta["id_col"], meta["vec_col"], round_to,
+        )
+        return out, {**info_base, "strategy": "prefilter", "probes": []}
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()
+    cap = n_lists if max_nprobe is None else min(max_nprobe, n_lists)
+    need = 8 * k if min_candidates is None else min_candidates
+    probes: list[int] = []
+    avail = 0.0
+    for li in order[:cap]:
+        li = int(li)
+        if li not in est:
+            continue
+        probes.append(li)
+        avail += est[li]
+        if avail >= need:
+            break
+    out = brute_force_topk(
+        idx.where(F.col("_list").isin(probes) & pred),
+        query_vec, k, meta["id_col"], meta["vec_col"], round_to,
+    )
+    return out, {
+        **info_base,
+        "strategy": "probe",
+        "probes": probes,
+        "candidates_available": round(avail, 1),
+    }
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.99,

@@ -9146,6 +9146,87 @@ def ds_embed_range_filtered(spark, sf_dir):
 
 
 @workload(
+    "ds_embedding_composite_filtered_topk",
+    # Round 12: COMPOSITE predicate on the durable index — the full
+    # retrieval shape 'label = 2 AND score BETWEEN lo AND hi'. The
+    # planner intersects the categorical histogram with the range
+    # extents (either sidecar alone can rule a list out; per-list
+    # estimates take the min of the two admissible bounds). The fixed
+    # vec_id slab keeps the conjunction small (~10% of 350 ids) at
+    # every tier: under brute_threshold -> prefilter with BOTH
+    # predicates pushed (exact by construction); the forced probe
+    # escalates past every possible list (min_candidates > matches)
+    # and must also return the exact set.
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM embeddings, q
+  WHERE label = 2 AND vec_id / 10.0 BETWEEN 10.05 AND 45.05
+)
+SELECT vec_id, ROUND(c, 3) AS cosine,
+  TRUE AS adaptive_ok, TRUE AS probe_exact_ok
+FROM scored ORDER BY ROUND(c, 3) DESC, vec_id LIMIT 20""",
+)
+def ds_embed_composite_filtered(spark, sf_dir):
+    """Composite filtered ANN on the persisted index: equality AND
+    range in one predicate, planned by intersecting the (list x
+    value) histogram with the per-list exact range extents — zero
+    data jobs, pruning at least as strong as either filter alone,
+    both predicates pushed into the pruned scan."""
+    emb = load_star(spark, sf_dir)["embeddings"].withColumn(
+        "score", F.col("vec_id") / F.lit(10.0)
+    )
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    root = tempfile.mkdtemp(prefix="lss_wl_cidx_")
+    idx = os.path.join(root, "idx")
+    similarity.ivf_pq_write_index(
+        emb, idx, n_lists=16, m=8, nbits=4,
+        filter_cols=["label"], range_cols=["score"],
+    )
+    pred = (
+        (F.col("label") == 2)
+        & (F.col("score") >= 10.05) & (F.col("score") <= 45.05)
+    )
+    exact = similarity.filtered_topk(
+        spark.read.parquet(idx), q, pred, k=20, round_to=3
+    )
+    adaptive, info = similarity.ivf_pq_composite_filtered_topk_from_index(
+        spark, idx, q, "label", 2, "score", 10.05, 45.05, k=20,
+        brute_threshold=400, round_to=3,
+    )
+    forced, _p = similarity.ivf_pq_composite_filtered_topk_from_index(
+        spark, idx, q, "label", 2, "score", 10.05, 45.05, k=20,
+        brute_threshold=0, min_candidates=400, round_to=3,
+    )
+    a_ov = (
+        exact.select("vec_id")
+        .join(adaptive.select(F.col("vec_id").alias("_aid")),
+              F.col("vec_id") == F.col("_aid"))
+        .agg(F.count(F.lit(1)).alias("_ov"))
+    )
+    p_ov = (
+        exact.select("vec_id")
+        .join(forced.select(F.col("vec_id").alias("_pid")),
+              F.col("vec_id") == F.col("_pid"))
+        .agg(F.count(F.lit(1)).alias("_pv"))
+    )
+    n_exact = exact.count()
+    flags = a_ov.crossJoin(p_ov).select(
+        (F.col("_ov") == n_exact).alias("adaptive_ok"),
+        (F.col("_pv") == n_exact).alias("probe_exact_ok"),
+    )
+    return exact.crossJoin(F.broadcast(flags)).select(
+        "vec_id", "cosine", "adaptive_ok", "probe_exact_ok"
+    )
+
+
+@workload(
     "st_stream_expectations",
     # Streaming twin of pq_expectations_quarantine: a 4-micro-batch
     # file stream ingests through the expectations split with

@@ -158,3 +158,75 @@ def test_rebuild_preserves_range_stats(spark, tmp_path):
     assert rep["rebuilt"]
     m = similarity._open_ann_meta(idx)
     assert "score" in (m.get("range_stats") or {})
+
+
+# --- composite (categorical AND range) ------------------------------
+
+def test_composite_prefilter_exact(spark, tmp_path):
+    idx = str(tmp_path / "cidx")
+    df = _timed_blobs(spark).withColumn(
+        "label", (F.col("vec_id") % 4).cast("int"))
+    similarity.ivf_pq_write_index(
+        df, idx, n_lists=3, m=4, nbits=4,
+        filter_cols=["label"], range_cols=["score"])
+    q = [10.0, 0.0, 0.0, 0.0]
+    # per-list min(label-count, range-est) bounds sum to ~150 (each
+    # sidecar's per-list bound is ~50/~67 on independent filters), so
+    # the 200 threshold takes the prefilter branch
+    got, info = similarity.ivf_pq_composite_filtered_topk_from_index(
+        spark, idx, q, "label", 2, "score", 10.0, 30.0, k=10,
+        brute_threshold=200, round_to=4)
+    assert info["strategy"] == "prefilter"
+    exact = similarity.filtered_topk(
+        df, q,
+        (F.col("label") == 2) & (F.col("score") >= 10.0)
+        & (F.col("score") <= 30.0),
+        k=10, round_to=4)
+    assert _ids(got) == _ids(exact)
+    # estimates: min of the two sidecars' bounds, never above either
+    assert info["est_matches"] <= 600
+
+
+def test_composite_either_sidecar_prunes(spark, tmp_path):
+    idx = str(tmp_path / "cidx2")
+    # label correlates with the cluster (vec_id % 3 == blob) so the
+    # categorical histogram empties two lists; score slab empties a
+    # different subset -- the intersection must honor both
+    df = _timed_blobs(spark).withColumn(
+        "label", (F.col("vec_id") % 3).cast("int"))
+    similarity.ivf_pq_write_index(
+        df, idx, n_lists=3, m=4, nbits=4,
+        filter_cols=["label"], range_cols=["score"])
+    q = [0.3, 0.1, 0.1, 0.1]
+    # label 1 lives only in the x=0 blob's list -> 2 lists pruned by
+    # the categorical sidecar alone even though the range covers all
+    got, info = similarity.ivf_pq_composite_filtered_topk_from_index(
+        spark, idx, q, "label", 1, "score", 0.0, 60.0, k=10,
+        brute_threshold=0, round_to=4)
+    assert info["lists_pruned"] == 2, info
+    exact = similarity.filtered_topk(
+        df, q,
+        (F.col("label") == 1) & (F.col("score") >= 0.0)
+        & (F.col("score") <= 60.0),
+        k=10, round_to=4)
+    assert _ids(got) == _ids(exact)
+    # impossible conjunction (label exists, range empty) -> no scan
+    got2, info2 = similarity.ivf_pq_composite_filtered_topk_from_index(
+        spark, idx, q, "label", 1, "score", 500.0, 600.0, k=10)
+    assert info2["lists_pruned"] == 3 and got2.count() == 0
+
+
+def test_composite_missing_sidecars_raise(spark, tmp_path):
+    import pytest
+
+    idx = str(tmp_path / "cidx3")
+    df = _timed_blobs(spark, 120).withColumn(
+        "label", (F.col("vec_id") % 4).cast("int"))
+    similarity.ivf_pq_write_index(
+        df, idx, n_lists=2, m=4, nbits=4, filter_cols=["label"])
+    with pytest.raises(ValueError, match="range_cols"):
+        similarity.ivf_pq_composite_filtered_topk_from_index(
+            spark, idx, [0.1, 0.0, 0.0, 0.0], "label", 1, "score", 0.0, 1.0)
+    with pytest.raises(ValueError, match="filter_cols"):
+        similarity.ivf_pq_composite_filtered_topk_from_index(
+            spark, idx, [0.1, 0.0, 0.0, 0.0], "lang", "en", "score", 0.0, 1.0)

@@ -376,6 +376,9 @@ AUDIT = [
     # contains() JVM-side); the tombstone anti-join ran in the
     # bounded candidate job, not the returned plan.
     ("ds_trigram_delete_update_search", ["In(doc_id", "StringContains"], ["BatchEvalPython", "CartesianProduct"]),
+    # Composite filtered ANN: equality AND range both pushed into the
+    # index scan of the sidecar-pruned lists; ranking stays top-k.
+    ("ds_embedding_composite_filtered_topk", ["TakeOrderedAndProject", "PushedFilters"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
