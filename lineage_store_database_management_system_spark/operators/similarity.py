@@ -1353,7 +1353,6 @@ def ivf_pq_append_index(
                 for li, cnt in d.items():
                     slot[li] = slot.get(li, 0) + cnt
             meta["filter_hist"][c] = _hist_triples(hist)
-        meta["hist_rows"] = int(meta.get("hist_rows", 0)) + n
     if meta.get("range_stats"):
         # min/max merge + frozen-edge bucket adds: exact pruning
         # bounds and additive estimates under any append sequence
@@ -1362,6 +1361,7 @@ def ivf_pq_append_index(
                 base, _range_stats_delta(assigned, c, base)
             )
     if meta.get("filter_hist") or meta.get("range_stats"):
+        meta["hist_rows"] = int(meta.get("hist_rows", 0)) + n
         tmp = _os.path.join(index_dir, "_ann_meta.json.tmp")
         with open(tmp, "w") as f:
             _json.dump(meta, f)
@@ -1370,30 +1370,32 @@ def ivf_pq_append_index(
 
 
 def ivf_filter_histogram_repair(spark, index_dir: str) -> dict:
-    """Detect and heal a torn filter-histogram sidecar (a crash
-    between :func:`ivf_pq_append_index`'s data append and its meta
-    rewrite). Check is metadata-plane: ``count()`` over the index
-    parquet is answered from file footers (no vector bytes read) and
-    compared against the sidecar's ``hist_rows`` marker. On mismatch
-    the per-(list, value) histograms are re-aggregated from the
-    filter columns STORED in the index partitions (one O(index-rows)
-    two-column aggregate per filter column — the rebuild-of-last-
-    resort, run only when the cheap marker says the sidecar lies)
-    and the sidecar is atomically rewritten. Returns
+    """Detect and heal a torn filter sidecar (a crash between
+    :func:`ivf_pq_append_index`'s data append and its meta rewrite).
+    Check is metadata-plane: ``count()`` over the index parquet is
+    answered from file footers (no vector bytes read) and compared
+    against the sidecar's ``hist_rows`` marker. On mismatch the
+    per-(list, value) histograms AND the range stats (same crash
+    window tears both) are re-aggregated from the columns STORED in
+    the index partitions (one bounded aggregate per column — the
+    rebuild-of-last-resort, run only when the cheap marker says the
+    sidecar lies) and the sidecar is atomically rewritten. Returns
     ``{"checked": rows, "hist_rows": marker, "repaired": bool}``."""
     import json as _json
     import os as _os
 
     meta = _open_ann_meta(index_dir)
-    if not meta.get("filter_hist"):
+    if not meta.get("filter_hist") and not meta.get("range_stats"):
         return {"checked": 0, "hist_rows": 0, "repaired": False}
     actual = spark.read.parquet(index_dir).count()
     marker = int(meta.get("hist_rows", -1))
     if marker == actual:
         return {"checked": actual, "hist_rows": marker, "repaired": False}
     idx = spark.read.parquet(index_dir)
-    for c in list(meta["filter_hist"]):
+    for c in list(meta.get("filter_hist") or {}):
         meta["filter_hist"][c] = _hist_triples(ivf_filter_histogram(idx, c))
+    for c in list(meta.get("range_stats") or {}):
+        meta["range_stats"][c] = ivf_range_stats(idx, c)
     meta["hist_rows"] = int(actual)
     tmp = _os.path.join(index_dir, "_ann_meta.json.tmp")
     with open(tmp, "w") as f:

@@ -230,3 +230,30 @@ def test_composite_missing_sidecars_raise(spark, tmp_path):
     with pytest.raises(ValueError, match="filter_cols"):
         similarity.ivf_pq_composite_filtered_topk_from_index(
             spark, idx, [0.1, 0.0, 0.0, 0.0], "lang", "en", "score", 0.0, 1.0)
+
+
+def test_repair_heals_torn_range_stats_too(spark, tmp_path):
+    import os
+
+    idx = str(tmp_path / "ridx_torn")
+    similarity.ivf_pq_write_index(
+        _timed_blobs(spark, 300), idx, n_lists=3, m=4, nbits=4,
+        range_cols=["score"])
+    meta_path = os.path.join(idx, "_ann_meta.json")
+    with open(meta_path) as f:
+        pre = f.read()
+    appended = _timed_blobs(spark, 150, id_base=1000).withColumn(
+        "score", F.col("score") + 50.0)
+    similarity.ivf_pq_append_index(appended, idx)
+    # marker advances on a range-only index too (no filter_hist)
+    assert similarity._open_ann_meta(idx)["hist_rows"] == 450
+    with open(meta_path, "w") as f:
+        f.write(pre)  # crash window: data landed, sidecar did not
+    rep = similarity.ivf_filter_histogram_repair(spark, idx)
+    assert rep["repaired"] is True and rep["checked"] == 450
+    m = similarity._open_ann_meta(idx)
+    assert m["hist_rows"] == 450
+    total = sum(d["n"] for d in m["range_stats"]["score"]["lists"].values())
+    assert total == 450
+    hi = max(d["max"] for d in m["range_stats"]["score"]["lists"].values())
+    assert hi == 64.9  # 14.9 + 50 from the appended batch
