@@ -631,6 +631,57 @@ def ivf_filtered_topk(
     return out, info
 
 
+def hybrid_topk_rrf(
+    a: DataFrame,
+    a_score: str,
+    b: DataFrame,
+    b_score: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+    k_rrf: int = 60,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    two ranked retrieval lists — the standard hybrid-search
+    composition (BM25 lexical + embedding ANN) that beats either
+    signal alone without any score calibration: each list contributes
+    ``1 / (k_rrf + rank)`` for the documents it ranked, ranks taken
+    per-list by (score desc, id) so fusion is deterministic given the
+    input scores.
+
+    Scale shape: inputs are TOP-K FRAMES (each bounded by its own k —
+    the retrieval operators upstream already did the corpus-sized
+    work), so the unpartitioned rank windows and the full-outer join
+    here run on k-row data; nothing in this operator scales with the
+    corpus. Returns (id, rrf) ordered desc, id-tiebroken."""
+    from pyspark.sql import Window
+
+    ra = a.select(
+        F.col(id_col),
+        F.row_number()
+        .over(Window.orderBy(F.desc(a_score), F.asc(id_col)))
+        .alias("_ra"),
+    )
+    rb = b.select(
+        F.col(id_col),
+        F.row_number()
+        .over(Window.orderBy(F.desc(b_score), F.asc(id_col)))
+        .alias("_rb"),
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(k_rrf) + F.col(r)), F.lit(0.0)
+    )
+    return (
+        ra.join(rb, on=id_col, how="full_outer")
+        .select(
+            F.col(id_col),
+            F.round(contrib("_ra") + contrib("_rb"), round_to).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def multi_vector_split(
     df: DataFrame,
     vec_col: str = "embedding",

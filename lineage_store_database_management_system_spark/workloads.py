@@ -9227,6 +9227,76 @@ def ds_embed_composite_filtered(spark, sf_dir):
 
 
 @workload(
+    "ds_hybrid_rrf_topk",
+    # Round 12: hybrid retrieval — reciprocal-rank fusion (Cormack et
+    # al. 2009) of the BM25 lexical top-20 (documents) and the exact
+    # cosine ANN top-20 (embeddings). Both input lists are themselves
+    # oracle-proven operators (ds_bm25_topk / ds_embedding_topk
+    # formulas restated verbatim); ranks are integers over rounded
+    # scores, so 1/(60+rank) sums are bit-identical across engines.
+    """WITH t2 AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM documents) WHERE length(term) > 0
+), dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2
+       WHERE term IN ('join', 'filter', 'merge') GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t2
+        WHERE term IN ('join', 'filter', 'merge') GROUP BY 1),
+bm AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 4) AS bm25
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+ann AS (
+  SELECT vec_id AS doc_id,
+    ROUND(list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 3) AS cosine
+  FROM embeddings, q ORDER BY cosine DESC, doc_id LIMIT 20),
+ra AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+       FROM bm),
+rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r
+       FROM ann)
+SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / (60 + ra.r), 0.0)
+             + COALESCE(1.0 / (60 + rb.r), 0.0), 6) AS rrf
+FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10""",
+)
+def ds_hybrid_rrf(spark, sf_dir):
+    """Hybrid search: BM25 lexical top-20 + exact cosine top-20 fused
+    by reciprocal-rank fusion — no score calibration, each list
+    contributes 1/(60+rank). The corpus-sized work happens in the two
+    upstream retrieval operators; the fusion itself is k-row
+    (unpartitioned rank windows + full-outer join over <=40 rows)."""
+    star = load_star(spark, sf_dir)
+    bm25 = textops.bm25_topk(
+        star["documents"], "doc_id", "text",
+        ["join", "filter", "merge"], k=20,
+    )
+    emb = star["embeddings"]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    ann = similarity.brute_force_topk(
+        emb, q, k=20, round_to=3
+    ).withColumnRenamed("vec_id", "doc_id")
+    return similarity.hybrid_topk_rrf(
+        bm25, "bm25", ann, "cosine", id_col="doc_id", k=10
+    )
+
+
+@workload(
     "st_stream_expectations",
     # Streaming twin of pq_expectations_quarantine: a 4-micro-batch
     # file stream ingests through the expectations split with

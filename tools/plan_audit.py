@@ -379,6 +379,9 @@ AUDIT = [
     # Composite filtered ANN: equality AND range both pushed into the
     # index scan of the sidecar-pruned lists; ranking stays top-k.
     ("ds_embedding_composite_filtered_topk", ["TakeOrderedAndProject", "PushedFilters"], ["BatchEvalPython", "CartesianProduct"]),
+    # Hybrid RRF: corpus-sized work lives in the upstream retrieval
+    # operators; the fusion is k-row rank windows + join + top-k.
+    ("ds_hybrid_rrf_topk", ["Window", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
