@@ -58,6 +58,13 @@ __all__ = [
     "trigram_tombstones",
     "trigram_index_staleness",
     "compact_trigram_index",
+    "write_bm25_index",
+    "append_bm25_index",
+    "open_bm25_index",
+    "bm25_topk_from_index",
+    "delete_from_bm25_index",
+    "update_bm25_index",
+    "compact_bm25_index",
 ]
 
 # candidate sets up to this size verify through a pushed-down IN-list
@@ -118,11 +125,10 @@ def _read_meta(index_dir: str) -> dict:
             m = json.load(f)
     except FileNotFoundError:
         m = {}
-    return {
-        "n_docs": int(m.get("n_docs", 0)),
-        "n_batches": int(m.get("n_batches", 0)),
-        "n_dead": int(m.get("n_dead", 0)),
-    }
+    out = dict(m)  # index-kind-specific counters pass through
+    for k in ("n_docs", "n_batches", "n_dead"):
+        out[k] = int(m.get(k, 0))
+    return out
 
 
 def _write_meta(index_dir: str, meta: dict) -> None:
@@ -446,3 +452,278 @@ def substring_search(
         "probe_grams": grams,
         "n_candidates": n_cand,
     }
+
+
+# ===========================================================================
+# Durable BM25 index — lexical retrieval without the per-query corpus
+# scan. textops.bm25_topk (reference has no retrieval surface at all)
+# re-tokenizes the whole corpus on every call: the right baseline, the
+# wrong production shape at 100 TB. This is the inverted-index form:
+# one tokenize pass at build, term-clustered postings carrying a
+# DENORMALIZED doc length (so queries never join a corpus-sized side),
+# additive corpus counters in the sidecar, and the trigram module's
+# generation-stamped tombstone discipline for deletes/updates.
+#
+# Query-time work scales with the QUERY TERMS' posting lists, not the
+# corpus; doc-frequency is computed live from the pruned postings (one
+# bounded aggregate), so idf is always exact under appends AND deletes
+# — no stats table to drift. avgdl/n_docs come from counters kept
+# exact by construction (build adds, delete subtracts the tombstoned
+# docs' lengths via one bounded doclens lookup).
+# ===========================================================================
+
+
+def _bm25_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) token stream — EXACTLY textops.bm25_topk's
+    tokenizer (lower + whitespace split) so the index path reproduces
+    the scan path bit-for-bit."""
+    from ._util import spread
+
+    return (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+        .where(F.length("term") > 0)
+    )
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist/extend the BM25 index: ``<dir>/postings`` (term, id,
+    tf, dl, _batch — dl denormalized per row so scoring needs NO
+    doc-length join), ``<dir>/doclens`` (id, dl — kept only so
+    deletes can subtract lengths), and additive counters in
+    ``_meta.json`` (n_docs for idf, n_docs_dl/total_dl for avgdl —
+    non-empty docs only, matching the scan path's AVG over tokenized
+    docs). Appends are O(batch): postings/doclens append their own
+    rows, counters add. Re-ingesting the same doc id double-counts
+    (the Parquet-append contract shared with the ANN index): dedup
+    upstream or route through :func:`update_bm25_index`."""
+    import os
+
+    meta = _read_meta(index_dir)
+    batch = meta["n_batches"]
+    toks = _bm25_terms(docs, id_col, text_col)
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    postings = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(doclen, on=id_col)
+        .withColumn("_batch", F.lit(batch))
+    )
+    # term-clustered like the trigram postings: the query's term
+    # IN-list prunes at parquet stats level instead of scanning the
+    # whole posting table
+    (
+        postings.repartitionByRange(max(_default_parallelism(postings), 8), "term")
+        .sortWithinPartitions("term")
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+    doclen.withColumn("_batch", F.lit(batch)).write.mode("append").parquet(
+        os.path.join(index_dir, "doclens")
+    )
+    agg = doclen.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).first()
+    meta["n_docs"] += docs.count()
+    meta["n_docs_dl"] = int(meta.get("n_docs_dl", 0)) + int(agg["n"] or 0)
+    meta["total_dl"] = int(meta.get("total_dl", 0)) + int(agg["t"] or 0)
+    meta["n_batches"] = batch + 1
+    _write_meta(index_dir, meta)
+
+
+def append_bm25_index(
+    new_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental maintenance alias — O(new docs), never a rebuild."""
+    write_bm25_index(new_docs, index_dir, id_col, text_col)
+
+
+def _tombstone_filtered(df: DataFrame, tomb) -> DataFrame:
+    if tomb is None:
+        return df
+    idc = [c for c in df.columns if c not in ("term", "tf", "dl", "_batch")][0]
+    return df.join(
+        F.broadcast(tomb),
+        on=(F.col(idc) == F.col("_dead_id")) & (F.col("_batch") <= F.col("_upto")),
+        how="left_anti",
+    )
+
+
+def open_bm25_index(spark, index_dir: str):
+    """(postings, doclens), both tombstone-filtered — a search through
+    this handle can never score a deleted document or a stale
+    pre-update posting."""
+    import os
+
+    tomb = trigram_tombstones(spark, index_dir)
+    postings = _tombstone_filtered(
+        spark.read.parquet(os.path.join(index_dir, "postings")), tomb
+    )
+    doclens = _tombstone_filtered(
+        spark.read.parquet(os.path.join(index_dir, "doclens")), tomb
+    )
+    return postings, doclens
+
+
+def delete_from_bm25_index(ids: DataFrame, index_dir: str) -> int:
+    """Remove (live, indexed) documents in O(deleted ids): tombstone
+    their posting generations and subtract their lengths from the
+    avgdl counters (one bounded doclens lookup — the deleted side is
+    broadcast). idf needs no adjustment here because doc-frequency is
+    computed LIVE at query time from the tombstone-filtered
+    postings."""
+    import os
+
+    spark = ids.sparkSession
+    meta = _read_meta(index_dir)
+    idc = ids.columns[0]
+    n = ids.count()
+    if n == 0:
+        return 0
+    _p, doclens = open_bm25_index(spark, index_dir)
+    dcol = [c for c in doclens.columns if c not in ("dl", "_batch")][0]
+    hit = doclens.join(
+        F.broadcast(ids.select(F.col(idc).alias(dcol))), on=dcol
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")).first()
+    (
+        ids.select(
+            F.col(idc).alias("_dead_id"),
+            F.lit(meta["n_batches"] - 1).alias("_upto"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "tombstones"))
+    )
+    meta["n_docs"] -= n
+    meta["n_docs_dl"] = int(meta.get("n_docs_dl", 0)) - int(hit["n"] or 0)
+    meta["total_dl"] = int(meta.get("total_dl", 0)) - int(hit["t"] or 0)
+    meta["n_dead"] += n
+    _write_meta(index_dir, meta)
+    return n
+
+
+def update_bm25_index(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Re-index CHANGED documents: tombstone the old generations
+    (counters give back the old lengths) and append the new text as a
+    fresh generation (counters take the new). O(changed docs)."""
+    n = delete_from_bm25_index(docs.select(id_col), index_dir)
+    write_bm25_index(docs, index_dir, id_col, text_col)
+    return n
+
+
+def bm25_topk_from_index(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """Okapi BM25 top-k from the durable index — identical formula,
+    rounding, and tie-break as textops.bm25_topk, but the work is the
+    QUERY TERMS' pruned posting lists: term IN-list → clustered-file
+    pruning; df = one count-distinct over those rows (live-exact
+    under append/delete); n_docs/avgdl are sidecar scalars; dl rides
+    in the posting row, so there is no corpus-sized join anywhere."""
+    terms = [t.lower() for t in query_terms]
+    meta = _read_meta(index_dir)
+    n_docs = meta["n_docs"]
+    n_dl = int(meta.get("n_docs_dl", 0))
+    avgdl = (int(meta.get("total_dl", 0)) / n_dl) if n_dl else 1.0
+    postings, _d = open_bm25_index(spark, index_dir)
+    p = postings.where(F.col("term").isin(terms))
+    idc = [c for c in p.columns if c not in ("term", "tf", "dl", "_batch")][0]
+    idf = (
+        p.groupBy("term")
+        .agg(F.count_distinct(F.col(idc)).alias("df"))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        p.join(F.broadcast(idf), on="term")
+        .select(
+            F.col(idc),
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+                )
+            ).alias("_s"),
+        )
+        .groupBy(idc)
+        .agg(F.round(F.sum("_s"), round_to).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(idc)).limit(k)
+
+
+def compact_bm25_index(
+    spark,
+    index_dir: str,
+    tombstone_fraction: float = 0.2,
+    force: bool = False,
+) -> dict:
+    """Sweep tombstoned posting/doclen rows past the dead fraction —
+    the trigram compaction shape (zero-job metadata no-op below
+    threshold; two-rename swap per table above it). Counters are
+    already exact (deletes adjusted them), so only the row storage is
+    rewritten."""
+    import os
+    import shutil
+    import uuid
+
+    rep = trigram_index_staleness(index_dir)
+    if not force and rep["dead_fraction"] < tombstone_fraction:
+        return {**rep, "compacted": False}
+    postings, doclens = open_bm25_index(spark, index_dir)
+    token = uuid.uuid4().hex[:8]
+    fresh = {}
+    live_p = postings.withColumn("_batch", F.lit(0))
+    fresh["postings"] = os.path.join(index_dir, f"postings_new_{token}")
+    (
+        live_p.repartitionByRange(max(_default_parallelism(live_p), 8), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(fresh["postings"])
+    )
+    fresh["doclens"] = os.path.join(index_dir, f"doclens_new_{token}")
+    doclens.withColumn("_batch", F.lit(0)).write.mode("overwrite").parquet(
+        fresh["doclens"]
+    )
+    for sub, path in fresh.items():
+        old = os.path.join(index_dir, f"{sub}_old_{token}")
+        os.rename(os.path.join(index_dir, sub), old)
+        os.rename(path, os.path.join(index_dir, sub))
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    meta = _read_meta(index_dir)
+    meta["n_dead"] = 0
+    meta["n_batches"] = 1
+    _write_meta(index_dir, meta)
+    return {**rep, "compacted": True}

@@ -9227,6 +9227,131 @@ def ds_embed_composite_filtered(spark, sf_dir):
 
 
 @workload(
+    "ds_bm25_index_topk",
+    # Round 12: durable BM25 index — the oracle is the SCAN-path BM25
+    # formula (ds_bm25_topk verbatim), so the gate proves the
+    # inverted-index path reproduces it exactly: term-pruned postings
+    # with denormalized dl, live count-distinct df, sidecar
+    # n_docs/avgdl counters. Built on the base corpus then APPENDED
+    # (every 31st doc re-planted past max id with keyword text), so
+    # the additive-counter path is what's actually gated.
+    """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+         'join merge probe ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 31 = 0
+), t2 AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM corpus) WHERE length(term) > 0
+), dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+                 (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2
+       WHERE term IN ('join', 'filter', 'merge') GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t2
+        WHERE term IN ('join', 'filter', 'merge') GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 4) AS bm25
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""",
+)
+def ds_bm25_index(spark, sf_dir):
+    """BM25 from the durable inverted index: query work = the three
+    query terms' pruned posting lists (term-clustered files, dl
+    denormalized into the row — no corpus join), df live-exact by
+    count-distinct over those rows, n_docs/avgdl additive sidecar
+    scalars. Build + append both exercised; the scan-path formula is
+    the oracle."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    m = docs.agg(F.max("doc_id")).first()[0]
+    planted = docs.where(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + m + 1).alias("doc_id"),
+        F.concat(
+            F.lit("join merge probe "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    root = tempfile.mkdtemp(prefix="lss_wl_bm25_")
+    idx = os.path.join(root, "bm25")
+    textsearch.write_bm25_index(docs, idx)
+    textsearch.append_bm25_index(planted, idx)
+    return textsearch.bm25_topk_from_index(
+        spark, idx, ["join", "filter", "merge"], k=20
+    )
+
+
+@workload(
+    "ds_bm25_index_delete_update",
+    # Round 12: the BM25 index under DELETE + UPDATE — global
+    # statistics (n_docs, avgdl) and per-term df all shift when docs
+    # die or change, and the index must track every one of them:
+    # the oracle recomputes scan-path BM25 over the MODIFIED corpus
+    # (every 41st doc deleted, every 53rd re-texted with keywords).
+    """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 41 <> 0 AND doc_id % 53 <> 0
+  UNION ALL
+  SELECT doc_id, 'filter join probe text ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 53 = 0 AND doc_id % 41 <> 0
+), t2 AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM corpus) WHERE length(term) > 0
+), dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+                 (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2
+       WHERE term IN ('join', 'filter', 'merge') GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t2
+        WHERE term IN ('join', 'filter', 'merge') GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 4) AS bm25
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""",
+)
+def ds_bm25_index_delete_update(spark, sf_dir):
+    """BM25 index reconciliation: deletes tombstone generations and
+    give back their lengths to the avgdl counters; updates re-index
+    new text as a fresh generation; df is computed live from the
+    tombstone-filtered postings — so every statistic matches a
+    from-scratch scan of the modified corpus, which is exactly what
+    the oracle computes."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="lss_wl_bm25du_")
+    idx = os.path.join(root, "bm25")
+    textsearch.write_bm25_index(docs, idx)
+    dead = docs.where(F.col("doc_id") % 41 == 0).select("doc_id")
+    textsearch.delete_from_bm25_index(dead, idx)
+    changed = docs.where(
+        (F.col("doc_id") % 53 == 0) & (F.col("doc_id") % 41 != 0)
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("filter join probe text "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    textsearch.update_bm25_index(changed, idx)
+    return textsearch.bm25_topk_from_index(
+        spark, idx, ["join", "filter", "merge"], k=20
+    )
+
+
+@workload(
     "ds_hybrid_rrf_topk",
     # Round 12: hybrid retrieval — reciprocal-rank fusion (Cormack et
     # al. 2009) of the BM25 lexical top-20 (documents) and the exact

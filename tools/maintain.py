@@ -16,8 +16,9 @@ so they are maintained by flag:
   resort runs on the maintenance cadence, not opt-in. Also checks the
   filter-histogram sidecar's hist_rows marker and heals a torn append
   (``ivf_filter_histogram_repair``).
-- ``--trigram-index DIR`` (repeatable): tombstone-fraction-triggered
-  postings compaction (``compact_trigram_index`` — a zero-job
+- ``--trigram-index DIR`` / ``--bm25-index DIR`` (repeatable):
+  tombstone-fraction-triggered postings compaction
+  (``compact_trigram_index`` / ``compact_bm25_index`` — a zero-job
   metadata check below threshold).
 
 Usage: python tools/maintain.py /path/to/db [--retain N] [--stale N]
@@ -62,6 +63,10 @@ def main() -> int:
         "--trigram-index", action="append", default=[],
         help="trigram index dir to compact past its tombstone fraction (repeatable)",
     )
+    ap.add_argument(
+        "--bm25-index", action="append", default=[],
+        help="BM25 index dir to compact past its tombstone fraction (repeatable)",
+    )
     args = ap.parse_args()
 
     from lineage_store_database_management_system_spark import Database, get_spark
@@ -85,13 +90,19 @@ def main() -> int:
             r["histogram_sidecar"] = similarity.ivf_filter_histogram_repair(spark, d)
             ann_report[d] = r
         report["_ann_indexes"] = ann_report
-    if args.trigram_index:
+    if args.trigram_index or args.bm25_index:
         from lineage_store_database_management_system_spark.operators import textsearch
 
-        report["_trigram_indexes"] = {
-            d: textsearch.compact_trigram_index(spark, d)
-            for d in args.trigram_index
-        }
+        if args.trigram_index:
+            report["_trigram_indexes"] = {
+                d: textsearch.compact_trigram_index(spark, d)
+                for d in args.trigram_index
+            }
+        if args.bm25_index:
+            report["_bm25_indexes"] = {
+                d: textsearch.compact_bm25_index(spark, d)
+                for d in args.bm25_index
+            }
     print(json.dumps(report))
     return 0
 

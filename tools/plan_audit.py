@@ -382,6 +382,11 @@ AUDIT = [
     # Hybrid RRF: corpus-sized work lives in the upstream retrieval
     # operators; the fusion is k-row rank windows + join + top-k.
     ("ds_hybrid_rrf_topk", ["Window", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
+    # Durable BM25: query = term-pruned posting scan (IN-list reaches
+    # the reader) + broadcast idf + top-k; dl is denormalized so no
+    # corpus-sized join appears anywhere in the plan.
+    ("ds_bm25_index_topk", ["In(term", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
+    ("ds_bm25_index_delete_update", ["In(term", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 

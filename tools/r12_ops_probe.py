@@ -201,5 +201,61 @@ def main() -> int:
     return 0
 
 
+
+
+def bm25_probe(sf10_dir: str | None = None) -> dict:
+    """Index-vs-scan BM25 at sf10 (500k docs): the structural win is
+    that query work becomes the three query terms' pruned posting
+    lists instead of a full corpus re-tokenize per query."""
+    import json
+    import os
+    import tempfile
+    import time
+
+    from lineage_store_database_management_system_spark import get_spark
+    from lineage_store_database_management_system_spark.operators import (
+        textops,
+        textsearch,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf10 = sf10_dir or os.path.join(root, ".localdata", "sf10")
+    spark = get_spark(app_name="r12-bm25-probe", cpus=16, shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(sf10, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    terms = ["join", "filter", "merge"]
+    idx = tempfile.mkdtemp(prefix="r12_bm25_")
+    t0 = time.time()
+    textsearch.write_bm25_index(docs, idx)
+    build_s = round(time.time() - t0, 3)
+
+    t_scan = _t(lambda: textops.bm25_topk(docs, "doc_id", "text", terms, k=20).count())
+    t_idx = _t(
+        lambda: textsearch.bm25_topk_from_index(spark, idx, terms, k=20).count()
+    )
+    same = [
+        (r["doc_id"], r["bm25"])
+        for r in textsearch.bm25_topk_from_index(spark, idx, terms, k=20).collect()
+    ] == [
+        (r["doc_id"], r["bm25"])
+        for r in textops.bm25_topk(docs, "doc_id", "text", terms, k=20).collect()
+    ]
+    out = {
+        "n_docs": n,
+        "index_build_s": build_s,
+        "scan_query_s": t_scan,
+        "index_query_s": t_idx,
+        "identical_top20": same,
+    }
+    print(json.dumps({"bm25_index_sf10": out}))
+    return out
+
+
 if __name__ == "__main__":
+    if os.environ.get("R12_PROBE_ONLY") == "bm25":
+        bm25_probe()
+        raise SystemExit(0)
     raise SystemExit(main())
