@@ -65,6 +65,7 @@ __all__ = [
     "delete_from_bm25_index",
     "update_bm25_index",
     "compact_bm25_index",
+    "fuzzy_similarity_search",
 ]
 
 # candidate sets up to this size verify through a pushed-down IN-list
@@ -727,3 +728,74 @@ def compact_bm25_index(
     meta["n_batches"] = 1
     _write_meta(index_dir, meta)
     return {**rep, "compacted": True}
+
+
+def fuzzy_similarity_search(
+    docs: DataFrame,
+    query: str,
+    threshold: float = 0.3,
+    postings: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+):
+    """pg_trgm ``similarity()`` / ``%`` at corpus scale: documents
+    whose DISTINCT-trigram-set Jaccard similarity with ``query`` is
+    >= ``threshold`` — fuzzy string matching that survives typos,
+    where exact :func:`substring_search` by design cannot.
+
+    Pruning is EXACT (no false negatives): sim(Q, D) >= t implies
+    |Q ∩ D| >= t·|Q ∪ D| >= t·|Q|, so only documents sharing at least
+    ``ceil(t·|Q|)`` of the query's trigrams can qualify — that shared
+    count comes from the posting lists of the query's own grams (the
+    same pruned index read as substring search). The exact Jaccard is
+    then verified on CANDIDATES ONLY: their |D| comes from re-gramming
+    candidate text behind the pushed id IN-list (the substring-search
+    verify discipline — candidate files only, never the corpus).
+    Returns ``(result_df(id, similarity), info)``; the similarity is
+    filtered on the RAW double and rounded for display, so engines
+    agree bit-for-bit (integer-ratio division)."""
+    import math
+
+    grams = pattern_grams(query)
+    q = len(grams)
+    if q == 0:
+        return (
+            docs.select(F.col(id_col), F.lit(0.0).alias("similarity")).where(
+                F.lit(False)
+            ),
+            {"strategy": "empty", "n_candidates": 0, "min_shared": 0},
+        )
+    if postings is None:
+        postings = trigram_postings(docs, id_col, text_col)
+    min_shared = max(1, math.ceil(threshold * q))
+    shared = (
+        postings.where(F.col("gram").isin(grams))
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("_inter"))
+        .where(F.col("_inter") >= min_shared)
+    )
+    ids = [r[id_col] for r in shared.limit(_VERIFY_ISIN_CAP + 1).collect()]
+    if len(ids) <= _VERIFY_ISIN_CAP:
+        cand = docs.where(F.col(id_col).isin(ids)) if ids else docs.where(
+            F.lit(False)
+        )
+        n_cand = len(ids)
+    else:  # pragma: no cover - fuzzy query matching >100k docs
+        cand = docs.join(shared.select(id_col), on=id_col, how="left_semi")
+        n_cand = -1
+    d_size = F.size(F.array_distinct(_grams_col(text_col)))
+    sim = F.col("_inter") / (F.lit(q) + F.col("_d") - F.col("_inter"))
+    out = (
+        cand.select(F.col(id_col), d_size.alias("_d"), F.col(text_col))
+        .join(F.broadcast(shared), on=id_col)
+        .where(sim >= F.lit(float(threshold)))
+        .select(
+            F.col(id_col), F.round(sim, round_to).alias("similarity")
+        )
+    )
+    return out, {
+        "strategy": "index",
+        "n_candidates": n_cand,
+        "min_shared": min_shared,
+    }

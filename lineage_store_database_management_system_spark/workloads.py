@@ -9227,6 +9227,65 @@ def ds_embed_composite_filtered(spark, sf_dir):
 
 
 @workload(
+    "ds_fuzzy_similarity_search",
+    # Round 12: pg_trgm-style fuzzy matching — documents whose
+    # distinct-trigram-set Jaccard similarity with a MISSPELLED query
+    # ('custmer quary' vs corpus 'customer query') clears the
+    # threshold. Candidate pruning from the query grams' posting
+    # lists is provably lossless (sim >= t implies shared grams
+    # >= ceil(t*|Q|)); the oracle recomputes the exact Jaccard from
+    # scratch, so any pruning false-negative hash-mismatches.
+    """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+         'customer query record ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 37 = 0
+), qg AS (
+  SELECT list_distinct(list_transform(range(1, length('custmer quary') - 1),
+                       i -> substr('custmer quary', i, 3))) AS g
+), dg AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < 3 THEN []
+              ELSE list_distinct(list_transform(range(1, length(text) - 1),
+                                 i -> substr(text, i, 3))) END AS g
+  FROM corpus
+), sim AS (
+  SELECT dg.doc_id,
+         CAST(len(list_filter(dg.g, x -> list_contains(qg.g, x))) AS DOUBLE)
+         / (len(qg.g) + len(dg.g)
+            - len(list_filter(dg.g, x -> list_contains(qg.g, x)))) AS s
+  FROM dg CROSS JOIN qg WHERE len(dg.g) > 0
+)
+SELECT doc_id, ROUND(s, 4) AS similarity
+FROM sim WHERE s >= 0.15 ORDER BY doc_id""",
+)
+def ds_fuzzy_similarity(spark, sf_dir):
+    """Fuzzy (typo-tolerant) document matching via the trigram index:
+    candidates = docs sharing >= ceil(t*|Q|) of the misspelled
+    query's trigrams (pruned posting read — lossless by the Jaccard
+    bound), exact similarity verified on candidate text behind the
+    pushed id IN-list. 'custmer quary' contains no exact substring of
+    the corpus, so substring_search by design finds nothing — the
+    planted short 'customer query record N' docs are what a fuzzy
+    match must surface, and the oracle recomputes every Jaccard from
+    scratch so pruning false-negatives hash-mismatch."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    m = docs.agg(F.max("doc_id")).first()[0]
+    planted = docs.where(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + m + 1).alias("doc_id"),
+        F.concat(
+            F.lit("customer query record "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    got, _info = textsearch.fuzzy_similarity_search(
+        corpus, "custmer quary", threshold=0.15
+    )
+    return got
+
+
+@workload(
     "ds_bm25_index_topk",
     # Round 12: durable BM25 index — the oracle is the SCAN-path BM25
     # formula (ds_bm25_topk verbatim), so the gate proves the

@@ -203,3 +203,57 @@ def test_compaction_noop_below_threshold(spark, tmp_path):
     # force sweeps regardless
     rep2 = textsearch.compact_trigram_index(spark, idx, force=True)
     assert rep2["compacted"] is True
+
+
+# --- round 12: fuzzy (trigram-Jaccard) similarity search ------------
+
+def _jaccard(a, b):
+    def grams(s):
+        return {s[i:i + 3] for i in range(max(len(s) - 2, 0))}
+    ga, gb = grams(a), grams(b)
+    return len(ga & gb) / len(ga | gb) if ga | gb else 0.0
+
+
+def test_fuzzy_matches_exact_jaccard(spark):
+    docs = _docs(spark)
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    query = "quick brown"
+    got, info = textsearch.fuzzy_similarity_search(docs, query, threshold=0.2)
+    res = {r["doc_id"]: r["similarity"] for r in got.collect()}
+    want = {
+        d: round(_jaccard(query, t), 4)
+        for d, t in rows.items()
+        if _jaccard(query, t) >= 0.2
+    }
+    assert res == want and 0 in res and 2 in res
+    assert info["strategy"] == "index"
+
+
+def test_fuzzy_pruning_no_false_negatives(spark):
+    # a permissive threshold with an off-by-one-ish query: every doc
+    # meeting the threshold must appear despite candidate pruning
+    docs = _docs(spark)
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    query = "jumps quickly"
+    got, _ = textsearch.fuzzy_similarity_search(docs, query, threshold=0.1)
+    res = set(r["doc_id"] for r in got.collect())
+    want = {d for d, t in rows.items() if _jaccard(query, t) >= 0.1}
+    assert res == want
+
+
+def test_fuzzy_respects_tombstones_via_index(spark, tmp_path):
+    idx = str(tmp_path / "trgm_fz")
+    docs = _docs(spark)
+    textsearch.write_trigram_index(docs, idx)
+    textsearch.delete_from_trigram_index(
+        spark.createDataFrame([(0,)], ["doc_id"]), idx)
+    postings, _stats = textsearch.open_trigram_index(spark, idx)
+    got, _ = textsearch.fuzzy_similarity_search(
+        docs, "quick brown", threshold=0.2, postings=postings)
+    assert 0 not in {r["doc_id"] for r in got.collect()}
+    assert 2 in {r["doc_id"] for r in got.collect()}
+
+
+def test_fuzzy_short_query_empty(spark):
+    got, info = textsearch.fuzzy_similarity_search(_docs(spark), "qu")
+    assert got.count() == 0 and info["strategy"] == "empty"

@@ -387,6 +387,9 @@ AUDIT = [
     # corpus-sized join appears anywhere in the plan.
     ("ds_bm25_index_topk", ["In(term", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
     ("ds_bm25_index_delete_update", ["In(term", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
+    # Fuzzy similarity: exact-Jaccard verify runs on candidates only
+    # (id IN-list pushed into the corpus scan), gram math JVM-side.
+    ("ds_fuzzy_similarity_search", ["In(doc_id"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
