@@ -219,6 +219,43 @@ def main() -> int:
         )
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "headline_detail",
+        "runs_per_query": runs,
+        "timing": (
+            "min_of_runs; medians alongside; pinned shuffle"
+            " partitions + AQE; write-path scenarios rebuilt"
+            " every run"
+        ),
+        "median_queries": medians,
+        "median_total": round(sum(medians.values()), 3),
+        "cold_queries": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "work": work,
+        "work_note": (
+            "per-query deterministic work proxies from the"
+            " status-store REST API (min-time run): stage"
+            " input/output/shuffle bytes, executor task CPU"
+            " ms, completed tasks. Invariant to host"
+            " contention -- compare across rounds to"
+            " attribute wall-time swings."
+        ),
+    }
+    # Detail (work proxies, medians, cold) goes to an EARLY stdout
+    # line AND a sidecar file; the driver's artifact keeps only the
+    # tail of stdout and parses the LAST line, which must therefore
+    # be the compact headline JSON alone (<1 KB). r12's single fat
+    # line exceeded the tail-capture window and produced an
+    # unparseable fragment (VERDICT r12, What's wrong #1).
+    print(json.dumps(detail))
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_work_latest.json"
+        )
+        with open(sidecar, "w") as fh:
+            json.dump({"sf": sf, "headline_total": total, **detail}, fh, indent=1)
+    except OSError as exc:  # non-fatal: stdout line already has it
+        print(f"  sidecar write failed: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -227,25 +264,6 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "runs_per_query": runs,
-                "timing": (
-                    "min_of_runs; medians alongside; pinned shuffle"
-                    " partitions + AQE; write-path scenarios rebuilt"
-                    " every run"
-                ),
-                "median_queries": medians,
-                "median_total": round(sum(medians.values()), 3),
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "work": work,
-                "work_note": (
-                    "per-query deterministic work proxies from the"
-                    " status-store REST API (min-time run): stage"
-                    " input/output/shuffle bytes, executor task CPU"
-                    " ms, completed tasks. Invariant to host"
-                    " contention -- compare across rounds to"
-                    " attribute wall-time swings."
-                ),
             }
         )
     )

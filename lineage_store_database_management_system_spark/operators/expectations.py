@@ -130,22 +130,28 @@ def ingest_with_expectations(
     behind to duplicate on retry. Callers that may re-run a
     *successful* batch (at-least-once drivers) pass ``batch_id``:
     quarantine then overwrites the deterministic subdirectory
-    ``<qdir>/batch=<batch_id>`` instead of appending, so a replay
-    converges rather than accumulates.
+    ``<qdir>/batch=<batch_id>``, so a replay's QUARANTINE converges
+    rather than accumulates — table-side idempotency is NOT covered
+    (a replayed successful batch re-appends its good rows through
+    ``ingest_dataframe``; dedup upstream or key the replay decision
+    on the batch id before calling). When no ``batch_id`` is given, a
+    unique one is generated so the quarantine area is uniformly
+    ``batch=...``-partitioned — mixing keyed and unkeyed calls on the
+    same table previously left files at BOTH the qdir root and under
+    subdirectories, which ``spark.read.parquet(qdir)`` refuses to
+    read (ADVICE r12).
 
     The default quarantine area ``<table>/_quarantine`` sits next to
     ``_dropped/`` — outside the base/tail data dirs, invisible to
     scans, repair, and vacuum."""
+    import uuid
+
     good, bad, metrics = apply_expectations(df, rules, mode="quarantine")
     n_bad = metrics["rows_bad"]
     qdir = quarantine_dir or os.path.join(table.path, "_quarantine")
     table.ingest_dataframe(good)
     if n_bad:
-        if batch_id is not None:
-            bad.write.mode("overwrite").parquet(
-                os.path.join(qdir, f"batch={batch_id}")
-            )
-        else:
-            bad.write.mode("append").parquet(qdir)
+        bid = batch_id if batch_id is not None else f"adhoc-{uuid.uuid4().hex[:12]}"
+        bad.write.mode("overwrite").parquet(os.path.join(qdir, f"batch={bid}"))
     metrics["quarantine_dir"] = qdir if n_bad else None
     return metrics

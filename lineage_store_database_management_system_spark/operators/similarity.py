@@ -1242,11 +1242,21 @@ def _range_stats_delta(
 
 def _range_to_double(v) -> float:
     """Query-range endpoint -> the sidecar's double domain (matches
-    CAST(col AS double): datetimes fold to epoch seconds)."""
+    CAST(col AS double): datetimes fold to epoch seconds of the same
+    INSTANT the scan predicate will use).
+
+    The folding must agree with how ``F.lit(v)`` converts the SAME
+    endpoint for the pushed BETWEEN predicate, or sidecar pruning and
+    the actual scan disagree and extent pruning silently drops lists
+    that contain matches (ADVICE r12). PySpark's TimestampType
+    literal conversion interprets a NAIVE datetime in the DRIVER'S
+    LOCAL timezone (``time.mktime``) and a tz-aware one exactly —
+    which is precisely ``datetime.timestamp()`` in both cases, so
+    delegate to it instead of assuming UTC for naive values."""
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=v.tzinfo or _dt.timezone.utc).timestamp()
+        return v.timestamp()
     return float(v)
 
 
@@ -1345,6 +1355,36 @@ def _open_ann_meta(index_dir: str) -> dict:
         raise
 
 
+def _ann_footer_rows(index_dir: str) -> int:
+    """Exact index row count from parquet FILE FOOTERS (no Spark job,
+    no vector bytes — the LIST + footer pass any engine pays to plan
+    a scan over the index)."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(index_dir, format="parquet", partitioning="hive")
+    return int(sum(f.metadata.num_rows for f in ds.get_fragments()))
+
+
+def _verified_meta(spark, index_dir: str, meta: dict) -> dict:
+    """Return a sidecar whose ``hist_rows`` marker MATCHES the index
+    footers, healing a torn append first if it doesn't
+    (:func:`ivf_filter_histogram_repair`). The range/composite
+    filtered operators prune list partitions from sidecar
+    extents/counts even on their PREFILTER (exact-claiming) branch,
+    so unlike the categorical operator — whose prefilter scans every
+    list — they may NOT trust a sidecar that lags the data: appended
+    rows outside a list's stale extent would be silently missed while
+    info still reports 'prefilter' (ADVICE r12). The check itself is
+    metadata-plane; the repair aggregate runs only when the marker
+    actually lies (a crash window, not a steady state)."""
+    if not meta.get("filter_hist") and not meta.get("range_stats"):
+        return meta
+    if int(meta.get("hist_rows", -1)) == _ann_footer_rows(index_dir):
+        return meta
+    ivf_filter_histogram_repair(spark, index_dir)
+    return _open_ann_meta(index_dir)
+
+
 def ivf_pq_append_index(
     df: DataFrame,
     index_dir: str,
@@ -1370,9 +1410,13 @@ def ivf_pq_append_index(
     Filter-histogram consistency: the data-parquet append and the
     sidecar histogram fold are two writes, not one atomic commit. A
     crash BETWEEN them leaves the sidecar undercounting the appended
-    rows (probe-mode min_candidates escalation then runs on low
-    coverage numbers — a recall, never a correctness, hazard; the
-    prefilter branch stays exact either way). The sidecar carries a
+    rows. For the CATEGORICAL operator that is a recall-only hazard
+    (its prefilter branch scans every list with the predicate pushed,
+    so it stays exact either way); the RANGE/COMPOSITE operators
+    prune list partitions from sidecar extents even on their
+    exact-claiming prefilter branch, so they verify the marker
+    against the index footers per query and heal first
+    (:func:`_verified_meta` — ADVICE r12). The sidecar carries a
     ``hist_rows`` marker updated in the same atomic rename as the
     histograms, so the torn state is DETECTABLE by comparing it with
     the index's footer row count — :func:`ivf_filter_histogram_repair`
@@ -1912,11 +1956,19 @@ def ivf_pq_range_filtered_topk_from_index(
       fallback contract of the categorical operator.
 
     ``lo``/``hi`` accept numbers or datetimes (folded to epoch
-    seconds, matching the sidecar's CAST(double) domain). Raises when
-    the index was built without ``range_cols=[filter_col]``."""
+    seconds, matching the sidecar's CAST(double) domain — naive
+    datetimes interpreted in the driver's local timezone, exactly as
+    the pushed ``F.lit`` predicate will be). Raises when the index
+    was built without ``range_cols=[filter_col]``.
+
+    Because this operator prunes partitions from the sidecar even on
+    its exact-claiming prefilter branch, the sidecar's ``hist_rows``
+    marker is verified against the index footers first and a torn
+    append healed (:func:`_verified_meta`) — so 'prefilter' really
+    means exact, whatever crashed before this query."""
     import numpy as np
 
-    meta = _open_ann_meta(index_dir)
+    meta = _verified_meta(spark, index_dir, _open_ann_meta(index_dir))
     stats = (meta.get("range_stats") or {}).get(filter_col)
     if stats is None:
         raise ValueError(
@@ -2003,10 +2055,13 @@ def ivf_pq_composite_filtered_topk_from_index(
       **probe** escalates through possible lists in centroid order.
 
     Needs the index built with BOTH ``filter_cols=[eq_col]`` and
-    ``range_cols=[range_col]``."""
+    ``range_cols=[range_col]``. Like the range operator, the sidecar
+    marker is verified against the index footers (and a torn append
+    healed) before its prunings are trusted — both sidecars here gate
+    the exact-claiming prefilter branch."""
     import numpy as np
 
-    meta = _open_ann_meta(index_dir)
+    meta = _verified_meta(spark, index_dir, _open_ann_meta(index_dir))
     triples = (meta.get("filter_hist") or {}).get(eq_col)
     if triples is None:
         raise ValueError(

@@ -74,7 +74,10 @@ def test_ingest_with_expectations_quarantines(spark, tmp_db):
     assert qdir and os.path.isdir(qdir)
     quar = spark.read.parquet(qdir)
     assert sorted(r["k"] for r in quar.collect()) == [3, 28, 53, 78]
-    assert set(quar.columns) == {"k", "price", "qty", X.VIOLATIONS_COL}
+    # quarantine is uniformly batch=... partitioned (ADVICE r12: a
+    # root/subdir mix broke spark.read.parquet on the area), so the
+    # batch id rides along as a partition column
+    assert set(quar.columns) == {"k", "price", "qty", X.VIOLATIONS_COL, "batch"}
     # quarantine area is invisible to the table's own scans
     assert t.current_view().where("qty < 0").count() == 0
 

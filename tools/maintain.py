@@ -17,6 +17,9 @@ so they are maintained by flag:
   filter-histogram sidecar's hist_rows marker and heals a torn append
   (``ivf_filter_histogram_repair``).
 - ``--trigram-index DIR`` / ``--bm25-index DIR`` (repeatable):
+  marker-vs-footer sidecar consistency repair first
+  (``trigram_index_repair`` / ``bm25_index_repair`` — heals the
+  crash-between-parquet-and-meta window, VERDICT r12), then
   tombstone-fraction-triggered postings compaction
   (``compact_trigram_index`` / ``compact_bm25_index`` — a zero-job
   metadata check below threshold).
@@ -93,16 +96,25 @@ def main() -> int:
     if args.trigram_index or args.bm25_index:
         from lineage_store_database_management_system_spark.operators import textsearch
 
+        # marker-vs-footer sidecar repair FIRST (heals a torn
+        # append/delete so the compaction trigger reads honest
+        # counters), then tombstone-fraction compaction
         if args.trigram_index:
-            report["_trigram_indexes"] = {
-                d: textsearch.compact_trigram_index(spark, d)
-                for d in args.trigram_index
-            }
+            report["_trigram_indexes"] = {}
+            for d in args.trigram_index:
+                rep = {"sidecar": textsearch.trigram_index_repair(spark, d)}
+                if rep["sidecar"]["repaired"]:
+                    print(f"maintain: repaired trigram sidecar {d}", file=sys.stderr)
+                rep.update(textsearch.compact_trigram_index(spark, d))
+                report["_trigram_indexes"][d] = rep
         if args.bm25_index:
-            report["_bm25_indexes"] = {
-                d: textsearch.compact_bm25_index(spark, d)
-                for d in args.bm25_index
-            }
+            report["_bm25_indexes"] = {}
+            for d in args.bm25_index:
+                rep = {"sidecar": textsearch.bm25_index_repair(spark, d)}
+                if rep["sidecar"]["repaired"]:
+                    print(f"maintain: repaired bm25 sidecar {d}", file=sys.stderr)
+                rep.update(textsearch.compact_bm25_index(spark, d))
+                report["_bm25_indexes"][d] = rep
     print(json.dumps(report))
     return 0
 
