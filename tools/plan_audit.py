@@ -390,6 +390,16 @@ AUDIT = [
     # Fuzzy similarity: exact-Jaccard verify runs on candidates only
     # (id IN-list pushed into the corpus scan), gram math JVM-side.
     ("ds_fuzzy_similarity_search", ["In(doc_id"], ["BatchEvalPython", "CartesianProduct"]),
+    # Round-13 additions. Fuzzy over the DURABLE mutated index keeps
+    # the same pruned-verify contract (candidate IN-list pushed to the
+    # corpus scan; the tombstone-filtered posting read happened in the
+    # bounded candidate job).
+    ("ds_fuzzy_index_delete_update_search", ["In(doc_id"], ["BatchEvalPython", "CartesianProduct"]),
+    # Hybrid over durable mutated indexes: the BM25 leg's term IN-list
+    # reaches the posting reader inside the fused plan, fusion stays
+    # k-row rank windows + top-k; ANN's only Python is the
+    # Arrow-batched ADC kernel.
+    ("ds_hybrid_index_mutated_rrf", ["In(term", "Window", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
@@ -442,10 +452,46 @@ def main() -> int:
     if not skip_ok:
         failures.append(("manifest_skip_probe", ["opened < total"], []))
 
+    # FUZZY FALLBACK PROBE (VERDICT r12 What's-wrong #3): force the
+    # >cap branch by shrinking the IN-list cap, then assert the
+    # corpus-scaled candidate/shared frames carry NO broadcast hint in
+    # the optimized logical plan — a forced broadcast there is an OOM
+    # at 100 TB; AQE may still pick a broadcast for SMALL data on its
+    # own, which is exactly the behavior we want to leave to it.
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.operators import textsearch
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta text "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    old_cap = textsearch._VERIFY_ISIN_CAP
+    try:
+        textsearch._VERIFY_ISIN_CAP = 5
+        out, info = textsearch.fuzzy_similarity_search(
+            docs, "alpha beta", threshold=0.1
+        )
+    finally:
+        textsearch._VERIFY_ISIN_CAP = old_cap
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    fb_ok = info["n_candidates"] == -1 and "broadcast" not in logical.lower()
+    print("## fuzzy fallback: no corpus-scaled broadcast — " + ("OK" if fb_ok else "FAIL"))
+    print(
+        "\n>cap branch (cap forced to 5, 200 candidate docs): the "
+        "shared-count and candidate frames join shuffle-side with no "
+        "hint; AQE owns the strategy.\n"
+    )
+    print("```\n" + logical.strip()[:2500] + "\n```\n")
+    if not fb_ok:
+        failures.append(("fuzzy_fallback_probe", ["no broadcast hint"], []))
+
     if failures:
         print(f"\n**{len(failures)} plan-shape failures**: {[f[0] for f in failures]}")
         return 1
-    print(f"\nAll {len(AUDIT)} plan shapes + file-skipping probe OK.")
+    print(f"\nAll {len(AUDIT)} plan shapes + file-skipping and fallback probes OK.")
     return 0
 
 

@@ -43,9 +43,24 @@ def main() -> int:
     from lineage_store_database_management_system_spark import Database, get_spark
     from lineage_store_database_management_system_spark.operators import similarity
 
-    spark = get_spark(app_name="sf30-probe", cpus=32)
+    # UI on for this session: the retrieval probes read bytes-touched
+    # work proxies from the status-store REST API (the bench.py
+    # discipline); retention raised so cumulative diffs never lose
+    # evicted stages.
+    spark = get_spark(
+        app_name="sf30-probe",
+        cpus=32,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "50000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     rep: dict = {}
+
+    if "--retrieval-only" in sys.argv:  # probes C/D alone (round 13)
+        return _retrieval_probes(spark, sf_dir)
 
     # ---- Probe A: write path ----------------------------------------
     src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
@@ -119,6 +134,94 @@ def main() -> int:
     arep["overlap_at_10"] = len(got & exact)
     print(json.dumps({"ann_index": arep}), flush=True)
     shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)
+    return _retrieval_probes(spark, sf_dir)
+
+
+def _retrieval_probes(spark, sf_dir: str) -> int:
+    # ---- Probe C/D: retrieval stack (round 13, VERDICT r12 #7) ------
+    # BM25 index query vs the scan path, and fuzzy trigram-Jaccard
+    # search, two decades above the r12 sf10 measurements — with
+    # BYTES-TOUCHED work proxies (status-store stage metrics) so the
+    # posting-pruning structural win is measured, not inferred from
+    # page-cache-polluted wall clocks.
+    import urllib.request
+
+    from lineage_store_database_management_system_spark.operators import (
+        textops,
+        textsearch,
+    )
+
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+
+    def _work() -> dict:
+        url = f"{ui}/api/v1/applications/{app_id}/stages"
+        try:
+            with urllib.request.urlopen(url, timeout=10) as r:
+                stages = json.load(r)
+        except Exception:
+            return {}
+        out = {"input_bytes": 0, "tasks": 0}
+        for s in stages:
+            out["input_bytes"] += s.get("inputBytes", 0)
+            out["tasks"] += s.get("numCompleteTasks", 0)
+        return out
+
+    def _bytes(w0: dict, w1: dict) -> int:
+        # -1 = proxies unavailable (UI off / API error), never a crash
+        if not w0 or not w1:
+            return -1
+        return w1["input_bytes"] - w0["input_bytes"]
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    brep: dict = {"n_docs": docs.count()}
+    broot = tempfile.mkdtemp(prefix="lss_sf30_bm25_")
+    bidx = os.path.join(broot, "bm25")
+    t0 = time.time()
+    textsearch.write_bm25_index(docs, bidx)
+    brep["build_s"] = round(time.time() - t0, 1)
+    terms = ["join", "filter", "merge"]
+    w0, t0 = _work(), time.time()
+    textsearch.bm25_topk_from_index(spark, bidx, terms, k=20).collect()
+    brep["index_query_s"] = round(time.time() - t0, 1)
+    w1 = _work()
+    brep["index_query_input_bytes"] = _bytes(w0, w1)
+    w0, t0 = _work(), time.time()
+    textops.bm25_topk(docs, "doc_id", "text", terms, k=20).collect()
+    brep["scan_query_s"] = round(time.time() - t0, 1)
+    w1 = _work()
+    brep["scan_query_input_bytes"] = _bytes(w0, w1)
+    print(json.dumps({"bm25_index_vs_scan": brep}), flush=True)
+    shutil.rmtree(broot, ignore_errors=True)
+
+    frep: dict = {}
+    troot = tempfile.mkdtemp(prefix="lss_sf30_trgm_")
+    tidx = os.path.join(troot, "trgm")
+    t0 = time.time()
+    textsearch.write_trigram_index(docs, tidx)
+    frep["build_s"] = round(time.time() - t0, 1)
+    w0, t0 = _work(), time.time()
+    out, info = textsearch.fuzzy_similarity_search(
+        docs, "custmer quary", threshold=0.15, index_dir=tidx
+    )
+    frep["n_matches"] = out.count()
+    frep["fuzzy_query_s"] = round(time.time() - t0, 1)
+    w1 = _work()
+    frep["fuzzy_query_input_bytes"] = _bytes(w0, w1)
+    frep["n_candidates"] = info["n_candidates"]
+    # honest comparator: the full re-gram + exact-Jaccard scan
+    w0, t0 = _work(), time.time()
+    out2, _ = textsearch.fuzzy_similarity_search(
+        docs, "custmer quary", threshold=0.15
+    )
+    frep["n_matches_scan"] = out2.count()
+    frep["fuzzy_scan_s"] = round(time.time() - t0, 1)
+    w1 = _work()
+    frep["fuzzy_scan_input_bytes"] = _bytes(w0, w1)
+    print(json.dumps({"fuzzy_search": frep}), flush=True)
+    shutil.rmtree(troot, ignore_errors=True)
     return 0
 
 
