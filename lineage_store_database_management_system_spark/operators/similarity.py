@@ -1355,14 +1355,179 @@ def _open_ann_meta(index_dir: str) -> dict:
         raise
 
 
+def _ann_tombstones(spark, index_dir: str):
+    """The ANN index's deleted-id table (one column, the sidecar's
+    id_col name), or None when the index has no deletes. Lives at
+    ``<index_dir>/_tombstones`` — the underscore prefix keeps it
+    invisible to ``spark.read.parquet(index_dir)``, so the data read
+    and the tombstone read stay independent."""
+    import os as _os
+
+    path = _os.path.join(index_dir, "_tombstones")
+    if not _os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def _ann_live(spark, index_dir: str, meta: dict) -> DataFrame:
+    """The index's LIVE rows: the partitioned parquet anti-joined
+    against the tombstone table (small by the compaction contract, so
+    it broadcasts). Every query operator reads through this, so a
+    deleted vector can never be scored, ranked, or fused — whatever
+    branch (prefilter / probe / ADC / exact refine) runs downstream.
+    Partition pruning survives: ``_list`` filters apply to the scan
+    side below the anti-join."""
+    idx = spark.read.parquet(index_dir)
+    tomb = _ann_tombstones(spark, index_dir)
+    if tomb is None:
+        return idx
+    idc = meta["id_col"]
+    return idx.join(
+        F.broadcast(tomb.select(F.col(tomb.columns[0]).alias(idc))),
+        on=idc,
+        how="left_anti",
+    )
+
+
+def ivf_pq_delete_from_index(ids: DataFrame, index_dir: str) -> int:
+    """Delete vectors from the durable ANN index WITHOUT rewriting
+    list partitions: append the matched LIVE ids to the tombstone
+    table — the trigram/BM25 discipline (textsearch.py) applied to
+    the vector index, completing delete support across all three
+    durable retrieval indexes. Every query path reads through
+    :func:`_ann_live`, so correctness is immediate; the physical
+    bytes leave at :func:`ivf_pq_compact_index` once the dead
+    fraction crosses its threshold.
+
+    Counters move by the matched live count (unknown / repeated
+    deletes are a counted no-op). The tombstone FILE is the
+    correctness truth — a crash between the tombstone append and the
+    ``n_dead`` meta rewrite only delays the compaction trigger, it
+    cannot resurrect a deleted row. The filter/range sidecars keep
+    the dead rows' counts until compaction: they are upper-bound
+    COVERS, so histogram-driven pruning stays provable and estimates
+    only over-provision probes (recall-safe, never correctness).
+
+    Re-ingesting a tombstoned id resurrects NOTHING until compaction
+    drops the tombstone — vector updates are modeled as delete +
+    append under a NEW id (the immutable-corpus practice); same-id
+    re-ingest requires a compact first. Returns the number of
+    vectors actually deleted."""
+    import json as _json
+    import os as _os
+
+    spark = ids.sparkSession
+    meta = _open_ann_meta(index_dir)
+    idc = meta["id_col"]
+    live = _ann_live(spark, index_dir, meta).select(idc)
+    matched = (
+        live.join(
+            F.broadcast(ids.select(F.col(ids.columns[0]).alias(idc))), on=idc
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # the write below appends into
+        # the _tombstones dir this frame's lineage reads
+    )
+    n = matched.count()
+    if n == 0:
+        return 0
+    matched.coalesce(1).write.mode("append").parquet(
+        _os.path.join(index_dir, "_tombstones")
+    )
+    meta["n_dead"] = int(meta.get("n_dead", 0)) + n
+    tmp = _os.path.join(index_dir, "_ann_meta.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, _os.path.join(index_dir, "_ann_meta.json"))
+    return n
+
+
+def ivf_pq_index_dead_fraction(spark, index_dir: str) -> dict:
+    """Tombstone pressure: dead vs total rows, both metadata-plane
+    (tombstone footers / index footers — no vector bytes)."""
+    total = _ann_footer_rows(index_dir)
+    tomb = _ann_tombstones(spark, index_dir)
+    dead = tomb.count() if tomb is not None else 0
+    return {
+        "rows": total,
+        "n_dead": int(dead),
+        "dead_fraction": (dead / total) if total else 0.0,
+    }
+
+
+def ivf_pq_compact_index(
+    spark,
+    index_dir: str,
+    tombstone_fraction: float = 0.2,
+    force: bool = False,
+) -> dict:
+    """Sweep tombstoned vectors once their fraction crosses the
+    threshold: rewrite the LIVE rows into a fresh list-partitioned
+    layout under the SAME frozen centroids/codebooks (compaction is
+    physical removal, never a retrain — drift is the separate
+    :func:`ivf_pq_maintain_index` trigger), re-derive the
+    filter/range sidecars from the survivors (their dead counts drop
+    out, so strategy estimates are honest again), refresh
+    ``hist_rows`` to the new footer count, and swap directories with
+    the rename-rename-rmtree dance :func:`_ann_recover` already
+    heals. Below threshold this is a zero-data-job metadata check —
+    the maintain-cadence shape shared with the text indexes."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    _ann_recover(index_dir)
+    rep = ivf_pq_index_dead_fraction(spark, index_dir)
+    if not force and rep["dead_fraction"] < tombstone_fraction:
+        return {**rep, "compacted": False}
+    meta = _open_ann_meta(index_dir)
+    live = _ann_live(spark, index_dir, meta)
+    token = _uuid.uuid4().hex[:8]
+    fresh = f"{index_dir.rstrip('/')}_rebuild_{token}"
+    _os.makedirs(fresh, exist_ok=True)
+    live.write.mode("overwrite").partitionBy("_list").parquet(fresh)
+    new_meta = dict(meta)
+    new_meta["n_dead"] = 0
+    idx2 = spark.read.parquet(fresh)
+    for c in list(new_meta.get("filter_hist") or {}):
+        new_meta["filter_hist"][c] = _hist_triples(ivf_filter_histogram(idx2, c))
+    for c in list(new_meta.get("range_stats") or {}):
+        new_meta["range_stats"][c] = ivf_range_stats(idx2, c)
+    if new_meta.get("filter_hist") or new_meta.get("range_stats"):
+        new_meta["hist_rows"] = _ann_footer_rows(fresh)
+    with open(_os.path.join(fresh, "_ann_meta.json"), "w") as f:
+        _json.dump(new_meta, f)
+    old = f"{index_dir.rstrip('/')}_old_{token}"
+    _os.rename(index_dir, old)
+    _os.rename(fresh, index_dir)
+    _shutil.rmtree(old, ignore_errors=True)
+    return {**rep, "compacted": True}
+
+
 def _ann_footer_rows(index_dir: str) -> int:
     """Exact index row count from parquet FILE FOOTERS (no Spark job,
     no vector bytes — the LIST + footer pass any engine pays to plan
-    a scan over the index)."""
-    import pyarrow.dataset as pads
+    a scan over the index). Walks the partition tree explicitly: the
+    partition dirs are ``_list=N``, which pyarrow's default dataset
+    discovery would IGNORE as underscore-prefixed (it returned 0 for
+    every index — caught by the r13 delete tests); sidecars and the
+    ``_tombstones`` subtree are skipped."""
+    import os as _os
 
-    ds = pads.dataset(index_dir, format="parquet", partitioning="hive")
-    return int(sum(f.metadata.num_rows for f in ds.get_fragments()))
+    import pyarrow.parquet as _pq
+
+    total = 0
+    for root, dirs, files in _os.walk(index_dir):
+        dirs[:] = [
+            d
+            for d in dirs
+            if d.startswith("_list=") or not d.startswith(("_", "."))
+        ]
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += _pq.read_metadata(_os.path.join(root, fn)).num_rows
+    return int(total)
 
 
 def _verified_meta(spark, index_dir: str, meta: dict) -> dict:
@@ -1545,7 +1710,7 @@ def ivf_pq_recall_probe(
     at 100 TB run it on an index sample or a fixed witness set."""
     meta = _open_ann_meta(index_dir)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    idx = spark.read.parquet(index_dir).select(id_col, vec_col)
+    idx = _ann_live(spark, index_dir, meta).select(id_col, vec_col)
     picks = (
         idx.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit("probe")))
         .limit(n_queries)
@@ -1602,7 +1767,7 @@ def ivf_pq_index_staleness(
     ``recall_floor``. Opt-in because it costs recall_probe exact index
     scans (vs the statistics' single aggregate)."""
     meta = _open_ann_meta(index_dir)
-    idx = spark.read.parquet(index_dir)
+    idx = _ann_live(spark, index_dir, meta)  # dead rows carry no health signal
     cur = _ivf_health(
         ivf_residuals(idx, meta["centroids"], vec_col=meta["vec_col"])
     )
@@ -1671,7 +1836,9 @@ def ivf_pq_maintain_index(
     meta = _open_ann_meta(index_dir)
     fcols = list(meta.get("filter_hist") or {})
     rcols = [c for c in (meta.get("range_stats") or {}) if c not in fcols]
-    vecs = spark.read.parquet(index_dir).select(
+    # LIVE rows only: a rebuild must never resurrect tombstoned
+    # vectors (the fresh index needs no tombstones at all)
+    vecs = _ann_live(spark, index_dir, meta).select(
         meta["id_col"], meta["vec_col"], *fcols, *rcols
     )
     token = _uuid.uuid4().hex[:8]
@@ -1715,7 +1882,7 @@ def ivf_pq_topk_from_index(
     q = np.asarray(query_vec, dtype=np.float64)
     order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()[:nprobe]
     probes = [int(i) for i in order]
-    idx = spark.read.parquet(index_dir)
+    idx = _ann_live(spark, index_dir, meta)
     lists = idx.where(F.col("_list").isin(probes))
     if meta.get("residual"):
         # per-list query-residual ADC tables; each single-list filter
@@ -1886,7 +2053,7 @@ def ivf_pq_filtered_topk_from_index(
     hist = _hist_from_triples(triples)
     per_list = hist.get(filter_value, {})
     total = sum(per_list.values())
-    idx = spark.read.parquet(index_dir)
+    idx = _ann_live(spark, index_dir, meta)
     pred = F.col(filter_col) == F.lit(filter_value)
     if total <= brute_threshold:
         out = brute_force_topk(
@@ -1979,7 +2146,7 @@ def ivf_pq_range_filtered_topk_from_index(
     est = _range_estimate(stats, lo_d, hi_d)
     n_lists = len(meta["centroids"])
     pred = F.col(filter_col).between(F.lit(lo), F.lit(hi))
-    idx = spark.read.parquet(index_dir)
+    idx = _ann_live(spark, index_dir, meta)
     info_base = {
         "lists_possible": sorted(est),
         "lists_pruned": n_lists - len(est),
@@ -2086,7 +2253,7 @@ def ivf_pq_composite_filtered_topk_from_index(
     pred = (F.col(eq_col) == F.lit(eq_value)) & F.col(range_col).between(
         F.lit(lo), F.lit(hi)
     )
-    idx = spark.read.parquet(index_dir)
+    idx = _ann_live(spark, index_dir, meta)
     info_base = {
         "lists_possible": sorted(est),
         "lists_pruned": n_lists - len(est),

@@ -9951,3 +9951,55 @@ def ds_hybrid_index_mutated(spark, sf_dir):
     return similarity.hybrid_topk_rrf(
         bm25, "bm25", ann, "cosine", id_col="doc_id", k=10
     )
+
+
+@workload(
+    "ds_ann_index_delete_filtered_topk",
+    # Round 13: DELETE support on the durable ANN index — the last of
+    # the three durable retrieval indexes to get it (trigram/BM25
+    # landed in r12). Every 17th vector is tombstoned; the filtered
+    # query runs the exact-claiming prefilter branch (pushed label
+    # equality over the tombstone-filtered live rows), so the oracle —
+    # exact cosine over embeddings WHERE label = 1 AND vec_id % 17 <>
+    # 0 — catches any path that scores a deleted vector or loses a
+    # live one.
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+live AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % 17 <> 0 AND label = 1
+), scored AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+  FROM live, q
+)
+SELECT vec_id, ROUND(c, 3) AS cosine FROM scored
+ORDER BY ROUND(c, 3) DESC, vec_id LIMIT 20""",
+)
+def ds_ann_index_delete_filtered(spark, sf_dir):
+    """Tombstoned deletes on the durable IVF-PQ index: query paths
+    read through the live view (index anti-join broadcast tombstones
+    — partition pruning survives below the join), physical removal
+    waits for the dead-fraction compaction on the maintenance
+    cadence. The filtered prefilter branch stays EXACT under deletes
+    because the pushed predicate scans live rows — which is exactly
+    what this gate proves against a from-scratch oracle."""
+    emb = load_star(spark, sf_dir)["embeddings"]
+    root = tempfile.mkdtemp(prefix="lss_wl_anndel_")
+    idx = os.path.join(root, "ann")
+    similarity.ivf_pq_write_index(
+        emb, idx, n_lists=8, m=4, nbits=4, filter_cols=["label"]
+    )
+    dead = emb.where(F.col("vec_id") % 17 == 0).select("vec_id")
+    n = similarity.ivf_pq_delete_from_index(dead, idx)
+    assert n > 0
+    q = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    got, info = similarity.ivf_pq_filtered_topk_from_index(
+        spark, idx, q, "label", 1, k=20, brute_threshold=10**9, round_to=3
+    )
+    assert info["strategy"] == "prefilter"
+    return got

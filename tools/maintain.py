@@ -84,11 +84,16 @@ def main() -> int:
 
         ann_report = {}
         for d in args.ann_index:
-            r = similarity.ivf_pq_maintain_index(
-                spark, d,
-                recall_probe=args.ann_recall_probe,
-                recall_floor=args.ann_recall_floor,
-                recall_nprobe=args.ann_recall_nprobe,
+            # tombstone sweep FIRST (past its dead fraction) so the
+            # drift statistics and any rebuild run over live rows only
+            r = {"compaction": similarity.ivf_pq_compact_index(spark, d)}
+            r.update(
+                similarity.ivf_pq_maintain_index(
+                    spark, d,
+                    recall_probe=args.ann_recall_probe,
+                    recall_floor=args.ann_recall_floor,
+                    recall_nprobe=args.ann_recall_nprobe,
+                )
             )
             r["histogram_sidecar"] = similarity.ivf_filter_histogram_repair(spark, d)
             ann_report[d] = r

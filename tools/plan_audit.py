@@ -400,6 +400,10 @@ AUDIT = [
     # k-row rank windows + top-k; ANN's only Python is the
     # Arrow-batched ADC kernel.
     ("ds_hybrid_index_mutated_rrf", ["In(term", "Window", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
+    # ANN delete: the filtered prefilter over the live view is a
+    # pushed-predicate scan + broadcast tombstone anti-join + top-k —
+    # all JVM-side (no ADC on this branch, so zero Python at all).
+    ("ds_ann_index_delete_filtered_topk", ["TakeOrderedAndProject", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
