@@ -253,8 +253,10 @@ def open_trigram_index(spark, index_dir: str):
     honest SCAN fallback (pattern < 3 chars, or unselective per the
     stats) reads the CALLER'S corpus frame directly, so a caller
     holding a pre-delete corpus snapshot will see tombstoned docs on
-    that path — pass the current corpus, and check ``info['strategy']``
-    when the distinction matters (ADVICE r12). Stats keep the dead
+    that path — pass the current corpus, check ``info['strategy']``
+    when the distinction matters, or call ``substring_search(...,
+    index_dir=...)``, which anti-joins the tombstones on the scan
+    fallback too (ADVICE r12). Stats keep the dead
     docs' counts until compaction (doc-frequency OVERestimates only
     make the planner fall back to the honest scan earlier, never miss
     a match)."""
@@ -555,6 +557,7 @@ def substring_search(
     text_col: str = "text",
     n_docs: int | None = None,
     scan_fraction: float = 0.05,
+    index_dir: str | None = None,
 ):
     """Exact ``contains(text, pattern)`` via the trigram index.
 
@@ -565,6 +568,15 @@ def substring_search(
     (still the right plan shape — the build is one pass; callers at
     scale persist it once and pass it in).
 
+    ``index_dir`` opens the durable index in one step (tombstone-
+    filtered postings + folded stats + the sidecar's n_docs for
+    selectivity planning) AND extends the never-surface-deleted-docs
+    guarantee to the SCAN fallbacks: the honest scan anti-joins the
+    index's tombstones, so a caller holding a stale corpus snapshot
+    cannot get tombstoned docs back through the data-dependent
+    fallback trigger either (ADVICE r12; with frames passed directly,
+    the scan guarantee remains the caller's corpus).
+
     Selectivity planning: the rarest pattern gram's doc-frequency is
     an UPPER BOUND proxy for the candidate set. When ``n_docs`` is
     known (``trigram_index_ndocs``) and that bound exceeds
@@ -573,9 +585,22 @@ def substring_search(
     COST more than the naive plan (measured at sf10: a 6%-selective
     pattern ran 13x faster as a scan) — so the planner falls back to
     the scan honestly and says so in ``info``."""
+    scan_docs = docs
+    if index_dir is not None:
+        if postings is None:
+            postings, stats = open_trigram_index(docs.sparkSession, index_dir)
+        if n_docs is None:
+            n_docs = trigram_index_ndocs(index_dir)
+        tomb = trigram_tombstones(docs.sparkSession, index_dir)
+        if tomb is not None:
+            scan_docs = docs.join(
+                F.broadcast(tomb),
+                on=F.col(id_col) == F.col("_dead_id"),
+                how="left_anti",
+            )
     if len(pattern) < 3:
         return (
-            docs.where(F.contains(F.col(text_col), F.lit(pattern))),
+            scan_docs.where(F.contains(F.col(text_col), F.lit(pattern))),
             {"strategy": "scan", "probe_grams": []},
         )
     if postings is None:
@@ -595,7 +620,7 @@ def substring_search(
         grams = sorted(grams, key=lambda g: (known[g], g))[:n_probe_grams]
         if n_docs and known[grams[0]] > scan_fraction * n_docs:
             return (
-                docs.where(F.contains(F.col(text_col), F.lit(pattern))),
+                scan_docs.where(F.contains(F.col(text_col), F.lit(pattern))),
                 {"strategy": "scan", "probe_grams": [],
                  "reason": "unselective", "min_df": int(known[grams[0]])},
             )

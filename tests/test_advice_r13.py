@@ -362,3 +362,32 @@ def test_mixed_batch_and_adhoc_quarantine_readable(spark, tmp_db):
     assert quar.count() == 8
     assert quar.where(F.col("batch") == "b7").count() == 4
     assert m1["quarantine_dir"] == m2["quarantine_dir"]
+
+
+# --- 7. substring_search(index_dir=...): scan fallback is tombstone-safe
+
+
+def test_substring_scan_fallback_never_surfaces_deleted(spark, tmp_path):
+    idx = str(tmp_path / "ss_idx")
+    docs = _docs(spark, 60)  # every doc contains 'record'
+    textsearch.write_trigram_index(docs, idx)
+    dead = spark.range(0, 60, 6).select(F.col("id").alias("doc_id"))
+    textsearch.delete_from_trigram_index(dead, idx)
+    dead_ids = {r["doc_id"] for r in dead.collect()}
+    # 'record' is in >5% of docs -> the unselective SCAN fallback; the
+    # caller hands a STALE corpus snapshot (still has the deleted docs)
+    got, info = textsearch.substring_search(docs, "record", index_dir=idx)
+    assert info["strategy"] == "scan" and info.get("reason") == "unselective"
+    ids = {r["doc_id"] for r in got.collect()}
+    assert not (ids & dead_ids) and len(ids) == 50
+    # short-pattern fallback takes the same tombstone-filtered path
+    got2, info2 = textsearch.substring_search(docs, "re", index_dir=idx)
+    assert info2["strategy"] == "scan"
+    assert not ({r["doc_id"] for r in got2.collect()} & dead_ids)
+    # index strategy (selective planted pattern) unaffected
+    got3, info3 = textsearch.substring_search(
+        docs.limit(0).unionByName(docs), "alpha beta gamma delta record 7",
+        index_dir=idx,
+    )
+    assert info3["strategy"] == "index"
+    assert {r["doc_id"] for r in got3.collect()} == {7}
