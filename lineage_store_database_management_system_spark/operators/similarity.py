@@ -1915,6 +1915,84 @@ def ivf_pq_topk_from_index(
     )
 
 
+def ivf_pq_topk_batch_from_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    qid_col: str = "q_id",
+    qvec_col: str = "q_embedding",
+    round_to: int | None = None,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Top-k for a BATCH of queries against the persisted ANN index
+    in ONE Spark job — Q sequential :func:`ivf_pq_topk_from_index`
+    calls pay Q job launches and re-open the same list partitions up
+    to Q times; this reads each probed partition ONCE, shared by
+    every query probing it.
+
+    ``queries`` carries (q_id, q_embedding) and is a QUERY BATCH —
+    driver-bounded by nature (an API request batch, an evaluation
+    set), enforced by ``max_queries``; for corpus-against-corpus
+    semantics use :func:`knn_join` (LSH-blocked) instead. Probe
+    planning is pure driver math (centroid distances per query, no
+    data job); the single data job is a partition-pruned read of the
+    UNION of all queries' probe lists, an equi-join against the
+    broadcast (query, list) probe table — a data row is scored only
+    for queries probing ITS list — and a per-query top-k window.
+    Scoring is exact cosine over probed rows (no ADC shortlist: with
+    shared partition reads amortized across the batch, the code-scan
+    saving no longer pays for its recall loss), so with
+    ``nprobe = n_lists`` the batch answer is EXACT per query — the
+    oracle-gate configuration. Deleted vectors are invisible
+    (:func:`_ann_live`). Output: (q_id, vec_id, cosine), ties by id."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    meta = _open_ann_meta(index_dir)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    cap = min(nprobe, len(cents))
+    qrows = queries.select(qid_col, qvec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"query batch exceeds max_queries={max_queries}; use knn_join"
+            " for corpus-scale query sides"
+        )
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(r[qvec_col], dtype=np.float64)
+        order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()[:cap]
+        for li in order:
+            probe_rows.append((r[qid_col], [float(x) for x in r[qvec_col]], int(li)))
+    if not probe_rows:
+        return spark.createDataFrame(
+            [], f"{qid_col} long, {id_col} long, cosine double"
+        )
+    q_lists = spark.createDataFrame(
+        probe_rows, f"{qid_col} long, {qvec_col} array<double>, _qlist int"
+    )
+    union_lists = sorted({li for _q, _v, li in probe_rows})
+    idx = _ann_live(spark, index_dir, meta).where(
+        F.col("_list").isin(union_lists)  # partition pruning for the batch
+    )
+    joined = idx.join(
+        F.broadcast(q_lists), on=F.col("_list") == F.col("_qlist")
+    )
+    sim = cosine_similarity(F.col(vec_col), F.col(qvec_col))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.select(F.col(qid_col), F.col(id_col), sim.alias("cosine"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def ivf_filtered_topk_batch(
     assigned: DataFrame,
     queries: DataFrame,

@@ -10003,3 +10003,56 @@ def ds_ann_index_delete_filtered(spark, sf_dir):
     )
     assert info["strategy"] == "prefilter"
     return got
+
+
+@workload(
+    "ds_ann_index_batch_topk",
+    # Round 13: BATCH queries against the durable ANN index — one
+    # Spark job for the whole query batch (per-query probe planning
+    # is driver math; the data job reads the union of probe lists
+    # once, shared across queries). nprobe = n_lists makes every
+    # per-query answer exact, and the pre-applied DELETE (every 23rd
+    # vector tombstoned) makes the oracle catch any batch path that
+    # scores a dead vector: DuckDB recomputes all four queries'
+    # cosine top-10 over the surviving corpus.
+    """WITH live AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 23 <> 0
+), q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (1, 7, 13, 19)
+), scored AS (
+  SELECT q.q_id, l.vec_id,
+    ROUND(list_aggregate(list_transform(range(1, len(l.embedding) + 1),
+      i -> CAST(l.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(l.embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(q.qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 3) AS cosine
+  FROM live l CROSS JOIN q
+), rk AS (
+  SELECT q_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id) AS r
+  FROM scored
+)
+SELECT q_id, vec_id, cosine FROM rk WHERE r <= 10 ORDER BY q_id, vec_id""",
+)
+def ds_ann_index_batch(spark, sf_dir):
+    """Batched durable-index ANN: four query vectors answered in one
+    partition-pruned job over the tombstone-filtered live view —
+    probes planned driver-side, probed lists read once and shared,
+    exact cosine + per-query top-k window. Full probe (nprobe =
+    n_lists) pins every answer to brute force over the surviving
+    corpus, which is exactly what the oracle recomputes."""
+    emb = load_star(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="lss_wl_annbatch_")
+    idx = os.path.join(root, "ann")
+    similarity.ivf_pq_write_index(emb, idx, n_lists=8, m=4, nbits=4)
+    dead = emb.where(F.col("vec_id") % 23 == 0).select("vec_id")
+    similarity.ivf_pq_delete_from_index(dead, idx)
+    queries = emb.where(F.col("vec_id").isin([1, 7, 13, 19])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.ivf_pq_topk_batch_from_index(
+        spark, idx, queries, k=10, nprobe=8, round_to=3
+    )

@@ -145,3 +145,74 @@ def test_maintain_rebuild_never_resurrects(spark, tmp_path):
         idx_rows.join(dead, on="vec_id", how="left_semi").count() == 0
     )
     assert not os.path.isdir(os.path.join(idx, "_tombstones"))
+
+
+def test_batch_topk_from_index_matches_sequential(spark, tmp_path):
+    """Batch durable-index queries: each query's answer equals the
+    single-query operator's at the same nprobe (full probe here, so
+    both equal brute force); the scan is pruned to the probed lists."""
+    idx = str(tmp_path / "ann5")
+    df = _blobs(spark, 300)
+    similarity.ivf_pq_write_index(df, idx, n_lists=4, m=2, nbits=4)
+    dead = spark.range(0, 300, 11).select(F.col("id").alias("vec_id"))
+    similarity.ivf_pq_delete_from_index(dead, idx)
+    queries = df.where(F.col("vec_id").isin([2, 5, 9])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = similarity.ivf_pq_topk_batch_from_index(
+        spark, idx, queries, k=6, nprobe=4, round_to=4
+    )
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    for r in queries.collect():
+        single = similarity.ivf_pq_topk_from_index(
+            spark, idx, [float(x) for x in r["q_embedding"]],
+            k=6, nprobe=4, n_candidates=300, round_to=4,
+        )
+        assert sorted(by_q[r["q_id"]]) == sorted(
+            x["vec_id"] for x in single.collect()
+        )
+    dead_ids = {r["vec_id"] for r in dead.collect()}
+    assert not (set().union(*by_q.values()) & dead_ids)
+
+
+def test_batch_topk_partial_probe_prunes_partitions(spark, tmp_path):
+    idx = str(tmp_path / "ann6")
+    df = _blobs(spark, 400)  # 4 well-separated blobs -> 4 lists
+    similarity.ivf_pq_write_index(df, idx, n_lists=4, m=2, nbits=4)
+    queries = df.where(F.col("vec_id").isin([0, 4])).select(  # blobs 0 and 0? ids 0,4 -> blobs 0,0
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = similarity.ivf_pq_topk_batch_from_index(
+        spark, idx, queries, k=3, nprobe=1, round_to=4
+    )
+    # nprobe=1 with both queries in the same blob: the scan carries a
+    # single-list partition filter (inputFiles() ignores pruning, so
+    # assert on the plan)
+    import re
+
+    from lineage_store_database_management_system_spark.plans.explain import (
+        explain_str,
+    )
+
+    plan = explain_str(out)
+    m = re.search(r"PartitionFilters: \[[^\]]*_list[^\]]*\]", plan)
+    assert m, plan[:2000]
+    assert re.search(r"_list#\d+ = \d+", m.group(0)), m.group(0)
+    assert out.count() == 6
+
+
+def test_batch_topk_query_cap(spark, tmp_path):
+    import pytest as _pytest
+
+    idx = str(tmp_path / "ann7")
+    similarity.ivf_pq_write_index(_blobs(spark, 100), idx, n_lists=2, m=2, nbits=4)
+    queries = _blobs(spark, 30).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    with _pytest.raises(ValueError, match="max_queries"):
+        similarity.ivf_pq_topk_batch_from_index(
+            spark, idx, queries, k=3, max_queries=10
+        )

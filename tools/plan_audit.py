@@ -404,6 +404,10 @@ AUDIT = [
     # pushed-predicate scan + broadcast tombstone anti-join + top-k —
     # all JVM-side (no ADC on this branch, so zero Python at all).
     ("ds_ann_index_delete_filtered_topk", ["TakeOrderedAndProject", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
+    # Batch durable ANN: probe planning is driver math, so the plan is
+    # a partition-filtered index scan + broadcast (query, list) join +
+    # per-query rank window — zero Python anywhere.
+    ("ds_ann_index_batch_topk", ["PartitionFilters", "Window", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
