@@ -682,6 +682,59 @@ def hybrid_topk_rrf(
     )
 
 
+def hybrid_search_from_indexes(
+    spark,
+    bm25_index_dir: str,
+    ann_index_dir: str,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    k_lex: int = 20,
+    k_ann: int = 20,
+    nprobe: int = 4,
+    n_candidates: int = 100,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    round_to: int = 6,
+    bm25_round_to: int = 4,
+    ann_round_to: int | None = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The production hybrid-retrieval entry point: one call runs the
+    lexical leg off the durable BM25 index
+    (:func:`~.textsearch.bm25_topk_from_index` — term-pruned posting
+    read, live df, mutation-exact counters), the semantic leg off the
+    durable IVF-PQ index (:func:`ivf_pq_topk_from_index` —
+    partition-pruned probes over the tombstone-filtered live view),
+    and fuses them with reciprocal-rank fusion
+    (:func:`hybrid_topk_rrf`). Both legs read indexes that track
+    deletes/updates/appends, so the fused answer reflects the current
+    corpus without any scan — the corpus-sized work happened at index
+    build/maintenance time. Gated end-to-end under mutation by
+    ``ds_hybrid_index_mutated_rrf``. Returns (id_col, rrf), k rows."""
+    from . import textsearch as _ts
+
+    bm = _ts.bm25_topk_from_index(
+        spark, bm25_index_dir, query_terms, k=k_lex, k1=k1, b=b,
+        round_to=bm25_round_to,
+    )
+    bm_id = [c for c in bm.columns if c != "bm25"][0]
+    if bm_id != id_col:
+        bm = bm.withColumnRenamed(bm_id, id_col)
+    meta = _open_ann_meta(ann_index_dir)
+    ann = ivf_pq_topk_from_index(
+        spark, ann_index_dir, query_vec, k=k_ann, nprobe=nprobe,
+        n_candidates=n_candidates, round_to=ann_round_to,
+    )
+    if meta["id_col"] != id_col:
+        ann = ann.withColumnRenamed(meta["id_col"], id_col)
+    return hybrid_topk_rrf(
+        bm, "bm25", ann, "cosine", id_col=id_col, k=k, k_rrf=k_rrf,
+        round_to=round_to,
+    )
+
+
 def multi_vector_split(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -9927,9 +9927,6 @@ def ds_hybrid_index_mutated(spark, sf_dir):
         ).alias("text"),
     )
     textsearch.update_bm25_index(changed, bidx)
-    bm25 = textsearch.bm25_topk_from_index(
-        spark, bidx, ["join", "filter", "merge"], k=20
-    )
     similarity.ivf_pq_write_index(emb, aidx, n_lists=8, m=4, nbits=4)
     mx = emb.agg(F.max("vec_id")).first()[0]
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
@@ -9945,11 +9942,10 @@ def ds_hybrid_index_mutated(spark, sf_dir):
         F.transform(qarr, lambda x: (x * scale).cast("float")).alias("embedding"),
     )
     similarity.ivf_pq_append_index(planted, aidx)
-    ann = similarity.ivf_pq_topk_from_index(
-        spark, aidx, q, k=20, nprobe=8, n_candidates=200, round_to=3
-    ).withColumnRenamed("vec_id", "doc_id")
-    return similarity.hybrid_topk_rrf(
-        bm25, "bm25", ann, "cosine", id_col="doc_id", k=10
+    # the ONE-CALL production entry point: both durable legs + RRF
+    return similarity.hybrid_search_from_indexes(
+        spark, bidx, aidx, ["join", "filter", "merge"], q,
+        k=10, k_lex=20, k_ann=20, nprobe=8, n_candidates=200,
     )
 
 
