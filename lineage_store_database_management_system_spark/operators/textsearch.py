@@ -62,6 +62,7 @@ __all__ = [
     "append_bm25_index",
     "open_bm25_index",
     "bm25_topk_from_index",
+    "bm25_topk_batch_from_index",
     "delete_from_bm25_index",
     "update_bm25_index",
     "compact_bm25_index",
@@ -897,6 +898,87 @@ def bm25_topk_from_index(
         .agg(F.round(F.sum("_s"), round_to).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc(idc)).limit(k)
+
+
+def bm25_topk_batch_from_index(
+    spark,
+    index_dir: str,
+    queries: dict,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Okapi BM25 top-k for a BATCH of queries in ONE job — the
+    lexical twin of ``similarity.ivf_pq_topk_batch_from_index``.
+    ``queries`` maps q_id -> list of query terms (an API request
+    batch or evaluation set — driver-bounded by contract, enforced by
+    ``max_queries``). The posting read is pruned to the UNION of all
+    queries' terms (clustered-file IN-list, read once and shared), df
+    per term is one bounded aggregate over those rows (live-exact
+    under append/delete, the single-query discipline), the broadcast
+    (q_id, term) table fans each posting row out only to the queries
+    that asked for its term, and a per-query window takes top-k.
+    Identical formula/rounding/tie-break as
+    :func:`bm25_topk_from_index`, so per-query answers equal Q
+    single-query calls. Output: (q_id, <id_col>, bm25)."""
+    if len(queries) > max_queries:
+        raise ValueError(
+            f"query batch exceeds max_queries={max_queries}"
+        )
+    from pyspark.sql import Window
+
+    meta = _read_meta(index_dir)
+    n_docs = meta["n_docs"]
+    n_dl = int(meta.get("n_docs_dl", 0))
+    avgdl = (int(meta.get("total_dl", 0)) / n_dl) if n_dl else 1.0
+    pairs = [
+        (int(qid), t.lower()) for qid, terms in queries.items() for t in terms
+    ]
+    if not pairs:
+        return spark.createDataFrame([], "q_id long, doc_id long, bm25 double")
+    union_terms = sorted({t for _q, t in pairs})
+    postings, _d = open_bm25_index(spark, index_dir)
+    p = postings.where(F.col("term").isin(union_terms))
+    idc = [c for c in p.columns if c not in ("term", "tf", "dl", "_batch")][0]
+    idf = (
+        p.groupBy("term")
+        .agg(F.count_distinct(F.col(idc)).alias("df"))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    qt = spark.createDataFrame(pairs, "q_id long, term string")
+    scored = (
+        p.join(F.broadcast(qt), on="term")
+        .join(F.broadcast(idf), on="term")
+        .select(
+            F.col("q_id"),
+            F.col(idc),
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("q_id", idc)
+        .agg(F.round(F.sum("_s"), round_to).alias("bm25"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("bm25"), F.asc(idc))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
 
 
 def compact_bm25_index(

@@ -10052,3 +10052,63 @@ def ds_ann_index_batch(spark, sf_dir):
     return similarity.ivf_pq_topk_batch_from_index(
         spark, idx, queries, k=10, nprobe=8, round_to=3
     )
+
+
+@workload(
+    "ds_bm25_index_batch_topk",
+    # Round 13: BATCH lexical queries from the durable BM25 index —
+    # one pruned posting read (union of all queries' terms) shared
+    # across the batch, per-query top-10. The oracle recomputes all
+    # three queries' scan-path BM25 from scratch; formula, rounding,
+    # and ties match the single-query gate exactly.
+    """WITH t2 AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM documents) WHERE length(term) > 0
+), dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT AVG(dl) FROM dl) AS avgdl),
+qt(q_id, term) AS (VALUES
+  (1, 'join'), (1, 'filter'),
+  (2, 'merge'), (2, 'scan'),
+  (3, 'filter'), (3, 'merge'), (3, 'probe')),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2
+       WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t2
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+sc AS (
+  SELECT qt.q_id, tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 4) AS bm25
+  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY qt.q_id, tf.doc_id
+), rk AS (
+  SELECT q_id, doc_id, bm25,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY bm25 DESC, doc_id) AS r
+  FROM sc
+)
+SELECT q_id, doc_id, bm25 FROM rk WHERE r <= 10 ORDER BY q_id, doc_id""",
+)
+def ds_bm25_index_batch(spark, sf_dir):
+    """Batched lexical retrieval off the durable index: three query
+    term-sets answered in one job — posting read pruned to the union
+    of terms and shared, df live from the pruned rows, broadcast
+    (q_id, term) fan-out, per-query rank window. Answers must equal
+    three single-query calls (same formula and ties), which is what
+    the oracle recomputes from scratch."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="lss_wl_bm25batch_")
+    idx = os.path.join(root, "bm25")
+    textsearch.write_bm25_index(docs, idx)
+    return textsearch.bm25_topk_batch_from_index(
+        spark, idx,
+        {1: ["join", "filter"], 2: ["merge", "scan"],
+         3: ["filter", "merge", "probe"]},
+        k=10,
+    )

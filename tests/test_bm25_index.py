@@ -99,3 +99,39 @@ def test_compaction_invariant_answers(spark, tmp_path):
     p, d = textsearch.open_bm25_index(spark, idx)
     assert p.where(F.col("doc_id").isin([0, 1])).count() == 0
     assert d.where(F.col("doc_id").isin([0, 1])).count() == 0
+
+
+def test_batch_topk_matches_sequential(spark, tmp_path):
+    """Batch BM25 answers equal Q single-query calls (same formula,
+    rounding, ties) — and unknown-term queries return nothing without
+    affecting the others."""
+    from lineage_store_database_management_system_spark.operators import (
+        textsearch as T,
+    )
+
+    idx = str(tmp_path / "bm25_batch")
+    docs = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 3 == 0, "join filter merge ").otherwise(
+                "scan probe "
+            ),
+            F.lit("body text "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    T.write_bm25_index(docs, idx)
+    out = T.bm25_topk_batch_from_index(
+        spark, idx,
+        {7: ["join", "filter"], 8: ["scan"], 9: ["zzzunknown"]},
+        k=5,
+    )
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append((r["doc_id"], r["bm25"]))
+    assert 9 not in by_q  # unknown term: no postings, no rows
+    for qid, terms in ((7, ["join", "filter"]), (8, ["scan"])):
+        single = T.bm25_topk_from_index(spark, idx, terms, k=5)
+        want = [(r["doc_id"], r["bm25"]) for r in single.collect()]
+        assert sorted(by_q[qid]) == sorted(want)

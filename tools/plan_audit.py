@@ -408,6 +408,9 @@ AUDIT = [
     # a partition-filtered index scan + broadcast (query, list) join +
     # per-query rank window — zero Python anywhere.
     ("ds_ann_index_batch_topk", ["PartitionFilters", "Window", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
+    # Batch BM25: one term-IN-pruned posting read shared across the
+    # query batch, broadcast (q_id, term) fan-out, per-query window.
+    ("ds_bm25_index_batch_topk", ["In(term", "Window", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
