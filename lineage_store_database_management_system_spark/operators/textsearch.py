@@ -68,6 +68,8 @@ __all__ = [
     "compact_bm25_index",
     "trigram_index_repair",
     "bm25_index_repair",
+    "bm25_index_apply_stream_batch",
+    "trigram_index_apply_stream_batch",
     "fuzzy_similarity_search",
 ]
 
@@ -313,6 +315,12 @@ def _live_matched_ids(
 
     idc = ids.columns[0]
     path = os.path.join(index_dir, member_sub)
+    if not os.path.isdir(path) and not os.path.isdir(
+        os.path.join(index_dir, "postings")
+    ):
+        # no index yet (first stream batch routed through update
+        # semantics): nothing can match
+        return ids.select(F.col(idc).alias(out_col)).where(F.lit(False))
     if os.path.isdir(path):
         members = spark.read.parquet(path)
         if "_batch" not in members.columns:
@@ -1066,19 +1074,133 @@ def bm25_index_repair(spark, index_dir: str) -> dict:
         F.count_distinct(F.col(dcol)).alias("n"), F.sum("dl").alias("t")
     ).first()
     n_raw = raw.select(dcol).distinct().count()
+    # next generation must clear EVERY landed generation — a torn
+    # write can leave doclens a generation ahead of postings (or vice
+    # versa), and a colliding re-reservation would let tombstones
+    # miss orphan rows
     mx_p = (
         spark.read.parquet(os.path.join(index_dir, "postings"))
         .agg(F.max("_batch"))
         .first()[0]
     )
+    mx_d = raw.agg(F.max("_batch")).first()[0]
+    mx = max(int(mx_p) if mx_p is not None else -1,
+             int(mx_d) if mx_d is not None else -1)
     meta["n_docs"] = int(agg["n"] or 0)
     meta["n_docs_dl"] = int(agg["n"] or 0)
     meta["total_dl"] = int(agg["t"] or 0)
     meta["n_dead"] = int(n_raw - (agg["n"] or 0))
-    meta["n_batches"] = int(mx_p) + 1 if mx_p is not None else 0
+    meta["n_batches"] = mx + 1
     _refresh_markers(index_dir, meta, ("postings", "doclens", "tombstones"))
     _write_meta(index_dir, meta)
     return {"repaired": True, **{f"{k}_rows": meta[f"{k}_rows"] for k in actual}}
+
+
+def _index_apply_stream_batch(
+    index_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str,
+    update_fn,
+    repair_fn,
+) -> bool:
+    """Exactly-once-OBSERVABLE micro-batch upsert into a durable text
+    index (shared by the BM25 and trigram stream maintainers).
+    ``foreachBatch`` alone is at-least-once; the lineage tables solve
+    replay with a manifest marker (streaming/stream_ops.py) — this is
+    the same discipline adapted to the index's ``_meta.json``:
+
+    1. marker check: past batches skip; a COMPLETED marker for this
+       batch id skips; a reservation for this batch id WITHOUT the
+       completed flag means the previous attempt crashed mid-apply —
+       run ``repair_fn`` first so the counters exactly match whatever
+       parquet landed (markers-vs-footers, the r13 repair path), then
+       fall through to re-apply.
+    2. reserve: write the marker (completed=False) atomically BEFORE
+       any data write.
+    3. apply through UPDATE semantics (``update_fn`` = delete prior
+       generations of the batch's ids + write a fresh generation):
+       a replay first tombstones EVERY landed generation of these ids
+       — including a crashed attempt's orphan rows, which is why the
+       repair step recomputes n_batches over all tables — so however
+       many attempts ran, exactly one live generation survives.
+    4. complete: rewrite the marker with completed=True.
+
+    A crash in any window re-runs from the reservation and converges
+    to the applied-once state. Single-writer per index (the existing
+    maintenance contract). Returns True iff THIS call applied the
+    batch."""
+    marker = (_read_meta(index_dir).get("stream_appends") or {}).get(stream_id)
+    if marker is not None:
+        if int(marker["stream_batch"]) > batch_id:
+            return False
+        if int(marker["stream_batch"]) == batch_id:
+            if marker.get("completed"):
+                return False
+            repair_fn()  # dirty replay: true-up counters first
+
+    def _set(completed: bool) -> None:
+        import os
+
+        os.makedirs(index_dir, exist_ok=True)  # first batch: no dir yet
+        meta = _read_meta(index_dir)
+        meta.setdefault("stream_appends", {})[stream_id] = {
+            "stream_batch": int(batch_id),
+            "completed": bool(completed),
+        }
+        _write_meta(index_dir, meta)
+
+    _set(False)
+    update_fn()
+    _set(True)
+    return True
+
+
+def bm25_index_apply_stream_batch(
+    index_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str = "default",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """Micro-batch upsert into the durable BM25 index with replay
+    convergence — see :func:`_index_apply_stream_batch`. The batch is
+    an UPSERT set: new ids insert, previously-indexed ids re-index
+    under their new text."""
+    spark = batch_df.sparkSession
+    return _index_apply_stream_batch(
+        index_dir,
+        batch_df,
+        batch_id,
+        stream_id,
+        update_fn=lambda: update_bm25_index(batch_df, index_dir, id_col, text_col),
+        repair_fn=lambda: bm25_index_repair(spark, index_dir),
+    )
+
+
+def trigram_index_apply_stream_batch(
+    index_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str = "default",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """Micro-batch upsert into the durable trigram index — the
+    substring/fuzzy-search twin of
+    :func:`bm25_index_apply_stream_batch`."""
+    spark = batch_df.sparkSession
+    return _index_apply_stream_batch(
+        index_dir,
+        batch_df,
+        batch_id,
+        stream_id,
+        update_fn=lambda: update_trigram_index(
+            batch_df, index_dir, id_col, text_col
+        ),
+        repair_fn=lambda: trigram_index_repair(spark, index_dir),
+    )
 
 
 def fuzzy_similarity_search(

@@ -390,3 +390,82 @@ def run_stream_once(stream_df: DataFrame, output_mode: str = "complete") -> Data
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def stream_upsert_bm25_index(
+    stream_df: DataFrame,
+    index_dir: str,
+    stream_id: str = "default",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+    on_batch=None,
+) -> int:
+    """Keep the durable BM25 index current from a document stream:
+    every micro-batch UPSERTS through
+    ``textsearch.bm25_index_apply_stream_batch`` (new ids insert,
+    re-streamed ids re-index under their new text), with the
+    reservation-marker replay discipline making the observable index
+    state exactly-once across checkpoint restarts — the search-index
+    twin of :func:`stream_ingest_lineage`. Drains all available input
+    (availableNow) and returns the micro-batches actually applied."""
+    from ..operators import textsearch as _ts
+
+    n_batches = {"n": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if _ts.bm25_index_apply_stream_batch(
+            index_dir, batch_df, batch_id, stream_id, id_col, text_col
+        ):
+            n_batches["n"] += 1
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint or index_dir + "/_stream_checkpoint",
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def stream_upsert_trigram_index(
+    stream_df: DataFrame,
+    index_dir: str,
+    stream_id: str = "default",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+    on_batch=None,
+) -> int:
+    """Keep the durable trigram (substring/fuzzy search) index current
+    from a document stream — same contract as
+    :func:`stream_upsert_bm25_index`."""
+    from ..operators import textsearch as _ts
+
+    n_batches = {"n": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if _ts.trigram_index_apply_stream_batch(
+            index_dir, batch_df, batch_id, stream_id, id_col, text_col
+        ):
+            n_batches["n"] += 1
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint or index_dir + "/_stream_checkpoint",
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

@@ -10112,3 +10112,62 @@ def ds_bm25_index_batch(spark, sf_dir):
          3: ["filter", "merge", "probe"]},
         k=10,
     )
+
+
+@workload(
+    "st_stream_bm25_index_topk",
+    # Round 13: STREAMING maintenance of the durable BM25 index — a
+    # 4-micro-batch file stream upserts every document through the
+    # exactly-once reservation-marker discipline, then the index
+    # answers top-15; the oracle recomputes scan-path BM25 over the
+    # full corpus, so the drained index state must equal a
+    # built-in-one-shot index regardless of batching.
+    """WITH t2 AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM documents) WHERE length(term) > 0
+), dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2
+       WHERE term IN ('customer', 'query', 'record') GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t2
+        WHERE term IN ('customer', 'query', 'record') GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 4) AS bm25
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 15""",
+)
+def st_stream_bm25_index(spark, sf_dir):
+    """Search-index freshness from a stream: micro-batches upsert into
+    the durable BM25 index via foreachBatch with the _meta.json
+    reservation marker (reserve -> update-semantics apply -> complete),
+    so replays converge to the applied-once state and the drained
+    index is batching-invariant — which the from-scratch oracle
+    checks."""
+    from .streaming import stream_upsert_bm25_index
+
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="lss_wl_stbm25_")
+    idx = os.path.join(root, "bm25")
+    src_dir = os.path.join(root, "src")
+    docs.repartition(4).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    applied = stream_upsert_bm25_index(
+        stream, idx, checkpoint=os.path.join(root, "cp")
+    )
+    assert applied >= 1
+    return textsearch.bm25_topk_from_index(
+        spark, idx, ["customer", "query", "record"], k=15
+    )

@@ -411,6 +411,9 @@ AUDIT = [
     # Batch BM25: one term-IN-pruned posting read shared across the
     # query batch, broadcast (q_id, term) fan-out, per-query window.
     ("ds_bm25_index_batch_topk", ["In(term", "Window", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
+    # Stream-maintained BM25 index: after the drained upsert stream,
+    # the query plan is identical to the batch-built index's.
+    ("st_stream_bm25_index_topk", ["In(term", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
