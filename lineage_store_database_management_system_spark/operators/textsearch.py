@@ -1098,7 +1098,6 @@ def bm25_index_repair(spark, index_dir: str) -> dict:
 
 def _index_apply_stream_batch(
     index_dir: str,
-    batch_df: DataFrame,
     batch_id: int,
     stream_id: str,
     update_fn,
@@ -1171,7 +1170,6 @@ def bm25_index_apply_stream_batch(
     spark = batch_df.sparkSession
     return _index_apply_stream_batch(
         index_dir,
-        batch_df,
         batch_id,
         stream_id,
         update_fn=lambda: update_bm25_index(batch_df, index_dir, id_col, text_col),
@@ -1193,7 +1191,6 @@ def trigram_index_apply_stream_batch(
     spark = batch_df.sparkSession
     return _index_apply_stream_batch(
         index_dir,
-        batch_df,
         batch_id,
         stream_id,
         update_fn=lambda: update_trigram_index(
