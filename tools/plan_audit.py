@@ -502,6 +502,48 @@ def main() -> int:
     if not fb_ok:
         failures.append(("fuzzy_fallback_probe", ["no broadcast hint"], []))
 
+    # FUZZY RAREST-GRAM PREFIX PROBE (VERDICT r13 What's-wrong #2):
+    # with df stats available, the candidate job reads only the
+    # q - ceil(t*q) + 1 LOWEST-df grams' postings (pigeonhole keeps
+    # candidate completeness); the skipped grams are the highest-df
+    # ones, which is where a heavy-tailed posting distribution keeps
+    # its bytes. Assert the prune happened AND the pruned gram IN-list
+    # reaches the posting reader as a pushed filter.
+    import tempfile as _tf
+
+    fz_idx = _tf.mkdtemp(prefix="lss_audit_fz_") + "/trgm"
+    textsearch.write_trigram_index(docs, fz_idx)
+    out2, info2 = textsearch.fuzzy_similarity_search(
+        docs, "alpha beta txet", threshold=0.4, index_dir=fz_idx
+    )
+    qn = len(textsearch.pattern_grams("alpha beta txet"))
+    prune_ok = (
+        info2["postings_source"] == "durable"
+        and len(info2["probe_grams"]) == qn - info2["min_shared"] + 1 < qn
+    )
+    postings2, _stats2 = textsearch.open_trigram_index(spark, fz_idx)
+    pruned_read = postings2.where(F.col("gram").isin(info2["probe_grams"]))
+    pplan = explain_str(pruned_read)
+    prune_ok = prune_ok and "In(gram" in pplan
+    print(
+        "## fuzzy rarest-gram prefix filter: pruned posting read — "
+        + ("OK" if prune_ok else "FAIL")
+    )
+    print(
+        f"\nquery has {qn} grams, min_shared="
+        f"{info2['min_shared']}; the candidate job read only "
+        f"{len(info2['probe_grams'])} posting lists (the lowest-df "
+        "grams), with the IN-list pushed to the gram-clustered "
+        "parquet so file/row-group pruning applies. Exact Jaccard is "
+        "verified on candidates with FULL gram sets, so results are "
+        "bit-identical to the unpruned path.\n"
+    )
+    print("```\n" + pplan.strip()[:2500] + "\n```\n")
+    if not prune_ok:
+        failures.append(
+            ("fuzzy_prefix_probe", ["pruned gram IN-list pushed"], [])
+        )
+
     if failures:
         print(f"\n**{len(failures)} plan-shape failures**: {[f[0] for f in failures]}")
         return 1
