@@ -1408,6 +1408,33 @@ def _open_ann_meta(index_dir: str) -> dict:
         raise
 
 
+def _ann_reserve(index_dir: str, meta: dict) -> None:
+    """CAS-claim the ANN index for one mutation BEFORE its first data
+    write — the lineage manifest discipline, shared with the text
+    indexes (see operators/_idxmeta.py). Two concurrent maintainers
+    (a stream upsert racing a compaction, two appenders) no longer
+    last-meta-win silently: the loser aborts with
+    ``IndexConcurrentWriteError`` with nothing published."""
+    from ._idxmeta import reserve_meta
+
+    reserve_meta(index_dir, meta, meta_name="_ann_meta.json")
+
+
+def _ann_abandon(index_dir: str, meta: dict) -> None:
+    from ._idxmeta import abandon_meta
+
+    abandon_meta(index_dir, meta, meta_name="_ann_meta.json")
+
+
+def _ann_publish(index_dir: str, meta: dict, heal: bool = False) -> None:
+    """Publish the ANN sidecar via compare-and-swap (lease must still
+    be ours; cleared in the same atomic rename). ``heal=True`` for
+    the repair paths, which own torn states by definition."""
+    from ._idxmeta import publish_meta
+
+    publish_meta(index_dir, meta, meta_name="_ann_meta.json", heal=heal)
+
+
 def _ann_tombstones(spark, index_dir: str):
     """The ANN index's deleted-id table (one column, the sidecar's
     id_col name), or None when the index has no deletes. Lives at
@@ -1466,11 +1493,11 @@ def ivf_pq_delete_from_index(ids: DataFrame, index_dir: str) -> int:
     append under a NEW id (the immutable-corpus practice); same-id
     re-ingest requires a compact first. Returns the number of
     vectors actually deleted."""
-    import json as _json
     import os as _os
 
     spark = ids.sparkSession
     meta = _open_ann_meta(index_dir)
+    _ann_reserve(index_dir, meta)
     idc = meta["id_col"]
     live = _ann_live(spark, index_dir, meta).select(idc)
     matched = (
@@ -1483,15 +1510,13 @@ def ivf_pq_delete_from_index(ids: DataFrame, index_dir: str) -> int:
     )
     n = matched.count()
     if n == 0:
+        _ann_abandon(index_dir, meta)
         return 0
     matched.coalesce(1).write.mode("append").parquet(
         _os.path.join(index_dir, "_tombstones")
     )
     meta["n_dead"] = int(meta.get("n_dead", 0)) + n
-    tmp = _os.path.join(index_dir, "_ann_meta.json.tmp")
-    with open(tmp, "w") as f:
-        _json.dump(meta, f)
-    _os.replace(tmp, _os.path.join(index_dir, "_ann_meta.json"))
+    _ann_publish(index_dir, meta)
     return n
 
 
@@ -1535,12 +1560,18 @@ def ivf_pq_compact_index(
     if not force and rep["dead_fraction"] < tombstone_fraction:
         return {**rep, "compacted": False}
     meta = _open_ann_meta(index_dir)
+    _ann_reserve(index_dir, meta)  # racing upsert/delete aborts cleanly
     live = _ann_live(spark, index_dir, meta)
     token = _uuid.uuid4().hex[:8]
     fresh = f"{index_dir.rstrip('/')}_rebuild_{token}"
     _os.makedirs(fresh, exist_ok=True)
     live.write.mode("overwrite").partitionBy("_list").parquet(fresh)
     new_meta = dict(meta)
+    # the swap IS the publish: carry the reserved commit_seq forward
+    # (so a stale snapshot can't CAS past the rebuild) and clear the
+    # lease in the same directory rename
+    new_meta.pop("_pending", None)
+    new_meta["commit_seq"] = int(new_meta.get("commit_seq", 0)) + 1
     new_meta["n_dead"] = 0
     idx2 = spark.read.parquet(fresh)
     for c in list(new_meta.get("filter_hist") or {}):
@@ -1643,10 +1674,8 @@ def ivf_pq_append_index(
     duplicates data and histogram counts TOGETHER (marker still
     matches) — that is the upstream-dedup caveat above, not a torn
     sidecar."""
-    import json as _json
-    import os as _os
-
     meta = _open_ann_meta(index_dir)
+    _ann_reserve(index_dir, meta)
     vec_col = meta["vec_col"]
     assigned = ivf_assign(df, meta["centroids"], vec_col=vec_col)
     if meta.get("residual"):
@@ -1675,10 +1704,7 @@ def ivf_pq_append_index(
             )
     if meta.get("filter_hist") or meta.get("range_stats"):
         meta["hist_rows"] = int(meta.get("hist_rows", 0)) + n
-        tmp = _os.path.join(index_dir, "_ann_meta.json.tmp")
-        with open(tmp, "w") as f:
-            _json.dump(meta, f)
-        _os.replace(tmp, _os.path.join(index_dir, "_ann_meta.json"))
+    _ann_publish(index_dir, meta)
     return n
 
 
@@ -1694,9 +1720,6 @@ def ivf_filter_histogram_repair(spark, index_dir: str) -> dict:
     rebuild-of-last-resort, run only when the cheap marker says the
     sidecar lies) and the sidecar is atomically rewritten. Returns
     ``{"checked": rows, "hist_rows": marker, "repaired": bool}``."""
-    import json as _json
-    import os as _os
-
     meta = _open_ann_meta(index_dir)
     if not meta.get("filter_hist") and not meta.get("range_stats"):
         return {"checked": 0, "hist_rows": 0, "repaired": False}
@@ -1710,10 +1733,7 @@ def ivf_filter_histogram_repair(spark, index_dir: str) -> dict:
     for c in list(meta.get("range_stats") or {}):
         meta["range_stats"][c] = ivf_range_stats(idx, c)
     meta["hist_rows"] = int(actual)
-    tmp = _os.path.join(index_dir, "_ann_meta.json.tmp")
-    with open(tmp, "w") as f:
-        _json.dump(meta, f)
-    _os.replace(tmp, _os.path.join(index_dir, "_ann_meta.json"))
+    _ann_publish(index_dir, meta, heal=True)
     return {"checked": actual, "hist_rows": marker, "repaired": True}
 
 
@@ -1887,6 +1907,7 @@ def ivf_pq_maintain_index(
     if not rep["stale"]:
         return {**rep, "rebuilt": False}
     meta = _open_ann_meta(index_dir)
+    _ann_reserve(index_dir, meta)  # racing upsert/delete aborts cleanly
     fcols = list(meta.get("filter_hist") or {})
     rcols = [c for c in (meta.get("range_stats") or {}) if c not in fcols]
     # LIVE rows only: a rebuild must never resurrect tombstoned
@@ -1908,6 +1929,17 @@ def ivf_pq_maintain_index(
     )
     kw.update(train_opts)
     ivf_pq_write_index(vecs, fresh, **kw)
+    # the swap IS the publish: stamp the rebuilt sidecar with the
+    # reserved commit_seq so a stale snapshot can't CAS past it
+    import json as _json
+
+    fm_path = _os.path.join(fresh, "_ann_meta.json")
+    with open(fm_path) as f:
+        fm = _json.load(f)
+    fm["commit_seq"] = int(meta.get("commit_seq", 0)) + 1
+    with open(fm_path + ".tmp", "w") as f:
+        _json.dump(fm, f)
+    _os.replace(fm_path + ".tmp", fm_path)
     old = f"{index_dir.rstrip('/')}_old_{token}"
     _os.rename(index_dir, old)
     _os.rename(fresh, index_dir)

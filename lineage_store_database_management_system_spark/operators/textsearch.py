@@ -137,14 +137,32 @@ def _read_meta(index_dir: str) -> dict:
     return out
 
 
-def _write_meta(index_dir: str, meta: dict) -> None:
-    import json
-    import os
+def _reserve(index_dir: str, meta: dict) -> None:
+    """CAS-claim the index for one mutation BEFORE its first data
+    write — the lineage ``_ManifestLock`` discipline ported to the
+    text indexes (see :mod:`._idxmeta`). A concurrent mutator (a
+    stream upsert racing a compaction, two writers appending) aborts
+    with :class:`~._idxmeta.IndexConcurrentWriteError` with nothing
+    published, instead of the last meta rewrite silently winning."""
+    from ._idxmeta import reserve_meta
 
-    meta_path = os.path.join(index_dir, "_meta.json")
-    with open(meta_path + ".tmp", "w") as f:
-        json.dump(meta, f)
-    os.replace(meta_path + ".tmp", meta_path)
+    reserve_meta(index_dir, meta)
+
+
+def _abandon(index_dir: str, meta: dict) -> None:
+    from ._idxmeta import abandon_meta
+
+    abandon_meta(index_dir, meta)
+
+
+def _write_meta(index_dir: str, meta: dict, heal: bool = False) -> None:
+    """Publish the sidecar via compare-and-swap: the lease granted by
+    :func:`_reserve` must still be ours, and it clears in the same
+    atomic rename. ``heal=True`` is the repair functions' door — they
+    own torn states by definition, lease included."""
+    from ._idxmeta import publish_meta
+
+    publish_meta(index_dir, meta, heal=heal)
 
 
 def _parquet_rows(path: str) -> int:
@@ -198,6 +216,7 @@ def write_trigram_index(
     import os
 
     meta = _read_meta(index_dir)
+    _reserve(index_dir, meta)  # claims the batch id: loser aborts here
     batch = meta["n_batches"]
     postings = trigram_postings(docs, id_col, text_col).withColumn(
         "_batch", F.lit(batch)
@@ -407,9 +426,11 @@ def delete_from_trigram_index(ids: DataFrame, index_dir: str) -> int:
 
     spark = ids.sparkSession
     meta = _read_meta(index_dir)
+    _reserve(index_dir, meta)
     matched = _live_matched_ids(spark, index_dir, ids, "docids", "_dead_id")
     n = matched.count()
     if n == 0:
+        _abandon(index_dir, meta)
         return 0
     (
         matched.select(
@@ -481,6 +502,8 @@ def compact_trigram_index(
     rep = trigram_index_staleness(index_dir)
     if not force and rep["dead_fraction"] < tombstone_fraction:
         return {**rep, "compacted": False}
+    meta = _read_meta(index_dir)
+    _reserve(index_dir, meta)  # a racing upsert/delete aborts cleanly
     postings, _stats = open_trigram_index(spark, index_dir)  # tombstone-filtered
     token = uuid.uuid4().hex[:8]
     fresh_p = os.path.join(index_dir, f"postings_new_{token}")
@@ -510,7 +533,6 @@ def compact_trigram_index(
         os.rename(fresh, os.path.join(index_dir, sub))
         shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
-    meta = _read_meta(index_dir)
     meta["n_dead"] = 0
     meta["n_batches"] = 1
     _refresh_markers(index_dir, meta, ("postings", "docids", "tombstones"))
@@ -561,7 +583,7 @@ def trigram_index_repair(spark, index_dir: str) -> dict:
         meta["n_dead"] = 0
         meta["n_batches"] = 0
         _refresh_markers(index_dir, meta, ("postings", "docids", "tombstones"))
-        _write_meta(index_dir, meta)
+        _write_meta(index_dir, meta, heal=True)
         return {
             "repaired": True,
             **{f"{k}_rows": meta[f"{k}_rows"] for k in actual},
@@ -608,7 +630,7 @@ def trigram_index_repair(spark, index_dir: str) -> dict:
     meta["n_dead"] = int(n_raw - n_live)
     meta["n_batches"] = int(mx) + 1 if mx is not None else 0
     _refresh_markers(index_dir, meta, ("postings", "docids", "tombstones"))
-    _write_meta(index_dir, meta)
+    _write_meta(index_dir, meta, heal=True)
     return {"repaired": True, **{f"{k}_rows": meta[f"{k}_rows"] for k in actual}}
 
 
@@ -793,6 +815,7 @@ def write_bm25_index(
     import os
 
     meta = _read_meta(index_dir)
+    _reserve(index_dir, meta)  # claims the batch id: loser aborts here
     batch = meta["n_batches"]
     toks = _bm25_terms(docs, id_col, text_col)
     doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
@@ -883,9 +906,11 @@ def delete_from_bm25_index(ids: DataFrame, index_dir: str) -> int:
 
     spark = ids.sparkSession
     meta = _read_meta(index_dir)
+    _reserve(index_dir, meta)
     matched = _live_matched_ids(spark, index_dir, ids, "doclens", "_dead_id")
     n = matched.count()
     if n == 0:
+        _abandon(index_dir, meta)
         return 0
     _p, doclens = open_bm25_index(spark, index_dir)
     dcol = [c for c in doclens.columns if c not in ("dl", "_batch")][0]
@@ -1077,6 +1102,8 @@ def compact_bm25_index(
     rep = trigram_index_staleness(index_dir)
     if not force and rep["dead_fraction"] < tombstone_fraction:
         return {**rep, "compacted": False}
+    meta = _read_meta(index_dir)
+    _reserve(index_dir, meta)  # a racing upsert/delete aborts cleanly
     postings, doclens = open_bm25_index(spark, index_dir)
     token = uuid.uuid4().hex[:8]
     fresh = {}
@@ -1098,7 +1125,6 @@ def compact_bm25_index(
         os.rename(path, os.path.join(index_dir, sub))
         shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
-    meta = _read_meta(index_dir)
     meta["n_dead"] = 0
     meta["n_batches"] = 1
     _refresh_markers(index_dir, meta, ("postings", "doclens", "tombstones"))
@@ -1152,7 +1178,7 @@ def bm25_index_repair(spark, index_dir: str) -> dict:
             meta[k] = 0
         meta["n_batches"] = 0
         _refresh_markers(index_dir, meta, ("postings", "doclens", "tombstones"))
-        _write_meta(index_dir, meta)
+        _write_meta(index_dir, meta, heal=True)
         return {
             "repaired": True,
             **{f"{k}_rows": meta[f"{k}_rows"] for k in actual},
@@ -1228,7 +1254,7 @@ def bm25_index_repair(spark, index_dir: str) -> dict:
     meta["n_dead"] = int(n_raw - (agg["n"] or 0))
     meta["n_batches"] = mx + 1
     _refresh_markers(index_dir, meta, ("postings", "doclens", "tombstones"))
-    _write_meta(index_dir, meta)
+    _write_meta(index_dir, meta, heal=True)
     return {"repaired": True, **{f"{k}_rows": meta[f"{k}_rows"] for k in actual}}
 
 
@@ -1262,9 +1288,13 @@ def _index_apply_stream_batch(
     4. complete: rewrite the marker with completed=True.
 
     A crash in any window re-runs from the reservation and converges
-    to the applied-once state. Single-writer per index (the existing
-    maintenance contract). Returns True iff THIS call applied the
-    batch."""
+    to the applied-once state. Concurrent writers (another stream, a
+    maintenance compaction) are fenced by the sidecar's optimistic
+    CAS (:mod:`._idxmeta`): the inner mutations reserve before their
+    data writes, so a race aborts one side cleanly with
+    ``IndexConcurrentWriteError`` — the stream's foreachBatch retry
+    then replays through this same convergence path. Returns True
+    iff THIS call applied the batch."""
     marker = (_read_meta(index_dir).get("stream_appends") or {}).get(stream_id)
     if marker is not None:
         if int(marker["stream_batch"]) > batch_id:
@@ -1275,15 +1305,19 @@ def _index_apply_stream_batch(
             repair_fn()  # dirty replay: true-up counters first
 
     def _set(completed: bool) -> None:
-        import os
+        from ._idxmeta import update_meta_atomic
 
-        os.makedirs(index_dir, exist_ok=True)  # first batch: no dir yet
-        meta = _read_meta(index_dir)
-        meta.setdefault("stream_appends", {})[stream_id] = {
-            "stream_batch": int(batch_id),
-            "completed": bool(completed),
-        }
-        _write_meta(index_dir, meta)
+        def _mark(meta: dict) -> None:
+            meta.setdefault("stream_appends", {})[stream_id] = {
+                "stream_batch": int(batch_id),
+                "completed": bool(completed),
+            }
+
+        # read-modify-write under the sidecar mutex: the marker can
+        # neither clobber nor be clobbered by a concurrent counter
+        # publish, and conflicts with a foreign write lease like any
+        # other mutator
+        update_meta_atomic(index_dir, _mark)
 
     _set(False)
     update_fn()
