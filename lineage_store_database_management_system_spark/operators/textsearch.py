@@ -122,12 +122,12 @@ def pattern_grams(pattern: str) -> list[str]:
     return seen
 
 
-def _read_meta(index_dir: str) -> dict:
+def _read_meta(index_dir: str, meta_name: str = "_meta.json") -> dict:
     import json
     import os
 
     try:
-        with open(os.path.join(index_dir, "_meta.json")) as f:
+        with open(os.path.join(index_dir, meta_name)) as f:
             m = json.load(f)
     except FileNotFoundError:
         m = {}
@@ -1264,6 +1264,7 @@ def _index_apply_stream_batch(
     stream_id: str,
     update_fn,
     repair_fn,
+    meta_name: str = "_meta.json",
 ) -> bool:
     """Exactly-once-OBSERVABLE micro-batch upsert into a durable text
     index (shared by the BM25 and trigram stream maintainers).
@@ -1295,7 +1296,9 @@ def _index_apply_stream_batch(
     ``IndexConcurrentWriteError`` — the stream's foreachBatch retry
     then replays through this same convergence path. Returns True
     iff THIS call applied the batch."""
-    marker = (_read_meta(index_dir).get("stream_appends") or {}).get(stream_id)
+    marker = (
+        _read_meta(index_dir, meta_name).get("stream_appends") or {}
+    ).get(stream_id)
     if marker is not None:
         if int(marker["stream_batch"]) > batch_id:
             return False
@@ -1317,7 +1320,7 @@ def _index_apply_stream_batch(
         # neither clobber nor be clobbered by a concurrent counter
         # publish, and conflicts with a foreign write lease like any
         # other mutator
-        update_meta_atomic(index_dir, _mark)
+        update_meta_atomic(index_dir, _mark, meta_name=meta_name)
 
     _set(False)
     update_fn()

@@ -10171,3 +10171,236 @@ def st_stream_bm25_index(spark, sf_dir):
     return textsearch.bm25_topk_from_index(
         spark, idx, ["customer", "query", "record"], k=15
     )
+
+
+@workload(
+    "st_stream_ann_index_topk",
+    # Round 14 (VERDICT r13 next-steps #2): STREAMING maintenance of
+    # the durable ANN index — micro-batches upsert through the
+    # exactly-once reservation-marker discipline, including SAME-ID
+    # re-vectoring (generation-bounded tombstones, new this round).
+    # Oracle-exactness by construction (the hybrid-gate discipline):
+    # every streamed vector is a scaled near-copy of the query, so
+    # the true top-30 is the bounded planted+updated tie class at
+    # rounded cosine 1.0, closed-form under id tie-break; full probe
+    # removes list recall. The oracle recomputes exact cosine over
+    # the post-stream corpus from scratch — a stale pre-update
+    # vector, a lost append, or a double-live generation all
+    # hash-mismatch.
+    """WITH mx AS (SELECT MAX(vec_id) AS m FROM embeddings),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+planted AS (
+  SELECT e.vec_id + mx.m + 1 AS vec_id,
+         list_transform(q.qe, x -> CAST(CAST(x AS DOUBLE)
+           * (1.0 + ((e.vec_id % 7) + 1) / 100.0) AS FLOAT)) AS embedding
+  FROM embeddings e CROSS JOIN mx CROSS JOIN q
+  WHERE e.vec_id % 29 = 0 AND e.vec_id < 600
+),
+updated AS (
+  SELECT e.vec_id,
+         list_transform(q.qe, x -> CAST(CAST(x AS DOUBLE)
+           * (1.0 + ((e.vec_id % 5) + 1) / 50.0) AS FLOAT)) AS embedding
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id % 31 = 0 AND e.vec_id > 0 AND e.vec_id < 700
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE NOT (vec_id % 31 = 0 AND vec_id > 0 AND vec_id < 700)
+  UNION ALL
+  SELECT vec_id, embedding FROM updated
+  UNION ALL
+  SELECT vec_id, embedding FROM planted
+),
+scored AS (
+  SELECT c.vec_id,
+    ROUND(list_aggregate(list_transform(range(1, len(c.embedding) + 1),
+      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(c.embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(q.qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 3) AS cosine
+  FROM corpus c CROSS JOIN q
+)
+SELECT vec_id, cosine FROM scored
+ORDER BY cosine DESC, vec_id LIMIT 30""",
+)
+def st_stream_ann_index(spark, sf_dir):
+    """Vector-index freshness from a stream: a seed IVF-PQ index
+    absorbs micro-batched upserts (new ids insert under the frozen
+    codebooks; re-streamed ids tombstone their prior generation and
+    re-index) via foreachBatch with the _ann_meta.json reservation
+    marker, so replays converge and the drained index state is
+    batching-invariant — which the from-scratch exact-cosine oracle
+    checks."""
+    from .streaming import stream_upsert_ann_index
+
+    emb = load_star(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="lss_wl_stann_")
+    idx = os.path.join(root, "ann")
+    similarity.ivf_pq_write_index(emb, idx, n_lists=8, m=4, nbits=4)
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    qarr = F.array(*[F.lit(float(x)).cast("double") for x in q])
+    pscale = (
+        F.lit(1.0) + ((F.col("vec_id") % 7) + 1).cast("double") / F.lit(100.0)
+    )
+    planted = emb.where(
+        (F.col("vec_id") % 29 == 0) & (F.col("vec_id") < 600)
+    ).select(
+        (F.col("vec_id") + mx + 1).alias("vec_id"),
+        F.transform(qarr, lambda x: (x * pscale).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    uscale = (
+        F.lit(1.0) + ((F.col("vec_id") % 5) + 1).cast("double") / F.lit(50.0)
+    )
+    updated = emb.where(
+        (F.col("vec_id") % 31 == 0)
+        & (F.col("vec_id") > 0)
+        & (F.col("vec_id") < 700)
+    ).select(
+        F.col("vec_id"),
+        F.transform(qarr, lambda x: (x * uscale).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    src = os.path.join(root, "src")
+    planted.unionByName(updated).repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(planted.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    applied = stream_upsert_ann_index(
+        stream, idx, checkpoint=os.path.join(root, "cp")
+    )
+    assert applied >= 1
+    return similarity.ivf_pq_topk_from_index(
+        spark, idx, q, k=30, nprobe=8, n_candidates=200, round_to=3
+    )
+
+
+@workload(
+    "ds_corpus_changes_hybrid_rrf",
+    # Round 14 (VERDICT r13 next-steps #5): coordinated corpus
+    # mutation — ONE apply_corpus_changes call pushes the same
+    # delete/update set into the BM25, trigram, AND ANN indexes
+    # (each under its own crash-convergent marker), then hybrid
+    # retrieval fuses the bm25+ann legs. The oracle recomputes BOTH
+    # rankings from scratch over the mutated corpora, so a leg that
+    # silently stayed stale (the failure mode the one-call contract
+    # removes) hash-mismatches. Updated vectors are scaled
+    # near-copies of the query (the bounded-tie discipline from
+    # ds_hybrid_index_mutated_rrf), keeping the ANN leg closed-form
+    # at any sf; trigram-side correctness under this exact shape is
+    # unit-gated (tests/test_corpus_changes.py) and by
+    # ds_fuzzy_index_delete_update_search.
+    """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 41 <> 0
+    AND NOT (doc_id % 13 = 0 AND doc_id > 0 AND doc_id < 500)
+  UNION ALL
+  SELECT doc_id, 'filter join probe text ' || CAST(doc_id AS VARCHAR)
+  FROM documents
+  WHERE doc_id % 13 = 0 AND doc_id > 0 AND doc_id < 500
+), t2 AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM corpus) WHERE length(term) > 0
+), dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+                 (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2
+       WHERE term IN ('join', 'filter', 'merge') GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t2
+        WHERE term IN ('join', 'filter', 'merge') GROUP BY 1),
+bm AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 4) AS bm25
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % 41 <> 0
+    AND NOT (vec_id % 13 = 0 AND vec_id > 0 AND vec_id < 500)
+  UNION ALL
+  SELECT e.vec_id,
+         list_transform(q.qe, x -> CAST(CAST(x AS DOUBLE)
+           * (1.0 + ((e.vec_id % 7) + 1) / 100.0) AS FLOAT))
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id % 13 = 0 AND e.vec_id > 0 AND e.vec_id < 500
+),
+ann AS (
+  SELECT vec_id AS doc_id,
+    ROUND(list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 3) AS cosine
+  FROM emb2, q ORDER BY cosine DESC, doc_id LIMIT 20),
+ra AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+       FROM bm),
+rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r
+       FROM ann)
+SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / (60 + ra.r), 0.0)
+             + COALESCE(1.0 / (60 + rb.r), 0.0), 6) AS rrf
+FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10""",
+)
+def ds_corpus_changes_hybrid(spark, sf_dir):
+    """The one-call mutation contract end-to-end: build all three
+    durable indexes, push one delete/update change set through
+    ``apply_corpus_changes`` (every 41st id deleted everywhere; every
+    13th id under 500 re-texted with the query keywords AND
+    re-vectored to a scaled near-copy of the query), then run hybrid
+    retrieval off the mutated bm25+ann legs. Both oracle rankings are
+    recomputed from scratch over the mutated corpora."""
+    from .operators.corpus import apply_corpus_changes
+
+    star = load_star(spark, sf_dir)
+    docs = star["documents"].select("doc_id", "text")
+    emb = star["embeddings"].select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="lss_wl_ccs_")
+    bidx = os.path.join(root, "bm25")
+    tidx = os.path.join(root, "trgm")
+    aidx = os.path.join(root, "ann")
+    textsearch.write_bm25_index(docs, bidx)
+    textsearch.write_trigram_index(docs, tidx)
+    similarity.ivf_pq_write_index(emb, aidx, n_lists=8, m=4, nbits=4)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    qarr = F.array(*[F.lit(float(x)).cast("double") for x in q])
+    scale = (
+        F.lit(1.0) + ((F.col("doc_id") % 7) + 1).cast("double") / F.lit(100.0)
+    )
+    deletes = docs.where(F.col("doc_id") % 41 == 0).select("doc_id")
+    updates = docs.where(
+        (F.col("doc_id") % 13 == 0)
+        & (F.col("doc_id") > 0)
+        & (F.col("doc_id") < 500)
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("filter join probe text "), F.col("doc_id").cast("string")
+        ).alias("text"),
+        F.transform(qarr, lambda x: (x * scale).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    applied = apply_corpus_changes(
+        1, deletes, updates,
+        bm25_dir=bidx, trigram_dir=tidx, ann_dir=aidx,
+    )
+    assert applied == {"bm25": True, "trigram": True, "ann": True}
+    return similarity.hybrid_search_from_indexes(
+        spark, bidx, aidx, ["join", "filter", "merge"], q,
+        k=10, k_lex=20, k_ann=20, nprobe=8, n_candidates=200,
+    )

@@ -414,6 +414,15 @@ AUDIT = [
     # Stream-maintained BM25 index: after the drained upsert stream,
     # the query plan is identical to the batch-built index's.
     ("st_stream_bm25_index_topk", ["In(term", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
+    # Round-14: stream-maintained ANN index. Same-id upserts leave
+    # generation-bounded tombstones, so the query reads the live view
+    # (broadcast anti-join BELOW the partition-pruned scan); ranking
+    # stays top-k.
+    ("st_stream_ann_index_topk", ["TakeOrderedAndProject", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
+    # One-call coordinated mutation, then hybrid fusion: the fused
+    # plan keeps the BM25 leg's pruned posting read and rank-window
+    # fusion; ANN's only Python is the Arrow-batched ADC kernel.
+    ("ds_corpus_changes_hybrid_rrf", ["In(term", "Window", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
