@@ -139,7 +139,13 @@ def ingest_with_expectations(
     ``batch=...``-partitioned — mixing keyed and unkeyed calls on the
     same table previously left files at BOTH the qdir root and under
     subdirectories, which ``spark.read.parquet(qdir)`` refuses to
-    read (ADVICE r12).
+    read (ADVICE r12). A PRE-EXISTING quarantine area with root-level
+    parquet from releases before the keyed layout is migrated on the
+    first keyed write: its root files move under ``batch=legacy`` —
+    one directory rename per file, no data read — so old and new rows
+    read together (ADVICE r13: without the migration, the exact
+    mixed-layout failure the keyed layout claims to fix reproduced on
+    any area created before it).
 
     The default quarantine area ``<table>/_quarantine`` sits next to
     ``_dropped/`` — outside the base/tail data dirs, invisible to
@@ -151,7 +157,39 @@ def ingest_with_expectations(
     qdir = quarantine_dir or os.path.join(table.path, "_quarantine")
     table.ingest_dataframe(good)
     if n_bad:
+        _migrate_legacy_quarantine(qdir)
         bid = batch_id if batch_id is not None else f"adhoc-{uuid.uuid4().hex[:12]}"
         bad.write.mode("overwrite").parquet(os.path.join(qdir, f"batch={bid}"))
     metrics["quarantine_dir"] = qdir if n_bad else None
     return metrics
+
+
+def _migrate_legacy_quarantine(qdir: str) -> None:
+    """Move root-level parquet files (the pre-r13 unkeyed layout)
+    under ``batch=legacy-...`` so the area is uniformly partitioned
+    and one ``spark.read.parquet(qdir)`` reads everything. Metadata-
+    plane: a LIST plus one rename per stray file; no-op on absent or
+    already-uniform areas. Each migration run gets its own unique
+    legacy batch so a half-moved state just re-migrates."""
+    import uuid
+
+    if not os.path.isdir(qdir):
+        return
+    stray = [
+        fn
+        for fn in os.listdir(qdir)
+        if fn.endswith(".parquet") and os.path.isfile(os.path.join(qdir, fn))
+    ]
+    if not stray:
+        return
+    dest = os.path.join(qdir, f"batch=legacy-{uuid.uuid4().hex[:12]}")
+    os.makedirs(dest, exist_ok=True)
+    for fn in stray:
+        os.rename(os.path.join(qdir, fn), os.path.join(dest, fn))
+    # Spark success markers / checksums at the root stop mattering
+    # once the files move; sweep them so the reader sees a clean
+    # partitioned layout
+    for fn in os.listdir(qdir):
+        p = os.path.join(qdir, fn)
+        if os.path.isfile(p) and (fn.startswith("_") or fn.endswith(".crc")):
+            os.remove(p)

@@ -2222,12 +2222,34 @@ def ivf_pq_topk_batch_from_index(
         order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()[:cap]
         for li in order:
             probe_rows.append((r[qid_col], [float(x) for x in r[qvec_col]], int(li)))
+    # schemas DERIVED, never hardcoded (ADVICE r13): q_id keeps the
+    # caller's type, the id column keeps the index's — a string-id
+    # index or string query ids batch exactly like the single-query
+    # operators they claim parity with
+    from pyspark.sql import types as T
+
+    qid_type = queries.schema[qid_col].dataType
     if not probe_rows:
+        id_type = spark.read.parquet(index_dir).schema[id_col].dataType
         return spark.createDataFrame(
-            [], f"{qid_col} long, {id_col} long, cosine double"
+            [],
+            T.StructType(
+                [
+                    T.StructField(qid_col, qid_type),
+                    T.StructField(id_col, id_type),
+                    T.StructField("cosine", T.DoubleType()),
+                ]
+            ),
         )
     q_lists = spark.createDataFrame(
-        probe_rows, f"{qid_col} long, {qvec_col} array<double>, _qlist int"
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField(qid_col, qid_type),
+                T.StructField(qvec_col, T.ArrayType(T.DoubleType())),
+                T.StructField("_qlist", T.IntegerType()),
+            ]
+        ),
     )
     union_lists = sorted({li for _q, _v, li in probe_rows})
     idx = _ann_live(spark, index_dir, meta).where(

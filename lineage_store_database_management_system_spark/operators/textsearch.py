@@ -1036,15 +1036,32 @@ def bm25_topk_batch_from_index(
     n_docs = meta["n_docs"]
     n_dl = int(meta.get("n_docs_dl", 0))
     avgdl = (int(meta.get("total_dl", 0)) / n_dl) if n_dl else 1.0
+    # q_id keeps the caller's key type, the doc id keeps the index's
+    # (ADVICE r13: the old int(qid) coercion and hardcoded 'long'
+    # schemas broke string-id batches the single-query operator
+    # accepts)
     pairs = [
-        (int(qid), t.lower()) for qid, terms in queries.items() for t in terms
+        (qid, t.lower()) for qid, terms in queries.items() for t in terms
     ]
-    if not pairs:
-        return spark.createDataFrame([], "q_id long, doc_id long, bm25 double")
-    union_terms = sorted({t for _q, t in pairs})
     postings, _d = open_bm25_index(spark, index_dir)
+    idc = [
+        c for c in postings.columns if c not in ("term", "tf", "dl", "_batch")
+    ][0]
+    if not pairs:
+        qid_type = "string" if any(
+            isinstance(q, str) for q in queries
+        ) else "bigint"
+        return (
+            postings.select(F.col(idc))
+            .where(F.lit(False))
+            .select(
+                F.lit(None).cast(qid_type).alias("q_id"),
+                F.col(idc),
+                F.lit(0.0).alias("bm25"),
+            )
+        )
+    union_terms = sorted({t for _q, t in pairs})
     p = postings.where(F.col("term").isin(union_terms))
-    idc = [c for c in p.columns if c not in ("term", "tf", "dl", "_batch")][0]
     idf = (
         p.groupBy("term")
         .agg(F.count_distinct(F.col(idc)).alias("df"))
@@ -1057,7 +1074,7 @@ def bm25_topk_batch_from_index(
             ).alias("idf"),
         )
     )
-    qt = spark.createDataFrame(pairs, "q_id long, term string")
+    qt = spark.createDataFrame(pairs, ["q_id", "term"])  # q_id inferred
     scored = (
         p.join(F.broadcast(qt), on="term")
         .join(F.broadcast(idf), on="term")

@@ -253,3 +253,119 @@ def test_fuzzy_prefix_no_false_negatives_on_rare_gram_absence(spark, tmp_path):
     )
     assert ids == {r["doc_id"] for r in want.collect()}
     assert 999 in ids
+
+
+# --- 4. batch operators: id types derived, not hardcoded -------------
+
+
+def test_ann_batch_topk_with_string_ids(spark, tmp_path):
+    from lineage_store_database_management_system_spark.operators import (
+        similarity as S,
+    )
+
+    idx = str(tmp_path / "ann_str")
+    vecs = spark.range(60).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("vec_id"),
+        F.array(
+            (F.sin((F.col("id") + 1) * 0.37) + 2).cast("float"),
+            (F.cos((F.col("id") + 1) * 0.53) + 2).cast("float"),
+        ).alias("embedding"),
+    )
+    S.ivf_pq_write_index(
+        vecs, idx, n_lists=4, m=2, nbits=4, id_col="vec_id",
+        vec_col="embedding",
+    )
+    queries = spark.createDataFrame(
+        [("qa", [2.5, 1.8]), ("qb", [1.2, 2.9])],
+        "q_id string, q_embedding array<double>",
+    )
+    out = S.ivf_pq_topk_batch_from_index(
+        spark, idx, queries, k=5, nprobe=4, round_to=4
+    )
+    assert dict(out.dtypes)["q_id"] == "string"
+    assert dict(out.dtypes)["vec_id"] == "string"
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["cosine"]))
+    for qid, qv in [("qa", [2.5, 1.8]), ("qb", [1.2, 2.9])]:
+        single = [
+            (r["vec_id"], r["cosine"])
+            for r in S.ivf_pq_topk_from_index(
+                spark, idx, qv, k=5, nprobe=4, n_candidates=10**6, round_to=4
+            ).collect()
+        ]
+        assert by_q[qid] == single
+    # empty batch: schema still labeled with the real types
+    empty = S.ivf_pq_topk_batch_from_index(
+        spark, idx, queries.where(F.lit(False)), k=5
+    )
+    assert dict(empty.dtypes)["q_id"] == "string"
+    assert dict(empty.dtypes)["vec_id"] == "string"
+    assert empty.count() == 0
+
+
+def test_bm25_batch_topk_with_string_ids(spark, tmp_path):
+    idx = str(tmp_path / "bm25_str")
+    docs = spark.range(50).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 3 == 0, F.lit("join filter "))
+            .otherwise(F.lit("merge scan ")),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    textsearch.write_bm25_index(docs, idx)
+    out = textsearch.bm25_topk_batch_from_index(
+        spark, idx, {"first": ["join"], "second": ["merge", "scan"]}, k=6
+    )
+    assert dict(out.dtypes)["q_id"] == "string"
+    assert dict(out.dtypes)["doc_id"] == "string"
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["q_id"], []).append((r["doc_id"], r["bm25"]))
+    for qid, terms in [("first", ["join"]), ("second", ["merge", "scan"])]:
+        single = [
+            (r["doc_id"], r["bm25"])
+            for r in textsearch.bm25_topk_from_index(
+                spark, idx, terms, k=6
+            ).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(single)
+    empty = textsearch.bm25_topk_batch_from_index(spark, idx, {}, k=3)
+    assert dict(empty.dtypes)["doc_id"] == "string"
+    assert empty.count() == 0
+
+
+# --- 5. quarantine: legacy root-level parquet migrates ---------------
+
+
+def test_legacy_root_quarantine_migrates_on_keyed_write(spark, tmp_db):
+    from lineage_store_database_management_system_spark.operators import (
+        expectations as X,
+    )
+
+    src = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 3, -1).otherwise(2).alias("qty"),
+    )
+    t = tmp_db.create_table_typed("qlegacy", src.schema, "k")
+    rules = {"qty_pos": "qty > 0"}
+    # reconstruct a pre-r13 area: violating rows at the qdir ROOT
+    qdir = os.path.join(t.path, "_quarantine")
+    legacy_bad = X.tag_violations(src, rules).where(
+        F.size(X.VIOLATIONS_COL) > 0
+    )
+    legacy_bad.coalesce(1).write.mode("overwrite").parquet(qdir)
+    assert any(f.endswith(".parquet") for f in os.listdir(qdir))
+    # first keyed write migrates the strays instead of wedging the read
+    m = X.ingest_with_expectations(t, src, rules, batch_id="b1")
+    quar = spark.read.parquet(m["quarantine_dir"])  # old code: raises
+    assert quar.count() == 8  # 4 legacy + 4 keyed
+    assert quar.where(F.col("batch") == "b1").count() == 4
+    assert quar.where(F.col("batch").startswith("legacy-")).count() == 4
+    assert not any(
+        f.endswith(".parquet")
+        for f in os.listdir(qdir)
+        if os.path.isfile(os.path.join(qdir, f))
+    )
