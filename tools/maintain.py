@@ -8,7 +8,9 @@ report as one JSON line.
 Durable operator-layer indexes live OUTSIDE the database directory,
 so they are maintained by flag:
 
-- ``--ann-index DIR`` (repeatable): one
+- ``--ann-index DIR`` (repeatable): marker-vs-footer sidecar repair
+  first (``ivf_pq_index_repair`` — heals torn appends/deletes/stream
+  batches including generation-counter drift, round 14), then one
   ``ivf_pq_maintain_index`` pass with the MEASURED recall probe ON by
   default (``--ann-recall-probe``, default 8 sampled queries) — the
   r10/r11 lesson is that the cheap statistics triggers (skew/err
@@ -84,9 +86,16 @@ def main() -> int:
 
         ann_report = {}
         for d in args.ann_index:
-            # tombstone sweep FIRST (past its dead fraction) so the
-            # drift statistics and any rebuild run over live rows only
-            r = {"compaction": similarity.ivf_pq_compact_index(spark, d)}
+            # marker-vs-footer sidecar repair FIRST (heals a torn
+            # append/delete/stream-batch so every downstream trigger
+            # reads honest counters — the text indexes' discipline,
+            # round 14), then the tombstone sweep (past its dead
+            # fraction) so drift statistics and any rebuild run over
+            # live rows only
+            r = {"sidecar": similarity.ivf_pq_index_repair(spark, d)}
+            if r["sidecar"]["repaired"]:
+                print(f"maintain: repaired ann sidecar {d}", file=sys.stderr)
+            r["compaction"] = similarity.ivf_pq_compact_index(spark, d)
             r.update(
                 similarity.ivf_pq_maintain_index(
                     spark, d,
