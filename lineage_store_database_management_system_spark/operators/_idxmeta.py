@@ -52,6 +52,7 @@ __all__ = [
     "publish_meta",
     "abandon_meta",
     "update_meta_atomic",
+    "retry_on_conflict",
 ]
 
 # A crashed writer's lease is clearable after this long. Generous on
@@ -253,3 +254,23 @@ def update_meta_atomic(
         disk["commit_seq"] = int(disk.get("commit_seq", 0)) + 1
         _atomic_dump(index_dir, meta_name, disk)
         return disk
+
+
+def retry_on_conflict(op, max_attempts: int = 8, backoff_s: float = 0.05):
+    """Run an index mutation with bounded optimistic-concurrency
+    retries — the lineage tables' ``rebase_retry`` (lineage.py:465)
+    for the retrieval indexes. Safe for every public index mutation
+    (write/append/delete/update/compact for BM25, trigram, and ANN):
+    each re-reads its sidecar snapshot internally and reserves before
+    any data write, so a conflict aborts with nothing published and
+    ``op`` is re-runnable verbatim. Linear backoff bounds livelock
+    under contention; the final conflict re-raises. Returns
+    ``op()``'s result."""
+    last: IndexConcurrentWriteError | None = None
+    for attempt in range(max_attempts):
+        try:
+            return op()
+        except IndexConcurrentWriteError as e:
+            last = e
+            time.sleep(backoff_s * (attempt + 1))
+    raise last  # type: ignore[misc]

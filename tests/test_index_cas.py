@@ -190,3 +190,63 @@ def test_ann_compact_carries_seq_forward(spark, tmp_path):
         similarity._ann_reserve(idx, stale)
     # and a fresh mutation flows normally
     assert similarity.ivf_pq_append_index(_vecs(spark, 4), idx) == 4
+
+
+# --- genuine concurrency: two live threads, invariant-checked ---------
+
+
+def test_two_threads_mutate_bm25_with_retry(spark, tmp_path):
+    """Not an injected interleaving: two threads run real mutations
+    concurrently under retry_on_conflict (generous attempt budget:
+    a rival's lease spans its real Spark jobs, which take seconds on
+    a loaded host). Invariants, not winners:
+    every mutation eventually lands exactly once, the final counters
+    equal a from-scratch re-derivation, and the repair marker check
+    is clean (no torn state survived)."""
+    import threading
+
+    idx = str(tmp_path / "race_bm25")
+    textsearch.write_bm25_index(_docs(spark, 0, 100), idx)
+    errors = []
+
+    def _deleter():
+        try:
+            for lo in (0, 10, 20):
+                ids = spark.range(lo, lo + 10).select(
+                    F.col("id").alias("doc_id")
+                )
+                n = _idxmeta.retry_on_conflict(
+                    lambda ids=ids: textsearch.delete_from_bm25_index(ids, idx),
+                    max_attempts=120, backoff_s=0.5,
+                )
+                assert n == 10
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    def _appender():
+        try:
+            for lo in (100, 140, 180):
+                docs = _docs(spark, lo, lo + 40)
+                _idxmeta.retry_on_conflict(
+                    lambda docs=docs: textsearch.write_bm25_index(docs, idx),
+                    max_attempts=120, backoff_s=0.5,
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t1 = threading.Thread(target=_deleter)
+    t2 = threading.Thread(target=_appender)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    meta = textsearch._read_meta(idx)
+    assert meta["n_docs"] == 100 - 30 + 120
+    assert meta["n_dead"] == 30
+    # marker check: every mutation's publish matched its parquet
+    assert textsearch.bm25_index_repair(spark, idx)["repaired"] is False
+    # and the index answers exactly like a from-scratch build
+    final = _docs(spark, 30, 220)
+    scratch = str(tmp_path / "race_scratch")
+    textsearch.write_bm25_index(final, scratch)
+    a = textsearch.bm25_topk_from_index(spark, idx, ["alpha", "record"], k=25)
+    b = textsearch.bm25_topk_from_index(spark, scratch, ["alpha", "record"], k=25)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
