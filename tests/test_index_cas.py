@@ -250,3 +250,36 @@ def test_two_threads_mutate_bm25_with_retry(spark, tmp_path):
     a = textsearch.bm25_topk_from_index(spark, idx, ["alpha", "record"], k=25)
     b = textsearch.bm25_topk_from_index(spark, scratch, ["alpha", "record"], k=25)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_lease_visible_across_processes(tmp_path, monkeypatch):
+    """The lease is a FILE, not process state: a writer that reserved
+    in another OS process (and died there) blocks this process's
+    mutators until the lease expires — the lock/lease design must
+    hold for the multi-writer deployments the CAS exists for, not
+    just threads sharing a module."""
+    import subprocess
+    import sys as _sys
+
+    idx = str(tmp_path / "xproc")
+    os.makedirs(idx)
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from lineage_store_database_management_system_spark.operators"
+        " import _idxmeta\n"
+        f"meta = _idxmeta.read_raw_meta({idx!r}, '_meta.json')\n"
+        f"_idxmeta.reserve_meta({idx!r}, meta)\n"
+    )
+    subprocess.run([_sys.executable, "-c", script], check=True)
+    assert _idxmeta.read_raw_meta(idx, "_meta.json").get("_pending")
+    with pytest.raises(IndexConcurrentWriteError, match="write lease"):
+        _idxmeta.reserve_meta(idx, _idxmeta.read_raw_meta(idx, "_meta.json"))
+    # after expiry: cleared with the run-repair-and-retry error, then
+    # a fresh reservation flows
+    monkeypatch.setattr(_idxmeta, "PENDING_STALE_S", 0.0)
+    with pytest.raises(IndexConcurrentWriteError, match="stale write lease"):
+        _idxmeta.reserve_meta(idx, _idxmeta.read_raw_meta(idx, "_meta.json"))
+    fresh = _idxmeta.read_raw_meta(idx, "_meta.json")
+    _idxmeta.reserve_meta(idx, fresh)
+    _idxmeta.publish_meta(idx, fresh)
+    assert not _idxmeta.read_raw_meta(idx, "_meta.json").get("_pending")

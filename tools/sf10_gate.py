@@ -26,7 +26,7 @@ from tools import selfcheck  # noqa: E402
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STATE = os.path.join(ROOT, "SF10_PROVEN.json")
-ROUND = 13
+ROUND = 14
 
 # Exclusions, each with the reason the judge should see.
 #
