@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["apply_corpus_changes"]
+__all__ = ["apply_corpus_changes", "sync_indexes_from_table"]
 
 
 def apply_corpus_changes(
@@ -138,3 +138,91 @@ def _session(*frames):
     raise ValueError(
         "apply_corpus_changes needs at least one of deletes/updates"
     )
+
+
+def sync_indexes_from_table(
+    table,
+    bm25_dir: str | None = None,
+    trigram_dir: str | None = None,
+    ann_dir: str | None = None,
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    built_at_commit: int = 0,
+) -> dict:
+    """Bring the retrieval indexes up to date with a lineage TABLE —
+    the store is the source of truth, search follows it. One call:
+    read the table's CDC feed since the indexes' watermark
+    (:meth:`LineageTable.changes_between_commits` — opens exactly the
+    files those commits added), resolve the touched keys against the
+    CURRENT view (an update delta may carry only the changed columns;
+    re-indexing needs the full row), and push one change set through
+    :func:`apply_corpus_changes` with the table's commit id as the
+    idempotence key.
+
+    The watermark is the per-index ``corpus_changes`` marker itself
+    (the minimum over the supplied indexes; an index mid-crash counts
+    from its last COMPLETED commit), so no separate sync-state file
+    can drift from what the indexes actually absorbed. Indexes built
+    from a snapshot of the table pass ``built_at_commit`` (the
+    commit they were built at) so the first sync doesn't replay
+    history they already contain — replaying it anyway would still
+    CONVERGE (change sets are derived from the current view, so
+    re-applying is delete-noop + same-value re-index), just
+    wastefully. Crash anywhere and re-call: completed indexes skip,
+    torn ones repair and re-apply. Windows beyond the table's CDC
+    retention raise the table's standard retention error. Returns
+    ``{"synced_from", "synced_to", "applied"}``."""
+    from pyspark.sql import functions as F
+
+    from ._idxmeta import read_raw_meta
+
+    id_col = table.key
+    lo = None
+    for d, name in (
+        (bm25_dir, "_meta.json"),
+        (trigram_dir, "_meta.json"),
+        (ann_dir, "_ann_meta.json"),
+    ):
+        if d is None:
+            continue
+        m = (read_raw_meta(d, name).get("stream_appends") or {}).get(
+            "corpus_changes"
+        )
+        if m is None:
+            w = int(built_at_commit)
+        elif m.get("completed"):
+            w = int(m["stream_batch"])
+        else:
+            w = int(m["stream_batch"]) - 1
+        lo = w if lo is None else min(lo, w)
+    if lo is None:
+        raise ValueError(
+            "sync_indexes_from_table needs at least one index dir"
+        )
+    rng = table.filelog.replayable_range()
+    hi = rng[1] if rng else 0
+    noop = {"bm25": False, "trigram": False, "ann": False}
+    if hi <= lo:
+        return {"synced_from": lo, "synced_to": lo, "applied": noop}
+    ch = table.changes_between_commits(lo, hi)
+    touched = ch.select(F.col(id_col)).distinct()
+    cur = table.current_view().join(touched, on=id_col, how="left_semi")
+    cols = [id_col] + [
+        c for c in (text_col, vec_col) if c in table.user_cols
+    ]
+    updates = cur.select(*cols)
+    deletes = touched.join(
+        cur.select(id_col), on=id_col, how="left_anti"
+    )
+    applied = apply_corpus_changes(
+        hi,
+        deletes,
+        updates,
+        bm25_dir=bm25_dir,
+        trigram_dir=trigram_dir,
+        ann_dir=ann_dir,
+        id_col=id_col,
+        text_col=text_col,
+        vec_col=vec_col,
+    )
+    return {"synced_from": lo, "synced_to": hi, "applied": applied}

@@ -10404,3 +10404,78 @@ def ds_corpus_changes_hybrid(spark, sf_dir):
         spark, bidx, aidx, ["join", "filter", "merge"], q,
         k=10, k_lex=20, k_ann=20, nprobe=8, n_candidates=200,
     )
+
+
+@workload(
+    "ds_index_sync_from_table_bm25",
+    # Round 14: the STORE-IS-SOURCE-OF-TRUTH composition — documents
+    # live in a lineage table; the table is mutated through its own
+    # DML (bulk_update re-texts every 53rd doc, bulk_delete tombstones
+    # every 41st); ONE sync_indexes_from_table call reads the
+    # commit-stamped CDC feed since the index's own watermark and
+    # pushes the change set through apply_corpus_changes. The oracle
+    # recomputes scan-path BM25 over the SQL-modeled final corpus, so
+    # a sync that misses a delete, misses an update, or re-indexes a
+    # stale pre-update text hash-mismatches.
+    """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 41 <> 0 AND doc_id % 53 <> 0
+  UNION ALL
+  SELECT doc_id, 'filter join probe text ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 53 = 0 AND doc_id % 41 <> 0
+), t2 AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM corpus) WHERE length(term) > 0
+), dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+                 (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2
+       WHERE term IN ('join', 'filter', 'merge') GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t2
+        WHERE term IN ('join', 'filter', 'merge') GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 4) AS bm25
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 15""",
+)
+def ds_index_sync_from_table(spark, sf_dir):
+    """Search follows the store: a lineage table of documents absorbs
+    DML (update + delete), then one CDC-driven sync brings the
+    durable BM25 index to the table's current state — watermarked by
+    the index's own change marker, idempotent per commit id,
+    crash-convergent per index. The returned top-15 must equal
+    scan-path BM25 over the table's final corpus, recomputed from
+    scratch by the oracle."""
+    from .operators.corpus import sync_indexes_from_table
+
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="lss_wl_sync_")
+    db = Database().open(os.path.join(root, "db"), spark)
+    t = db.create_table_typed("docs_sync", docs.schema, "doc_id")
+    t.ingest_dataframe(docs)
+    k0 = t.filelog.replayable_range()[1]
+    bidx = os.path.join(root, "bm25")
+    textsearch.write_bm25_index(
+        t.current_view().select("doc_id", "text"), bidx
+    )
+    changed = docs.where(F.col("doc_id") % 53 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("filter join probe text "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    t.bulk_update(changed)
+    t.bulk_delete(docs.where(F.col("doc_id") % 41 == 0).select("doc_id"))
+    rep = sync_indexes_from_table(t, bm25_dir=bidx, built_at_commit=k0)
+    assert rep["applied"]["bm25"] is True
+    return textsearch.bm25_topk_from_index(
+        spark, bidx, ["join", "filter", "merge"], k=15
+    )

@@ -186,3 +186,81 @@ def test_sequential_change_ids_apply_in_order(spark, tmp_path):
     # stale/duplicate ids are recorded no-ops
     assert apply_corpus_changes(1, d1, None, bm25_dir=bidx)["bm25"] is False
     assert textsearch._read_meta(bidx)["n_docs"] == 78
+
+
+def test_sync_indexes_from_table_cdc(spark, tmp_db, tmp_path):
+    """Store-is-source-of-truth: mutate the lineage TABLE, then one
+    sync call brings every retrieval index to the table's current
+    state via its commit-stamped CDC feed — watermarked by the
+    indexes' own markers, idempotent, crash-convergent."""
+    from lineage_store_database_management_system_spark.operators.corpus import (
+        sync_indexes_from_table,
+    )
+
+    src = _corpus(spark, 80)
+    t = tmp_db.create_table_typed("docs_sync", src.schema, "doc_id")
+    t.ingest_dataframe(src)
+    k0 = t.filelog.replayable_range()[1]
+    bidx = str(tmp_path / "sync_bm25")
+    aidx = str(tmp_path / "sync_ann")
+    textsearch.write_bm25_index(t.current_view().select("doc_id", "text"), bidx)
+    S.ivf_pq_write_index(
+        t.current_view().select("doc_id", "embedding"), aidx,
+        n_lists=4, m=3, nbits=4, id_col="doc_id", vec_col="embedding",
+    )
+    # nothing to sync yet: built at the current commit
+    r0 = sync_indexes_from_table(
+        t, bm25_dir=bidx, ann_dir=aidx, built_at_commit=k0
+    )
+    assert r0["synced_to"] == k0 and r0["applied"]["bm25"] is False
+    # mutate the TABLE: re-text + re-vector every 16th doc, delete
+    # every 8th
+    deletes, updates = _changes(spark)
+    t.bulk_update(updates)
+    t.bulk_delete(deletes)
+    r1 = sync_indexes_from_table(
+        t, bm25_dir=bidx, ann_dir=aidx, built_at_commit=k0
+    )
+    assert r1["synced_from"] == k0 and r1["synced_to"] > k0
+    assert r1["applied"] == {"bm25": True, "trigram": False, "ann": True}
+    # the indexes now answer exactly like from-scratch builds over the
+    # table's current view
+    final = t.current_view().select("doc_id", "text", "embedding")
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="sync_scratch_") + "/bm25"
+    textsearch.write_bm25_index(final.select("doc_id", "text"), scratch)
+    a = textsearch.bm25_topk_from_index(spark, bidx, ["omega", "alpha"], k=12)
+    b = textsearch.bm25_topk_from_index(spark, scratch, ["omega", "alpha"], k=12)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    q = [9.0, 0.1, 0.1]
+    got = [
+        (r["doc_id"], r["cosine"])
+        for r in S.ivf_pq_topk_from_index(
+            spark, aidx, q, k=10, nprobe=4, n_candidates=10**6, round_to=4
+        ).collect()
+    ]
+    want = [
+        (r["doc_id"], r["cosine"])
+        for r in S.brute_force_topk(
+            final.select("doc_id", "embedding"), q, k=10,
+            id_col="doc_id", vec_col="embedding", round_to=4,
+        ).collect()
+    ]
+    assert got == want
+    # idempotent: re-sync is a recorded no-op
+    r2 = sync_indexes_from_table(
+        t, bm25_dir=bidx, ann_dir=aidx, built_at_commit=k0
+    )
+    assert r2["applied"] == {"bm25": False, "trigram": False, "ann": False}
+    # and further table commits sync incrementally
+    t.bulk_delete(spark.createDataFrame([(1,), (2,)], "doc_id long"))
+    r3 = sync_indexes_from_table(
+        t, bm25_dir=bidx, ann_dir=aidx, built_at_commit=k0
+    )
+    assert r3["applied"]["bm25"] is True and r3["applied"]["ann"] is True
+    got2, _info = textsearch.substring_search(
+        t.current_view().select("doc_id", "text"), "record 1", index_dir=None
+    )
+    a2 = textsearch.bm25_topk_from_index(spark, bidx, ["alpha"], k=80)
+    assert {r["doc_id"] for r in a2.collect()}.isdisjoint({1, 2})

@@ -423,6 +423,10 @@ AUDIT = [
     # plan keeps the BM25 leg's pruned posting read and rank-window
     # fusion; ANN's only Python is the Arrow-batched ADC kernel.
     ("ds_corpus_changes_hybrid_rrf", ["In(term", "Window", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
+    # CDC-driven table->index sync: the query after sync is the plain
+    # pruned-posting BM25 plan — the sync's work rode the CDC window,
+    # not the query.
+    ("ds_index_sync_from_table_bm25", ["In(term", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
