@@ -1501,7 +1501,60 @@ def _ann_live(spark, index_dir: str, meta: dict) -> DataFrame:
     if tomb is None:
         return idx
     idc = meta["id_col"]
-    dead_id = [c for c in tomb.columns if c != "_upto"][0]
+    dead_id = [c for c in tomb.columns if c not in ("_upto", "_slot")][0]
+    return idx.join(
+        F.broadcast(tomb.select(F.col(dead_id).alias("_dead_id"), "_upto")),
+        on=(F.col(idc) == F.col("_dead_id"))
+        & (F.col("_gen") <= F.col("_upto")),
+        how="left_anti",
+    )
+
+
+def ann_index_asof_marker(index_dir: str) -> dict:
+    """Capture the ANN index's position on its mutation timeline —
+    the handle :func:`ivf_pq_topk_from_index` ``as_of=`` replays
+    (textsearch.index_asof_marker for the vector index; reference
+    parity: select_version, reference lstore/query.py:125). Every
+    mutation consumes one slot: appends take the ``_gen`` they stamp,
+    deletes (r14) take a slot recorded as ``_slot`` on their
+    tombstones. ``epoch`` counts compactions — markers from before
+    the last compaction address swept history and raise
+    :class:`~.textsearch.IndexHistoryTruncatedError` when replayed.
+    Metadata-plane only."""
+    meta = _open_ann_meta(index_dir)
+    n = int(meta.get("n_batches", 1))
+    return {"epoch": int(meta.get("epoch", 0)), "batch": n - 1}
+
+
+def _ann_asof(spark, index_dir: str, meta: dict, as_of: dict) -> DataFrame:
+    """The index rows AS OF a marker: generations written after the
+    marker's slot are filtered out, and only tombstones whose
+    mutation slot is <= the marker apply — a later delete cannot
+    reach back, a doc dead at the marker stays dead. Legacy
+    tombstones (pre-``_slot``) predate the feature and therefore any
+    marker: they always apply. Partition pruning survives exactly as
+    in :func:`_ann_live` (the ``_gen``/anti-join sit above the
+    ``_list`` scan filter)."""
+    from .textsearch import _validate_asof
+
+    upto = _validate_asof(
+        {"epoch": meta.get("epoch", 0), "n_batches": meta.get("n_batches", 1)},
+        as_of,
+    )
+    idx = spark.read.parquet(index_dir)
+    if "_gen" not in idx.columns:  # pre-r14 index layout
+        idx = idx.withColumn("_gen", F.lit(0))
+    idx = idx.where(F.col("_gen") <= F.lit(upto))
+    tomb = _ann_tombstones(spark, index_dir)
+    if tomb is None:
+        return idx
+    if "_slot" in tomb.columns:
+        # null _slot = legacy kill-all row: applied to every marker
+        tomb = tomb.where(
+            F.coalesce(F.col("_slot"), F.lit(-1)) <= F.lit(upto)
+        )
+    idc = meta["id_col"]
+    dead_id = [c for c in tomb.columns if c not in ("_upto", "_slot")][0]
     return idx.join(
         F.broadcast(tomb.select(F.col(dead_id).alias("_dead_id"), "_upto")),
         on=(F.col(idc) == F.col("_dead_id"))
@@ -1556,10 +1609,20 @@ def ivf_pq_delete_from_index(ids: DataFrame, index_dir: str) -> int:
     if n == 0:
         _ann_abandon(index_dir, meta)
         return 0
-    upto = int(meta.get("n_batches", 1)) - 1
-    matched.select(F.col(idc), F.lit(upto).alias("_upto")).coalesce(
-        1
-    ).write.mode("append").parquet(_os.path.join(index_dir, "_tombstones"))
+    # the delete consumes its own mutation SLOT (r14, the BM25
+    # discipline): _upto still kills every landed generation, _slot
+    # records WHEN — so an as-of marker orders deletes against
+    # appends exactly, and n_batches advances so the next marker
+    # differs from the pre-delete one
+    slot = int(meta.get("n_batches", 1))
+    matched.select(
+        F.col(idc),
+        F.lit(slot - 1).alias("_upto"),
+        F.lit(slot).alias("_slot"),
+    ).coalesce(1).write.mode("append").parquet(
+        _os.path.join(index_dir, "_tombstones")
+    )
+    meta["n_batches"] = slot + 1
     meta["n_dead"] = int(meta.get("n_dead", 0)) + n
     _refresh_ann_markers(index_dir, meta)
     _ann_publish(index_dir, meta)
@@ -1635,6 +1698,9 @@ def ivf_pq_compact_index(
     ).parquet(fresh)
     new_meta = dict(meta)
     new_meta["n_batches"] = 1  # generations reset with the tombstones
+    # history is physically gone: bump the epoch so pre-compaction
+    # as-of markers raise instead of re-aiming at the collapsed gen 0
+    new_meta["epoch"] = int(new_meta.get("epoch", 0)) + 1
     # the swap IS the publish: carry the reserved commit_seq forward
     # (so a stale snapshot can't CAS past the rebuild) and clear the
     # lease in the same directory rename
@@ -1851,8 +1917,16 @@ def ivf_pq_index_repair(spark, index_dir: str) -> dict:
     meta["n_batches"] = int(mx) + 1 if mx is not None else 1
     tomb = _ann_tombstones(spark, index_dir)
     if tomb is not None:
-        dead_id = [c for c in tomb.columns if c != "_upto"][0]
+        dead_id = [c for c in tomb.columns if c not in ("_upto", "_slot")][0]
         meta["n_dead"] = int(tomb.select(dead_id).distinct().count())
+        # deletes consume mutation slots (r14): a re-derived
+        # n_batches must clear every CONSUMED slot, not just every
+        # landed data generation, or as-of ordering corrupts and the
+        # next delete reuses a taken slot
+        if "_slot" in tomb.columns:
+            mx_t = tomb.agg(F.max("_slot")).first()[0]
+            if mx_t is not None:
+                meta["n_batches"] = max(meta["n_batches"], int(mx_t) + 1)
     else:
         meta["n_dead"] = 0
     _refresh_ann_markers(index_dir, meta)
@@ -2125,11 +2199,22 @@ def ivf_pq_topk_from_index(
     nprobe: int = 4,
     n_candidates: int = 100,
     round_to: int | None = None,
+    as_of: dict | None = None,
 ) -> DataFrame:
     """Query a persisted ANN index: rank centroids driver-side, read
     ONLY the nprobe nearest list partitions (`_list IN (...)` becomes
     a partition filter — files of unprobed lists are never opened),
-    ADC-scan their codes, exact-refine the recalled candidates."""
+    ADC-scan their codes, exact-refine the recalled candidates.
+
+    ``as_of`` (a marker from :func:`ann_index_asof_marker`) replays
+    the search against the corpus state AT that marker —
+    select_version for the vector index: later appends are
+    generation-filtered, later deletes/updates slot-filtered
+    (:func:`_ann_asof`). Probe planning stays driver math over the
+    FROZEN centroids (data-independent, so as-of needs no historical
+    sidecar), the raw vectors ride in the index rows, and the
+    exact-refine reads only as-of-live candidates. Markers from
+    before the last compaction raise IndexHistoryTruncatedError."""
     import numpy as np
 
     meta = _open_ann_meta(index_dir)
@@ -2137,7 +2222,11 @@ def ivf_pq_topk_from_index(
     q = np.asarray(query_vec, dtype=np.float64)
     order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()[:nprobe]
     probes = [int(i) for i in order]
-    idx = _ann_live(spark, index_dir, meta)
+    idx = (
+        _ann_asof(spark, index_dir, meta, as_of)
+        if as_of is not None
+        else _ann_live(spark, index_dir, meta)
+    )
     lists = idx.where(F.col("_list").isin(probes))
     if meta.get("residual"):
         # per-list query-residual ADC tables; each single-list filter
@@ -2180,6 +2269,7 @@ def ivf_pq_topk_batch_from_index(
     qvec_col: str = "q_embedding",
     round_to: int | None = None,
     max_queries: int = 10_000,
+    as_of: dict | None = None,
 ) -> DataFrame:
     """Top-k for a BATCH of queries against the persisted ANN index
     in ONE Spark job — Q sequential :func:`ivf_pq_topk_from_index`
@@ -2252,7 +2342,11 @@ def ivf_pq_topk_batch_from_index(
         ),
     )
     union_lists = sorted({li for _q, _v, li in probe_rows})
-    idx = _ann_live(spark, index_dir, meta).where(
+    idx = (
+        _ann_asof(spark, index_dir, meta, as_of)
+        if as_of is not None
+        else _ann_live(spark, index_dir, meta)
+    ).where(
         F.col("_list").isin(union_lists)  # partition pruning for the batch
     )
     joined = idx.join(

@@ -195,6 +195,105 @@ def _refresh_markers(index_dir: str, meta: dict, subdirs: tuple) -> None:
         meta[f"{sub}_rows"] = _parquet_rows(os.path.join(index_dir, sub))
 
 
+class IndexHistoryTruncatedError(ValueError):
+    """An as-of marker addresses generations the index no longer
+    holds: compaction physically swept the dead rows and tombstones
+    the marker's reconstruction needs. The retention contract is the
+    lineage tables' (filelog.py changes_between_commits raising
+    outside its horizon; Delta VACUUM + time travel): history older
+    than the last compaction is gone, and asking for it raises
+    instead of returning a silently wrong answer."""
+
+
+def index_asof_marker(index_dir: str) -> dict:
+    """Capture the index's current position on its mutation timeline
+    — the handle :func:`bm25_topk_from_index` ``as_of=`` replays.
+    Every mutation consumes one SLOT on that timeline: appends take
+    the generation number they stamp into their rows, and deletes
+    (r14) take a slot recorded as ``_slot`` on their tombstones — so
+    two states that differ only by a delete have DIFFERENT markers
+    and as-of ordering is exact, the discipline the lineage tables
+    get from commit ids (reference parity: select_version /
+    sum_version, reference lstore/query.py:125,220 — this is
+    select_version for the retrieval index). ``epoch`` counts compactions: a marker
+    from before the last compaction addresses physically swept
+    history and raises :class:`IndexHistoryTruncatedError` when
+    replayed. Metadata-plane only — no Spark job."""
+    meta = _read_meta(index_dir)
+    if meta["n_batches"] <= 0:
+        raise ValueError("index has no committed mutations to mark")
+    return {
+        "epoch": int(meta.get("epoch", 0)),
+        "batch": meta["n_batches"] - 1,
+    }
+
+
+def _validate_asof(meta: dict, as_of) -> int:
+    """Resolve an as-of marker against the live sidecar: wrong shape
+    and out-of-range batches are caller errors (ValueError); an epoch
+    mismatch is truncated history (compaction swept it) and raises
+    the honest retention error."""
+    try:
+        epoch = int(as_of["epoch"])
+        batch = int(as_of["batch"])
+    except (TypeError, KeyError, ValueError) as exc:
+        raise ValueError(
+            "as_of must be a marker from index_asof_marker(): a dict "
+            f"with integer 'epoch' and 'batch' keys, got {as_of!r}"
+        ) from exc
+    cur = int(meta.get("epoch", 0))
+    if epoch != cur:
+        raise IndexHistoryTruncatedError(
+            f"as-of marker epoch {epoch} != index epoch {cur}: a "
+            "compaction since the marker was captured physically "
+            "removed the tombstones and dead generations its replay "
+            "needs — as-of history only reaches back to the last "
+            "compaction"
+        )
+    if not (0 <= batch < meta["n_batches"]):
+        raise ValueError(
+            f"as-of batch {batch} outside the index's committed "
+            f"range [0, {meta['n_batches']})"
+        )
+    return batch
+
+
+def _bm25_asof_frames(spark, index_dir: str, upto: int):
+    """(postings, doclens) reconstructed AS OF mutation slot
+    ``upto``: generations written after the slot are filtered out,
+    and only tombstones whose mutation slot is <= the marker apply —
+    a delete issued after the marker cannot reach back and a doc
+    deleted before it stays dead. Legacy tombstones (written before
+    ``_slot`` existed) fall back to ``_upto`` as their slot: exact
+    for every marker not captured between a same-level append and
+    delete, and conservative (the delete folds in) for one captured
+    there. Tombstones read with mergeSchema so pre-upgrade rows
+    coexist with slotted ones."""
+    import os
+
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    if "_batch" not in postings.columns:  # pre-r12 layout
+        postings = postings.withColumn("_batch", F.lit(0))
+    doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    if "_batch" not in doclens.columns:  # pre-r12 layout
+        doclens = doclens.withColumn("_batch", F.lit(0))
+    postings = postings.where(F.col("_batch") <= F.lit(upto))
+    doclens = doclens.where(F.col("_batch") <= F.lit(upto))
+    tomb = None
+    tpath = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(tpath):
+        tomb = spark.read.option("mergeSchema", "true").parquet(tpath)
+        slot = (
+            F.coalesce(F.col("_slot"), F.col("_upto"))
+            if "_slot" in tomb.columns
+            else F.col("_upto")
+        )
+        tomb = tomb.where(slot <= F.lit(upto))
+    return _tombstone_filtered(postings, tomb), _tombstone_filtered(
+        doclens, tomb
+    )
+
+
 def write_trigram_index(
     docs: DataFrame,
     index_dir: str,
@@ -535,6 +634,7 @@ def compact_trigram_index(
     shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
     meta["n_dead"] = 0
     meta["n_batches"] = 1
+    meta["epoch"] = int(meta.get("epoch", 0)) + 1  # history swept
     _refresh_markers(index_dir, meta, ("postings", "docids", "tombstones"))
     _write_meta(index_dir, meta)
     return {**rep, "compacted": True}
@@ -917,15 +1017,22 @@ def delete_from_bm25_index(ids: DataFrame, index_dir: str) -> int:
     hit = doclens.join(
         F.broadcast(matched.select(F.col("_dead_id").alias(dcol))), on=dcol
     ).agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")).first()
+    # the delete consumes its own mutation SLOT (r14): _upto still
+    # kills every landed generation, _slot records WHEN — so an as-of
+    # marker can order a delete against appends at the same level,
+    # and n_batches advances so the next marker differs
+    slot = meta["n_batches"]
     (
         matched.select(
             F.col("_dead_id"),
-            F.lit(meta["n_batches"] - 1).alias("_upto"),
+            F.lit(slot - 1).alias("_upto"),
+            F.lit(slot).alias("_slot"),
         )
         .coalesce(1)
         .write.mode("append")
         .parquet(os.path.join(index_dir, "tombstones"))
     )
+    meta["n_batches"] = slot + 1
     meta["n_docs"] -= n
     meta["n_docs_dl"] = int(meta.get("n_docs_dl", 0)) - int(hit["n"] or 0)
     meta["total_dl"] = int(meta.get("total_dl", 0)) - int(hit["t"] or 0)
@@ -957,19 +1064,45 @@ def bm25_topk_from_index(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 4,
+    as_of: dict | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k from the durable index — identical formula,
     rounding, and tie-break as textops.bm25_topk, but the work is the
     QUERY TERMS' pruned posting lists: term IN-list → clustered-file
     pruning; df = one count-distinct over those rows (live-exact
     under append/delete); n_docs/avgdl are sidecar scalars; dl rides
-    in the posting row, so there is no corpus-sized join anywhere."""
+    in the posting row, so there is no corpus-sized join anywhere.
+
+    ``as_of`` (a marker from :func:`index_asof_marker`) replays the
+    ranking against the corpus state AT that marker — select_version
+    for the retrieval index (reference lstore/query.py:125): later
+    appends are generation-filtered out, later deletes/updates are
+    slot-filtered out of the tombstones, and a doc dead at the marker
+    stays dead. The scoring scalars are re-derived from the as-of
+    doclens in one slim aggregate (the :func:`bm25_index_repair`
+    re-derivation, sharing its honest boundary: docs whose text
+    tokenized to nothing are invisible to it — they have no postings
+    and can never be scored, so only the idf denominator shifts, the
+    same shift a from-scratch rebuild would produce). Time travel is
+    the audit path: the hot live path keeps its zero-job sidecar
+    scalars and its plan is untouched. Markers from before the last
+    compaction raise :class:`IndexHistoryTruncatedError` — swept
+    history, the CDC-retention contract."""
     terms = [t.lower() for t in query_terms]
     meta = _read_meta(index_dir)
-    n_docs = meta["n_docs"]
-    n_dl = int(meta.get("n_docs_dl", 0))
-    avgdl = (int(meta.get("total_dl", 0)) / n_dl) if n_dl else 1.0
-    postings, _d = open_bm25_index(spark, index_dir)
+    if as_of is not None:
+        upto = _validate_asof(meta, as_of)
+        postings, doclens = _bm25_asof_frames(spark, index_dir, upto)
+        agg = doclens.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).first()
+        n_docs = int(agg["n"] or 0)
+        avgdl = (int(agg["t"] or 0) / n_docs) if n_docs else 1.0
+    else:
+        n_docs = meta["n_docs"]
+        n_dl = int(meta.get("n_docs_dl", 0))
+        avgdl = (int(meta.get("total_dl", 0)) / n_dl) if n_dl else 1.0
+        postings, _d = open_bm25_index(spark, index_dir)
     p = postings.where(F.col("term").isin(terms))
     idc = [c for c in p.columns if c not in ("term", "tf", "dl", "_batch")][0]
     idf = (
@@ -1012,6 +1145,7 @@ def bm25_topk_batch_from_index(
     b: float = 0.75,
     round_to: int = 4,
     max_queries: int = 10_000,
+    as_of: dict | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k for a BATCH of queries in ONE job — the
     lexical twin of ``similarity.ivf_pq_topk_batch_from_index``.
@@ -1033,9 +1167,21 @@ def bm25_topk_batch_from_index(
     from pyspark.sql import Window
 
     meta = _read_meta(index_dir)
-    n_docs = meta["n_docs"]
-    n_dl = int(meta.get("n_docs_dl", 0))
-    avgdl = (int(meta.get("total_dl", 0)) / n_dl) if n_dl else 1.0
+    if as_of is not None:
+        # the batch twin of the single-query as_of: one marker, one
+        # as-of reconstruction, shared by every query in the batch
+        upto = _validate_asof(meta, as_of)
+        postings, _asof_dl = _bm25_asof_frames(spark, index_dir, upto)
+        _agg = _asof_dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).first()
+        n_docs = int(_agg["n"] or 0)
+        avgdl = (int(_agg["t"] or 0) / n_docs) if n_docs else 1.0
+    else:
+        n_docs = meta["n_docs"]
+        n_dl = int(meta.get("n_docs_dl", 0))
+        avgdl = (int(meta.get("total_dl", 0)) / n_dl) if n_dl else 1.0
+        postings = None
     # q_id keeps the caller's key type, the doc id keeps the index's
     # (ADVICE r13: the old int(qid) coercion and hardcoded 'long'
     # schemas broke string-id batches the single-query operator
@@ -1043,7 +1189,8 @@ def bm25_topk_batch_from_index(
     pairs = [
         (qid, t.lower()) for qid, terms in queries.items() for t in terms
     ]
-    postings, _d = open_bm25_index(spark, index_dir)
+    if postings is None:
+        postings, _d = open_bm25_index(spark, index_dir)
     idc = [
         c for c in postings.columns if c not in ("term", "tf", "dl", "_batch")
     ][0]
@@ -1144,6 +1291,10 @@ def compact_bm25_index(
     shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
     meta["n_dead"] = 0
     meta["n_batches"] = 1
+    # history is physically gone: bump the epoch so pre-compaction
+    # as-of markers raise IndexHistoryTruncatedError instead of
+    # silently reading the collapsed generation as batch 0
+    meta["epoch"] = int(meta.get("epoch", 0)) + 1
     _refresh_markers(index_dir, meta, ("postings", "doclens", "tombstones"))
     _write_meta(index_dir, meta)
     return {**rep, "compacted": True}
@@ -1265,6 +1416,17 @@ def bm25_index_repair(spark, index_dir: str) -> dict:
     mx_d = raw.agg(F.max("_batch")).first()[0]
     mx = max(int(mx_p) if mx_p is not None else -1,
              int(mx_d) if mx_d is not None else -1)
+    # deletes consume mutation slots too (r14, _slot on tombstones):
+    # a repair that re-derived n_batches from data generations alone
+    # would shrink it below a consumed slot, corrupting as-of
+    # ordering and letting the next delete reuse a taken slot
+    tpath = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(tpath):
+        traw = spark.read.option("mergeSchema", "true").parquet(tpath)
+        if "_slot" in traw.columns:
+            mx_t = traw.agg(F.max("_slot")).first()[0]
+            if mx_t is not None:
+                mx = max(mx, int(mx_t))
     meta["n_docs"] = int(agg["n"] or 0)
     meta["n_docs_dl"] = int(agg["n"] or 0)
     meta["total_dl"] = int(agg["t"] or 0)

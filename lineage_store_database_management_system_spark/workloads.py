@@ -9411,6 +9411,81 @@ def ds_bm25_index_delete_update(spark, sf_dir):
 
 
 @workload(
+    "ds_bm25_index_asof_topk",
+    # Round 14: TIME TRAVEL over the durable BM25 index — the marker
+    # captured after the delete replays that exact corpus state even
+    # though the index has since absorbed updates AND appends:
+    # generations after the marker are batch-filtered, tombstones
+    # after it are slot-filtered (deletes consume mutation slots, the
+    # r14 ordering fix), and the scoring scalars are re-derived from
+    # the as-of doclens. select_version for the retrieval index
+    # (reference lstore/query.py:125). The oracle recomputes scan-path
+    # BM25 over ONLY the deletes-applied corpus — a leak of the later
+    # update or append into the as-of ranking hash-mismatches, as
+    # does losing the delete.
+    """WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
+), t2 AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM corpus) WHERE length(term) > 0
+), dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+                 (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2
+       WHERE term IN ('join', 'filter', 'merge') GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t2
+        WHERE term IN ('join', 'filter', 'merge') GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 4) AS bm25
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""",
+)
+def ds_bm25_index_asof(spark, sf_dir):
+    """As-of BM25 from the mutated durable index: build on the base
+    corpus, delete every 41st doc, CAPTURE THE MARKER, then re-text
+    every 53rd and append planted keyword docs — and query as of the
+    marker. The later update and append must be invisible (their
+    planted 'join'/'filter' keywords would shift scores AND top-k
+    membership if they leaked) while the delete stays applied; the
+    oracle recomputes the deletes-only corpus ranking from scratch."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="lss_wl_bm25asof_")
+    idx = os.path.join(root, "bm25")
+    textsearch.write_bm25_index(docs, idx)
+    dead = docs.where(F.col("doc_id") % 41 == 0).select("doc_id")
+    textsearch.delete_from_bm25_index(dead, idx)
+    marker = textsearch.index_asof_marker(idx)
+    changed = docs.where(
+        (F.col("doc_id") % 53 == 0) & (F.col("doc_id") % 41 != 0)
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("filter join probe text "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    textsearch.update_bm25_index(changed, idx)
+    m = docs.agg(F.max("doc_id")).first()[0]
+    planted = docs.where(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + m + 1).alias("doc_id"),
+        F.concat(
+            F.lit("join merge probe "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    textsearch.append_bm25_index(planted, idx)
+    return textsearch.bm25_topk_from_index(
+        spark, idx, ["join", "filter", "merge"], k=20, as_of=marker
+    )
+
+
+@workload(
     "ds_hybrid_rrf_topk",
     # Round 12: hybrid retrieval — reciprocal-rank fusion (Cormack et
     # al. 2009) of the BM25 lexical top-20 (documents) and the exact
@@ -10051,6 +10126,78 @@ def ds_ann_index_batch(spark, sf_dir):
     )
     return similarity.ivf_pq_topk_batch_from_index(
         spark, idx, queries, k=10, nprobe=8, round_to=3
+    )
+
+
+@workload(
+    "ds_ann_index_asof_topk",
+    # Round 14: TIME TRAVEL over the durable ANN index — the marker
+    # captured after the delete replays that exact corpus state even
+    # though the index has since absorbed UPDATES (every 29th vector
+    # re-embedded to a shifted vector) and APPENDS (planted clones of
+    # the survivors past max id, which would tie into every top-10 if
+    # they leaked). Generations after the marker are _gen-filtered,
+    # tombstones after it slot-filtered; probe planning is driver
+    # math over the FROZEN centroids, so no historical sidecar is
+    # needed. nprobe = n_lists keeps the batch path exact, and the
+    # oracle recomputes both queries' cosine top-10 over the
+    # deletes-only corpus from scratch.
+    """WITH live AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 23 <> 0
+), q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (1, 7)
+), scored AS (
+  SELECT q.q_id, l.vec_id,
+    ROUND(list_aggregate(list_transform(range(1, len(l.embedding) + 1),
+      i -> CAST(l.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(l.embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(q.qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 3) AS cosine
+  FROM live l CROSS JOIN q
+), rk AS (
+  SELECT q_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id) AS r
+  FROM scored
+)
+SELECT q_id, vec_id, cosine FROM rk WHERE r <= 10 ORDER BY q_id, vec_id""",
+)
+def ds_ann_index_asof(spark, sf_dir):
+    """As-of ANN from the mutated durable index: build, delete every
+    23rd vector, CAPTURE THE MARKER, then re-embed every 29th
+    survivor (shifted — its new vector would re-rank if it leaked)
+    and append clones of the survivors past max id (exact duplicates
+    of true top hits — any leak ties into the top-10). Querying as of
+    the marker must reproduce the deletes-only corpus ranking the
+    oracle recomputes from scratch."""
+    emb = load_star(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="lss_wl_annasof_")
+    idx = os.path.join(root, "ann")
+    similarity.ivf_pq_write_index(emb, idx, n_lists=8, m=4, nbits=4)
+    dead = emb.where(F.col("vec_id") % 23 == 0).select("vec_id")
+    similarity.ivf_pq_delete_from_index(dead, idx)
+    marker = similarity.ann_index_asof_marker(idx)
+    changed = emb.where(
+        (F.col("vec_id") % 29 == 0) & (F.col("vec_id") % 23 != 0)
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(0.5) + F.lit(0.1)
+        ).alias("embedding"),
+    )
+    similarity.ivf_pq_update_index(changed, idx)
+    m = emb.agg(F.max("vec_id")).first()[0]
+    clones = emb.where(
+        (F.col("vec_id") % 13 == 0) & (F.col("vec_id") % 23 != 0)
+    ).select((F.col("vec_id") + m + 1).alias("vec_id"), "embedding")
+    similarity.ivf_pq_append_index(clones, idx)
+    queries = emb.where(F.col("vec_id").isin([1, 7])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.ivf_pq_topk_batch_from_index(
+        spark, idx, queries, k=10, nprobe=8, round_to=3, as_of=marker
     )
 
 

@@ -427,6 +427,16 @@ AUDIT = [
     # pruned-posting BM25 plan — the sync's work rode the CDC window,
     # not the query.
     ("ds_index_sync_from_table_bm25", ["In(term", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
+    # As-of (time-travel) BM25: the marker replay is the SAME pruned
+    # plan as the live query — term IN-list at the posting scan plus
+    # a pushed _batch <= marker comparison; the slot-filtered
+    # tombstones still broadcast; top-k stays compiled.
+    ("ds_bm25_index_asof_topk", ["In(term", "LessThanOrEqual(_batch", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
+    # As-of ANN: generation filtering sits ABOVE the _list partition
+    # pruning (probe planning is driver math over frozen centroids),
+    # so time travel keeps the partition-pruned scan + broadcast
+    # anti-join + per-query window shape of the live batch path.
+    ("ds_ann_index_asof_topk", ["PartitionFilters", "Window", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
