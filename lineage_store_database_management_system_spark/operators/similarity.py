@@ -700,6 +700,8 @@ def hybrid_search_from_indexes(
     ann_round_to: int | None = 3,
     k1: float = 1.2,
     b: float = 0.75,
+    as_of_bm25: dict | None = None,
+    as_of_ann: dict | None = None,
 ) -> DataFrame:
     """The production hybrid-retrieval entry point: one call runs the
     lexical leg off the durable BM25 index
@@ -712,12 +714,23 @@ def hybrid_search_from_indexes(
     deletes/updates/appends, so the fused answer reflects the current
     corpus without any scan — the corpus-sized work happened at index
     build/maintenance time. Gated end-to-end under mutation by
-    ``ds_hybrid_index_mutated_rrf``. Returns (id_col, rrf), k rows."""
+    ``ds_hybrid_index_mutated_rrf``. Returns (id_col, rrf), k rows.
+
+    ``as_of_bm25`` / ``as_of_ann`` replay BOTH legs at historical
+    markers (r14 time travel — :func:`~.textsearch.index_asof_marker`
+    and :func:`ann_index_asof_marker`): capture the pair after the
+    same corpus mutation (e.g. one ``apply_corpus_changes`` /
+    ``sync_indexes_from_table`` call, which mutates the indexes
+    together) and the fused ranking is consistent AS OF that corpus
+    state — hybrid retrieval over a snapshot, while the live indexes
+    keep absorbing mutations. Passing only one marker is allowed but
+    fuses two different corpus states; gated
+    ``ds_hybrid_index_asof_rrf`` uses the consistent pair."""
     from . import textsearch as _ts
 
     bm = _ts.bm25_topk_from_index(
         spark, bm25_index_dir, query_terms, k=k_lex, k1=k1, b=b,
-        round_to=bm25_round_to,
+        round_to=bm25_round_to, as_of=as_of_bm25,
     )
     bm_id = [c for c in bm.columns if c != "bm25"][0]
     if bm_id != id_col:
@@ -726,6 +739,7 @@ def hybrid_search_from_indexes(
     ann = ivf_pq_topk_from_index(
         spark, ann_index_dir, query_vec, k=k_ann, nprobe=nprobe,
         n_candidates=n_candidates, round_to=ann_round_to,
+        as_of=as_of_ann,
     )
     if meta["id_col"] != id_col:
         ann = ann.withColumnRenamed(meta["id_col"], id_col)

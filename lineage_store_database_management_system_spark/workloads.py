@@ -10025,6 +10025,123 @@ def ds_hybrid_index_mutated(spark, sf_dir):
 
 
 @workload(
+    "ds_hybrid_index_asof_rrf",
+    # Round 14: CONSISTENT-SNAPSHOT hybrid retrieval — both durable
+    # legs replayed at markers captured after the same mutation wave
+    # (BM25 deletes + the planted ANN append), while a LATER wave
+    # (BM25 keyword updates that would re-rank the lexical leg;
+    # deletion of the ENTIRE planted ANN tie set that dominates the
+    # semantic top-20) must stay invisible. The as-of ANN read has to
+    # resurrect vectors that are dead in the live view — the sharpest
+    # possible leak test in both directions. Oracle: scan-path BM25
+    # over the deletes-only corpus fused with exact cosine over
+    # base+planted embeddings, both recomputed from scratch.
+    """WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
+), t2 AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM corpus) WHERE length(term) > 0
+), dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+                 (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2
+       WHERE term IN ('join', 'filter', 'merge') GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t2
+        WHERE term IN ('join', 'filter', 'merge') GROUP BY 1),
+bm AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 4) AS bm25
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+mx AS (SELECT MAX(vec_id) AS m FROM embeddings),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT e.vec_id + mx.m + 1,
+         list_transform(q.qe, x -> CAST(CAST(x AS DOUBLE)
+           * (1.0 + ((e.vec_id % 7) + 1) / 100.0) AS FLOAT))
+  FROM embeddings e CROSS JOIN mx CROSS JOIN q
+  WHERE e.vec_id % 29 = 0 AND e.vec_id < 600
+),
+ann AS (
+  SELECT vec_id AS doc_id,
+    ROUND(list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 3) AS cosine
+  FROM emb2, q ORDER BY cosine DESC, doc_id LIMIT 20),
+ra AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+       FROM bm),
+rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r
+       FROM ann)
+SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / (60 + ra.r), 0.0)
+             + COALESCE(1.0 / (60 + rb.r), 0.0), 6) AS rrf
+FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10""",
+)
+def ds_hybrid_index_asof(spark, sf_dir):
+    """Snapshot-consistent hybrid retrieval via the marker pair: the
+    lexical leg replays the BM25 index as of its post-delete marker
+    (the later keyword re-texting of every 53rd survivor must not
+    re-rank it) and the semantic leg replays the ANN index as of its
+    post-append marker — AFTER which the entire planted tie set was
+    deleted, so the as-of read must surface vectors the live view
+    correctly hides. Same planted-tie exactness argument as
+    ds_hybrid_index_mutated_rrf (near-copies of the query quantize
+    next to it, full probe, ties by id -> closed form)."""
+    star = load_star(spark, sf_dir)
+    docs = star["documents"].select("doc_id", "text")
+    emb = star["embeddings"].select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="lss_wl_hyasof_")
+    bidx = os.path.join(root, "bm25")
+    aidx = os.path.join(root, "ann")
+    textsearch.write_bm25_index(docs, bidx)
+    dead = docs.where(F.col("doc_id") % 41 == 0).select("doc_id")
+    textsearch.delete_from_bm25_index(dead, bidx)
+    similarity.ivf_pq_write_index(emb, aidx, n_lists=8, m=4, nbits=4)
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    qarr = F.array(*[F.lit(float(x)).cast("double") for x in q])
+    scale = F.lit(1.0) + ((F.col("vec_id") % 7) + 1).cast("double") / F.lit(100.0)
+    planted = emb.where(
+        (F.col("vec_id") % 29 == 0) & (F.col("vec_id") < 600)
+    ).select(
+        (F.col("vec_id") + mx + 1).alias("vec_id"),
+        F.transform(qarr, lambda x: (x * scale).cast("float")).alias("embedding"),
+    )
+    similarity.ivf_pq_append_index(planted, aidx)
+    # -- the consistent marker pair: one corpus state, both indexes --
+    bm_marker = textsearch.index_asof_marker(bidx)
+    ann_marker = similarity.ann_index_asof_marker(aidx)
+    # -- later wave: must be invisible to the as-of replay ----------
+    changed = docs.where(
+        (F.col("doc_id") % 53 == 0) & (F.col("doc_id") % 41 != 0)
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("filter join probe text "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    textsearch.update_bm25_index(changed, bidx)
+    similarity.ivf_pq_delete_from_index(planted.select("vec_id"), aidx)
+    return similarity.hybrid_search_from_indexes(
+        spark, bidx, aidx, ["join", "filter", "merge"], q,
+        k=10, k_lex=20, k_ann=20, nprobe=8, n_candidates=200,
+        as_of_bm25=bm_marker, as_of_ann=ann_marker,
+    )
+
+
+@workload(
     "ds_ann_index_delete_filtered_topk",
     # Round 13: DELETE support on the durable ANN index — the last of
     # the three durable retrieval indexes to get it (trigram/BM25

@@ -437,6 +437,11 @@ AUDIT = [
     # so time travel keeps the partition-pruned scan + broadcast
     # anti-join + per-query window shape of the live batch path.
     ("ds_ann_index_asof_topk", ["PartitionFilters", "Window", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
+    # Snapshot-consistent hybrid: the as-of replay keeps the fused
+    # plan of the live hybrid path — pruned posting read, rank-window
+    # fusion, compiled top-k; ANN's only Python is the Arrow ADC
+    # kernel.
+    ("ds_hybrid_index_asof_rrf", ["In(term", "Window", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
