@@ -22,7 +22,62 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["apply_corpus_changes", "sync_indexes_from_table"]
+__all__ = [
+    "apply_corpus_changes",
+    "asof_markers_for_change",
+    "sync_indexes_from_table",
+]
+
+
+def asof_markers_for_change(
+    change_id: int,
+    bm25_dir: str | None = None,
+    trigram_dir: str | None = None,
+    ann_dir: str | None = None,
+    stream_id: str = "corpus_changes",
+) -> dict:
+    """The CONSISTENT as-of marker set recorded when ``change_id``
+    completed on each supplied index — the bridge between the lineage
+    table's commit timeline and the indexes' mutation timelines (r14
+    time travel). :func:`apply_corpus_changes` (and therefore
+    :func:`sync_indexes_from_table`, which keys changes by the
+    table's commit id) records each index's post-apply position under
+    the change id in the same atomic meta publish as the completion
+    marker, so the pair can never drift. Feed the returned markers to
+    ``as_of=`` on the index query operators — combined with the
+    table's own ``snapshot_at_commit``, the WHOLE stack (store +
+    retrieval) replays one commit-consistent state.
+
+    Raises ``KeyError`` when an index has no marker for the change id
+    (never applied, or older than the retention cap / last
+    compaction) — like the CDC retention error, never a silently
+    wrong marker. Metadata-plane only."""
+    from ._idxmeta import read_raw_meta
+
+    out = {}
+    for key, d, name in (
+        ("bm25", bm25_dir, "_meta.json"),
+        ("trigram", trigram_dir, "_meta.json"),
+        ("ann", ann_dir, "_ann_meta.json"),
+    ):
+        if d is None:
+            continue
+        hist = (read_raw_meta(d, name).get("change_markers") or {}).get(
+            stream_id
+        ) or {}
+        m = hist.get(str(int(change_id)))
+        if m is None:
+            raise KeyError(
+                f"{key} index has no as-of marker for change "
+                f"{change_id}: the change was never applied there, or "
+                "the marker aged past the retention cap "
+                "(textsearch._CHANGE_MARKER_CAP) or the last "
+                "compaction"
+            )
+        out[key] = {"epoch": int(m["epoch"]), "batch": int(m["batch"])}
+    if not out:
+        raise ValueError("asof_markers_for_change needs at least one index dir")
+    return out
 
 
 def apply_corpus_changes(

@@ -195,6 +195,11 @@ def _refresh_markers(index_dir: str, meta: dict, subdirs: tuple) -> None:
         meta[f"{sub}_rows"] = _parquet_rows(os.path.join(index_dir, sub))
 
 
+#: newest change->marker entries kept per (index, stream) — a meta
+#: size bound; compaction's epoch bump is the true retention edge
+_CHANGE_MARKER_CAP = 256
+
+
 class IndexHistoryTruncatedError(ValueError):
     """An as-of marker addresses generations the index no longer
     holds: compaction physically swept the dead rows and tombstones
@@ -292,6 +297,38 @@ def _bm25_asof_frames(spark, index_dir: str, upto: int):
     return _tombstone_filtered(postings, tomb), _tombstone_filtered(
         doclens, tomb
     )
+
+
+def _trigram_asof_frames(spark, index_dir: str, upto: int):
+    """(postings, stats) reconstructed AS OF mutation slot ``upto`` —
+    the trigram twin of :func:`_bm25_asof_frames`. Postings are
+    generation- and slot-filtered; STATS stay the live table: they
+    are planner input only (rarest-gram choice, scan-fallback
+    trigger), never correctness, and between compactions they only
+    GROW — so a gram absent from live stats was absent at every
+    marker of the current epoch, which keeps the df=0 short-circuit
+    sound for as-of reads."""
+    import os
+
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    if "_batch" not in postings.columns:  # pre-r12 layout
+        postings = postings.withColumn("_batch", F.lit(0))
+    postings = postings.where(F.col("_batch") <= F.lit(upto))
+    tomb = trigram_tombstones(spark, index_dir)
+    if tomb is not None:
+        slot = (
+            F.coalesce(F.col("_slot"), F.col("_upto"))
+            if "_slot" in tomb.columns
+            else F.col("_upto")
+        )
+        tomb = tomb.where(slot <= F.lit(upto))
+    postings = _tombstone_filtered(postings, tomb)
+    stats = (
+        spark.read.parquet(os.path.join(index_dir, "stats"))
+        .groupBy("gram")
+        .agg(F.sum("df").alias("df"))
+    )
+    return postings, stats
 
 
 def write_trigram_index(
@@ -415,7 +452,10 @@ def trigram_tombstones(spark, index_dir: str) -> DataFrame | None:
     path = os.path.join(index_dir, "tombstones")
     if not os.path.isdir(path):
         return None
-    return spark.read.parquet(path)
+    # mergeSchema: pre-r14 rows (no _slot) coexist with slotted ones;
+    # the table is small by the compaction contract, so the footer
+    # union costs nothing that matters
+    return spark.read.option("mergeSchema", "true").parquet(path)
 
 
 def _fully_dead_ids(spark, index_dir: str) -> DataFrame | None:
@@ -531,15 +571,21 @@ def delete_from_trigram_index(ids: DataFrame, index_dir: str) -> int:
     if n == 0:
         _abandon(index_dir, meta)
         return 0
+    # the delete consumes its own mutation SLOT (r14): _upto still
+    # kills every landed generation, _slot records WHEN, and
+    # n_batches advances so as-of markers order deletes exactly
+    slot = meta["n_batches"]
     (
         matched.select(
             F.col("_dead_id"),
-            F.lit(meta["n_batches"] - 1).alias("_upto"),
+            F.lit(slot - 1).alias("_upto"),
+            F.lit(slot).alias("_slot"),
         )
         .coalesce(1)
         .write.mode("append")
         .parquet(os.path.join(index_dir, "tombstones"))
     )
+    meta["n_batches"] = slot + 1
     meta["n_dead"] += n
     meta["n_docs"] -= n
     _refresh_markers(index_dir, meta, ("postings", "docids", "tombstones"))
@@ -729,6 +775,12 @@ def trigram_index_repair(spark, index_dir: str) -> dict:
     meta["n_docs"] = int(n_live)
     meta["n_dead"] = int(n_raw - n_live)
     meta["n_batches"] = int(mx) + 1 if mx is not None else 0
+    # deletes consume mutation slots (r14): never shrink the timeline
+    # below a consumed slot (see bm25_index_repair)
+    if tomb is not None and "_slot" in tomb.columns:
+        mx_t = tomb.agg(F.max("_slot")).first()[0]
+        if mx_t is not None:
+            meta["n_batches"] = max(meta["n_batches"], int(mx_t) + 1)
     _refresh_markers(index_dir, meta, ("postings", "docids", "tombstones"))
     _write_meta(index_dir, meta, heal=True)
     return {"repaired": True, **{f"{k}_rows": meta[f"{k}_rows"] for k in actual}}
@@ -755,6 +807,7 @@ def substring_search(
     n_docs: int | None = None,
     scan_fraction: float = 0.05,
     index_dir: str | None = None,
+    as_of: dict | None = None,
 ):
     """Exact ``contains(text, pattern)`` via the trigram index.
 
@@ -781,9 +834,30 @@ def substring_search(
     beat the straight scan — candidate materialization + verify would
     COST more than the naive plan (measured at sf10: a 6%-selective
     pattern ran 13x faster as a scan) — so the planner falls back to
-    the scan honestly and says so in ``info``."""
+    the scan honestly and says so in ``info``.
+
+    ``as_of`` (r14 time travel, with ``index_dir``) replays the
+    candidate generation against the index state AT the marker —
+    select_version for substring search. The CONTRACT inverts from
+    the live path: ``docs`` must be the corpus AS OF the same marker
+    (e.g. a lineage table's versioned read — the table/index marker
+    pair a ``sync_indexes_from_table`` cadence gives you), because
+    the exact verify and the scan fallback both read the caller's
+    frame as truth. The live path's tombstone anti-join on the scan
+    fallback is therefore SKIPPED under ``as_of``: docs deleted after
+    the marker must still match, and the caller's as-of frame already
+    excludes everything dead at it."""
     scan_docs = docs
-    if index_dir is not None:
+    if as_of is not None:
+        if index_dir is None:
+            raise ValueError("as_of requires index_dir (durable index)")
+        upto = _validate_asof(_read_meta(index_dir), as_of)
+        postings, stats = _trigram_asof_frames(
+            docs.sparkSession, index_dir, upto
+        )
+        if n_docs is None:
+            n_docs = trigram_index_ndocs(index_dir)
+    elif index_dir is not None:
         if postings is None:
             postings, stats = open_trigram_index(docs.sparkSession, index_dir)
         if n_docs is None:
@@ -961,7 +1035,9 @@ def append_bm25_index(
 def _tombstone_filtered(df: DataFrame, tomb) -> DataFrame:
     if tomb is None:
         return df
-    idc = [c for c in df.columns if c not in ("term", "tf", "dl", "_batch")][0]
+    idc = [
+        c for c in df.columns if c not in ("term", "gram", "tf", "dl", "_batch")
+    ][0]
     return df.join(
         F.broadcast(tomb),
         on=(F.col(idc) == F.col("_dead_id")) & (F.col("_batch") <= F.col("_upto")),
@@ -1494,6 +1570,29 @@ def _index_apply_stream_batch(
                 "stream_batch": int(batch_id),
                 "completed": bool(completed),
             }
+            if completed:
+                # record the index's as-of position AFTER this change
+                # (r14): the key is the caller's idempotence id (a CDC
+                # batch, a table commit via corpus.sync_indexes_from_
+                # table), so corpus.asof_markers_for_change can hand
+                # back a CONSISTENT marker set for time-traveling the
+                # whole retrieval stack to a table commit. The map is
+                # capped (newest _CHANGE_MARKER_CAP kept) — entries
+                # from before the last compaction are already useless
+                # (epoch mismatch raises honestly) so the cap is a
+                # size bound, not the real retention edge.
+                hist = meta.setdefault("change_markers", {}).setdefault(
+                    stream_id, {}
+                )
+                hist[str(int(batch_id))] = {
+                    "epoch": int(meta.get("epoch", 0)),
+                    "batch": int(meta.get("n_batches", 1)) - 1,
+                }
+                if len(hist) > _CHANGE_MARKER_CAP:
+                    for k in sorted(hist, key=int)[
+                        : len(hist) - _CHANGE_MARKER_CAP
+                    ]:
+                        del hist[k]
 
         # read-modify-write under the sidecar mutex: the marker can
         # neither clobber nor be clobbered by a concurrent counter
@@ -1561,6 +1660,7 @@ def fuzzy_similarity_search(
     text_col: str = "text",
     round_to: int = 4,
     index_dir: str | None = None,
+    as_of: dict | None = None,
 ):
     """pg_trgm ``similarity()`` / ``%`` at corpus scale: documents
     whose DISTINCT-trigram-set Jaccard similarity with ``query`` is
@@ -1619,7 +1719,19 @@ def fuzzy_similarity_search(
             {"strategy": "empty", "n_candidates": 0, "min_shared": 0},
         )
     source = "session"
-    if postings is None:
+    if as_of is not None:
+        # r14 time travel: as-of candidates from the durable index;
+        # ``docs`` must be the corpus AS OF the same marker (the
+        # substring_search contract) — the exact Jaccard verify reads
+        # its text as truth
+        if index_dir is None:
+            raise ValueError("as_of requires index_dir (durable index)")
+        upto = _validate_asof(_read_meta(index_dir), as_of)
+        postings, stats = _trigram_asof_frames(
+            docs.sparkSession, index_dir, upto
+        )
+        source = "durable-asof"
+    elif postings is None:
         if index_dir is not None:
             postings, stats = open_trigram_index(docs.sparkSession, index_dir)
             source = "durable"

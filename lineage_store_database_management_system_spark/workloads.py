@@ -8988,6 +8988,96 @@ def ds_trigram_delete_update(spark, sf_dir):
 
 
 @workload(
+    "ds_substring_index_asof",
+    # Round 14: TIME TRAVEL for the trigram family — exact contains()
+    # AND fuzzy (trigram-Jaccard) search replayed at a marker. The
+    # marker is captured after wave 1 (planted short 'customer query
+    # record N' docs appended, every 41st base doc deleted); wave 2
+    # then DELETES half the planted docs (the as-of read must
+    # resurrect them in both legs) and re-texts every 25th survivor
+    # WITH the pattern (a leak adds false matches). The caller's
+    # as-of corpus frame supplies verify text (the select_version
+    # contract); candidates come from the slot-filtered index. Oracle
+    # recomputes both legs from scratch over the wave-1 corpus.
+    """WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
+  UNION ALL
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+         'customer query record ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 37 = 0
+), qg AS (
+  SELECT list_distinct(list_transform(range(1, length('custmer quary') - 1),
+                       i -> substr('custmer quary', i, 3))) AS g
+), dg AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < 3 THEN []
+              ELSE list_distinct(list_transform(range(1, length(text) - 1),
+                                 i -> substr(text, i, 3))) END AS g
+  FROM corpus
+), sim AS (
+  SELECT dg.doc_id,
+         CAST(len(list_filter(dg.g, x -> list_contains(qg.g, x))) AS DOUBLE)
+         / (len(qg.g) + len(dg.g)
+            - len(list_filter(dg.g, x -> list_contains(qg.g, x)))) AS s
+  FROM dg CROSS JOIN qg WHERE len(dg.g) > 0
+)
+SELECT doc_id, 'contains' AS status FROM corpus
+WHERE contains(text, 'customer query')
+UNION ALL
+SELECT doc_id, 'fuzzy' AS status FROM sim WHERE s >= 0.15""",
+)
+def ds_substring_index_asof(spark, sf_dir):
+    """As-of substring + fuzzy search over the durable trigram index:
+    both legs replay the wave-1 corpus state from the slot-filtered
+    postings while the live index has since deleted half the planted
+    matches and injected the pattern into updated docs. docs passed
+    to the search is the AS-OF corpus frame (the inverted contract:
+    under as_of the caller's frame is truth for verify text, exactly
+    what a lineage-table versioned read supplies)."""
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="lss_wl_trgasof_")
+    idx = os.path.join(root, "trgm")
+    textsearch.write_trigram_index(docs, idx)
+    m = docs.agg(F.max("doc_id")).first()[0]
+    planted = docs.where(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + m + 1).alias("doc_id"),
+        F.concat(
+            F.lit("customer query record "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    textsearch.write_trigram_index(planted, idx)
+    dead = docs.where(F.col("doc_id") % 41 == 0).select("doc_id")
+    textsearch.delete_from_trigram_index(dead, idx)
+    marker = textsearch.index_asof_marker(idx)
+    asof_corpus = docs.where(F.col("doc_id") % 41 != 0).unionByName(planted)
+    # wave 2 — must be invisible to the as-of replay
+    planted_dead = planted.where((F.col("doc_id") - m - 1) % 2 == 0).select(
+        "doc_id"
+    )
+    textsearch.delete_from_trigram_index(planted_dead, idx)
+    changed = docs.where(
+        (F.col("doc_id") % 25 == 0) & (F.col("doc_id") % 41 != 0)
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("customer query injected "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    textsearch.update_trigram_index(changed, idx)
+    kept, _i1 = textsearch.substring_search(
+        asof_corpus, "customer query", index_dir=idx, as_of=marker,
+        scan_fraction=1.0,
+    )
+    fz, _i2 = textsearch.fuzzy_similarity_search(
+        asof_corpus, "custmer quary", threshold=0.15, index_dir=idx,
+        as_of=marker,
+    )
+    return kept.select("doc_id", F.lit("contains").alias("status")).unionByName(
+        fz.select("doc_id", F.lit("fuzzy").alias("status"))
+    )
+
+
+@workload(
     "ds_embedding_filtered_index_topk",
     # The DURABLE twin of ds_embedding_filtered_topk: strategy comes
     # from the index SIDECAR's per-(list,value) histogram (recorded at
@@ -10742,4 +10832,82 @@ def ds_index_sync_from_table(spark, sf_dir):
     assert rep["applied"]["bm25"] is True
     return textsearch.bm25_topk_from_index(
         spark, bidx, ["join", "filter", "merge"], k=15
+    )
+
+
+@workload(
+    "ds_table_sync_asof_bm25",
+    # Round 14 capstone composition: COMMIT-CONSISTENT time travel
+    # across the store/search boundary. The table absorbs DML in two
+    # waves, each followed by a CDC sync; every sync records the
+    # index's post-apply as-of marker under the TABLE'S COMMIT ID in
+    # the same atomic meta publish as its completion marker
+    # (asof_markers_for_change). Querying the index as of wave 1's
+    # commit must reproduce scan-path BM25 over the wave-1 corpus —
+    # the wave-2 keyword updates the index has since absorbed must be
+    # invisible. The oracle recomputes that corpus from scratch; a
+    # marker that drifted from what the sync actually applied
+    # hash-mismatches.
+    """WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
+), t2 AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM corpus) WHERE length(term) > 0
+), dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+                 (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2
+       WHERE term IN ('join', 'filter', 'merge') GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t2
+        WHERE term IN ('join', 'filter', 'merge') GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 4) AS bm25
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 15""",
+)
+def ds_table_sync_asof(spark, sf_dir):
+    """Full-stack time travel keyed by table commit: DML wave 1
+    (delete every 41st) -> sync -> DML wave 2 (re-text every 53rd
+    survivor with the query keywords) -> sync; then query the index
+    AS OF wave 1's table commit via the marker the first sync
+    recorded. Pairs with the table's own snapshot_at_commit: one
+    commit id addresses one consistent state of store AND search."""
+    from .operators.corpus import asof_markers_for_change, sync_indexes_from_table
+
+    docs = load_star(spark, sf_dir)["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="lss_wl_syncasof_")
+    db = Database().open(os.path.join(root, "db"), spark)
+    t = db.create_table_typed("docs_syncasof", docs.schema, "doc_id")
+    t.ingest_dataframe(docs)
+    k0 = t.filelog.replayable_range()[1]
+    bidx = os.path.join(root, "bm25")
+    textsearch.write_bm25_index(
+        t.current_view().select("doc_id", "text"), bidx
+    )
+    t.bulk_delete(docs.where(F.col("doc_id") % 41 == 0).select("doc_id"))
+    rep1 = sync_indexes_from_table(t, bm25_dir=bidx, built_at_commit=k0)
+    assert rep1["applied"]["bm25"] is True
+    changed = docs.where(
+        (F.col("doc_id") % 53 == 0) & (F.col("doc_id") % 41 != 0)
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("filter join probe text "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    t.bulk_update(changed)
+    rep2 = sync_indexes_from_table(t, bm25_dir=bidx, built_at_commit=k0)
+    assert rep2["applied"]["bm25"] is True
+    markers = asof_markers_for_change(rep1["synced_to"], bm25_dir=bidx)
+    return textsearch.bm25_topk_from_index(
+        spark, bidx, ["join", "filter", "merge"], k=15,
+        as_of=markers["bm25"],
     )

@@ -183,6 +183,147 @@ def test_marker_on_empty_index_raises(tmp_path):
         T.index_asof_marker(str(tmp_path / "nothing_here"))
 
 
+# ---- trigram index time travel (substring + fuzzy legs) ---------------
+
+TRI_C0 = [
+    (1, "alpha needle here"),
+    (2, "no match body"),
+    (3, "another needle doc"),
+    (4, "plain text"),
+]
+
+
+@pytest.fixture()
+def tri_mutated(spark, tmp_path):
+    idx = str(tmp_path / "tri")
+    T.write_trigram_index(_df(spark, TRI_C0), idx)
+    m0 = T.index_asof_marker(idx)
+    assert T.delete_from_trigram_index(_ids(spark, [3]), idx) == 1
+    m1 = T.index_asof_marker(idx)
+    T.update_trigram_index(_df(spark, [(2, "now a needle too")]), idx)
+    T.write_trigram_index(_df(spark, [(9, "fresh needle append")]), idx)
+    m2 = T.index_asof_marker(idx)
+    c1 = [d for d in TRI_C0 if d[0] != 3]
+    c2 = [(2, "now a needle too")] + [d for d in c1 if d[0] != 2] + [
+        (9, "fresh needle append")
+    ]
+    return idx, (m0, m1, m2), {"m0": TRI_C0, "m1": c1, "m2": c2}
+
+
+def test_substring_as_of_replays_snapshots(spark, tri_mutated):
+    idx, (m0, m1, m2), snaps = tri_mutated
+    want = {"m0": {1, 3}, "m1": {1}, "m2": {1, 2, 9}}
+    for name, marker in (("m0", m0), ("m1", m1), ("m2", m2)):
+        res, info = T.substring_search(
+            _df(spark, snaps[name]), "needle", index_dir=idx, as_of=marker,
+            scan_fraction=1.0,
+        )
+        assert info["strategy"] == "index"
+        assert {r["doc_id"] for r in res.collect()} == want[name], name
+
+
+def test_fuzzy_as_of_replays_snapshots(spark, tri_mutated):
+    idx, (m0, m1, _m2), snaps = tri_mutated
+    res, info = T.fuzzy_similarity_search(
+        _df(spark, snaps["m0"]), "nedle", threshold=0.1, index_dir=idx,
+        as_of=m0,
+    )
+    assert info["postings_source"] == "durable-asof"
+    assert {r["doc_id"] for r in res.collect()} == {1, 3}
+    res, _ = T.fuzzy_similarity_search(
+        _df(spark, snaps["m1"]), "nedle", threshold=0.1, index_dir=idx,
+        as_of=m1,
+    )
+    assert {r["doc_id"] for r in res.collect()} == {1}
+
+
+def test_trigram_as_of_requires_index_dir(spark, tri_mutated):
+    _idx, (m0, _m1, _m2), snaps = tri_mutated
+    with pytest.raises(ValueError, match="requires index_dir"):
+        T.substring_search(_df(spark, snaps["m0"]), "needle", as_of=m0)
+    with pytest.raises(ValueError, match="requires index_dir"):
+        T.fuzzy_similarity_search(
+            _df(spark, snaps["m0"]), "nedle", threshold=0.1, as_of=m0
+        )
+
+
+def test_trigram_compaction_truncates_history(spark, tri_mutated):
+    idx, (m0, m1, m2), snaps = tri_mutated
+    assert T.compact_trigram_index(spark, idx, force=True)["compacted"]
+    with pytest.raises(T.IndexHistoryTruncatedError):
+        T.substring_search(
+            _df(spark, snaps["m1"]), "needle", index_dir=idx, as_of=m1
+        )
+    m3 = T.index_asof_marker(idx)
+    assert m3["epoch"] == 1
+    res, _ = T.substring_search(
+        _df(spark, snaps["m2"]), "needle", index_dir=idx, as_of=m3,
+        scan_fraction=1.0,
+    )
+    assert {r["doc_id"] for r in res.collect()} == {1, 2, 9}
+
+
+# ---- change-id -> marker mapping (commit-consistent time travel) ------
+
+from lineage_store_database_management_system_spark.operators import corpus as C  # noqa: E402
+
+
+def test_change_markers_recorded_and_replayable(spark, tmp_path):
+    """apply_corpus_changes records each index's post-apply position
+    under the change id, atomically with the completion marker;
+    asof_markers_for_change hands the pair back so one change id
+    addresses one consistent retrieval-stack state."""
+    bidx = str(tmp_path / "cm_bm25")
+    docs = [(i, f"alpha join body {i}") for i in range(12)]
+    T.write_bm25_index(_df(spark, docs), bidx)
+    C.apply_corpus_changes(7, deletes=_ids(spark, [0, 1]), bm25_dir=bidx)
+    C.apply_corpus_changes(
+        9,
+        updates=_df(spark, [(2, "merge rewrite"), (3, "merge rewrite")]),
+        bm25_dir=bidx,
+    )
+    m7 = C.asof_markers_for_change(7, bm25_dir=bidx)["bm25"]
+    m9 = C.asof_markers_for_change(9, bm25_dir=bidx)["bm25"]
+    r7 = {d for d, _s in _topk(spark, bidx, as_of=m7, terms=["join"])}
+    r9 = {d for d, _s in _topk(spark, bidx, as_of=m9, terms=["join"])}
+    assert r7 == set(range(2, 12))
+    assert r9 == set(range(4, 12))
+    assert _topk(spark, bidx, terms=["join"]) == _topk(
+        spark, bidx, as_of=m9, terms=["join"]
+    )
+    # unknown change id -> honest retention error, never a wrong marker
+    with pytest.raises(KeyError, match="no as-of marker"):
+        C.asof_markers_for_change(99, bm25_dir=bidx)
+
+
+def test_change_marker_cap_trims_oldest(spark, tmp_path):
+    import json
+
+    bidx = str(tmp_path / "cm_cap")
+    T.write_bm25_index(_df(spark, [(1, "alpha")]), bidx)
+    cap = T._CHANGE_MARKER_CAP
+    # simulate a long-running sync cadence without paying cap Spark
+    # jobs: seed the map to the cap, then one real apply must evict
+    # exactly the oldest entry
+    mp = os.path.join(bidx, "_meta.json")
+    meta = json.load(open(mp))
+    meta["change_markers"] = {
+        "corpus_changes": {
+            str(i): {"epoch": 0, "batch": 0} for i in range(cap)
+        }
+    }
+    meta["stream_appends"] = {
+        "corpus_changes": {"stream_batch": cap - 1, "completed": True}
+    }
+    json.dump(meta, open(mp, "w"))
+    C.apply_corpus_changes(cap, deletes=_ids(spark, [99]), bm25_dir=bidx)
+    hist = json.load(open(mp))["change_markers"]["corpus_changes"]
+    assert len(hist) == cap
+    assert "0" not in hist and str(cap) in hist
+    with pytest.raises(KeyError):
+        C.asof_markers_for_change(0, bm25_dir=bidx)
+
+
 # ---- ANN index time travel (same contract, vector leg) ----------------
 
 from lineage_store_database_management_system_spark.operators import similarity as S  # noqa: E402

@@ -442,6 +442,16 @@ AUDIT = [
     # fusion, compiled top-k; ANN's only Python is the Arrow ADC
     # kernel.
     ("ds_hybrid_index_asof_rrf", ["In(term", "Window", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
+    # As-of trigram (substring + fuzzy): the candidate job read the
+    # pruned gram IN-list over slot-filtered postings eagerly (the
+    # bounded collect, as in ds_fuzzy_index_delete_update_search);
+    # the returned plan is the verify behind the pushed candidate-id
+    # IN-list on the caller's as-of frame.
+    ("ds_substring_index_asof", ["In(doc_id"], ["BatchEvalPython", "CartesianProduct"]),
+    # Commit-consistent time travel: the as-of replay keyed by a
+    # table commit keeps the pruned-posting BM25 plan with the pushed
+    # generation bound.
+    ("ds_table_sync_asof_bm25", ["In(term", "LessThanOrEqual(_batch", "TakeOrderedAndProject"], ["BatchEvalPython", "CartesianProduct"]),
 ]
 
 
