@@ -324,6 +324,61 @@ def test_change_marker_cap_trims_oldest(spark, tmp_path):
         C.asof_markers_for_change(0, bm25_dir=bidx)
 
 
+def test_full_stack_commit_consistent_time_travel(spark, tmp_path):
+    """The round-14 capstone composition end to end: a lineage table
+    is the corpus of record, CDC syncs keep a trigram index
+    following it, and ONE table commit id addresses one consistent
+    state of BOTH — snapshot_at_commit for the text,
+    asof_markers_for_change -> as_of for the index. The as-of
+    substring search over the versioned frame must equal contains()
+    over that same frame, even though table and index have both
+    moved on (a post-commit delete must resurrect, a post-commit
+    injected pattern must not leak)."""
+    from pyspark.sql import functions as F
+
+    from lineage_store_database_management_system_spark.catalog import Database
+
+    rows = [
+        (1, "alpha needle here"),
+        (2, "no match body"),
+        (3, "another needle doc"),
+        (4, "plain text"),
+    ]
+    db = Database(spark).open(str(tmp_path / "db"))
+    t = db.create_table_typed(
+        "docs_fs", _df(spark, rows).schema, "doc_id"
+    )
+    t.ingest_dataframe(_df(spark, rows))
+    k0 = t.filelog.replayable_range()[1]
+    idx = str(tmp_path / "fs_tri")
+    T.write_trigram_index(t.current_view().select("doc_id", "text"), idx)
+    # wave 1: delete doc 3
+    t.bulk_delete(_ids(spark, [3]))
+    rep1 = C.sync_indexes_from_table(t, trigram_dir=idx, built_at_commit=k0)
+    assert rep1["applied"]["trigram"] is True
+    c1 = rep1["synced_to"]
+    # wave 2: doc 2 now contains the pattern, doc 1 loses it
+    t.bulk_update(_df(spark, [(2, "now a needle too"), (1, "scrubbed")]))
+    rep2 = C.sync_indexes_from_table(t, trigram_dir=idx, built_at_commit=k0)
+    assert rep2["applied"]["trigram"] is True
+    # one commit id -> one consistent (text, index) state
+    snap = t.snapshot_at_commit(c1).select("doc_id", "text")
+    marker = C.asof_markers_for_change(c1, trigram_dir=idx)["trigram"]
+    res, info = T.substring_search(
+        snap, "needle", index_dir=idx, as_of=marker, scan_fraction=1.0
+    )
+    assert info["strategy"] == "index"
+    assert {r["doc_id"] for r in res.collect()} == {1}
+    # and the live pair agrees with the live state
+    res2, _ = T.substring_search(
+        t.current_view().select("doc_id", "text"),
+        "needle",
+        index_dir=idx,
+        scan_fraction=1.0,
+    )
+    assert {r["doc_id"] for r in res2.collect()} == {2}
+
+
 # ---- ANN index time travel (same contract, vector leg) ----------------
 
 from lineage_store_database_management_system_spark.operators import similarity as S  # noqa: E402
