@@ -263,6 +263,56 @@ def test_trigram_compaction_truncates_history(spark, tri_mutated):
     assert {r["doc_id"] for r in res.collect()} == {1, 2, 9}
 
 
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_randomized_mutation_lifecycle(spark, tmp_path, seed):
+    """Seeded random walk over the mutation grammar (append / delete
+    / update), marker captured after every step; every marker must
+    replay exactly the corpus state a from-scratch index over that
+    snapshot produces. Catches ordering bugs no hand-written
+    sequence was designed around."""
+    import random
+
+    rng = random.Random(seed)
+    idx = str(tmp_path / f"walk_{seed}")
+    words = ["join", "filter", "merge", "scan", "probe", "alpha", "beta"]
+
+    def text(i):
+        return " ".join(rng.choice(words) for _ in range(rng.randint(2, 6)))
+
+    corpus = {i: text(i) for i in range(8)}
+    T.write_bm25_index(_df(spark, sorted(corpus.items())), idx)
+    history = [(T.index_asof_marker(idx), dict(corpus))]
+    next_id = 8
+    for _step in range(5):
+        op = rng.choice(["append", "delete", "update"])
+        if op == "append":
+            new = {next_id + j: text(next_id + j) for j in range(2)}
+            next_id += 2
+            T.append_bm25_index(_df(spark, sorted(new.items())), idx)
+            corpus.update(new)
+        elif op == "delete" and corpus:
+            victim = rng.choice(sorted(corpus))
+            assert T.delete_from_bm25_index(_ids(spark, [victim]), idx) == 1
+            del corpus[victim]
+        else:
+            if not corpus:
+                continue
+            victim = rng.choice(sorted(corpus))
+            corpus[victim] = text(victim) + " rewritten"
+            T.update_bm25_index(_df(spark, [(victim, corpus[victim])]), idx)
+        history.append((T.index_asof_marker(idx), dict(corpus)))
+    # every marker in one distinct-marker timeline...
+    assert len({str(m) for m, _c in history}) == len(history)
+    # ...replays its exact snapshot
+    for i, (marker, snap) in enumerate(history):
+        got = _topk(spark, idx, as_of=marker, terms=["join", "merge"])
+        want = _scratch(
+            spark, tmp_path, f"w{seed}_{i}", sorted(snap.items()),
+            terms=["join", "merge"],
+        )
+        assert got == want, f"seed {seed} step {i}"
+
+
 # ---- change-id -> marker mapping (commit-consistent time travel) ------
 
 from lineage_store_database_management_system_spark.operators import corpus as C  # noqa: E402
