@@ -775,6 +775,7 @@ class LineageTable:
         target_dir: str,
         partition_by: list[str] | None = None,
         txn_hidden: str | None = None,
+        rebalance: bool = False,
     ) -> dict | None:
         """Commit-protocol append: write to a staging dir, then move
         the finished part-files into the table dir (preserving
@@ -807,6 +808,22 @@ class LineageTable:
             obs = Observation()
             df = df.observe(obs, *aggs.values())
         df = self._df_to_physical(df)
+        if rebalance:
+            # Right-size TAIL delta files (guide: coalesce on write /
+            # REBALANCE before the write). Delta frames are computed
+            # through broadcast joins, so their output partitioning is
+            # the BASE SCAN's — a sparse delta inherits one output
+            # file per scan task (measured: a 3-round mutation batch at
+            # 32 cores wrote 96 tiny files; at 100 TB a scan-shaped
+            # delta write would emit one near-empty file per scan
+            # split). The AQE rebalance shuffles only the delta bytes
+            # themselves and coalesces to advisoryPartitionSizeInBytes
+            # — scale-adaptive, not tuned to the local core count. Row
+            # VALUES are unchanged (the _seq projection stays below the
+            # added exchange); only file placement changes. Never used
+            # for base/compacted writes, whose key-clustered layout
+            # feeds per-file min/max skipping (r10 regression).
+            df = df.hint("rebalance")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -992,7 +1009,7 @@ class LineageTable:
             *[_delta_col(c) for c in self.user_cols],
         )
         self._validate_folded_updates(out)
-        self._append_via_staging(out, self.tail_dir)
+        self._append_via_staging(out, self.tail_dir, rebalance=True)
         self._maybe_auto_compact()
 
     def bulk_delete(self, keys: DataFrame) -> None:
@@ -1018,7 +1035,7 @@ class LineageTable:
                 for c in self.user_cols
             ],
         )
-        self._append_via_staging(out, self.tail_dir)
+        self._append_via_staging(out, self.tail_dir, rebalance=True)
         self._maybe_auto_compact()
 
     def merge_into(
@@ -1184,7 +1201,7 @@ class LineageTable:
             tail_out = (
                 upd.unionByName(dels) if when_matched_delete is not None else upd
             )
-            self._append_via_staging(tail_out, self.tail_dir)
+            self._append_via_staging(tail_out, self.tail_dir, rebalance=True)
             if when_not_matched_insert:
                 self.ingest_dataframe(ins_proj)
         finally:
@@ -1306,7 +1323,7 @@ class LineageTable:
             out = out.unionByName(d)
         try:
             self._validate_folded_updates(out)
-            self._append_via_staging(out, self.tail_dir)
+            self._append_via_staging(out, self.tail_dir, rebalance=True)
         finally:
             for d in deltas[:-1]:
                 d.unpersist()
@@ -3647,7 +3664,7 @@ class LineageTable:
                     for c in self.user_cols
                 ],
             )
-        self._append_via_staging(tail, self.tail_dir)
+        self._append_via_staging(tail, self.tail_dir, rebalance=True)
 
     # ------------------------------------------------------------------
     # merge / compaction (reference T4, table.py:180-225)

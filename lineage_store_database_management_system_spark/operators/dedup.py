@@ -187,7 +187,13 @@ def minhash_signatures(
     (expensive) shingle expression into every one of the k transforms.
     Deterministic across runs/partitions; entirely JVM-side."""
     sh = word_shingles(F.col(text_col), shingle_words).alias("_sh")
-    base = spread(df).select(F.col(id_col), sh).where(F.size("_sh") > 0)
+    # No size()>0 filter: explode() already drops empty/null arrays, so
+    # the filter was redundant — and Catalyst pushed it below spread's
+    # exchange, inlining the whole shingle expression into a Filter
+    # that ran BEFORE the projection recomputed it (plan showed the
+    # shingle transform twice per row; removing the filter halves the
+    # shingling CPU of the scan stage).
+    base = spread(df).select(F.col(id_col), sh)
     hashed = base.select(F.col(id_col), F.explode("_sh").alias("_s")).select(
         F.col(id_col), F.xxhash64("_s").alias("_h")
     )
@@ -467,9 +473,13 @@ def ngram_jaccard_pairs(
     This is the verification stage behind MinHash candidates and a
     correct standalone dedup for corpora where shingle postings fit
     the shuffle (cap via ``max_shingle_freq``)."""
+    # No size()>0 filter (see minhash_signatures): explode() drops
+    # empty arrays, zero-shingle docs never survive the inner joins
+    # below, and the pushed-down filter was double-evaluating the
+    # shingle expression under spread's exchange.
     sh = spread(df).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_words).alias("_sh")
-    ).where(F.size("_sh") > 0)
+    )
     sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
     postings = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
     rare = postings.groupBy("_s").agg(F.count(F.lit(1)).alias("_f")).where(
