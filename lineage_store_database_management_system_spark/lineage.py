@@ -961,8 +961,33 @@ class LineageTable:
         # destroy the tight per-file key stats that file skipping
         # plans from (r10 regression caught by test_filelog).
         floor = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < floor:
-            df = df.repartition(floor)
+        cur = df.rdd.getNumPartitions()
+        if cur < floor:
+            # Data-derived width, not a core-count constant: splitting
+            # a tiny source into ``defaultParallelism`` files made a
+            # 2.7 MB table 32 near-empty files, and every later scan,
+            # broadcast build and fold paid a 32-task stage for rows
+            # one task folds in milliseconds. The floor now targets a
+            # minimum bytes-per-file (conf below, default 8 MiB, local
+            # and cluster alike), capped at the session parallelism —
+            # at real scale inputs carry enough splits and none of
+            # this fires, exactly as before. When the plan-size
+            # estimate is unavailable the old core-count floor stands.
+            target = floor
+            try:
+                est = int(
+                    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+                min_file = _parse_size_bytes(
+                    df.sparkSession.conf.get(
+                        "spark.lineage_store.ingest.minFileBytes", "8m"
+                    )
+                )
+                target = max(1, min(floor, -(-est // max(1, min_file))))
+            except Exception:
+                pass
+            if cur < target:
+                df = df.repartition(target)
         out = df.select(
             (F.lit(batch << _BATCH_SHIFT) + F.monotonically_increasing_id()).alias(RID),
             F.current_timestamp().alias(TS),

@@ -114,6 +114,17 @@ def apply_corpus_changes(
     stream_id = "corpus_changes"
     applied = {"bm25": False, "trigram": False, "ann": False}
 
+    # The change-set frames are typically DERIVED (a CDC feed joined
+    # through the table's current-view fold — see
+    # sync_indexes_from_table) and every index family consumes them
+    # again: delete + re-index per family re-ran the whole derivation
+    # up to ~6x per sync. Persist them for the duration of the apply —
+    # lazily, so an all-indexes-already-applied retry (the skip path)
+    # never computes them at all; unpersisted before returning.
+    pinned = [f for f in (deletes, updates) if f is not None]
+    for f in pinned:
+        f.persist()
+
     def _text_update(kind: str, index_dir: str):
         delete = (
             textsearch.delete_from_bm25_index
@@ -137,52 +148,56 @@ def apply_corpus_changes(
 
         return _fn
 
-    if bm25_dir is not None:
-        spark = _session(deletes, updates)
-        applied["bm25"] = textsearch._index_apply_stream_batch(
-            bm25_dir,
-            change_id,
-            stream_id,
-            update_fn=_text_update("bm25", bm25_dir),
-            repair_fn=lambda: textsearch.bm25_index_repair(spark, bm25_dir),
-        )
-    if trigram_dir is not None:
-        spark = _session(deletes, updates)
-        applied["trigram"] = textsearch._index_apply_stream_batch(
-            trigram_dir,
-            change_id,
-            stream_id,
-            update_fn=_text_update("trigram", trigram_dir),
-            repair_fn=lambda: textsearch.trigram_index_repair(
-                spark, trigram_dir
-            ),
-        )
-    if ann_dir is not None:
-        spark = _session(deletes, updates)
+    try:
+        if bm25_dir is not None:
+            spark = _session(deletes, updates)
+            applied["bm25"] = textsearch._index_apply_stream_batch(
+                bm25_dir,
+                change_id,
+                stream_id,
+                update_fn=_text_update("bm25", bm25_dir),
+                repair_fn=lambda: textsearch.bm25_index_repair(spark, bm25_dir),
+            )
+        if trigram_dir is not None:
+            spark = _session(deletes, updates)
+            applied["trigram"] = textsearch._index_apply_stream_batch(
+                trigram_dir,
+                change_id,
+                stream_id,
+                update_fn=_text_update("trigram", trigram_dir),
+                repair_fn=lambda: textsearch.trigram_index_repair(
+                    spark, trigram_dir
+                ),
+            )
+        if ann_dir is not None:
+            spark = _session(deletes, updates)
 
-        def _ann_fn():
-            if deletes is not None:
-                similarity.ivf_pq_delete_from_index(
-                    deletes.select(deletes.columns[0]), ann_dir
-                )
-            if updates is not None and vec_col in updates.columns:
-                meta = similarity._open_ann_meta(ann_dir)
-                similarity.ivf_pq_update_index(
-                    updates.select(
-                        updates[id_col].alias(meta["id_col"]),
-                        updates[vec_col].alias(meta["vec_col"]),
-                    ),
-                    ann_dir,
-                )
+            def _ann_fn():
+                if deletes is not None:
+                    similarity.ivf_pq_delete_from_index(
+                        deletes.select(deletes.columns[0]), ann_dir
+                    )
+                if updates is not None and vec_col in updates.columns:
+                    meta = similarity._open_ann_meta(ann_dir)
+                    similarity.ivf_pq_update_index(
+                        updates.select(
+                            updates[id_col].alias(meta["id_col"]),
+                            updates[vec_col].alias(meta["vec_col"]),
+                        ),
+                        ann_dir,
+                    )
 
-        applied["ann"] = textsearch._index_apply_stream_batch(
-            ann_dir,
-            change_id,
-            stream_id,
-            update_fn=_ann_fn,
-            repair_fn=lambda: similarity.ivf_pq_index_repair(spark, ann_dir),
-            meta_name="_ann_meta.json",
-        )
+            applied["ann"] = textsearch._index_apply_stream_batch(
+                ann_dir,
+                change_id,
+                stream_id,
+                update_fn=_ann_fn,
+                repair_fn=lambda: similarity.ivf_pq_index_repair(spark, ann_dir),
+                meta_name="_ann_meta.json",
+            )
+    finally:
+        for f in pinned:
+            f.unpersist()
     return applied
 
 
