@@ -597,13 +597,24 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
         t = db.create_table_typed(name, src.schema, "o_orderkey")
         mx = src.agg(F.max("o_orderkey")).first()[0]
         step = mx // 8 + 1
-        for i in range(8):
-            t.ingest_dataframe(
-                src.where(
-                    (F.col("o_orderkey") >= i * step)
-                    & (F.col("o_orderkey") < (i + 1) * step)
+        # Plant the small-file state OPTIMIZE exists to fix: the
+        # data-derived ingest floor (r14 optimization) now writes one
+        # right-sized file per small commit, so force the old
+        # core-count fan-out for these 8 ingests — this fixture is
+        # "many small task files per commit", exactly the per-commit
+        # pack group optimize_files collapses (packs stay within one
+        # commit for row-provenance exactness).
+        spark.conf.set("spark.lineage_store.ingest.minFileBytes", "1b")
+        try:
+            for i in range(8):
+                t.ingest_dataframe(
+                    src.where(
+                        (F.col("o_orderkey") >= i * step)
+                        & (F.col("o_orderkey") < (i + 1) * step)
+                    )
                 )
-            )
+        finally:
+            spark.conf.unset("spark.lineage_store.ingest.minFileBytes")
         t.bulk_update(
             src.where("o_orderkey % 6 = 0").select(
                 "o_orderkey", (F.col("o_totalprice") + 50).alias("o_totalprice")

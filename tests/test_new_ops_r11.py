@@ -193,7 +193,13 @@ def test_jpeg_decode_stats_kernel(spark):
 # per-file Bloom sidecars (equality file skipping on unordered columns)
 # ---------------------------------------------------------------------------
 
-def _orders_table(spark, tmp_db, commits=4, parts=2):
+def _orders_table(spark, tmp_db, commits=4, parts=8):
+    # parts=8 plants a FINE file layout on purpose (32 files at the
+    # default commits=4): the bloom-skipping assertions below need a
+    # key's rows concentrated in a minority of files. Before the r14
+    # data-derived ingest floor, the explicit repartition was
+    # overridden by an unconditional repartition-to-core-count inside
+    # ingest_dataframe; the fixture now controls its layout exactly.
     src = (
         spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
