@@ -64,6 +64,23 @@ def get_spark(
         # log's own (path, size) pairs to a custom FileIndex so NO
         # per-file stat happens at all — the log already knows sizes.
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
+        # InferFiltersFromGenerate synthesizes `size(e) > 0 AND
+        # isnotnull(e)` from every explode(e) and pushes it below the
+        # exchange — for this engine's explodes, e is an EXPENSIVE
+        # expression chain (shingling, tokenization), so the inferred
+        # filter re-evaluates the whole chain once per row before the
+        # projection evaluates it again (plan evidence:
+        # plans/r14/ds_minhash_lsh_candidates_before.txt, Filter (5)
+        # vs Project (8) — the identical transform twice). The rows it
+        # would prune (empty arrays) are dropped by the Generate
+        # itself one operator later; what the rule saves is shuffling
+        # the rare empty-array row, what it costs is 2x the dominant
+        # per-row CPU at text scale. Spark guards this only for UDFs
+        # (SPARK-36715), not builtin chains — excluded engine-wide.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

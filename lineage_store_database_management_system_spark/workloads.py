@@ -77,6 +77,14 @@ def _prep(spark: SparkSession) -> None:
     # runtime-settable and required for correct reads/compares.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Results-neutral, CPU-structural (see session.py): stop the
+    # optimizer from duplicating expensive explode inputs into
+    # inferred pre-filters. Runtime-settable, so the driver's own
+    # session gets it too.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> LineageTable:
