@@ -1196,19 +1196,28 @@ def ivf_pq_write_index(
     # this, same-id updates required a compaction first)
     prepared = prepared.withColumn("_gen", F.lit(0))
     prepared.write.mode("overwrite").partitionBy("_list").parquet(index_dir)
+    # Sidecar stats aggregate over the FRESHLY WRITTEN index, not the
+    # `assigned` plan (r14 optimization): `assigned` re-runs the
+    # ArrowEvalPython centroid-assign kernel over the whole corpus per
+    # consumer — health + one pass per filter column + two per range
+    # column re-encoded the corpus 2+k+2r times. The written parquet
+    # carries every needed column (_list, vectors, attributes), so
+    # these are plain columnar aggregates now — no Python kernel,
+    # rows identical by construction.
+    written = df.sparkSession.read.parquet(index_dir)
     # Birth-time health stats for the drift trigger
     # (ivf_pq_index_staleness): per-list balance and mean assignment
     # error of the data the quantizer was actually trained for. One
     # n_lists-row agg over the freshly written index.
     build_stats = _ivf_health(
-        ivf_residuals(assigned, cents, vec_col=vec_col)
+        ivf_residuals(written, cents, vec_col=vec_col)
     )
     fhist = {}
     for c in filter_cols or []:
-        fhist[c] = _hist_triples(ivf_filter_histogram(assigned, c))
+        fhist[c] = _hist_triples(ivf_filter_histogram(written, c))
     rstats = {}
     for c in range_cols or []:
-        rstats[c] = ivf_range_stats(assigned, c)
+        rstats[c] = ivf_range_stats(written, c)
     meta = {"centroids": cents, "codebooks": books, "id_col": id_col,
             "vec_col": vec_col, "residual": residual,
             "n_lists": n_lists, "m": m, "nbits": nbits,
@@ -1833,27 +1842,37 @@ def ivf_pq_append_index(
     else:
         prepared = pq_encode(assigned, meta["codebooks"], vec_col=vec_col)
     gen = int(meta.get("n_batches", 1))  # pre-r14 sidecars: base is 0
-    prepared = prepared.withColumn("_gen", F.lit(gen))
-    n = prepared.count()
-    prepared.write.mode("append").partitionBy("_list").parquet(index_dir)
-    meta["n_batches"] = gen + 1
-    if meta.get("filter_hist"):
-        # histograms are additive over disjoint batches: fold the
-        # APPENDED rows' counts (O(batch) aggregates) into the sidecar
-        for c, triples in meta["filter_hist"].items():
-            hist = _hist_from_triples(triples)
-            for v, d in ivf_filter_histogram(assigned, c).items():
-                slot = hist.setdefault(v, {})
-                for li, cnt in d.items():
-                    slot[li] = slot.get(li, 0) + cnt
-            meta["filter_hist"][c] = _hist_triples(hist)
-    if meta.get("range_stats"):
-        # min/max merge + frozen-edge bucket adds: exact pruning
-        # bounds and additive estimates under any append sequence
-        for c, base in meta["range_stats"].items():
-            meta["range_stats"][c] = _merge_range_stats(
-                base, _range_stats_delta(assigned, c, base)
-            )
+    # Assign + PQ-encode ONCE (r14 optimization): count, the
+    # partitioned write, and every sidecar aggregate below re-read the
+    # persisted O(batch) encoded frame instead of re-running the two
+    # ArrowEvalPython kernels (centroid assign, code encode) per
+    # consumer — the old tree ran them 2x plus once per filter/range
+    # column. `prepared` retains assigned's columns, so the histogram
+    # and range-stat deltas aggregate over it identically.
+    prepared = prepared.withColumn("_gen", F.lit(gen)).persist()
+    try:
+        n = prepared.count()
+        prepared.write.mode("append").partitionBy("_list").parquet(index_dir)
+        meta["n_batches"] = gen + 1
+        if meta.get("filter_hist"):
+            # histograms are additive over disjoint batches: fold the
+            # APPENDED rows' counts (O(batch) aggregates) into the sidecar
+            for c, triples in meta["filter_hist"].items():
+                hist = _hist_from_triples(triples)
+                for v, d in ivf_filter_histogram(prepared, c).items():
+                    slot = hist.setdefault(v, {})
+                    for li, cnt in d.items():
+                        slot[li] = slot.get(li, 0) + cnt
+                meta["filter_hist"][c] = _hist_triples(hist)
+        if meta.get("range_stats"):
+            # min/max merge + frozen-edge bucket adds: exact pruning
+            # bounds and additive estimates under any append sequence
+            for c, base in meta["range_stats"].items():
+                meta["range_stats"][c] = _merge_range_stats(
+                    base, _range_stats_delta(prepared, c, base)
+                )
+    finally:
+        prepared.unpersist()
     if meta.get("filter_hist") or meta.get("range_stats"):
         meta["hist_rows"] = int(meta.get("hist_rows", 0)) + n
     _refresh_ann_markers(index_dir, meta)

@@ -354,24 +354,32 @@ def write_trigram_index(
     meta = _read_meta(index_dir)
     _reserve(index_dir, meta)  # claims the batch id: loser aborts here
     batch = meta["n_batches"]
-    postings = trigram_postings(docs, id_col, text_col).withColumn(
-        "_batch", F.lit(batch)
+    # Gram-extract ONCE per batch (r14 optimization): the old tree
+    # re-ran the shingling in repartitionByRange's sampling pass and
+    # again for the stats delta — 3 passes over the batch's text. The
+    # persist is O(this batch) — appends are O(batch) by contract —
+    # and dropped before returning.
+    postings = (
+        trigram_postings(docs, id_col, text_col)
+        .withColumn("_batch", F.lit(batch))
+        .persist()
     )
-    # CLUSTER BY GRAM: range-partition + sort so every posting file
-    # covers a narrow gram range — the query's gram IN-list then
-    # prunes at the parquet row-group/file level instead of scanning
-    # the whole posting table (at sf10 the unclustered posting scan
-    # was BIGGER than the corpus scan it was supposed to avoid —
-    # measured in tools/r11_ops_probe.py).
-    clustered = postings.repartitionByRange(
-        max(_default_parallelism(postings), 8), "gram"
-    ).sortWithinPartitions("gram")
-    clustered.write.mode("append").parquet(os.path.join(index_dir, "postings"))
-    # second pass over the batch for its stats delta (postings are
-    # not cached — the batch is the small side by construction)
-    trigram_stats(postings.drop("_batch")).write.mode("append").parquet(
-        os.path.join(index_dir, "stats")
-    )
+    try:
+        # CLUSTER BY GRAM: range-partition + sort so every posting file
+        # covers a narrow gram range — the query's gram IN-list then
+        # prunes at the parquet row-group/file level instead of scanning
+        # the whole posting table (at sf10 the unclustered posting scan
+        # was BIGGER than the corpus scan it was supposed to avoid —
+        # measured in tools/r11_ops_probe.py).
+        clustered = postings.repartitionByRange(
+            max(_default_parallelism(postings), 8), "gram"
+        ).sortWithinPartitions("gram")
+        clustered.write.mode("append").parquet(os.path.join(index_dir, "postings"))
+        trigram_stats(postings.drop("_batch")).write.mode("append").parquet(
+            os.path.join(index_dir, "stats")
+        )
+    finally:
+        postings.unpersist()
     # one (id, _batch) row per indexed doc: the membership table that
     # lets deletes count MATCHED LIVE docs (n_docs/n_dead stay honest
     # under unknown/repeated ids) and repair re-derive the counters —
@@ -992,28 +1000,43 @@ def write_bm25_index(
     _reserve(index_dir, meta)  # claims the batch id: loser aborts here
     batch = meta["n_batches"]
     toks = _bm25_terms(docs, id_col, text_col)
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    postings = (
+    # Tokenize ONCE per batch (r14 optimization): the old plan tree
+    # re-ran the explode+split tokenizer in the postings aggregate,
+    # again in the doclens branch, again for repartitionByRange's
+    # sampling pass, and again for the scalar counters — 4-5 passes
+    # over the batch's text. tf-per-(id, term) is the smallest frame
+    # that derives everything: dl = SUM(tf) per id (identical to the
+    # old COUNT over token rows), so doclens and the counters come
+    # from the persisted tfs without touching the text again. The
+    # persist is O(this batch) — appends are O(batch) by contract —
+    # and dropped before returning.
+    tfs = (
         toks.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .join(doclen, on=id_col)
-        .withColumn("_batch", F.lit(batch))
+        .persist()
     )
-    # term-clustered like the trigram postings: the query's term
-    # IN-list prunes at parquet stats level instead of scanning the
-    # whole posting table
-    (
-        postings.repartitionByRange(max(_default_parallelism(postings), 8), "term")
-        .sortWithinPartitions("term")
-        .write.mode("append")
-        .parquet(os.path.join(index_dir, "postings"))
-    )
-    doclen.withColumn("_batch", F.lit(batch)).write.mode("append").parquet(
-        os.path.join(index_dir, "doclens")
-    )
-    agg = doclen.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
-    ).first()
+    try:
+        doclen = tfs.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        postings = tfs.join(doclen, on=id_col).withColumn("_batch", F.lit(batch))
+        # term-clustered like the trigram postings: the query's term
+        # IN-list prunes at parquet stats level instead of scanning the
+        # whole posting table
+        (
+            postings.repartitionByRange(
+                max(_default_parallelism(postings), 8), "term"
+            )
+            .sortWithinPartitions("term")
+            .write.mode("append")
+            .parquet(os.path.join(index_dir, "postings"))
+        )
+        doclen.withColumn("_batch", F.lit(batch)).write.mode("append").parquet(
+            os.path.join(index_dir, "doclens")
+        )
+        agg = doclen.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).first()
+    finally:
+        tfs.unpersist()
     meta["n_docs"] += docs.count()
     meta["n_docs_dl"] = int(meta.get("n_docs_dl", 0)) + int(agg["n"] or 0)
     meta["total_dl"] = int(meta.get("total_dl", 0)) + int(agg["t"] or 0)
