@@ -618,9 +618,18 @@ def tfidf_top_terms(
         )
         .where(F.length("term") >= min_token_len)
     )
-    tf = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Tokenize ONCE (r14 optimization): tf and df both derive from the
+    # per-(doc, term) counts, so fold to that narrow frame first and
+    # persist it (plan-scoped, the dedup._materialize discipline) —
+    # the old tf/dfreq branches each re-ran the explode tokenizer.
+    per_doc = (
+        toks.groupBy(id_col, group_col, "term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .persist()
+    )
+    tf = per_doc.groupBy(group_col, "term").agg(F.sum("_c").alias("tf"))
     dfreq = (
-        toks.select(id_col, "term")
+        per_doc.select(F.col(id_col), F.col("term"))
         .distinct()
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -715,24 +724,62 @@ def bm25_topk(
     scored docs; the only wide shuffle keys are doc_id and the query
     terms themselves. No all-pairs stage, no UDF; final top-k is a
     single TakeOrdered, not a full sort."""
-    terms = [t.lower() for t in query_terms]
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
     toks = spread(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
     ).where(F.length("term") > 0)
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    qtoks = toks.where(F.col("term").isin(terms))
-    tf = qtoks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        qtoks.select(id_col, "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # ONE tokenize pass for real (r14 optimization): the previous tree
+    # had doclen, tf, dfreq and avgdl as separate branches over
+    # ``toks`` — Spark shares no subtrees across branches, so the
+    # corpus tokenized 4x. Fold dl + per-query-term tf into a single
+    # hash aggregate (one row per doc, |terms| tf columns — the query
+    # term list is tiny by contract), persist that NARROW frame, and
+    # derive tf rows / df / avgdl from it. Same values to the bit:
+    # dl counts all tokens, tf_t counts term occurrences, df counts
+    # docs with tf_t > 0, avgdl averages over tokenized docs.
+    docagg = (
+        toks.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(F.when(F.col("term") == t, 1)).alias(f"_tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        # Same plan-scoped persist discipline as dedup._materialize
+        # (no explicit unpersist: evicted LRU / with the session): the
+        # avgdl, tf and dfreq branches below all read this one narrow
+        # frame instead of re-tokenizing. At true corpus scale prefer
+        # the durable index (textsearch.bm25_topk_from_index); this
+        # scan path is the index-less fallback and its cache is one
+        # slim row per tokenized doc, spilling to disk under pressure.
+        .persist()
     )
     corpus = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
     )
-    avgdl = doclen.agg(F.avg("dl").alias("avgdl"))
+    avgdl = docagg.agg(F.avg("dl").alias("avgdl"))
+    tf = (
+        docagg.select(
+            F.col(id_col),
+            F.col("dl"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"_tf_{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(terms)
+                    ]
+                )
+            ).alias("_qt"),
+        )
+        .select(id_col, "dl", "_qt.term", "_qt.tf")
+        .where(F.col("tf") > 0)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = (
         dfreq.crossJoin(F.broadcast(corpus))
         .select(
@@ -746,7 +793,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(idf), on="term")
-        .join(doclen, on=id_col)
         .crossJoin(F.broadcast(avgdl))
         .select(
             F.col(id_col),
