@@ -473,19 +473,27 @@ def ngram_jaccard_pairs(
     This is the verification stage behind MinHash candidates and a
     correct standalone dedup for corpora where shingle postings fit
     the shuffle (cap via ``max_shingle_freq``)."""
-    # No size()>0 filter (see minhash_signatures): explode() drops
-    # empty arrays, zero-shingle docs never survive the inner joins
-    # below, and the pushed-down filter was double-evaluating the
-    # shingle expression under spread's exchange.
-    sh = spread(df).select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_words).alias("_sh")
+    # Shingle ONCE (r14 optimization): the sizes / rare-filter /
+    # posting-join branches each re-ran the (expensive) shingle
+    # transform — one pass now lands the exploded postings in a
+    # plan-scoped persist and everything derives from it. No size()>0
+    # filter either: explode() drops empty arrays, and zero-shingle
+    # docs never survive the inner joins below. word_shingles is
+    # array_distinct per doc, so sizes == per-id posting counts
+    # exactly.
+    postings0 = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_words)).alias("_s"),
+        )
+        .persist()
     )
-    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
-    postings = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
-    rare = postings.groupBy("_s").agg(F.count(F.lit(1)).alias("_f")).where(
+    sizes = postings0.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    rare = postings0.groupBy("_s").agg(F.count(F.lit(1)).alias("_f")).where(
         F.col("_f") <= max_shingle_freq
     )
-    postings = _materialize(postings.join(rare.select("_s"), "_s"), sketch_dir)
+    postings = _materialize(postings0.join(rare.select("_s"), "_s"), sketch_dir)
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
         a.join(
