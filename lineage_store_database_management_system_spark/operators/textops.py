@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text, occurrence_count, token_count_col
-from ._util import spread
+from ._util import plan_scoped_persist, spread
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic
 # language ID. Counts of ' word ' occurrences are engine-portable.
@@ -620,12 +620,15 @@ def tfidf_top_terms(
     )
     # Tokenize ONCE (r14 optimization): tf and df both derive from the
     # per-(doc, term) counts, so fold to that narrow frame first and
-    # persist it (plan-scoped, the dedup._materialize discipline) —
-    # the old tf/dfreq branches each re-ran the explode tokenizer.
-    per_doc = (
-        toks.groupBy(id_col, group_col, "term")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .persist()
+    # persist it — BOUNDED plan-scoped (r15): one cached frame per
+    # operator slot, the previous invocation's evicted, so repeated
+    # ad-hoc calls no longer accumulate cache entries for the session
+    # lifetime (see _util.plan_scoped_persist).
+    per_doc = plan_scoped_persist(
+        toks.groupBy(id_col, group_col, "term").agg(
+            F.count(F.lit(1)).alias("_c")
+        ),
+        "textops.tfidf.per_doc",
     )
     tf = per_doc.groupBy(group_col, "term").agg(F.sum("_c").alias("tf"))
     dfreq = (
@@ -725,6 +728,14 @@ def bm25_topk(
     terms themselves. No all-pairs stage, no UDF; final top-k is a
     single TakeOrdered, not a full sort."""
     terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    if not terms:
+        # Empty query: no term can match, so the result is the empty
+        # (id, bm25) frame. Guarded here because the _tf_* aggregate
+        # below would otherwise build explode(array()) of array<null>
+        # whose field access fails analysis (ADVICE r14).
+        return df.select(
+            F.col(id_col), F.lit(None).cast("double").alias("bm25")
+        ).limit(0)
     toks = spread(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
@@ -738,23 +749,23 @@ def bm25_topk(
     # derive tf rows / df / avgdl from it. Same values to the bit:
     # dl counts all tokens, tf_t counts term occurrences, df counts
     # docs with tf_t > 0, avgdl averages over tokenized docs.
-    docagg = (
-        toks.groupBy(id_col)
-        .agg(
+    docagg = plan_scoped_persist(
+        toks.groupBy(id_col).agg(
             F.count(F.lit(1)).alias("dl"),
             *[
                 F.sum(F.when(F.col("term") == t, 1)).alias(f"_tf_{i}")
                 for i, t in enumerate(terms)
             ],
-        )
-        # Same plan-scoped persist discipline as dedup._materialize
-        # (no explicit unpersist: evicted LRU / with the session): the
-        # avgdl, tf and dfreq branches below all read this one narrow
-        # frame instead of re-tokenizing. At true corpus scale prefer
-        # the durable index (textsearch.bm25_topk_from_index); this
-        # scan path is the index-less fallback and its cache is one
-        # slim row per tokenized doc, spilling to disk under pressure.
-        .persist()
+        ),
+        # Bounded plan-scoped persist (r15, replacing the bare
+        # session-lifetime .persist()): the avgdl, tf and dfreq
+        # branches below all read this one narrow frame instead of
+        # re-tokenizing; each new invocation evicts the previous
+        # one's cache. At true corpus scale prefer the durable index
+        # (textsearch.bm25_topk_from_index); this scan path is the
+        # index-less fallback and its cache is one slim row per
+        # tokenized doc, spilling to disk under pressure.
+        "textops.bm25.docagg",
     )
     corpus = df.agg(
         F.count(F.lit(1)).alias("n_docs"),

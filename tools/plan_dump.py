@@ -1,5 +1,6 @@
 """Dump .explain('formatted') for every headline bench query to
-plans/r14/<query>_<suffix>.txt (optimization-round evidence).
+plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<suffix>.txt (optimization-round
+evidence; the round dir defaults to r14 for artifact continuity).
 
 Usage: python tools/plan_dump.py <suffix> [names...]
 """
@@ -26,7 +27,9 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(
