@@ -18,7 +18,9 @@ def _default_parallelism(df: DataFrame) -> int:
         return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
-def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def spread(
+    df: DataFrame, min_parts: int | None = None, by: str | None = None
+) -> DataFrame:
     """Round-robin repartition a frame whose scan partitioning is too
     coarse for a compute-heavy per-row stage (e.g. one small Parquet
     file = one partition = one core doing all the shingling).
@@ -48,7 +50,62 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
         n_splits = 0
     if n_splits >= target:
         return df
+    if by is not None:
+        # Hash-partition on the downstream aggregation key instead of
+        # round-robin: when the very next wide operation groups by
+        # ``by``, the exchange this introduces ALREADY satisfies the
+        # aggregate's required distribution, so Catalyst elides the
+        # aggregate's own exchange — one shuffle instead of two. It
+        # also skips round-robin's local sort-before-repartition
+        # (needed only for retry-deterministic keyless placement;
+        # hash placement on a real column is deterministic by value).
+        # Distribution quality matches round-robin for any key with
+        # many distinct values per partition (doc ids).
+        from pyspark.sql import functions as F
+
+        return df.repartition(target, F.col(by))
     return df.repartition(target)
+
+
+# One slot per (operator, purpose): plan-scoped persists are bounded
+# by the number of distinct operator slots, not by how many times an
+# operator is invoked — see plan_scoped_persist.
+_PLAN_PERSIST_SLOTS: dict[str, DataFrame] = {}
+
+
+def plan_scoped_persist(df: DataFrame, slot: str) -> DataFrame:
+    """Persist a frame that feeds several branches of ONE returned
+    plan (Spark shares no subtrees across branches — without the
+    persist the expensive upstream computation runs once per branch).
+
+    Unlike a bare ``.persist()``, the cache is BOUNDED: each operator
+    slot holds the persist of its latest invocation only, and the
+    previous invocation's frame is unpersisted first — a long-lived
+    session calling the operator in a loop holds O(#slots) cached
+    plans, not O(#calls). Unpersisting before persisting also keeps
+    repeated identical invocations honest: CacheManager keys entries
+    on the canonicalized plan, so persist-new-then-unpersist-old on
+    two semantically equal frames would drop the one shared entry and
+    leave the new frame uncached; the drop-first order never shares
+    state between invocations. Correctness is persistence-independent
+    throughout: a caller still holding the PREVIOUS invocation's plan
+    simply recomputes.
+
+    The persist is lazy (no count action): every consumer branch lives
+    inside the one plan the caller returns, and RDD block locking
+    already guarantees a cached partition is computed once however
+    many branches (or broadcast-build threads) race to it — an eager
+    materialization job would only add a stage round-trip.
+    """
+    prev = _PLAN_PERSIST_SLOTS.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+    df = df.persist()
+    _PLAN_PERSIST_SLOTS[slot] = df
+    return df
 
 
 def tree_fold_partials(

@@ -121,7 +121,17 @@ def apply_corpus_changes(
     # up to ~6x per sync. Persist them for the duration of the apply —
     # lazily, so an all-indexes-already-applied retry (the skip path)
     # never computes them at all; unpersisted before returning.
-    pinned = [f for f in (deletes, updates) if f is not None]
+    # Only pin frames the CALLER has not persisted: persist() on a
+    # frame already cached at a non-default level raises, and the
+    # finally below must not silently drop a caller's own cache
+    # (ADVICE r14). StorageLevel NONE <=> not persisted.
+    pinned = [
+        f
+        for f in (deletes, updates)
+        if f is not None
+        and not f.storageLevel.useMemory
+        and not f.storageLevel.useDisk
+    ]
     for f in pinned:
         f.persist()
 

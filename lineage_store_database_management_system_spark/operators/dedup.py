@@ -34,10 +34,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text, unicode_normalized_text, word_shingles
-from ._util import spread
+from ._util import plan_scoped_persist, spread
 
 
-def _materialize(df: DataFrame, sketch_dir: str | None = None) -> DataFrame:
+def _materialize(
+    df: DataFrame, sketch_dir: str | None = None, slot: str = "dedup.sketch"
+) -> DataFrame:
     """Make a frame that feeds BOTH sides of a self-join cheap to read
     twice. Spark does not share common subexpressions across join
     branches — without this, the (expensive) sketch computation runs
@@ -46,8 +48,12 @@ def _materialize(df: DataFrame, sketch_dir: str | None = None) -> DataFrame:
     With ``sketch_dir`` the sketch becomes a PERSISTED TABLE: written
     once as Parquet, reused by every later query that passes the same
     dir (the 100 TB shape — sketches outlive one query and warrant a
-    real table; recompute by deleting the dir). Without it, an
-    in-memory persist scoped to this plan."""
+    real table; recompute by deleting the dir). Without it, a BOUNDED
+    plan-scoped persist (one cached frame per operator slot, previous
+    invocation evicted — see _util.plan_scoped_persist); the persist
+    is lazy, so the old materialization count job is gone and the
+    sketch computes inside the consuming action itself, still exactly
+    once across the self-join's branches (RDD block locking)."""
     if sketch_dir is not None:
         import os
 
@@ -56,9 +62,7 @@ def _materialize(df: DataFrame, sketch_dir: str | None = None) -> DataFrame:
         if not os.path.exists(done):
             df.write.mode("overwrite").parquet(sketch_dir)
         return spark.read.parquet(sketch_dir)
-    df = df.persist()
-    df.count()
-    return df
+    return plan_scoped_persist(df, slot)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -193,7 +197,12 @@ def minhash_signatures(
     # that ran BEFORE the projection recomputed it (plan showed the
     # shingle transform twice per row; removing the filter halves the
     # shingling CPU of the scan stage).
-    base = spread(df).select(F.col(id_col), sh)
+    # spread BY the id: the min-hash aggregate below groups on the id,
+    # so a hash exchange on it satisfies the aggregate's required
+    # distribution and Catalyst elides the aggregate's own exchange —
+    # one shuffle for spread+aggregate instead of two (r15; plan diff
+    # in plans/r15/ds_minhash_lsh_candidates_{before,after}.txt).
+    base = spread(df, by=id_col).select(F.col(id_col), sh)
     hashed = base.select(F.col(id_col), F.explode("_sh").alias("_s")).select(
         F.col(id_col), F.xxhash64("_s").alias("_h")
     )
@@ -255,7 +264,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
-    banded = _materialize(banded, sketch_dir)
+    banded = _materialize(banded, sketch_dir, slot="dedup.minhash.banded")
     if bucket_cap is not None:
         # Annotate each sketch row with its bucket's size and hub
         # (minimum id). One extra aggregate + join, both keyed on the
@@ -436,7 +445,7 @@ def sketch_candidates(
     """Pigeonhole-blocked near-dup pairs from an already-exploded
     (id, simhash, blk, bv) frame — shared by the text path above and
     the binary-payload path (operators/multimodal.py)."""
-    exploded = _materialize(exploded, sketch_dir)
+    exploded = _materialize(exploded, sketch_dir, slot="dedup.sketch.exploded")
     a, b = exploded.alias("a"), exploded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -481,19 +490,22 @@ def ngram_jaccard_pairs(
     # docs never survive the inner joins below. word_shingles is
     # array_distinct per doc, so sizes == per-id posting counts
     # exactly.
-    postings0 = (
-        spread(df)
-        .select(
+    postings0 = plan_scoped_persist(
+        spread(df).select(
             F.col(id_col),
             F.explode(word_shingles(F.col(text_col), shingle_words)).alias("_s"),
-        )
-        .persist()
+        ),
+        "dedup.ngram.postings0",
     )
     sizes = postings0.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     rare = postings0.groupBy("_s").agg(F.count(F.lit(1)).alias("_f")).where(
         F.col("_f") <= max_shingle_freq
     )
-    postings = _materialize(postings0.join(rare.select("_s"), "_s"), sketch_dir)
+    postings = _materialize(
+        postings0.join(rare.select("_s"), "_s"),
+        sketch_dir,
+        slot="dedup.ngram.postings",
+    )
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
         a.join(
