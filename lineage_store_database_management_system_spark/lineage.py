@@ -1028,43 +1028,40 @@ class LineageTable:
         # later scan on one core. At real scale inputs carry >= session
         # parallelism splits and this is a no-op; when it does fire,
         # the shuffle moves exactly the bytes being written anyway.
-        # The probe must be exact (df.rdd, not a plan-level guess):
-        # an unconditional round-robin repartition here would scatter
-        # naturally-contiguous keys across every output file and
-        # destroy the tight per-file key stats that file skipping
-        # plans from (r10 regression caught by test_filelog).
+        # Data-derived width, not a core-count constant: the floor
+        # targets a minimum bytes-per-file (conf below, default 8 MiB,
+        # local and cluster alike), capped at the session parallelism.
+        # The size estimate comes first (public-API, driver-cheap —
+        # inputFiles byte sum / explain-cost) so that when it already
+        # decides target=1, the exact partition-count probe (df.rdd,
+        # which forces a plan->RDD conversion) is skipped outright;
+        # the probe must be exact when it does run — an unconditional
+        # round-robin repartition here would scatter naturally-
+        # contiguous keys across every output file and destroy the
+        # tight per-file key stats that file skipping plans from (r10
+        # regression caught by test_filelog). When the size estimate
+        # is unavailable the old core-count floor stands (logged —
+        # ADVICE r14: a silent revert after a Spark upgrade would
+        # flip file layout without a trace).
         floor = df.sparkSession.sparkContext.defaultParallelism
-        cur = df.rdd.getNumPartitions()
-        if cur < floor:
-            # Data-derived width, not a core-count constant: splitting
-            # a tiny source into ``defaultParallelism`` files made a
-            # 2.7 MB table 32 near-empty files, and every later scan,
-            # broadcast build and fold paid a 32-task stage for rows
-            # one task folds in milliseconds. The floor now targets a
-            # minimum bytes-per-file (conf below, default 8 MiB, local
-            # and cluster alike), capped at the session parallelism —
-            # at real scale inputs carry enough splits and none of
-            # this fires, exactly as before. When the plan-size
-            # estimate is unavailable the old core-count floor stands.
-            target = floor
-            est = _estimate_plan_bytes(df)
-            if est is not None:
-                min_file = _parse_size_bytes(
-                    df.sparkSession.conf.get(
-                        "spark.lineage_store.ingest.minFileBytes", "8m"
-                    )
+        target = floor
+        est = _estimate_plan_bytes(df)
+        if est is not None:
+            min_file = _parse_size_bytes(
+                df.sparkSession.conf.get(
+                    "spark.lineage_store.ingest.minFileBytes", "8m"
                 )
-                target = max(1, min(floor, -(-est // max(1, min_file))))
-            else:
-                # Observable fallback (ADVICE r14): a silent revert to
-                # the core-count fan-out after a Spark upgrade would
-                # flip file layout without a trace.
-                _log.warning(
-                    "ingest size estimate unavailable; falling back to "
-                    "core-count parallelism floor (%d) for %s",
-                    floor,
-                    self.path,
-                )
+            )
+            target = max(1, min(floor, -(-est // max(1, min_file))))
+        else:
+            _log.warning(
+                "ingest size estimate unavailable; falling back to "
+                "core-count parallelism floor (%d) for %s",
+                floor,
+                self.path,
+            )
+        if target > 1:
+            cur = df.rdd.getNumPartitions()
             if cur < target:
                 df = df.repartition(target)
         out = df.select(

@@ -73,7 +73,9 @@ def spread(
 _PLAN_PERSIST_SLOTS: dict[str, DataFrame] = {}
 
 
-def plan_scoped_persist(df: DataFrame, slot: str) -> DataFrame:
+def plan_scoped_persist(
+    df: DataFrame, slot: str, eager: bool = False
+) -> DataFrame:
     """Persist a frame that feeds several branches of ONE returned
     plan (Spark shares no subtrees across branches — without the
     persist the expensive upstream computation runs once per branch).
@@ -91,11 +93,14 @@ def plan_scoped_persist(df: DataFrame, slot: str) -> DataFrame:
     throughout: a caller still holding the PREVIOUS invocation's plan
     simply recomputes.
 
-    The persist is lazy (no count action): every consumer branch lives
-    inside the one plan the caller returns, and RDD block locking
-    already guarantees a cached partition is computed once however
-    many branches (or broadcast-build threads) race to it — an eager
-    materialization job would only add a stage round-trip.
+    ``eager`` forces a count so the cache is MATERIALIZED before the
+    consuming plan is optimized. That matters whenever the frame is a
+    JOIN INPUT whose strategy the planner sizes from the cache: an
+    unmaterialized InMemoryRelation falls back to its child's
+    estimate (explode chains estimate huge), flipping a broadcast
+    self-join to a sort-merge join — measured on the minhash sketch
+    as 4x task CPU and 200x shuffle bytes. Frames consumed only by
+    explicitly-hinted joins / aggregates skip the extra job.
     """
     prev = _PLAN_PERSIST_SLOTS.pop(slot, None)
     if prev is not None:
@@ -105,6 +110,8 @@ def plan_scoped_persist(df: DataFrame, slot: str) -> DataFrame:
             pass
     df = df.persist()
     _PLAN_PERSIST_SLOTS[slot] = df
+    if eager:
+        df.count()
     return df
 
 

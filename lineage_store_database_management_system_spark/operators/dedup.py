@@ -50,10 +50,12 @@ def _materialize(
     dir (the 100 TB shape — sketches outlive one query and warrant a
     real table; recompute by deleting the dir). Without it, a BOUNDED
     plan-scoped persist (one cached frame per operator slot, previous
-    invocation evicted — see _util.plan_scoped_persist); the persist
-    is lazy, so the old materialization count job is gone and the
-    sketch computes inside the consuming action itself, still exactly
-    once across the self-join's branches (RDD block locking)."""
+    invocation evicted — see _util.plan_scoped_persist), materialized
+    EAGERLY: the sketch feeds both sides of a self-join, and the
+    planner sizes the join strategy from the materialized cache — a
+    lazy persist left the InMemoryRelation with its child's (explode-
+    inflated) estimate and flipped the broadcast self-join to a
+    sort-merge join (measured: 4x task CPU, 200x shuffle bytes)."""
     if sketch_dir is not None:
         import os
 
@@ -62,7 +64,7 @@ def _materialize(
         if not os.path.exists(done):
             df.write.mode("overwrite").parquet(sketch_dir)
         return spark.read.parquet(sketch_dir)
-    return plan_scoped_persist(df, slot)
+    return plan_scoped_persist(df, slot, eager=True)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -1202,6 +1202,13 @@ def bm25_topk_from_index(
         n_dl = int(meta.get("n_docs_dl", 0))
         avgdl = (int(meta.get("total_dl", 0)) / n_dl) if n_dl else 1.0
         postings, _d = open_bm25_index(spark, index_dir)
+    # The pruned per-term postings feed both the live-exact df
+    # aggregate and the scoring join, so the pruned posting files are
+    # read twice. Deliberately NOT persisted (r15 probe): the pruned
+    # set is query-term-sized at any corpus scale, and a plan-scoped
+    # persist measured WORSE on every work proxy (tasks 65 -> 125,
+    # input 240 KB -> 440 KB, task CPU ~390 -> ~700 ms at sf0.1) —
+    # cache scan overhead exceeds the second pruned read.
     p = postings.where(F.col("term").isin(terms))
     idc = [c for c in p.columns if c not in ("term", "tf", "dl", "_batch")][0]
     idf = (
