@@ -900,7 +900,27 @@ class LineageTable:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(staging)
+        if rebalance:
+            # AQE's coalescer by default "respects parallelism first"
+            # (spark.sql.adaptive.coalescePartitions.parallelismFirst),
+            # i.e. it stops merging at total/cores and ignores the
+            # advisory size — right for MID-QUERY stages that still
+            # feed compute, wrong for this FINAL write stage, where it
+            # re-plants the small-file problem as one file per core:
+            # measured at sf10, the 117 MB 3-round tail delta wrote 32
+            # x 3.65 MB files; with parallelism-first off it writes 3
+            # files of 21-45 MB (the advisory target). Scoped to the
+            # rebalanced write only — read-side and mid-query
+            # coalescing keep the parallelism-friendly default.
+            pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+            old_pf = self.spark.conf.get(pf_key, "true")
+            self.spark.conf.set(pf_key, "false")
+            try:
+                writer.parquet(staging)
+            finally:
+                self.spark.conf.set(pf_key, old_pf)
+        else:
+            writer.parquet(staging)
         if obs is not None:
             viol = {n: v for n, v in obs.get.items() if v}
             if viol:

@@ -124,7 +124,7 @@ def test_corpus_changes_respect_caller_persisted_frames(spark, tmp_path):
             [(100, "brand new body")], "doc_id long, text string"
         )
         corpus.apply_corpus_changes(
-            change_id="c1",
+            change_id=1,
             deletes=deletes,
             updates=updates,
             bm25_dir=idx,
