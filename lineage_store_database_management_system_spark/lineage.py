@@ -218,34 +218,19 @@ _EXPLAIN_SIZE_UNITS = {
 
 
 def _estimate_plan_bytes(df: DataFrame) -> int | None:
-    """Best-effort size estimate of a frame, via PUBLIC API only
-    (r14's ``df._jdf.queryExecution()...stats().sizeInBytes()`` was a
-    Spark-version coupling point — VERDICT r14 #7):
-
-    1. ``df.inputFiles()`` + on-disk byte sum — exact for the common
-       ingest shape (a file-backed source, filters only shrink it);
-    2. the optimizer's own estimate parsed from ``explain('cost')``
-       (the documented surface for logical-plan statistics) for
-       in-memory / derived sources;
-    3. ``None`` when both fail — callers keep their pre-estimate
-       behavior and should log the fallback.
-    """
-    try:
-        files = df.inputFiles()
-    except Exception:
-        files = []
-    if files:
-        try:
-            total = 0
-            for p in files:
-                if p.startswith("file:"):
-                    # strip scheme; handles file:/, file:// and
-                    # file:/// forms
-                    p = "/" + p.split(":", 1)[1].lstrip("/")
-                total += os.path.getsize(p)
-            return total
-        except OSError:
-            pass  # non-local scheme or vanished file: try the plan
+    """Best-effort size estimate of a frame's OUTPUT, via public API
+    only (r14's ``df._jdf.queryExecution()...stats().sizeInBytes()``
+    was a Spark-version coupling point — VERDICT r14 #7): the
+    optimizer's own estimate parsed from ``df.explain(mode='cost')``,
+    the documented surface for logical-plan statistics. For a bare
+    file scan this equals the on-disk byte total; for derived plans
+    it carries the optimizer's expansion estimates (explode/join), so
+    a row-expanding ingest is not under-sized to its seed file (an
+    inputFiles byte-sum variant had exactly that failure and was
+    dropped in review). Same cost class as the r14 private call —
+    both force one analysis+optimization pass. ``None`` when the
+    parse fails — callers keep their pre-estimate behavior and should
+    log the fallback."""
     try:
         import contextlib
         import io
@@ -263,6 +248,51 @@ def _estimate_plan_bytes(df: DataFrame) -> int | None:
     except Exception:
         pass
     return None
+
+
+# Session-global SQL confs flipped for the duration of one engine
+# operation (commit planning, rebalanced writes). Refcounted per
+# (session, key): concurrent operations that want the same flip nest
+# instead of racing — the FIRST setter records the user's original
+# value and the LAST restorer puts it back, so an interleaved
+# save/set/restore can never leave the flip permanent. The flipped
+# values are results-neutral (optimizer/AQE behavior only), so a
+# concurrent query planned inside the window is slower-or-equal,
+# never wrong.
+_CONF_FLIPS: dict[tuple[int, str], list] = {}
+_CONF_FLIP_LOCK = __import__("threading").Lock()
+
+
+class _scoped_conf:
+    def __init__(self, spark: SparkSession, key: str, value: str):
+        self.spark, self.key, self.value = spark, key, value
+        self._k = (id(spark), key)
+
+    def __enter__(self):
+        with _CONF_FLIP_LOCK:
+            ent = _CONF_FLIPS.get(self._k)
+            if ent is None:
+                try:
+                    orig = self.spark.conf.get(self.key)
+                except Exception:
+                    orig = None
+                self.spark.conf.set(self.key, self.value)
+                _CONF_FLIPS[self._k] = [1, orig]
+            else:
+                ent[0] += 1
+        return self
+
+    def __exit__(self, *exc):
+        with _CONF_FLIP_LOCK:
+            ent = _CONF_FLIPS[self._k]
+            ent[0] -= 1
+            if ent[0] == 0:
+                del _CONF_FLIPS[self._k]
+                if ent[1] is None:
+                    self.spark.conf.unset(self.key)
+                else:
+                    self.spark.conf.set(self.key, ent[1])
+        return False
 
 
 def _opt_unhide(p: str) -> str:
@@ -911,14 +941,14 @@ class LineageTable:
             # x 3.65 MB files; with parallelism-first off it writes 3
             # files of 21-45 MB (the advisory target). Scoped to the
             # rebalanced write only — read-side and mid-query
-            # coalescing keep the parallelism-friendly default.
-            pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-            old_pf = self.spark.conf.get(pf_key, "true")
-            self.spark.conf.set(pf_key, "false")
-            try:
+            # coalescing keep the parallelism-friendly default
+            # (refcounted flip: concurrent writers nest, never race).
+            with _scoped_conf(
+                self.spark,
+                "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false",
+            ):
                 writer.parquet(staging)
-            finally:
-                self.spark.conf.set(pf_key, old_pf)
         else:
             writer.parquet(staging)
         if obs is not None:
@@ -1064,26 +1094,37 @@ class LineageTable:
         # ADVICE r14: a silent revert after a Spark upgrade would
         # flip file layout without a trace).
         floor = df.sparkSession.sparkContext.defaultParallelism
-        target = floor
-        est = _estimate_plan_bytes(df)
-        if est is not None:
-            min_file = _parse_size_bytes(
-                df.sparkSession.conf.get(
-                    "spark.lineage_store.ingest.minFileBytes", "8m"
+        # At-scale fast path: a source already carrying >= floor input
+        # files needs no widening (its write is at least floor-wide or
+        # packs into >= advisory-sized splits either way), and it must
+        # not pay ANY estimation work per ingest — one inputFiles()
+        # call is the entire at-scale cost. The estimate below runs
+        # only on the small/in-memory corner the floor exists for.
+        try:
+            many_files = len(df.inputFiles()) >= floor
+        except Exception:
+            many_files = False
+        if not many_files:
+            target = floor
+            est = _estimate_plan_bytes(df)
+            if est is not None:
+                min_file = _parse_size_bytes(
+                    df.sparkSession.conf.get(
+                        "spark.lineage_store.ingest.minFileBytes", "8m"
+                    )
                 )
-            )
-            target = max(1, min(floor, -(-est // max(1, min_file))))
-        else:
-            _log.warning(
-                "ingest size estimate unavailable; falling back to "
-                "core-count parallelism floor (%d) for %s",
-                floor,
-                self.path,
-            )
-        if target > 1:
-            cur = df.rdd.getNumPartitions()
-            if cur < target:
-                df = df.repartition(target)
+                target = max(1, min(floor, -(-est // max(1, min_file))))
+            else:
+                _log.warning(
+                    "ingest size estimate unavailable; falling back to "
+                    "core-count parallelism floor (%d) for %s",
+                    floor,
+                    self.path,
+                )
+            if target > 1:
+                cur = df.rdd.getNumPartitions()
+                if cur < target:
+                    df = df.repartition(target)
         out = df.select(
             (F.lit(batch << _BATCH_SHIFT) + F.monotonically_increasing_id()).alias(RID),
             F.current_timestamp().alias(TS),
@@ -1364,14 +1405,13 @@ class LineageTable:
         # scope only (results-neutral by construction: constraint
         # propagation only licenses optimizer rewrites). Measured
         # (sf0.1, warm, min-of-4): commit 1.34-1.62 s -> 1.20-1.26 s.
-        conf = self.spark.conf
-        cp_key = "spark.sql.constraintPropagation.enabled"
-        old_cp = conf.get(cp_key, "true")
-        conf.set(cp_key, "false")
-        try:
+        # Refcounted flip (see _scoped_conf): concurrent commits on
+        # other tables of the same session nest instead of racing the
+        # save/restore.
+        with _scoped_conf(
+            self.spark, "spark.sql.constraintPropagation.enabled", "false"
+        ):
             self._commit_mutation_batch_rounds(rounds)
-        finally:
-            conf.set(cp_key, old_cp)
 
     def _commit_mutation_batch_rounds(self, rounds: list[tuple[str, Any]]) -> None:
         self.flush()

@@ -67,10 +67,11 @@ def spread(
     return df.repartition(target)
 
 
-# One slot per (operator, purpose): plan-scoped persists are bounded
-# by the number of distinct operator slots, not by how many times an
-# operator is invoked — see plan_scoped_persist.
-_PLAN_PERSIST_SLOTS: dict[str, DataFrame] = {}
+# One slot per (application, operator-purpose): plan-scoped persists
+# are bounded by the number of distinct operator slots per session,
+# not by how many times an operator is invoked — see
+# plan_scoped_persist.
+_PLAN_PERSIST_SLOTS: dict[tuple, DataFrame] = {}
 
 
 def plan_scoped_persist(
@@ -102,14 +103,21 @@ def plan_scoped_persist(
     as 4x task CPU and 200x shuffle bytes. Frames consumed only by
     explicitly-hinted joins / aggregates skip the extra job.
     """
-    prev = _PLAN_PERSIST_SLOTS.pop(slot, None)
+    try:
+        # key by application so (a) two live sessions never evict each
+        # other's caches and (b) a restarted session's slots don't
+        # alias the dead one's
+        key = (df.sparkSession.sparkContext.applicationId, slot)
+    except Exception:
+        key = ("", slot)
+    prev = _PLAN_PERSIST_SLOTS.pop(key, None)
     if prev is not None:
         try:
             prev.unpersist(blocking=False)
         except Exception:
             pass
     df = df.persist()
-    _PLAN_PERSIST_SLOTS[slot] = df
+    _PLAN_PERSIST_SLOTS[key] = df
     if eager:
         df.count()
     return df

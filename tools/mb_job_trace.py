@@ -81,10 +81,16 @@ def main() -> int:
             (j for j in _jobs() if j["jobId"] not in j0),
             key=lambda j: j["jobId"],
         )
-        from datetime import datetime
+        from datetime import datetime, timezone
 
         def ts(s):
-            return datetime.strptime(s[:23], "%Y-%m-%dT%H:%M:%S.%f").timestamp()
+            # REST timestamps are GMT; parse them as such so gaps stay
+            # correct on non-UTC hosts
+            return (
+                datetime.strptime(s[:23], "%Y-%m-%dT%H:%M:%S.%f")
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+            )
 
         print(f"rep {rep}: wall {wall:.3f}s, {len(jobs)} jobs")
         prev_end = t0
